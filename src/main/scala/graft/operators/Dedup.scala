@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication operators.
+  *
+  * Covers the reference's dedup surface (SURVEY.md §2.3):
+  *  - D1 key-subset distinct   (soulutionOne.py:41, solutionTwo.py:25, DAG/ETL.py:49)
+  *  - D2 single-key distinct   (solutionThree.py:11)
+  *  - D3 all-column distinct   (DAG/sample.py:41)
+  *  - D5 count-style oracle    (solutionFour.py:3-6)
+  * plus a deterministic-survivor variant the reference lacks (dropDuplicates
+  * keeps an arbitrary row per key; at 100 TB that nondeterminism breaks
+  * repeatability, so `canonical` pins the survivor with a total order).
+  *
+  * Scale notes: `dropDuplicates(keys)` plans as partial hash-aggregate →
+  * shuffle on `keys` → final hash-aggregate, i.e. map-side combine runs
+  * before the exchange — the right shape for 100 TB. `canonical` is a
+  * window `row_number`; Spark plans it as shuffle on `keys` + in-partition
+  * sort (no global sort).
+  */
+object Dedup {
+
+  /** D1/D2: keep one arbitrary row per key tuple (Spark's native semantics). */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** D3: full-row distinct. */
+  def fullRow(df: DataFrame): DataFrame = df.distinct()
+
+  /** Deterministic survivor: keep the row with the smallest `order` columns
+    * per key. Unlike dropDuplicates, re-runs (and different partitionings)
+    * always pick the same survivor — required for oracle comparison and for
+    * reproducible 100 TB pipelines.
+    */
+  def canonical(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D5 analog (solutionFour.py): row counts before/after dedup on keys,
+    * as a one-row DataFrame. countDistinct over the key tuple is a single
+    * aggregate pass — no second scan.
+    */
+  def stats(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val ks = keys.map(col)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(ks.head, ks.tail: _*).as("n_distinct"))
+  }
+
+  /** P1 (soulutionOne.py:44): surrogate key via monotonically_increasing_id.
+    * Values are partition-encoded (not consecutive) and nondeterministic
+    * across runs — never compare them by value; `q_surrogate_id` asserts
+    * uniqueness structurally instead.
+    */
+  def withSurrogateId(df: DataFrame, colName: String = "id"): DataFrame =
+    df.withColumn(colName, monotonically_increasing_id())
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cp = Seq(
+    ("1", "Acme GmbH", "DE001"),
+    ("2", "Acme GmbH", "DE001"),   // exact dup on (name, iban)
+    ("3", "Acme GmbH", "DE002"),   // same name, different iban
+    ("4", "Umbrella Corp", ""),
+    ("5", "Umbrella Corp", "")     // exact dup with empty iban
+  ).toDF("id", "name", "iban")
+
+  test("exact dedup on (name, iban) keeps one row per key") {
+    val out = Dedup.exact(cp, Seq("name", "iban"))
+    assert(out.count() == 3)
+    assert(out.select("name", "iban").distinct().count() == 3)
+  }
+
+  test("dedup is idempotent") {
+    val once = Dedup.exact(cp, Seq("name", "iban"))
+    assert(Dedup.exact(once, Seq("name", "iban")).count() == once.count())
+  }
+
+  test("full-row distinct") {
+    assert(Dedup.fullRow(cp.union(cp)).count() == cp.count())
+  }
+
+  test("canonical survivor picks smallest order value deterministically") {
+    val out = Dedup.canonical(cp, Seq("name", "iban"), Seq(col("id")))
+      .orderBy("id").select("id").as[String].collect()
+    assert(out.toSeq == Seq("1", "3", "4"))
+  }
+
+  test("stats reports before/after counts") {
+    val r = Dedup.stats(cp, Seq("name", "iban")).collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3)
+  }
+
+  test("surrogate ids are unique") {
+    val out = Dedup.withSurrogateId(Tables.customer(spark, sf0001))
+    assert(out.select("id").distinct().count() == out.count())
+  }
+
+  test("all declared queries run on sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
