@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level function surface of the engine (Spark-native replacements
+  * for the reference's Python UDFs — SURVEY.md §2.4).
+  */
+package object functions {
+
+  /** P8: Ratcliff/Obershelp similarity 0–100 (difflib-exact), as a Scala UDF.
+    * JVM-local — no Python-worker crossing; null-safe (null in → null out,
+    * matching PySpark UDF null semantics).
+    */
+  private val roSimUdf = udf { (a: String, b: String) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(RatcliffObershelp.similarity(a, b))
+  }
+
+  /** string_similarity(a, b) — the reference's fuzzy-match metric
+    * (/root/reference/soulutionOne.py:8-11) as a Column function.
+    */
+  def string_similarity(a: Column, b: Column): Column = roSimUdf(a, b)
+
+  /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
+    * lexicographic min of two strings as the cluster representative. A
+    * Python UDF in the reference; Spark's built-in codegen'd `least` here.
+    */
+  def canonical_key(a: Column, b: Column): Column = least(a, b)
+
+  /** P2 intent: the reference's `df["name"] + df["iban"]`
+    * (/root/reference/solutionThree.py:19) meant concatenation but PySpark
+    * `+` on strings is arithmetic plus (→ null on non-numeric data — SURVEY
+    * §4 bug 1). The engine implements the intent.
+    */
+  def concat_key(cols: Column*): Column = concat(cols: _*)
+
+  /** Deterministic 60-bit hash shared with the DuckDB oracle:
+    * Spark `conv(substr(md5(s),1,15),16,10)::long` ==
+    * DuckDB `('0x' || substr(md5(s),1,15))::BIGINT`. Seeded variants prefix
+    * the input. Used by MinHash/SimHash so near-dup sketches are
+    * oracle-comparable (md5 is identical across engines; xxhash64 is not).
+    */
+  def md5hash60(c: Column, seed: Int = 0): Column = {
+    val in = if (seed == 0) c else concat(lit(seed.toString + ":"), c)
+    conv(substring(md5(in), 1, 15), 16, 10).cast("long")
+  }
+}
