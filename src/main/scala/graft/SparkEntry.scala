@@ -45,6 +45,18 @@ object SparkEntry {
       Dedup.withSurrogateId(deduped)
         .agg(count(lit(1)).as("n"), count_distinct(col("id")).as("n_ids"))
     }),
+
+    // ---- J2/F4: levenshtein-threshold self-join (solutionThree.py:20),
+    // scale path = SymSpell deletion-neighborhood equi-join (exact-equivalent
+    // to the naive theta join; parity-tested in EditDistanceJoinSpec).
+    "q_link_pairs_lev" -> ((s, dir) =>
+      EditDistanceJoin.pairs(Tables.customer(s, dir), "c_custkey", "c_name", 2)
+        .select("id_a", "key_a", "id_b", "key_b")),
+
+    // ---- A1: per-id aggregated linked counterparts (solutionThree.py:23),
+    // deterministic via sort_array + concat_ws.
+    "q_link_agg_lev" -> ((s, dir) =>
+      EditDistanceJoin.linkedAggregate(Tables.customer(s, dir), "c_custkey", "c_name", 2)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,5 +77,13 @@ object SparkEntry {
         "WHERE rn = 1"),
     "q_surrogate_id" ->
       "SELECT count(*) AS n, count(*) AS n_ids FROM (SELECT DISTINCT c_name FROM customer)",
+    "q_link_pairs_lev" ->
+      ("SELECT a.c_custkey AS id_a, a.c_name AS key_a, b.c_custkey AS id_b, b.c_name AS key_b " +
+        "FROM customer a JOIN customer b ON levenshtein(a.c_name, b.c_name) <= 2"),
+    "q_link_agg_lev" ->
+      ("SELECT a.c_custkey AS c_custkey, count(*) AS n_linked, " +
+        "string_agg(b.c_name, ',' ORDER BY b.c_name) AS linked_keys " +
+        "FROM customer a JOIN customer b ON levenshtein(a.c_name, b.c_name) <= 2 " +
+        "GROUP BY a.c_custkey"),
   )
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Levenshtein-threshold self-join (the reference's J2,
+  * /root/reference/solutionThree.py:20 — fuzzy-link rows whose keys are
+  * within edit distance k; the reflexive pair is intentionally included,
+  * matching the reference).
+  *
+  * Two physically different but RESULT-IDENTICAL strategies:
+  *
+  *  - [[Naive]]: non-equi theta join — Catalyst plans a
+  *    BroadcastNestedLoopJoin, O(n²) `levenshtein` evaluations. The
+  *    reference's shape; fine below ~10^4 rows, unusable at 100 TB.
+  *
+  *  - [[DeletionNeighborhood]] (SymSpell-style, the scale path): if
+  *    lev(a,b) <= k then deleting the <=k edited characters from each side
+  *    reaches a COMMON string (the matched subsequence of any optimal
+  *    alignment — subs+dels <= k removed from a, subs+ins <= k from b). So
+  *    exploding each key into its <=k-deletion neighborhood and equi-joining
+  *    on the variant yields a guaranteed SUPERSET of the true pairs, which a
+  *    final exact `levenshtein` filter reduces to exactly the naive result.
+  *    All heavy work is shuffle-on-key equi-join + hash aggregate — linear
+  *    data movement, AQE-handled skew, no cartesian anywhere: the shape that
+  *    survives a 1000-executor 100 TB run.
+  *
+  * Equivalence of the two strategies is asserted in EditDistanceJoinSpec.
+  */
+object EditDistanceJoin {
+
+  sealed trait Strategy
+  case object Naive extends Strategy
+  case object DeletionNeighborhood extends Strategy
+
+  /** All ≤k-deletion variants of s (including s itself), distinct. */
+  private[graft] def deletionVariants(s: String, k: Int): Array[String] = {
+    val seen = mutable.LinkedHashSet(s)
+    var frontier: Set[String] = Set(s)
+    var d = 0
+    while (d < k) {
+      frontier = frontier.flatMap { t =>
+        (0 until t.length).iterator
+          .map(i => t.substring(0, i) + t.substring(i + 1))
+          .filterNot(seen.contains)
+          .toSet
+      }
+      seen ++= frontier
+      d += 1
+    }
+    seen.toArray
+  }
+
+  /** Matched pairs (id_a, key_a, id_b, key_b) with lev(key_a, key_b) <= maxDist.
+    * Reflexive pairs included unless includeSelf=false (then id_a != id_b).
+    * `df` must have unique values in idCol.
+    */
+  def pairs(df: DataFrame, idCol: String, keyCol: String, maxDist: Int,
+            strategy: Strategy = DeletionNeighborhood,
+            includeSelf: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val joined = strategy match {
+      case Naive =>
+        base.as("a").join(base.as("b"),
+            levenshtein(col("a.key"), col("b.key")) <= maxDist)
+          .select(col("a.id").as("id_a"), col("a.key").as("key_a"),
+                  col("b.id").as("id_b"), col("b.key").as("key_b"))
+
+      case DeletionNeighborhood =>
+        val genVariants = udf((s: String) =>
+          if (s == null) Array.empty[String] else deletionVariants(s, maxDist))
+        val variants = base
+          .withColumn("__v", explode(genVariants(col("key"))))
+        // Equi-join on the shared deletion variant → candidate superset;
+        // distinct collapses the (many) variant witnesses per pair BEFORE
+        // the levenshtein verify so each candidate is verified once.
+        variants.as("a").join(variants.as("b"), col("a.__v") === col("b.__v"))
+          .select(col("a.id").as("id_a"), col("a.key").as("key_a"),
+                  col("b.id").as("id_b"), col("b.key").as("key_b"))
+          .distinct()
+          .filter(levenshtein(col("key_a"), col("key_b")) <= maxDist)
+    }
+    if (includeSelf) joined else joined.filter(col("id_a") =!= col("id_b"))
+  }
+
+  /** solutionThree.py:23 shape: per left id, the aggregated list of linked
+    * counterparts — made deterministic with sort_array + concat_ws (the
+    * reference's raw collect_list order is partition-dependent; a CSV sink
+    * also can't hold array<struct>, SURVEY §1.1).
+    */
+  def linkedAggregate(df: DataFrame, idCol: String, keyCol: String, maxDist: Int,
+                      strategy: Strategy = DeletionNeighborhood): DataFrame =
+    pairs(df, idCol, keyCol, maxDist, strategy)
+      .groupBy(col("id_a").as(idCol))
+      .agg(
+        count(lit(1)).as("n_linked"),
+        concat_ws(",", sort_array(collect_list(col("key_b")))).as("linked_keys"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.EditDistanceJoin
+import graft.operators.EditDistanceJoin.{DeletionNeighborhood, Naive, deletionVariants}
+
+class EditDistanceJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deletion variants: counts and membership") {
+    val v1 = deletionVariants("abc", 1)
+    assert(v1.toSet == Set("abc", "bc", "ac", "ab"))
+    val v2 = deletionVariants("abc", 2).toSet
+    assert(v2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    assert(deletionVariants("", 2).toSet == Set(""))
+    // duplicate chars collapse
+    assert(deletionVariants("aa", 1).toSet == Set("aa", "a"))
+  }
+
+  private lazy val tricky = Seq(
+    (1L, "abcdef"), (2L, "abcdxf"), (3L, "bcdef"),   // sub / del
+    (4L, "abcdefgh"), (5L, "xabcdefg"),              // shift (ins+del)
+    (6L, ""), (7L, "a"), (8L, "ab"),
+    (9L, "Müller GmbH"), (10L, "Muller GmbH")        // unicode sub
+  ).toDF("id", "key")
+
+  test("deletion-neighborhood strategy equals naive theta join (hand cases)") {
+    val naive = EditDistanceJoin.pairs(tricky, "id", "key", 2, Naive)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fast = EditDistanceJoin.pairs(tricky, "id", "key", 2, DeletionNeighborhood)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive)
+    assert(naive.contains((1L, 1L)), "reflexive pair is included (solutionThree semantics)")
+    assert(naive.contains((1L, 2L)) && naive.contains((1L, 3L)))
+    assert(naive.contains((4L, 5L)), "insertion+deletion shift within k")
+  }
+
+  test("deletion-neighborhood strategy equals naive on sf0.001 customer") {
+    val c = Tables.customer(spark, sf0001)
+    val naive = EditDistanceJoin.pairs(c, "c_custkey", "c_name", 2, Naive)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fast = EditDistanceJoin.pairs(c, "c_custkey", "c_name", 2, DeletionNeighborhood)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive && naive.size > c.count())
+  }
+
+  test("includeSelf=false drops reflexive pairs only") {
+    val withSelf = EditDistanceJoin.pairs(tricky, "id", "key", 1)
+    val without = EditDistanceJoin.pairs(tricky, "id", "key", 1, includeSelf = false)
+    assert(withSelf.count() - without.count() == tricky.count())
+  }
+
+  test("linkedAggregate is deterministic and sorted") {
+    val agg = EditDistanceJoin.linkedAggregate(tricky, "id", "key", 2)
+    val row = agg.filter($"id" === 1L).collect().head
+    assert(row.getAs[String]("linked_keys") == "abcdef,abcdefgh,abcdxf,bcdef,xabcdefg")
+    assert(row.getAs[Long]("n_linked") == 5L)
+  }
+}
