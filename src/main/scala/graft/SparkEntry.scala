@@ -17,7 +17,8 @@ object SparkEntry {
     * aggregate member sets per cluster. Driver smoke-checks rows>0 on sf0.001.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_dedup_exact")(spark, "/root/testdata/sf0.001")
+    Linker.pipeline(Tables.customer(spark, "/root/testdata/sf0.001"),
+      "c_name", None, 80.0)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -57,6 +58,25 @@ object SparkEntry {
     // deterministic via sort_array + concat_ws.
     "q_link_agg_lev" -> ((s, dir) =>
       EditDistanceJoin.linkedAggregate(Tables.customer(s, dir), "c_custkey", "c_name", 2)),
+
+    // ---- soulutionOne Task-2 shape (J1→P7→A2/W1→D4) with an oracle-able
+    // pair predicate: canonical key via least(), per-cluster sorted member
+    // sets via window collect_set, collapsed to one row per cluster.
+    "q_link_window" -> ((s, dir) => {
+      val pairs = EditDistanceJoin
+        .pairs(Tables.customer(s, dir), "c_custkey", "c_name", 1, includeSelf = false)
+        .filter(col("key_a") =!= col("key_b"))
+        .select(graft.functions.canonical_key(col("key_a"), col("key_b")).as("uniqId"),
+                col("key_a").as("name_a"))
+      Linker.windowCollect(pairs, "uniqId", Seq("name_a" -> "CollectedNames"))
+    }),
+
+    // ---- J1 faithful: Ratcliff/Obershelp >= 80 similarity link on supplier
+    // names (reference's exact predicate; JVM UDF, no Python crossing).
+    // Not SQL-expressible in DuckDB -> rows-only check; semantics covered by
+    // LinkerSpec against hand-computed difflib ground truth.
+    "q_link_ro" -> ((s, dir) =>
+      Linker.pipeline(Tables.supplier(s, dir), "s_name", None, 80.0)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +105,12 @@ object SparkEntry {
         "string_agg(b.c_name, ',' ORDER BY b.c_name) AS linked_keys " +
         "FROM customer a JOIN customer b ON levenshtein(a.c_name, b.c_name) <= 2 " +
         "GROUP BY a.c_custkey"),
+    "q_link_window" ->
+      ("SELECT uniqId AS \"uniqId\", " +
+        "array_to_string(list_sort(list(DISTINCT name_a)), ',') AS \"CollectedNames\" " +
+        "FROM (SELECT least(a.c_name, b.c_name) AS uniqId, a.c_name AS name_a " +
+        "      FROM customer a JOIN customer b " +
+        "      ON a.c_name <> b.c_name AND levenshtein(a.c_name, b.c_name) <= 1) " +
+        "GROUP BY uniqId"),
   )
 }
