@@ -77,6 +77,25 @@ object SparkEntry {
     // LinkerSpec against hand-computed difflib ground truth.
     "q_link_ro" -> ((s, dir) =>
       Linker.pipeline(Tables.supplier(s, dir), "s_name", None, 80.0)),
+
+    // ---- A4 scale mode: similarity edges (exact lev<=1 join) → distributed
+    // connected components (large-star/small-star) → component per customer.
+    // DuckDB oracle = recursive-CTE transitive closure.
+    "q_cluster_cc" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val edges = EditDistanceJoin.pairs(c, "c_custkey", "c_name", 1)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      ConnectedComponents.run(c.select(col("c_custkey").as("id")), edges)
+        .select(col("id").as("c_custkey"), col("component"))
+    }),
+
+    // ---- A4 faithful mode: solutionTwo's greedy driver-side clustering
+    // (order-dependent, multi-assign, non-transitive) on supplier names,
+    // ordered by s_suppkey. Sequential semantics — no SQL oracle; parity
+    // with a CPython simulation of the reference is in GreedyClusterSpec.
+    "q_cluster_greedy" -> ((s, dir) =>
+      GreedyCluster.cluster(Tables.supplier(s, dir).withColumn("alt",
+        col("s_nationkey").cast("string")), "s_name", "alt", "s_suppkey")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +131,12 @@ object SparkEntry {
         "      FROM customer a JOIN customer b " +
         "      ON a.c_name <> b.c_name AND levenshtein(a.c_name, b.c_name) <= 1) " +
         "GROUP BY uniqId"),
+    "q_cluster_cc" ->
+      ("WITH RECURSIVE e AS (" +
+        "SELECT a.c_custkey AS u, b.c_custkey AS v FROM customer a JOIN customer b " +
+        "ON levenshtein(a.c_name, b.c_name) <= 1), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
+        "SELECT u AS c_custkey, min(v) AS component FROM reach GROUP BY u"),
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list, using the
+  * alternating large-star / small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14 — public literature; no
+  * GraphX dependency). This is the principled, order-free replacement for
+  * the reference's greedy driver-side clustering ([[GreedyCluster]]): edges
+  * come from any similarity join, components are identified by their
+  * minimum member id.
+  *
+  * Scale properties: every round is hash-shuffle `groupBy(min)` + equi-join
+  * — linear data movement, no driver materialization, converges in
+  * O(log n) rounds even on path graphs (where plain min-label propagation
+  * needs O(diameter)). Per-round `localCheckpoint` truncates lineage so the
+  * plan doesn't grow exponentially. At 100 TB the edge list is the only
+  * state, and star centers are load-balanced by the large-star step.
+  */
+object ConnectedComponents {
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // m(u) = min(u, min neighbor)
+    val m = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    sym.join(m, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(m.select(col("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+                       least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val m = dir.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), col("mn").as("m"))
+    dir.join(m, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(m.select(col("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Order-insensitive signature of an edge set, for convergence detection
+    * without an expensive `except`.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    // bit_xor is order-insensitive and cannot overflow under ANSI mode
+    // (unlike sum, which throws on long overflow in Spark 4).
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** vertices: single column `id`; edges: columns `src`, `dst` (long ids,
+    * undirected, self-loops/duplicates tolerated). Returns (id, component)
+    * where component is the minimum id in the vertex's component.
+    */
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = e.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+      it += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    // After convergence e is (member -> root) stars; isolated vertices map
+    // to themselves.
+    val ids = vertices.select(col("id").cast("long").as("id"))
+    ids.join(e.select(col("src").as("id"), col("dst").as("comp")), Seq("id"), "left")
+      .groupBy("id")
+      .agg(min(col("comp")).as("mc"))
+      .select(col("id"), coalesce(col("mc"), col("id")).as("component"))
+  }
+}
