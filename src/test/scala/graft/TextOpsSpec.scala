@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox, jumps!"),
+    (2L, "  la   de   que  "),
+    (3L, ""),
+    (4L, "der und von zu"),
+    (5L, "THE  Quick   brown fox, jumps!")  // normalizes like doc 1? (case+ws)
+  ).toDF("doc_id", "text")
+
+  test("token/punct/stopword counts") {
+    val r = TextOps.stats(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 5L)
+    assert(r(0).getAs[Long]("n_punct") == 2L)   // ',' and '!'
+    assert(r(0).getAs[Long]("n_stop_en") == 1L) // 'the'
+    assert(r(1).getAs[Long]("n_tokens") == 3L)  // trimmed + collapsed
+    assert(r(2).getAs[Long]("n_tokens") == 0L)
+    assert(r(2).getAs[Double]("quality") >= 0.0 && r(2).getAs[Double]("quality") <= 1.0)
+  }
+
+  test("language prediction with alphabetical tie-break") {
+    val out = TextOps.languageScores(docs, "text").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(4L) == "de")
+    assert(out(2L) == "es")   // 'la','de','que' hit es (and 'de' hits de/fr 1x) -> es wins on count
+    assert(out(3L) == "xx")   // empty text: no hits
+  }
+
+  test("fingerprint is case/whitespace-insensitive") {
+    val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(5L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("fingerprint groups collapse exact dups") {
+    val g = TextOps.fingerprintGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    assert(g.filter($"n_docs" === 2).select("canonical_id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
