@@ -111,6 +111,32 @@ object SparkEntry {
     // ---- Content fingerprint groups: md5-of-normalized-text dedup.
     "q_fingerprint_groups" -> ((s, dir) =>
       TextOps.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- Near-dup: exact 3-gram Jaccard via shingle posting-list join
+    // (no cartesian product; exact-equivalent to all-pairs for t > 0).
+    "q_jaccard_pairs" -> ((s, dir) =>
+      NearDup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
+
+    // ---- Near-dup: MinHash signatures (16 md5-based hashes, shared with
+    // the oracle bit-for-bit).
+    "q_minhash_sig" -> ((s, dir) =>
+      NearDup.minhashSignatures(
+        NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3))),
+
+    // ---- Near-dup: LSH-banded candidates (4 bands x 4 rows), exactly
+    // verified with true Jaccard on candidate pairs only.
+    "q_minhash_pairs" -> ((s, dir) =>
+      NearDup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
+
+    // ---- Near-dup: 32-bit SimHash sketch per doc.
+    "q_simhash" -> ((s, dir) =>
+      NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- Near-dup: SimHash pairs within Hamming distance 3 (chunk-band
+    // candidates + bit_count verify).
+    "q_simhash_pairs" -> ((s, dir) =>
+      NearDup.simhashPairs(
+        NearDup.simhash(Tables.documents(s, dir), "doc_id", "text"), 3)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,7 +207,90 @@ object SparkEntry {
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
         "count(*) AS n_docs, min(doc_id) AS canonical_id " +
         "FROM documents GROUP BY 1"),
+    "q_jaccard_pairs" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
+        "SELECT id_a, id_b, n_common, " +
+        "CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc " +
+        "FROM inter JOIN counts ca ON ca.doc_id = id_a " +
+        "JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_minhash_sig" ->
+      (s"WITH $sqlToksCte, $sqlShCte " +
+        s"SELECT doc_id AS id, $sqlSigSelect FROM sh GROUP BY doc_id"),
+    "q_minhash_pairs" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, " +
+        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM sh GROUP BY doc_id), " +
+        s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
+        s"ON a.id < b.id AND ($sqlBandCond)) " +
+        "SELECT c.cid_a AS id_a, c.cid_b AS id_b, n_common, " +
+        "CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc " +
+        "FROM cands c JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
+        "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_simhash" ->
+      (s"WITH $sqlTokCte, $sqlSimHashSums " +
+        s"SELECT doc_id AS id, CAST($sqlSimHashValue AS BIGINT) AS simhash FROM sums"),
+    "q_simhash_pairs" ->
+      (s"WITH $sqlTokCte, $sqlSimHashSums, " +
+        s"s2 AS (SELECT doc_id AS id, CAST($sqlSimHashValue AS BIGINT) AS simhash FROM sums) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM s2 a JOIN s2 b ON a.id < b.id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
   )
+
+  // ---- DuckDB oracle fragments shared by the near-dup queries. The hash is
+  // md5-based on both sides (graft.functions.md5hash60) so sketches compare
+  // bit-for-bit.
+
+  private val sqlToksCte =
+    "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+      "FROM documents WHERE length(trim(text)) > 0)"
+
+  /** 3-gram shingles (mirrors NearDup.shingles with n=3). */
+  private val sqlShCte =
+    "sh AS (SELECT DISTINCT doc_id, " +
+      "array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS s " +
+      "FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)"
+
+  private val sqlCountsCte =
+    "counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"
+
+  private val sqlInterCte =
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  /** Seeded 60-bit md5 hash (mirrors md5hash60). */
+  private def sqlHash60(input: String, seed: Int): String = {
+    val seeded = if (seed == 0) input else s"'$seed:' || $input"
+    s"('0x' || substr(md5($seeded), 1, 15))::BIGINT"
+  }
+
+  private val sqlSigSelect: String =
+    (0 until NearDup.NumHashes)
+      .map(k => s"min(${sqlHash60("s", k)}) AS h$k").mkString(", ")
+
+  private val sqlBandCond: String =
+    (0 until NearDup.Bands).map { b =>
+      (b * NearDup.RowsPerBand until (b + 1) * NearDup.RowsPerBand)
+        .map(k => s"a.h$k = b.h$k").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+
+  private val sqlTokCte =
+    "tok AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
+      "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t " +
+      "FROM documents WHERE length(trim(text)) > 0))"
+
+  private val sqlSimHashSums: String =
+    "sums AS (SELECT doc_id, " +
+      (0 until NearDup.SimHashBits).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ") +
+      s" FROM (SELECT doc_id, ${sqlHash60("t", 0)} & 4294967295 AS h FROM tok) GROUP BY doc_id)"
+
+  private val sqlSimHashValue: String =
+    (0 until NearDup.SimHashBits)
+      .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
 
   /** DuckDB fragment mirroring TextOps.tokenCount on column `text`. */
   private val sqlTokenCount: String =

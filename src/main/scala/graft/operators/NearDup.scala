@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.md5hash60
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (north-star scope):
+  * word-n-gram Jaccard (exact), MinHash signatures + LSH banding
+  * (approximate candidate generation, exact verification), and SimHash
+  * sketches with Hamming-band pair search.
+  *
+  * Scale design, 100 TB posture:
+  *  - NO pairwise O(n²) step anywhere. Candidates come from equi-joins on
+  *    posting keys (shared shingle / shared LSH band / shared SimHash
+  *    chunk), which shuffle linearly in corpus size; hot keys are bounded
+  *    (a shingle shared by k docs contributes k² candidate rows — mitigate
+  *    upstream by dropping ubiquitous shingles; AQE skew-join handles the
+  *    rest).
+  *  - All hashing is md5-based ([[graft.functions.md5hash60]]) so every
+  *    sketch is bit-identical in the DuckDB oracle (xxhash64 would be
+  *    faster; parity wins here, and the md5 cost is one pass per shingle).
+  *  - Sketches (16 minhashes / 32-bit simhash) are tiny per-doc state:
+  *    the verify joins carry signatures, not documents.
+  */
+object NearDup {
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles per document: (id, shingle). Documents
+    * with fewer than n tokens produce no rows.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  // ------------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact Jaccard-similar pairs (id_a < id_b, n_common, jacc >= threshold)
+    * via a shingle posting-list equi-join — equivalent to all-pairs Jaccard
+    * for any threshold > 0 (pairs with jacc > 0 share >= 1 shingle) without
+    * ever forming the cartesian product.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
+      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** Per-doc MinHash signature: h0..h15, where hk = min over shingles of the
+    * seeded 60-bit md5 hash. One shuffle (groupBy id).
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(k =>
+      min(md5hash60(col("shingle"), k)).as(s"h$k"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs agreeing on ALL hashes of at least one band.
+    * Implemented as posexplode over per-band key structs + self equi-join on
+    * (band, key) — linear shuffle, no n².
+    */
+  def lshCandidates(sig: DataFrame): DataFrame = {
+    // field names must be uniform across bands for array(struct...) to type
+    val bandStructs = (0 until Bands).map { b =>
+      struct((0 until RowsPerBand)
+        .map(r => col(s"h${b * RowsPerBand + r}").as(s"f$r")): _*)
+    }
+    val banded = sig.select(col("id"),
+      posexplode(array(bandStructs: _*)).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exactly verified: LSH candidates joined
+    * with per-doc distinct shingle sets, true Jaccard computed per candidate
+    * only (array_intersect on sorted sets), filtered at `threshold`.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val cands = lshCandidates(minhashSignatures(sh))
+    val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("ss"))
+    cands
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long").as("n_common"),
+        (size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("double") /
+          (size(col("sa.ss")) + size(col("sb.ss")) -
+            size(array_intersect(col("sa.ss"), col("sb.ss"))))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  val SimHashBits = 32
+
+  /** 32-bit SimHash over distinct lowercased tokens: bit j is the sign of
+    * Σ_tokens (bit j of md5hash60(token) set ? +1 : -1). Docs with no tokens
+    * produce no row (consistent with the oracle's WHERE guard).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.tokens(lower(col(textCol))))).as("t"))
+    val h = md5hash60(col("t")).bitwiseAND(lit(0xFFFFFFFFL))
+    val withH = tok.select(col("id"), h.as("h"))
+    val bitSums = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val sums = withH.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), value.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxHamming, candidates
+    * from 8-bit chunk equality (pigeonhole: hamming <= 3 over 4 chunks
+    * forces >= 1 identical chunk), verified with bit_count(xor).
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < SimHashBits / 8, "pigeonhole needs maxHamming < #chunks")
+    val chunks = (0 until SimHashBits / 8).map { c =>
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xFFL)).as("v"))
+    }
+    val chunked = sig.select(col("id"), col("simhash"),
+      explode(array(chunks: _*)).as("chunk"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
