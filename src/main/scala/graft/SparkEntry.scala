@@ -137,6 +137,19 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       NearDup.simhashPairs(
         NearDup.simhash(Tables.documents(s, dir), "doc_id", "text"), 3)),
+
+    // ---- ANN: exact cosine top-5 for every 50th vector against the full
+    // corpus (broadcast queries; sequential-fold cosine for FP parity).
+    "q_ann_cosine" -> ((s, dir) =>
+      Ann.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5)),
+
+    // ---- ANN scale path: random-hyperplane LSH buckets + multi-probe.
+    // Approximate by construction -> no SQL oracle; recall vs the exact
+    // baseline is asserted in AnnSpec.
+    "q_ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,7 +250,25 @@ object SparkEntry {
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
         "FROM s2 a JOIN s2 b ON a.id < b.id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+    "q_ann_cosine" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
+        "scored AS (SELECT q.qid, e.vec_id, " +
+        s"${sqlDot("q.qe", "e.embedding")} / " +
+        s"(sqrt(${sqlDot("q.qe", "q.qe")}) * sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+        "FROM q, embeddings e) " +
+        "SELECT qid AS query_id, rank, vec_id, sim FROM " +
+        "(SELECT qid, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
+        "WHERE rank <= 5"),
   )
+
+  /** Sequential-fold double dot product (mirrors Ann.dot: left fold in
+    * element order; 0.0 + x1 is bit-exact x1, so list_reduce's first-element
+    * seeding matches Spark's zero-seeded aggregate).
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
+      s"$a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE), (acc, x) -> acc + x)"
 
   // ---- DuckDB oracle fragments shared by the near-dup queries. The hash is
   // md5-based on both sides (graft.functions.md5hash60) so sketches compare

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`, north-star scope): brute-force cosine top-k as the
+  * exact baseline, and a random-hyperplane LSH bucketed variant as the
+  * scale path.
+  *
+  * FP-parity design: cosine is computed as a SEQUENTIAL left fold over
+  * double-cast components (`aggregate(zip_with(...))`), which DuckDB
+  * mirrors with `list_reduce(list_transform(...))` — same operand order,
+  * same IEEE doubles, so similarity values and therefore top-k ranking
+  * hash-match the oracle exactly (an unordered SUM would not: FP addition
+  * is not associative).
+  *
+  * Scale: brute force is O(|Q|·N·d) — fine for a bounded query set against
+  * a broadcast corpus, unusable all-pairs at 100 TB. The LSH path buckets
+  * vectors by 16 hyperplane sign bits (deterministic seeded planes) and
+  * searches only matching buckets (multi-probe: Hamming<=1 flips), turning
+  * the search into an equi-join on bucket id.
+  */
+object Ann {
+
+  val Dim = 64
+
+  /** 8 sign bits + Hamming<=2 multi-probe: measured recall@5 ~0.6-0.7 on
+    * the synthetic embeddings (AnnSpec reports it); more bits sharpen
+    * buckets but starve recall on small corpora.
+    */
+  val LshBits = 8
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Adds emb_d (double array) and norm columns. */
+  def withNorm(df: DataFrame, embCol: String): DataFrame = {
+    val d = toDouble(col(embCol))
+    df.withColumn("emb_d", d)
+      .withColumn("norm", sqrt(aggregate(
+        zip_with(col("emb_d"), col("emb_d"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+  }
+
+  /** Exact cosine top-k: for each query vector (filter on the id column),
+    * the k most similar corpus vectors (self included, sim=1 rank 1), with
+    * deterministic (sim DESC, vec_id ASC) tie-break.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
+                 queryPred: Column, k: Int): DataFrame = {
+    val corpus = withNorm(emb, embCol)
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = broadcast(queries).crossJoin(corpus)
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("emb_d")) / (col("q_norm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
+  /** Deterministic ±1 hyperplanes (seeded; public knowledge: random signed
+    * projections preserve cosine — Charikar'02 SimHash for vectors).
+    */
+  private[graft] val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(LshBits, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** LSH bucket id: bit p = sign of the projection onto plane p. */
+  def bucketId(embD: Column): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      val plLit = array(pl.map(lit): _*)
+      when(dot(embD, plLit) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed approximate top-k: candidates share the query's bucket or any
+    * bucket within Hamming distance 1 (multi-probe), scored exactly, top-k
+    * per query. Same output shape as [[cosineTopK]]; recall is measured in
+    * AnnSpec against the exact baseline.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, embCol: String,
+              queryPred: Column, k: Int): DataFrame = {
+    val corpus = withNorm(emb, embCol)
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"),
+        bucketId(col("emb_d")).as("bucket"))
+    // multi-probe: the query's own bucket plus all buckets within Hamming
+    // distance 2 (single- and double-bit flips)
+    val probes = (col("bucket") +:
+      (0 until LshBits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))) ++
+      (for (i <- 0 until LshBits; j <- i + 1 until LshBits)
+        yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j))))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
+        col("norm").as("q_norm"), explode(array(probes: _*)).as("bucket"))
+    val scored = queries.join(corpus, "bucket")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("emb_d")) / (col("q_norm") * col("norm"))).as("sim"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private val pred = col("vec_id") % 50 === 0
+
+  test("cosineTopK: rank 1 is the query itself with sim ~ 1") {
+    val top = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+    val r1 = top.filter($"rank" === 1).select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(r1.nonEmpty)
+    r1.foreach { case (q, v, s) =>
+      assert(q == v && math.abs(s - 1.0) < 1e-12, s"($q,$v,$s)")
+    }
+  }
+
+  test("cosineTopK: exactly k deterministic rows per query") {
+    val top = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+    val counts = top.groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 == 5L))
+    // determinism: two runs identical
+    val a = top.orderBy("query_id", "rank").collect().toSeq
+    val b = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cosineTopK matches a driver-side brute force") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 % 50 == 0).map { case (q, qe) =>
+      q -> vecs.map { case (v, ve) => (v, cos(qe, ve)) }
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .orderBy("query_id", "rank").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("lshTopK: subset of exact sims, self retrieved, recall reported") {
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "rank", "vec_id", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    // self always lands in its own bucket -> rank 1
+    approx.filter(_._2 == 1).foreach { case (q, _, v, s) =>
+      assert(q == v && math.abs(s - 1.0) < 1e-12)
+    }
+    val approxSet = approx.map(t => (t._1, t._3)).toSet
+    val recall = (exact intersect approxSet).size.toDouble / exact.size
+    info(f"LSH recall@5 vs exact: $recall%.2f")
+    assert(recall >= 0.4, f"recall $recall%.2f too low")
+  }
+}
