@@ -150,6 +150,40 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") % 50 === 0, 5)),
+
+    // ---- Multimodal: binary payload metadata (length, sha256, chunk
+    // count, stub-decoded dims). Pure codegen projection over binary.
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.metadata(
+        Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
+
+    // ---- Multimodal: batched mapPartitions decode (STUB codec) — the
+    // mapInPandas-shaped path; parity with the expression path is tested
+    // in MultimodalSpec. Rows-only check.
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
+
+    // ---- Events: tumbling 1h windowed aggregation (batch form; the
+    // streaming form with watermark is asserted equal in EventOpsSpec).
+    "q_events_window" -> ((s, dir) => EventOps.tumblingAgg(Tables.events(s, dir))),
+
+    // ---- Events: JSON property extraction + aggregate.
+    "q_events_json" -> ((s, dir) => EventOps.jsonPropAgg(Tables.events(s, dir))),
+
+    // ---- Events: gap-based sessionization (30 min).
+    "q_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+
+    // ---- ETL shape (O1/O2): temp-view handoff + SQL entry + canonical
+    // dedup + deterministic distributed surrogate id (zipWithIndex, no
+    // global single-partition window).
+    "q_etl_orders" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView(pipeline.Etl.ExtractedView)
+      val src = s.sql(s"SELECT * FROM ${pipeline.Etl.ExtractedView}")
+      val ded = Dedup.canonical(src, Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      pipeline.Etl.withDeterministicId(ded, "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,6 +284,41 @@ object SparkEntry {
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
         "FROM s2 a JOIN s2 b ON a.id < b.id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+    "q_media_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "sha256(text) AS sha256, " +
+        "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks, " +
+        "CAST(16 * (1 + ascii(substr(text, 1, 1)) % 32) AS BIGINT) AS fake_width, " +
+        "CAST(16 * (1 + octet_length(encode(text)) % 32) AS BIGINT) AS fake_height " +
+        "FROM documents"),
+    "q_events_window" ->
+      ("SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us, " +
+        "event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1, 2"),
+    "q_events_json" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k FROM " +
+        "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+        "GROUP BY event_type"),
+    "q_sessions" ->
+      ("WITH o AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "m AS (SELECT user_id, event_id, us, " +
+        "CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL " +
+        "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM o), " +
+        "s AS (SELECT user_id, us, CAST(sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m) " +
+        "SELECT user_id, session_id, count(*) AS n_events, " +
+        "min(us) AS session_start_us, max(us) AS session_end_us " +
+        "FROM s GROUP BY 1, 2"),
+    "q_etl_orders" ->
+      ("WITH surv AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn FROM orders), " +
+        "ded AS (SELECT o_orderkey, o_custkey, o_totalprice FROM surv WHERE rn = 1) " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS id FROM ded"),
     "q_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
         "scored AS (SELECT q.qid, e.vec_id, " +

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream processing over the `events` table: tumbling-window
+  * aggregation, JSON property extraction, and gap-based sessionization.
+  * Each has identical batch and Structured Streaming forms — the batch
+  * form is the DuckDB-oracle-checkable one; EventOpsSpec runs the
+  * streaming form (readStream + watermark) and asserts it produces the
+  * batch result.
+  *
+  * Cross-engine parity notes:
+  *  - the fixture's parquet timestamps are nanosecond-precision; Spark
+  *    truncates to microseconds on read while DuckDB keeps ns — so queries
+  *    emit INTEGER EPOCH MICROS (unix_micros vs epoch_us, both floor) and
+  *    never raw timestamps;
+  *  - money-like sums are integer CENTS (round(value*100) per row, then an
+  *    exact integer sum) — a double sum is shuffle-order-dependent in the
+  *    last ulp and would not hash-match.
+  */
+object EventOps {
+
+  /** Tumbling-window counts/sums per event_type. Window start emitted as
+    * epoch micros.
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value_cents"), col("n_users"))
+
+  /** JSON property extraction (get_json_object) + per-type aggregate of the
+    * numeric prop `k`.
+    */
+  def jsonPropAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"))
+
+  /** Gap-based sessionization (batch form): a new session starts when the
+    * gap to the previous event of the same user exceeds `gapMinutes`.
+    * Deterministic total order inside a user via (ts, event_id).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(order: _*)
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(w)
+    val newSession = when(prev.isNull || (us - prev) > gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_id",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"))
+  }
+
+  /** Structured Streaming form of [[tumblingAgg]]: watermarked windowed
+    * aggregation. Caller starts it with a sink (EventOpsSpec uses the
+    * memory sink with processAllAvailable for a synchronous check).
+    * No n_users column: streaming aggregation cannot hold exact distinct
+    * state (use approx_count_distinct there if needed).
+    */
+  def tumblingAggStream(events: DataFrame, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value_cents"))
+}

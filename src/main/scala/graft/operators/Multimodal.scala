@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star scope): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run
+  * decode / feature-extraction as batched per-partition functions.
+  *
+  * The container has no media codecs, so the decode step is a clearly
+  * marked DETERMINISTIC STUB ([[decodeStub]]) — the Spark-side plumbing
+  * (binary schema, per-partition batching, metadata projection, chunking)
+  * is real and tested. In production the stub body is replaced by an
+  * actual codec call; nothing else changes.
+  *
+  * Scale notes: payload bytes never leave the executor (no collect); the
+  * metadata path is a pure codegen projection; `decodeFeatures` is
+  * `mapPartitions` — one JVM-local pass, the Scala analog of PySpark's
+  * `mapInPandas` batch shape.
+  */
+object Multimodal {
+
+  val ChunkBytes = 256
+
+  /** Stand-in payload: UTF-8 bytes of the text column (real pipelines read
+    * image/audio bytes from parquet binary columns directly).
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Typed metadata over the binary payload — length, content hash, chunk
+    * count (frame-sample shape), and stub-decoded dimensions. Pure
+    * expressions, fully oracle-comparable.
+    */
+  def metadata(df: DataFrame, idCol: String): DataFrame = {
+    val nBytes = length(col("payload")).cast("long")
+    // STUB dimensions: deterministic in (first byte, byte length). A real
+    // decoder would parse the codec header instead.
+    val firstByte = coalesce(ascii(substring(col("payload").cast("string"), 1, 1)), lit(0))
+    df.select(
+      col(idCol),
+      nBytes.as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"),
+      ceil(nBytes.cast("double") / lit(ChunkBytes.toDouble)).cast("long").as("n_chunks"),
+      (lit(16) * (lit(1) + firstByte % 32)).cast("long").as("fake_width"),
+      (lit(16) * (lit(1) + nBytes % 32)).cast("long").as("fake_height"))
+  }
+
+  /** ========= STUB: replace with a real codec (libjpeg/ffmpeg/...) =========
+    * Deterministic fake decode of a payload: (width, height, channels,
+    * meanByte). Mirrors [[metadata]]'s dimension formula so the two paths
+    * cross-validate.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val first = if (payload.isEmpty) 0 else payload(0) & 0xff
+    val width = 16 * (1 + first % 32)
+    val height = 16 * (1 + payload.length % 32)
+    val mean = if (payload.isEmpty) 0.0
+      else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+    (width, height, 3, mean)
+  }
+
+  /** Batched decode via mapPartitions — the Scala analog of a pandas-UDF
+    * `mapInPandas` stage: one decoder instantiation per partition, payload
+    * bytes stay executor-local.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+    in.mapPartitions { it =>
+      // per-partition setup (a real decoder would init its codec here)
+      it.map { case (id, payload) =>
+        val (w, h, c, mean) = decodeStub(payload)
+        (id, w, h, c, mean)
+      }
+    }.toDF(idCol, "width", "height", "channels", "mean_byte")
+  }
+}

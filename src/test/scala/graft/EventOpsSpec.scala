@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf0001)
+
+  test("tumblingAgg: window starts align to the hour, counts add up") {
+    val out = EventOps.tumblingAgg(events)
+    assert(out.agg(sum("n_events")).as[Long].head() == events.count())
+    val starts = out.select("window_start_us").as[Long].collect()
+    assert(starts.forall(_ % 3600000000L == 0L))
+  }
+
+  test("sessionize: per-user event counts conserved, sessions ordered") {
+    val s = EventOps.sessionize(events)
+    assert(s.agg(sum("n_events")).as[Long].head() == events.count())
+    val bad = s.filter(col("session_end_us") < col("session_start_us")).count()
+    assert(bad == 0)
+    // session ids dense from 1 per user
+    val ids = s.groupBy("user_id").agg(min("session_id").as("mn"), max("session_id").as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("n")).count()
+    assert(ids == 0)
+  }
+
+  test("jsonPropAgg extracts numeric props") {
+    val out = EventOps.jsonPropAgg(events).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_k") <= r.getAs[Long]("n_events")))
+  }
+
+  test("streaming tumbling agg equals the batch result") {
+    // FileStreamSource wants a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    // raw schema: ts is INT64 nanos (nanosAsLong), same conversion as Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventOps.tumblingAggStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ev_win")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_win")
+        .orderBy("window_start_us", "event_type").collect().toSeq
+      val expected = EventOps.tumblingAgg(events).drop("n_users")
+        .orderBy("window_start_us", "event_type").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Multimodal.withPayload(
+    Seq((1L, "hello world"), (2L, "x" * 600), (3L, "")).toDF("doc_id", "text"), "text")
+
+  test("payload is utf-8 bytes; metadata projects length/hash/chunks") {
+    val m = Multimodal.metadata(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("n_bytes") == 11L)
+    assert(m(1L).getAs[String]("sha256") ==
+      // sha256("hello world"), well-known value
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+    assert(m(1L).getAs[Long]("n_chunks") == 1L)
+    assert(m(2L).getAs[Long]("n_chunks") == 3L)   // 600/256 -> 3
+    assert(m(3L).getAs[Long]("n_bytes") == 0L && m(3L).getAs[Long]("n_chunks") == 0L)
+  }
+
+  test("mapPartitions decode path agrees with the expression path") {
+    val meta = Multimodal.metadata(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("fake_width"), r.getAs[Long]("fake_height"))).toMap
+    val dec = Multimodal.decodeFeatures(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("width").toLong, r.getAs[Int]("height").toLong)).toMap
+    assert(dec == meta)
+  }
+
+  test("decodeStub is deterministic and byte-driven") {
+    val a = Multimodal.decodeStub("abc".getBytes("UTF-8"))
+    assert(a == Multimodal.decodeStub("abc".getBytes("UTF-8")))
+    assert(a._1 == 16 * (1 + 'a' % 32) && a._2 == 16 * (1 + 3 % 32) && a._3 == 3)
+    assert(Multimodal.decodeStub(Array.emptyByteArray) == ((16, 16, 3, 0.0)))
+  }
+}
