@@ -42,7 +42,11 @@ object Linker {
       case None =>
         string_similarity(col("a.name"), col("b.name")) >= threshold
     }
-    base.as("a").join(base.as("b"),
+    // Repartition the probe side: a small table often arrives as ONE parquet
+    // partition, and BroadcastNestedLoopJoin parallelism = left-side
+    // partitions — without this the whole O(n²) predicate runs in one task.
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    base.repartition(para).as("a").join(base.as("b"),
         (col("a.name") =!= col("b.name")) &&
         (col("a.alt") =!= lit("")) && (col("b.alt") =!= lit("")) &&
         simPred, "inner")
@@ -67,6 +71,22 @@ object Linker {
       .dropDuplicates()
   }
 
+  /** Result-identical groupBy form of [[windowCollect]]: one hash aggregate
+    * instead of window-materializing the member-set string onto every pair
+    * row before deduplicating. For an unordered whole-partition frame the
+    * two are equivalent; the window form exists for reference parity
+    * (soulutionOne uses it), this form is what survives dense clusters —
+    * with m-member clusters the window path materializes O(pairs x m)
+    * bytes, this one O(clusters x m).
+    */
+  def groupCollect(pairs: DataFrame, partitionCol: String,
+                   values: Seq[(String, String)]): DataFrame =
+    pairs.groupBy(col(partitionCol))
+      .agg(concat_ws(",", sort_array(collect_set(col(values.head._1)))).as(values.head._2),
+        values.tail.map { case (src, dst) =>
+          concat_ws(",", sort_array(collect_set(col(src)))).as(dst)
+        }: _*)
+
   /** Full Task-1 + Task-2 pipeline shape on a generic (name, alt) table:
     * exact dedup, then link, then cluster member sets.
     */
@@ -76,6 +96,6 @@ object Linker {
     val pairs = similarityPairs(deduped, nameCol, altCol, threshold)
     val values = Seq("name_a" -> "CollectedNames") ++
       (if (altCol.isDefined) Seq("alt_a" -> "CollectedAlts") else Nil)
-    windowCollect(pairs, "uniqId", values)
+    groupCollect(pairs, "uniqId", values)
   }
 }
