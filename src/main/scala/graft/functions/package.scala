@@ -8,19 +8,16 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  /** P8: Ratcliff/Obershelp similarity 0–100 (difflib-exact), as a Scala UDF.
-    * JVM-local — no Python-worker crossing; null-safe (null in → null out,
-    * matching PySpark UDF null semantics).
-    */
-  private val roSimUdf = udf { (a: String, b: String) =>
-    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-    else java.lang.Double.valueOf(RatcliffObershelp.similarity(a, b))
-  }
-
   /** string_similarity(a, b) — the reference's fuzzy-match metric
-    * (/root/reference/soulutionOne.py:8-11) as a Column function.
+    * (/root/reference/soulutionOne.py:8-11), 0-100, difflib-exact. A
+    * native codegen Catalyst expression (see
+    * [[RatcliffObershelpSimilarity]]); null in → null out.
     */
-  def string_similarity(a: Column, b: Column): Column = roSimUdf(a, b)
+  def string_similarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RatcliffObershelpSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
     * lexicographic min of two strings as the cluster representative. A

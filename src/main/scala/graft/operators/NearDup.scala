@@ -49,7 +49,9 @@ object NearDup {
                    n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // shuffle_hash: post-explode cardinality is opaque to Catalyst (same
+    // mis-broadcast failure mode as EditDistanceJoin; see that Scaladoc)
+    val inter = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -89,7 +91,7 @@ object NearDup {
     }
     val banded = sig.select(col("id"),
       posexplode(array(bandStructs: _*)).as(Seq("band", "key")))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -151,7 +153,7 @@ object NearDup {
     }
     val chunked = sig.select(col("id"), col("simhash"),
       explode(array(chunks: _*)).as("chunk"))
-    chunked.as("a").join(chunked.as("b"),
+    chunked.as("a").hint("shuffle_hash").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
