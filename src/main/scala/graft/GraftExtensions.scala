@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.RatcliffObershelpSimilarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("... ro_similarity(a, b) ...")` works alongside the Column
+  * API (SURVEY §2.1 S7 — the reference exposes a SQL entry point; our
+  * custom functions join it).
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] for `spark.sql.extensions` /
+  *    `SparkSession.builder().withExtensions` (cluster-wide, survives new
+  *    sessions);
+  *  - [[Graft.registerFunctions]] for an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.roSimilarityDescriptor)
+}
+
+object GraftExtensions {
+  private[graft] val roSimilarityDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ro_similarity"),
+    new ExpressionInfo(classOf[RatcliffObershelpSimilarity].getName, "ro_similarity"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "ro_similarity expects exactly 2 arguments")
+      RatcliffObershelpSimilarity(args(0), args(1))
+    })
+}
+
+object Graft {
+  /** Register graft SQL functions on a live session. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val (_, _, builder) = GraftExtensions.roSimilarityDescriptor
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("ro_similarity", builder, "built-in")
+  }
+}

@@ -23,12 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RatcliffObershelpSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
-      TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType admitted like the built-in string functions do (a NULL
+    // literal argument types as void; the null-intolerant eval returns null)
+    def ok(t: DataType) = t == StringType || t == org.apache.spark.sql.types.NullType
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (string, string), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ro_similarity"

@@ -67,6 +67,26 @@ object EventOps {
         max(unix_micros(col("ts"))).as("session_end_us"))
   }
 
+  /** Stateful streaming (KeyValueGroupedDataset + mapGroupsWithState):
+    * running per-user event counts — the custom-state shape
+    * (sessionization, rate limiting, dedup-by-key all reduce to it).
+    * Update-mode output; EventOpsSpec asserts the final state equals the
+    * batch groupBy.
+    */
+  def userEventCountsStream(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (uid, n)
+      }
+  }
+
   /** Structured Streaming form of [[tumblingAgg]]: watermarked windowed
     * aggregation. Caller starts it with a sink (EventOpsSpec uses the
     * memory sink with processAllAvailable for a synchronous check).

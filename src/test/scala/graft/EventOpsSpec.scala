@@ -33,6 +33,37 @@ class EventOpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("n_k") <= r.getAs[Long]("n_events")))
   }
 
+  test("stateful streaming (mapGroupsWithState) matches batch counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val q = EventOps.userEventCountsStream(stream)
+      .toDF("user_id", "n")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ev_state").start()
+    try {
+      q.processAllAvailable()
+      // update mode emits one row per key per batch; the max is final state
+      val got = spark.table("ev_state").groupBy("user_id").agg(max("n").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val expected = events.groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("ro_similarity is callable from SQL after registration") {
+    Graft.registerFunctions(spark)
+    val r = spark.sql("SELECT ro_similarity('apple', 'appel') AS s").collect()(0).getDouble(0)
+    assert(math.abs(r - 80.0) < 1e-9)
+    val rn = spark.sql("SELECT ro_similarity(NULL, 'x') AS s").collect()(0)
+    assert(rn.isNullAt(0))
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // FileStreamSource wants a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
