@@ -46,8 +46,25 @@ object NearDup {
     * ever forming the cartesian product.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+                   n: Int, threshold: Double,
+                   maxDocFreq: Option[Double] = None): DataFrame = {
+    val sh = maxDocFreq match {
+      case None => shingles(df, idCol, textCol, n)
+      case Some(f) =>
+        // Skew guard for web-scale corpora: a shingle present in d docs
+        // contributes d² candidate rows, so boilerplate shingles dominate
+        // the join. Dropping shingles above a doc-frequency fraction keeps
+        // the join linear; Jaccard is then computed over the surviving
+        // shingle sets (document the semantics change when enabling).
+        // The hot set is tiny by definition -> broadcast anti join.
+        val sh0 = shingles(df, idCol, textCol, n)
+        val nDocs = df.select(col(idCol)).distinct().count()
+        val hot = sh0.groupBy("shingle")
+          .agg(count_distinct(col("id")).as("df"))
+          .filter(col("df") > f * nDocs)
+          .select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // shuffle_hash: post-explode cardinality is opaque to Catalyst (same
     // mis-broadcast failure mode as EditDistanceJoin; see that Scaladoc)

@@ -31,6 +31,20 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("doc-frequency cap drops ubiquitous shingles only") {
+    // cap at 1.0: nothing ubiquitous enough -> identical results
+    val plain = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.4, Some(1.0))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == plain)
+    // cap at 0.2: shingles shared by >=2 of 6 docs vanish -> (1,2)'s and
+    // (1,3)'s common shingles are all gone, pairs disappear
+    val harsh = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.4, Some(0.2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(harsh.subsetOf(plain) && !harsh.contains((1L, 2L)))
+  }
+
   test("minhash signature of identical docs is identical") {
     val sig = NearDup.minhashSignatures(NearDup.shingles(docs, "doc_id", "text", 3))
     val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap

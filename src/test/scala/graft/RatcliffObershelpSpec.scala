@@ -67,6 +67,23 @@ class SimilarityUdfSpec extends SparkSpec {
   import org.apache.spark.sql.functions.col
   import spark.implicits._
 
+  test("concat_key implements the reference's intended concatenation") {
+    // solutionThree.py:19 used `+` (arithmetic -> null); the engine
+    // implements the intent (concat), SURVEY §4 bug 1.
+    val r = Seq(("Acme", "DE1")).toDF("name", "iban")
+      .select(graft.functions.concat_key(col("name"), col("iban"))).collect()(0)
+    assert(r.getString(0) == "AcmeDE1")
+  }
+
+  test("md5hash60 matches the DuckDB hex-cast formula") {
+    // int(md5('abc')[:15], 16) and int(md5('7:abc')[:15], 16), CPython
+    val r = Seq("abc").toDF("s").select(
+      graft.functions.md5hash60(col("s"), 0),
+      graft.functions.md5hash60(col("s"), 7)).collect()(0)
+    assert(r.getLong(0) == 648541476951500027L)
+    assert(r.getLong(1) == 754437124905479671L)
+  }
+
   test("string_similarity column function and canonical_key") {
     val df = Seq(("apple", "appel"), ("Acme GmbH", "Acme GmbH."), (null, "x"))
       .toDF("a", "b")
