@@ -151,6 +151,13 @@ object SparkEntry {
       Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") % 50 === 0, 5)),
 
+    // ---- ANN scale path 2: IVF — coarse k-means cells, probe the 4 best
+    // of 16 per query (recall@5 ~0.72 vs exact, asserted in AnnSpec).
+    // Approximate -> rows-only check.
+    "q_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5)),
+
     // ---- Multimodal: binary payload metadata (length, sha256, chunk
     // count, stub-decoded dims). Pure codegen projection over binary.
     "q_media_meta" -> ((s, dir) =>

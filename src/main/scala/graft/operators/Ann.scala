@@ -82,6 +82,78 @@ object Ann {
       when(dot(embD, plLit) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer over the corpus,
+    * then search only the `nProbe` clusters nearest to each query — the
+    * classic embedding-scale ANN layout (cells ~ sqrt(N) keeps both the
+    * assign step and the probe step sublinear in corpus size).
+    *
+    * Pure DataFrame Lloyd iterations: assign = broadcast the (small)
+    * centroid set and argmax dot product per vector; update = groupBy
+    * centroid id, elementwise mean via posexplode + avg. Deterministic:
+    * centroids init from the first k vectors by id, fixed iteration count.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              queryPred: Column, k: Int, nCells: Int = 16,
+              nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val corpus = withNorm(emb, embCol)
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
+      .cache()
+
+    // ---- train: Lloyd's on normalized vectors (cosine ~ dot on unit-ish)
+    var centroids: Array[(Int, Seq[Double])] = corpus
+      .orderBy("vec_id").limit(nCells)
+      .select(col("emb_d")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+
+    def centLit(cs: Array[(Int, Seq[Double])]): Column = array(cs.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+
+    def assigned(cs: Array[(Int, Seq[Double])]): DataFrame =
+      corpus.withColumn("__c", explode(centLit(cs)))
+        .withColumn("__score", dot(col("emb_d"), col("__c.cv")) / col("norm"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("__score").desc, col("__c.cid"))))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("__c.cid").as("cell"), col("emb_d"))
+
+    for (_ <- 1 to iters) {
+      val means = assigned(centroids)
+        .select(col("cell"), posexplode(col("emb_d")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("mm"))
+        .collect()
+      val updated = means.map { r =>
+        val mm = r.getMap[Int, Double](1)
+        (r.getInt(0), (0 until Dim).map(i => mm.getOrElse(i, 0.0)))
+      }
+      // keep unassigned (empty) cells' previous centroid
+      val byId = updated.toMap
+      centroids = centroids.map { case (cid, v) => (cid, byId.getOrElse(cid, v)) }
+    }
+
+    // ---- search: probe the nProbe best cells per query
+    val cells = assigned(centroids)
+    val indexed = corpus.join(cells.select("vec_id", "cell"), "vec_id")
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
+        col("norm").as("q_norm"))
+      .withColumn("__c", explode(centLit(centroids)))
+      .withColumn("__score", dot(col("q_emb"), col("__c.cv")) / col("q_norm"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__score").desc, col("__c.cid"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("__c.cid").as("cell"))
+    val scored = broadcast(queries).join(indexed, "cell")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("emb_d")) / (col("q_norm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   /** Bucketed approximate top-k: candidates share the query's bucket or any
     * bucket within Hamming distance 1 (multi-probe), scored exactly, top-k
     * per query. Same output shape as [[cosineTopK]]; recall is measured in

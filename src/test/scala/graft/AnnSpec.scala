@@ -50,6 +50,20 @@ class AnnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ivfTopK: self retrieved at rank 1, recall vs exact reported") {
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "rank", "vec_id", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    approx.filter(_._2 == 1).foreach { case (q, _, v, s) =>
+      assert(q == v && math.abs(s - 1.0) < 1e-12)
+    }
+    val recall = (exact intersect approx.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    info(f"IVF recall@5 vs exact: $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f too low")
+  }
+
   test("lshTopK: subset of exact sims, self retrieved, recall reported") {
     val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
