@@ -71,8 +71,13 @@ object EditDistanceJoin {
       case DeletionNeighborhood =>
         val genVariants = udf((s: String) =>
           if (s == null) Array.empty[String] else deletionVariants(s, maxDist))
+        // Join on the 64-bit hash of each variant, not the variant string:
+        // narrower shuffle rows, long-vs-long hash probes. A collision only
+        // ADDS a candidate; the exact levenshtein verify removes it.
         val variants = base
-          .withColumn("__v", explode(genVariants(col("key"))))
+          .withColumn("__vs", explode(genVariants(col("key"))))
+          .withColumn("__v", xxhash64(col("__vs")))
+          .drop("__vs")
         // Equi-join on the shared deletion variant, HALF-ORDERED (id_a <
         // id_b): self- and mirror-witnesses are never generated (the full
         // join emits ~2x the rows and every reflexive pair x its whole
@@ -93,7 +98,15 @@ object EditDistanceJoin {
           .select(col("a.id").as("id_a"), col("a.key").as("key_a"),
                   col("b.id").as("id_b"), col("b.key").as("key_b"))
           .filter(levenshtein(col("key_a"), col("key_b"), maxDist) >= 0)
-          .distinct()
+          // deduplicate the narrow (long, long) id pair, then re-attach
+          // keys from the un-exploded base — cheaper than hash-aggregating
+          // 4-column string rows. No broadcast hint: base has real parquet
+          // stats, so Catalyst broadcasts it when small and falls back to a
+          // shuffle join when the corpus doesn't fit an executor.
+          .select(col("id_a"), col("id_b")).distinct()
+          .join(base.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
+          .join(base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
+          .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"))
         // Rebuild full directed semantics in ONE pass over `half` (a plain
         // `half union half.mirror` would execute the join twice — measured
         // 2x wall time): explode each undirected pair into both directions,
