@@ -392,7 +392,7 @@ object SparkEntry {
     "sums AS (SELECT doc_id, " +
       (0 until NearDup.SimHashBits).map(j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ") +
-      s" FROM (SELECT doc_id, ${sqlHash60("t", 0)} & 4294967295 AS h FROM tok) GROUP BY doc_id)"
+      s" FROM (SELECT doc_id, ${sqlHash60("t", 0)} AS h FROM tok) GROUP BY doc_id)"
 
   private val sqlSimHashValue: String =
     (0 until NearDup.SimHashBits)

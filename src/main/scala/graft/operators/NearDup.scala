@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *  - All hashing is md5-based ([[graft.functions.md5hash60]]) so every
   *    sketch is bit-identical in the DuckDB oracle (xxhash64 would be
   *    faster; parity wins here, and the md5 cost is one pass per shingle).
-  *  - Sketches (16 minhashes / 32-bit simhash) are tiny per-doc state:
+  *  - Sketches (16 minhashes / 60-bit simhash) are tiny per-doc state:
   *    the verify joins carry signatures, not documents.
   */
 object NearDup {
@@ -137,16 +137,17 @@ object NearDup {
 
   // ---------------------------------------------------------------- SimHash
 
-  val SimHashBits = 32
+  val SimHashBits = 60
 
-  /** 32-bit SimHash over distinct lowercased tokens: bit j is the sign of
+  /** 60-bit SimHash over distinct lowercased tokens (full md5hash60 width;
+    * the value fits a positive BIGINT, 2^60): bit j is the sign of
     * Σ_tokens (bit j of md5hash60(token) set ? +1 : -1). Docs with no tokens
     * produce no row (consistent with the oracle's WHERE guard).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.tokens(lower(col(textCol))))).as("t"))
-    val h = md5hash60(col("t")).bitwiseAND(lit(0xFFFFFFFFL))
+    val h = md5hash60(col("t"))
     val withH = tok.select(col("id"), h.as("h"))
     val bitSums = (0 until SimHashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -159,14 +160,14 @@ object NearDup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxHamming, candidates
-    * from 8-bit chunk equality (pigeonhole: hamming <= 3 over 4 chunks
+    * from 10-bit chunk equality (pigeonhole: hamming <= 5 over 6 chunks
     * forces >= 1 identical chunk), verified with bit_count(xor).
     */
   def simhashPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming < SimHashBits / 8, "pigeonhole needs maxHamming < #chunks")
-    val chunks = (0 until SimHashBits / 8).map { c =>
+    require(maxHamming < SimHashBits / 10, "pigeonhole needs maxHamming < #chunks")
+    val chunks = (0 until SimHashBits / 10).map { c =>
       struct(lit(c).as("c"),
-        shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xFFL)).as("v"))
+        shiftright(col("simhash"), c * 10).bitwiseAND(lit(0x3FFL)).as("v"))
     }
     val chunked = sig.select(col("id"), col("simhash"),
       explode(array(chunks: _*)).as("chunk"))

@@ -61,11 +61,11 @@ class NearDupSpec extends SparkSpec {
     assert(!got.contains((1L, 4L)))
   }
 
-  test("simhash: identical docs equal, unrelated differ, in 32-bit range") {
+  test("simhash: identical docs equal, unrelated differ, in 60-bit range") {
     val s = NearDup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(s(1L) == s(2L))
     assert(s(1L) != s(4L))
-    assert(s.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+    assert(s.values.forall(v => v >= 0 && v < (1L << 60)))
     assert(!s.contains(6L))
   }
 
