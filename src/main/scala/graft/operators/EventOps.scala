@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Open-session state carried between micro-batches. */
+  case class SessionState(sid: Long, start: Long, end: Long, n: Long)
+
+  /** Emitted (closed) session — same shape as the batch sessionize output. */
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        session_start_us: Long, session_end_us: Long)
+
   /** Tumbling-window counts/sums per event_type. Window start emitted as
     * epoch micros.
     */
@@ -65,6 +72,56 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros(col("ts"))).as("session_start_us"),
         max(unix_micros(col("ts"))).as("session_end_us"))
+  }
+
+  /** Streaming form of [[sessionize]]: per-user gap sessions via
+    * flatMapGroupsWithState with an EVENT-TIME timeout. Within a batch,
+    * events are folded in (ts, event_id) order; a session closes (and is
+    * emitted, append mode) when the in-batch gap exceeds `gapMinutes` or
+    * when the watermark passes lastEvent + gap (timeout path — closes
+    * sessions whose user went quiet). The still-open session per user
+    * stays in state, so with a bounded input the emitted set is exactly
+    * the batch result minus each user's final session (asserted in
+    * EventOpsSpec).
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[EventOps.SessionOut] = {
+    import EventOps.{SessionOut, SessionState}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[SessionState]) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.sid, s.n, s.start, s.end))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._4, r._3))
+            var cur = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { case (_, _, _, us) =>
+              if (cur == null) cur = SessionState(1L, us, us, 1L)
+              else if (us - cur.end > gapUs) {
+                out += SessionOut(uid, cur.sid, cur.n, cur.start, cur.end)
+                cur = SessionState(cur.sid + 1, us, us, 1L)
+              } else cur = cur.copy(end = us, n = cur.n + 1)
+            }
+            state.update(cur)
+            // close by timeout once the watermark passes end-of-session+gap
+            state.setTimeoutTimestamp((cur.end + gapUs) / 1000L + 1L)
+            out.result().iterator
+          }
+      }
   }
 
   /** Stateful streaming (KeyValueGroupedDataset + mapGroupsWithState):

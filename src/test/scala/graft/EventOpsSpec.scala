@@ -56,6 +56,42 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization emits all but each user's final session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventOps.sessionizeStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_sess").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_sess")
+        .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // Expected = batch sessions minus final sessions that are STILL OPEN
+      // at the end: a user's last session is emitted too when the final
+      // watermark (maxTs - gap) passed its timeout (end + gap), i.e. it
+      // stays open only if end >= maxTs - 2*gap.
+      val gapUs = 30L * 60L * 1000000L
+      val maxTs = events.agg(max(unix_micros(col("ts")))).as[Long].head()
+      val batch = EventOps.sessionize(events)
+      val stillOpen = batch.groupBy("user_id").agg(max("session_id").as("session_id"))
+        .join(batch, Seq("user_id", "session_id"))
+        .filter(col("session_end_us") >= maxTs - 2 * gapUs)
+        .select("user_id", "session_id")
+      val expected = batch.join(stillOpen, Seq("user_id", "session_id"), "left_anti")
+        .select("user_id", "session_id", "n_events", "session_start_us", "session_end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("ro_similarity is callable from SQL after registration") {
     Graft.registerFunctions(spark)
     val r = spark.sql("SELECT ro_similarity('apple', 'appel') AS s").collect()(0).getDouble(0)
