@@ -128,7 +128,12 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       NearDup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
-    // ---- Near-dup: 32-bit SimHash sketch per doc.
+    // ---- North-star composite: corpus dedup = MinHash-LSH pairs →
+    // connected components → canonical doc per cluster.
+    "q_near_dedup" -> ((s, dir) =>
+      NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
+
+    // ---- Near-dup: 60-bit SimHash sketch per doc.
     "q_simhash" -> ((s, dir) =>
       NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -281,6 +286,21 @@ object SparkEntry {
         "FROM cands c JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
         "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_near_dedup" ->
+      (s"WITH RECURSIVE $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, " +
+        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM sh GROUP BY doc_id), " +
+        s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
+        s"ON a.id < b.id AND ($sqlBandCond)), " +
+        "e AS (SELECT c.cid_a AS u, c.cid_b AS v FROM cands c " +
+        "JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
+        "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5), " +
+        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component " +
+        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
+        "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
     "q_simhash" ->
       (s"WITH $sqlTokCte, $sqlSimHashSums " +
         s"SELECT doc_id AS id, CAST($sqlSimHashValue AS BIGINT) AS simhash FROM sums"),

@@ -135,6 +135,22 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** End-to-end corpus dedup: near-dup pairs (MinHash-LSH candidates,
+    * exactly verified) → connected components → canonical (minimum) doc id
+    * per cluster. Returns every doc with its cluster id and whether it is
+    * the cluster's keeper — the shape a 100 TB training-data dedup pass
+    * needs (filter is_canonical to materialize the deduped corpus).
+    */
+  def dedupByNearDup(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, threshold: Double): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, n, threshold)
+    val comps = ConnectedComponents.run(
+      df.select(col(idCol).as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    comps.select(col("id").as(idCol), col("component"),
+      (col("id") === col("component")).as("is_canonical"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   val SimHashBits = 60
