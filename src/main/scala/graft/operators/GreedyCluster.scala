@@ -42,8 +42,15 @@ object GreedyCluster {
     * alts = sorted member alts joined by ",").
     */
   def cluster(df: DataFrame, nameCol: String, altCol: String,
-              orderCol: String, threshold: Double = 80.0): DataFrame = {
+              orderCol: String, threshold: Double = 80.0,
+              maxRows: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
+    // Fail fast instead of OOMing the driver: this operator is sequential
+    // by definition; at corpus scale use ConnectedComponents instead.
+    val n = df.count()
+    require(n <= maxRows,
+      s"GreedyCluster collects to the driver ($n rows > limit $maxRows); " +
+        "use ConnectedComponents over a similarity join for large inputs")
     val rows: Array[Row] = df
       .select(col(nameCol).cast("string"), col(altCol).cast("string"))
       .orderBy(col(orderCol))
