@@ -35,15 +35,28 @@ object EditDistanceJoin {
   case object Naive extends Strategy
   case object DeletionNeighborhood extends Strategy
 
-  /** All ≤k-deletion variants of s (including s itself), distinct. */
+  /** All ≤k-deletion variants of s (including s itself), distinct.
+    *
+    * Deletions remove whole CODE POINTS, not UTF-16 units: Spark's and
+    * DuckDB's `levenshtein` count code points, so a supplementary-plane
+    * character (e.g. an emoji) is ONE edit — deleting only one of its two
+    * UTF-16 units would cost the variant generator two deletions and break
+    * the candidate-superset guarantee (regression-tested with astral-plane
+    * pairs in EditDistanceJoinSpec).
+    */
   private[graft] def deletionVariants(s: String, k: Int): Array[String] = {
+    def delete(t: String, cpIndex: Int): String = {
+      val start = t.offsetByCodePoints(0, cpIndex)
+      val end = t.offsetByCodePoints(start, 1)
+      t.substring(0, start) + t.substring(end)
+    }
     val seen = mutable.LinkedHashSet(s)
     var frontier: Set[String] = Set(s)
     var d = 0
     while (d < k) {
       frontier = frontier.flatMap { t =>
-        (0 until t.length).iterator
-          .map(i => t.substring(0, i) + t.substring(i + 1))
+        (0 until t.codePointCount(0, t.length)).iterator
+          .map(i => delete(t, i))
           .filterNot(seen.contains)
           .toSet
       }

@@ -20,7 +20,9 @@ class EditDistanceJoinSpec extends SparkSpec {
     (1L, "abcdef"), (2L, "abcdxf"), (3L, "bcdef"),   // sub / del
     (4L, "abcdefgh"), (5L, "xabcdefg"),              // shift (ins+del)
     (6L, ""), (7L, "a"), (8L, "ab"),
-    (9L, "Müller GmbH"), (10L, "Muller GmbH")        // unicode sub
+    (9L, "Müller GmbH"), (10L, "Muller GmbH"),       // unicode sub
+    (11L, "x😀y"), (12L, "xy"),            // astral-plane deletion
+    (13L, "x😁y")                          // astral-plane sub
   ).toDF("id", "key")
 
   test("deletion-neighborhood strategy equals naive theta join (hand cases)") {
@@ -32,6 +34,10 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(naive.contains((1L, 1L)), "reflexive pair is included (solutionThree semantics)")
     assert(naive.contains((1L, 2L)) && naive.contains((1L, 3L)))
     assert(naive.contains((4L, 5L)), "insertion+deletion shift within k")
+    // levenshtein counts code points: these are 1-edit pairs and the
+    // deletion neighborhood must find them too (UTF-16-unit deletion
+    // would miss the surrogate-pair cases)
+    assert(naive.contains((11L, 12L)) && naive.contains((11L, 13L)))
   }
 
   test("deletion-neighborhood strategy equals naive on sf0.001 customer") {
@@ -41,6 +47,17 @@ class EditDistanceJoinSpec extends SparkSpec {
     val fast = EditDistanceJoin.pairs(c, "c_custkey", "c_name", 2, DeletionNeighborhood)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(fast == naive && naive.size > c.count())
+  }
+
+  test("code-point deletions: astral-plane pairs found at k=1") {
+    // lev("x😀y","xy") = 1 code point; a UTF-16-unit neighborhood needs 2
+    // deletions for the surrogate pair and misses these at k=1
+    val fast = EditDistanceJoin.pairs(tricky, "id", "key", 1, DeletionNeighborhood)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast.contains((11L, 12L)) && fast.contains((11L, 13L)))
+    val naive = EditDistanceJoin.pairs(tricky, "id", "key", 1, Naive)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive)
   }
 
   test("includeSelf=false drops reflexive pairs only") {
