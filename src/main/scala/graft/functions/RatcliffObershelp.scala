@@ -26,19 +26,26 @@ import scala.collection.mutable
   */
 object RatcliffObershelp {
 
-  /** difflib ratio in [0, 1]. Both-empty gives 1.0 (difflib._calculate_ratio). */
+  /** difflib ratio in [0, 1]. Both-empty gives 1.0 (difflib._calculate_ratio).
+    * Sequences are CODE POINTS, exactly like Python str elements — a
+    * supplementary-plane character is one element, not a surrogate pair
+    * (difflib parity for emoji/astral text is in RatcliffObershelpSpec).
+    */
   def ratio(a: String, b: String, autojunk: Boolean = true): Double = {
-    val total = a.length + b.length
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val total = ca.length + cb.length
     if (total == 0) return 1.0
-    2.0 * matchTotal(a, b, autojunk) / total
+    2.0 * matchTotal(ca, cb, autojunk) / total
   }
 
   /** The reference's string_similarity: ratio * 100. */
   def similarity(a: String, b: String): Double = ratio(a, b) * 100.0
 
-  private def matchTotal(a: String, b: String, autojunk: Boolean): Int = {
-    // b2j: char -> ascending positions in b, with popular chars purged.
-    val b2j = mutable.HashMap.empty[Char, mutable.ArrayBuffer[Int]]
+  private def matchTotal(a: Array[Int], b: Array[Int], autojunk: Boolean): Int = {
+    // b2j: code point -> ascending positions in b, with popular elements
+    // purged.
+    val b2j = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
     var j = 0
     while (j < b.length) {
       b2j.getOrElseUpdate(b(j), mutable.ArrayBuffer.empty[Int]) += j

@@ -31,6 +31,11 @@ class RatcliffObershelpSpec extends AnyFunSuite {
     ("x" * 199 + "y", "x" * 199 + "z", 99.5),
     ("the quick brown fox jumps over the lazy dog",
      "the quick brown fox jumped over a lazy dog", 91.76470588235294),
+    // code-point semantics (Python str elements), incl. astral plane
+    ("x😀y", "xy", 80.0),
+    ("x😀y", "x😁y", 66.66666666666666),
+    ("😀😁", "😁😀", 50.0),
+    ("café", "cafe", 75.0),
   )
 
   test("matches CPython difflib ratio exactly") {
