@@ -186,6 +186,16 @@ object SparkEntry {
     // ---- Events: gap-based sessionization (30 min).
     "q_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
 
+    // ---- Filter/projection pushdown showcase: the predicate and the
+    // 3-column projection both reach the parquet scan (PushedFilters +
+    // pruned ReadSchema — verified by graft.tools.ExplainAll). At 100 TB
+    // this is the difference between scanning 3 columns of matching
+    // row groups and scanning everything.
+    "q_filter_pushdown" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 100000.0 && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
     // ---- ETL shape (O1/O2): temp-view handoff + SQL entry + canonical
     // dedup + deterministic distributed surrogate id (zipWithIndex, no
     // global single-partition window).
@@ -340,6 +350,9 @@ object SparkEntry {
         "SELECT user_id, session_id, count(*) AS n_events, " +
         "min(us) AS session_start_us, max(us) AS session_end_us " +
         "FROM s GROUP BY 1, 2"),
+    "q_filter_pushdown" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'"),
     "q_etl_orders" ->
       ("WITH surv AS (SELECT *, row_number() OVER " +
         "(PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn FROM orders), " +

@@ -54,6 +54,12 @@ class EtlSpec extends SparkSpec {
     assert(a.map(_._2).toSeq == a.indices.map(_.toLong))   // dense 0..n-1 in key order
   }
 
+  test("console sink (K5): show and printSchema run") {
+    val df = Csv.readAllString(spark, csvDir)
+    df.printSchema()
+    df.show(5, truncate = false)
+  }
+
   test("sinks: single-file CSV and parallel CSV") {
     val d1 = tmpDir("graft_out1")
     Sinks.writeSingleCsv(Seq((1, "a")).toDF("k", "v"), s"$d1/one")
