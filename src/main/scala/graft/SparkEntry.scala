@@ -284,11 +284,11 @@ object SparkEntry {
         "JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
     "q_minhash_sig" ->
-      (s"WITH $sqlToksCte, $sqlShCte " +
-        s"SELECT doc_id AS id, $sqlSigSelect FROM sh GROUP BY doc_id"),
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlAbCte " +
+        s"SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id"),
     "q_minhash_pairs" ->
-      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, " +
-        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM sh GROUP BY doc_id), " +
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
+        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
         s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
         s"ON a.id < b.id AND ($sqlBandCond)) " +
         "SELECT c.cid_a AS id_a, c.cid_b AS id_b, n_common, " +
@@ -297,8 +297,8 @@ object SparkEntry {
         "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
     "q_near_dedup" ->
-      (s"WITH RECURSIVE $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, " +
-        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM sh GROUP BY doc_id), " +
+      (s"WITH RECURSIVE $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
+        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
         s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
         s"ON a.id < b.id AND ($sqlBandCond)), " +
         "e AS (SELECT c.cid_a AS u, c.cid_b AS v FROM cands c " +
@@ -406,9 +406,18 @@ object SparkEntry {
     s"('0x' || substr(md5($seeded), 1, 15))::BIGINT"
   }
 
+  /** One md5 digest per shingle, split into the two affine-family halves
+    * (mirrors NearDup.minhashSignatures bit-for-bit: `a` = hex chars 1-15
+    * as a 60-bit BIGINT, `b` = hex chars 16-29 as a 56-bit BIGINT).
+    */
+  private val sqlAbCte =
+    "ab AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS a, " +
+      "('0x' || substr(md5(s), 16, 14))::BIGINT AS b FROM sh)"
+
   private val sqlSigSelect: String =
     (0 until NearDup.NumHashes)
-      .map(k => s"min(${sqlHash60("s", k)}) AS h$k").mkString(", ")
+      .map(k => s"min((a + ${k + 1} * b) & ${NearDup.HashMask}) AS h$k")
+      .mkString(", ")
 
   private val sqlBandCond: String =
     (0 until NearDup.Bands).map { b =>

@@ -23,15 +23,16 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects outright
     * (PARQUET_TYPE_ILLEGAL). Read nanos as long via the legacy flag and
-    * rebuild a microsecond TimestampType column with integer `div 1000` —
-    * the same floor truncation DuckDB's epoch_us applies to its
-    * TIMESTAMP_NS, keeping both engines on identical micros.
+    * rebuild a microsecond TimestampType column with TRUE floor division
+    * (`div` alone truncates toward zero, which differs by 1µs from DuckDB's
+    * epoch_us flooring for pre-1970 negative nanos; subtracting the
+    * always-nonnegative pmod first makes the quotient exact for any sign).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: brute force is O(|Q|·N·d) — fine for a bounded query set against
   * a broadcast corpus, unusable all-pairs at 100 TB. The LSH path buckets
-  * vectors by 16 hyperplane sign bits (deterministic seeded planes) and
-  * searches only matching buckets (multi-probe: Hamming<=1 flips), turning
-  * the search into an equi-join on bucket id.
+  * vectors by [[LshBits]] hyperplane sign bits (deterministic seeded
+  * planes) and searches only matching buckets (multi-probe: Hamming<=2
+  * flips), turning the search into an equi-join on bucket id.
   */
 object Ann {
 
@@ -155,7 +155,7 @@ object Ann {
   }
 
   /** Bucketed approximate top-k: candidates share the query's bucket or any
-    * bucket within Hamming distance 1 (multi-probe), scored exactly, top-k
+    * bucket within Hamming distance 2 (multi-probe), scored exactly, top-k
     * per query. Same output shape as [[cosineTopK]]; recall is measured in
     * AnnSpec against the exact baseline.
     */

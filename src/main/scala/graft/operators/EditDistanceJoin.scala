@@ -66,6 +66,53 @@ object EditDistanceJoin {
     seen.toArray
   }
 
+  /** Verified UNDIRECTED id pairs (id_a < id_b) with lev <= maxDist — the
+    * shared core of [[pairs]] and [[linkedAggregate]].
+    *
+    * Join on the 64-bit hash of each deletion variant, not the variant
+    * string: narrower shuffle rows, long-vs-long hash probes. A collision
+    * only ADDS a candidate; the exact levenshtein verify removes it.
+    *
+    * The equi-join is HALF-ORDERED (id_a < id_b): self- and mirror-
+    * witnesses are never generated (the full join emits ~2x the rows and
+    * every reflexive pair x its whole variant set). The cheap banded
+    * threshold-levenshtein verify runs BEFORE distinct — witness
+    * multiplicity is ~2-8 per true pair, so filtering 2N rows then
+    * deduplicating the narrow (long, long) survivors beats deduplicating
+    * the full candidate set (measured 5x on sf0.1: distinct-first spent
+    * 147s hash-aggregating 65M wide rows).
+    *
+    * shuffle_hash hint: Catalyst can't estimate post-explode cardinality
+    * (UDF-generated arrays) and mis-chooses a broadcast hash join,
+    * collecting the ~100x-exploded variant table to the driver and probing
+    * one giant hash relation (measured 7x slower at sf0.1 — and an OOM at
+    * 100 TB). A partitioned hash join on the variant key is the scalable
+    * plan.
+    */
+  private def halfIdPairs(base: DataFrame, maxDist: Int): DataFrame = {
+    val genVariants = udf((s: String) =>
+      if (s == null) Array.empty[String] else deletionVariants(s, maxDist))
+    val variants = base
+      .withColumn("__vs", explode(genVariants(col("key"))))
+      .withColumn("__v", xxhash64(col("__vs")))
+      .drop("__vs")
+    variants.as("a").hint("shuffle_hash")
+      .join(variants.as("b"),
+        col("a.__v") === col("b.__v") && col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.key"), col("b.key"), maxDist) >= 0)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Reflexive (id, id) pairs. Null keys are excluded on BOTH strategies:
+    * Naive's `levenshtein(null, null)` predicate is null and drops the row,
+    * so the synthesized reflexive set must drop it too or the documented
+    * strategy equivalence breaks on null keys.
+    */
+  private def reflexiveIds(base: DataFrame): DataFrame =
+    base.filter(col("key").isNotNull)
+      .select(col("id").as("id_a"), col("id").as("id_b"))
+
   /** Matched pairs (id_a, key_a, id_b, key_b) with lev(key_a, key_b) <= maxDist.
     * Reflexive pairs included unless includeSelf=false (then id_a != id_b).
     * `df` must have unique values in idCol.
@@ -82,41 +129,12 @@ object EditDistanceJoin {
                   col("b.id").as("id_b"), col("b.key").as("key_b"))
 
       case DeletionNeighborhood =>
-        val genVariants = udf((s: String) =>
-          if (s == null) Array.empty[String] else deletionVariants(s, maxDist))
-        // Join on the 64-bit hash of each variant, not the variant string:
-        // narrower shuffle rows, long-vs-long hash probes. A collision only
-        // ADDS a candidate; the exact levenshtein verify removes it.
-        val variants = base
-          .withColumn("__vs", explode(genVariants(col("key"))))
-          .withColumn("__v", xxhash64(col("__vs")))
-          .drop("__vs")
-        // Equi-join on the shared deletion variant, HALF-ORDERED (id_a <
-        // id_b): self- and mirror-witnesses are never generated (the full
-        // join emits ~2x the rows and every reflexive pair x its whole
-        // variant set). The cheap banded threshold-levenshtein verify runs
-        // BEFORE distinct — witness multiplicity is ~2-8 per true pair, so
-        // filtering 2N rows then deduplicating the survivors beats
-        // deduplicating the full candidate set (measured 5x on sf0.1:
-        // distinct-first spent 147s hash-aggregating 65M wide rows).
-        // shuffle_hash hint: Catalyst can't estimate post-explode
-        // cardinality (UDF-generated arrays) and mis-chooses a broadcast
-        // hash join, collecting the ~100x-exploded variant table to the
-        // driver and probing one giant hash relation (measured 7x slower
-        // at sf0.1 — and an OOM at 100 TB). A partitioned hash join on the
-        // variant key is the scalable plan.
-        val half = variants.as("a").hint("shuffle_hash")
-          .join(variants.as("b"),
-            col("a.__v") === col("b.__v") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("a.key").as("key_a"),
-                  col("b.id").as("id_b"), col("b.key").as("key_b"))
-          .filter(levenshtein(col("key_a"), col("key_b"), maxDist) >= 0)
-          // deduplicate the narrow (long, long) id pair, then re-attach
-          // keys from the un-exploded base — cheaper than hash-aggregating
-          // 4-column string rows. No broadcast hint: base has real parquet
-          // stats, so Catalyst broadcasts it when small and falls back to a
-          // shuffle join when the corpus doesn't fit an executor.
-          .select(col("id_a"), col("id_b")).distinct()
+        // Re-attach keys from the un-exploded base — cheaper than hash-
+        // aggregating 4-column string rows in the distinct. No broadcast
+        // hint: base has real parquet stats, so Catalyst broadcasts it when
+        // small and falls back to a shuffle join when the corpus doesn't
+        // fit an executor.
+        val half = halfIdPairs(base, maxDist)
           .join(base.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
           .join(base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
           .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"))
@@ -130,8 +148,9 @@ object EditDistanceJoin {
                    col("id_a").as("id_b"), col("key_a").as("key_b")))).as("p"))
           .select(col("p.id_a").as("id_a"), col("p.key_a").as("key_a"),
                   col("p.id_b").as("id_b"), col("p.key_b").as("key_b"))
-        both.union(base.select(col("id").as("id_a"), col("key").as("key_a"),
-          col("id").as("id_b"), col("key").as("key_b")))
+        both.union(base.filter(col("key").isNotNull)
+          .select(col("id").as("id_a"), col("key").as("key_a"),
+            col("id").as("id_b"), col("key").as("key_b")))
     }
     if (includeSelf) joined else joined.filter(col("id_a") =!= col("id_b"))
   }
@@ -140,12 +159,31 @@ object EditDistanceJoin {
     * counterparts — made deterministic with sort_array + concat_ws (the
     * reference's raw collect_list order is partition-dependent; a CSV sink
     * also can't hold array<struct>, SURVEY §1.1).
+    *
+    * The aggregate needs only (id_a, key_b): the deletion-neighborhood path
+    * therefore skips the key_a re-attach entirely — one key join on the
+    * directed pair set instead of two on the undirected set.
     */
   def linkedAggregate(df: DataFrame, idCol: String, keyCol: String, maxDist: Int,
-                      strategy: Strategy = DeletionNeighborhood): DataFrame =
-    pairs(df, idCol, keyCol, maxDist, strategy)
+                      strategy: Strategy = DeletionNeighborhood): DataFrame = {
+    def agg(pairs: DataFrame): DataFrame = pairs
       .groupBy(col("id_a").as(idCol))
       .agg(
         count(lit(1)).as("n_linked"),
         concat_ws(",", sort_array(collect_list(col("key_b")))).as("linked_keys"))
+    strategy match {
+      case Naive =>
+        agg(pairs(df, idCol, keyCol, maxDist, Naive))
+      case DeletionNeighborhood =>
+        val base = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+        val directed = halfIdPairs(base, maxDist)
+          .select(explode(array(
+            struct(col("id_a"), col("id_b")),
+            struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .union(reflexiveIds(base))
+        agg(directed.join(
+          base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b"))
+    }
+  }
 }

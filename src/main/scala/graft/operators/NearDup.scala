@@ -87,13 +87,32 @@ object NearDup {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** Per-doc MinHash signature: h0..h15, where hk = min over shingles of the
-    * seeded 60-bit md5 hash. One shuffle (groupBy id).
+  /** 60-bit mask: all minhash values stay in [0, 2^60) — positive BIGINTs
+    * on both engines.
+    */
+  val HashMask: Long = (1L << 60) - 1
+
+  /** Per-doc MinHash signature h0..h15 from ONE md5 digest per shingle:
+    * the 128-bit digest splits into a 60-bit half `a` (hex chars 1-15) and
+    * a 56-bit half `b` (hex chars 16-29); hash k is the affine combination
+    * (a + (k+1)·b) mod 2^60 — the standard two-hash family (Kirsch &
+    * Mitzenmacher, "Less Hashing, Same Performance"). 16× less md5 CPU than
+    * the previous seeded-digest scheme while staying bit-identical to the
+    * DuckDB oracle (same split, same BIGINT arithmetic; (k+1)·b + a
+    * <= 16·2^56 + 2^60 < 2^63, so the signed-64 math never overflows).
+    * One shuffle (groupBy id).
     */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(k =>
-      min(md5hash60(col("shingle"), k)).as(s"h$k"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val halves = sh
+      .select(col("id"), md5(col("shingle")).as("d"))
+      .select(col("id"),
+        conv(substring(col("d"), 1, 15), 16, 10).cast("long").as("a"),
+        conv(substring(col("d"), 16, 14), 16, 10).cast("long").as("b"))
+    val aggs = (0 until NumHashes).map { k =>
+      min((col("a") + lit((k + 1).toLong) * col("b"))
+        .bitwiseAND(lit(HashMask))).as(s"h$k")
+    }
+    halves.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs agreeing on ALL hashes of at least one band.

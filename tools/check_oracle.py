@@ -51,6 +51,8 @@ def main():
             print(f"[ROWS] {name}: spark={len(got)} duckdb={len(exp)}")
             failed.append(name); continue
         bad = 0
+        fuzzy = 0  # non-identical but within tolerance: the driver's hash
+        # compare is exact, so these WILL fail there — surface them loudly.
         for c in got.columns:
             a, b = got[c].values, exp[c].values
             for i in range(len(a)):
@@ -62,15 +64,17 @@ def main():
                             if bad <= 3:
                                 print(f"       {name}.{c}[{i}]: {x!r} != {y!r}")
                         else:
-                            bad += 0  # within tol; still report once
-                            if bad == 0:
-                                pass
+                            fuzzy += 1
+                            if fuzzy <= 3:
+                                print(f"       {name}.{c}[{i}]: {x!r} ~= {y!r} "
+                                      "(within tol; driver hash will MISMATCH)")
                 elif str(x) != str(y):
                     bad += 1
                     if bad <= 3:
                         print(f"       {name}.{c}[{i}]: {x!r} != {y!r}")
-        if bad:
-            print(f"[VALS] {name}: {bad} mismatched cells"); failed.append(name)
+        if bad or fuzzy:
+            print(f"[VALS] {name}: {bad} mismatched, {fuzzy} within-tol cells")
+            failed.append(name)
         else:
             print(f"[ OK ] {name}: {len(got)} rows x {len(got.columns)} cols")
     if failed:
