@@ -321,13 +321,29 @@ object SparkEntry {
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
         "FROM s2 a JOIN s2 b ON a.id < b.id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+    // First BYTE of the UTF-8 payload (mirrors Multimodal.metadata /
+    // decodeStub), not ascii() of the first character.
     "q_media_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "sha256(text) AS sha256, " +
         "CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks, " +
-        "CAST(16 * (1 + ascii(substr(text, 1, 1)) % 32) AS BIGINT) AS fake_width, " +
+        "CAST(16 * (1 + ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT % 32) AS BIGINT) AS fake_width, " +
         "CAST(16 * (1 + octet_length(encode(text)) % 32) AS BIGINT) AS fake_height " +
         "FROM documents"),
+    // decodeStub mirrored in SQL: per-byte sum via hex 2-char slices. The
+    // byte sum is an integer < 2^53, so Spark's sequential double sum is
+    // exact and the division matches bit-for-bit.
+    "q_media_decode" ->
+      ("WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n FROM documents), " +
+        "idx AS (SELECT doc_id, p, n, unnest(generate_series(1, n)) AS i FROM b), " +
+        "s AS (SELECT doc_id, sum(('0x' || substr(hex(p), 2*i - 1, 2))::BIGINT) AS sum_bytes " +
+        "FROM idx GROUP BY doc_id) " +
+        "SELECT b.doc_id, " +
+        "CAST(16 * (1 + ('0x' || substr(hex(p), 1, 2))::BIGINT % 32) AS INTEGER) AS width, " +
+        "CAST(16 * (1 + n % 32) AS INTEGER) AS height, " +
+        "CAST(3 AS INTEGER) AS channels, " +
+        "CAST(sum_bytes AS DOUBLE) / n AS mean_byte " +
+        "FROM b JOIN s USING (doc_id)"),
     "q_events_window" ->
       ("SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us, " +
         "event_type, count(*) AS n_events, " +

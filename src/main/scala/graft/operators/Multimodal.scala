@@ -35,8 +35,12 @@ object Multimodal {
   def metadata(df: DataFrame, idCol: String): DataFrame = {
     val nBytes = length(col("payload")).cast("long")
     // STUB dimensions: deterministic in (first byte, byte length). A real
-    // decoder would parse the codec header instead.
-    val firstByte = coalesce(ascii(substring(col("payload").cast("string"), 1, 1)), lit(0))
+    // decoder would parse the codec header instead. First BYTE of the
+    // binary (hex of the 1-byte slice), not the first character's code
+    // point — decodeStub reads payload(0) & 0xff, and the two paths must
+    // agree even when the payload starts with multi-byte UTF-8.
+    val firstByte =
+      coalesce(conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("long"), lit(0L))
     df.select(
       col(idCol),
       nBytes.as("n_bytes"),

@@ -5,8 +5,11 @@ import graft.operators.Multimodal
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  // doc 4 starts with a multi-byte UTF-8 char (é = 0xC3 0xA9): the
+  // expression path must read the first BYTE (0xC3), not the code point.
   private lazy val docs = Multimodal.withPayload(
-    Seq((1L, "hello world"), (2L, "x" * 600), (3L, "")).toDF("doc_id", "text"), "text")
+    Seq((1L, "hello world"), (2L, "x" * 600), (3L, ""), (4L, "état"))
+      .toDF("doc_id", "text"), "text")
 
   test("payload is utf-8 bytes; metadata projects length/hash/chunks") {
     val m = Multimodal.metadata(docs, "doc_id").collect()
@@ -26,6 +29,7 @@ class MultimodalSpec extends SparkSpec {
     val dec = Multimodal.decodeFeatures(docs, "doc_id").collect()
       .map(r => r.getLong(0) -> (r.getAs[Int]("width").toLong, r.getAs[Int]("height").toLong)).toMap
     assert(dec == meta)
+    assert(meta(4L)._1 == 16L * (1 + 0xc3 % 32))  // first byte of é, not the code point
   }
 
   test("decodeStub is deterministic and byte-driven") {
