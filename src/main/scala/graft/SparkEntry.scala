@@ -206,6 +206,36 @@ object SparkEntry {
       pipeline.Etl.withDeterministicId(ded, "o_orderkey")
         .select("o_orderkey", "o_custkey", "o_totalprice", "id")
     }),
+
+    // ---- S1-S4/K1-K2/F6 end-to-end: write customer to CSV (single-file
+    // K1 + parallel K2), read back through all four read surfaces
+    // (all-string S1, format API S2, inferred S3, directory glob S4) with
+    // the required-column guard, and aggregate the INFERRED roundtrip.
+    // Oracle = the same aggregate over the parquet table directly: any
+    // value lost or mangled by the CSV write/read breaks the hash match.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      val customer = Tables.customer(s, dir)
+      sources.Sinks.writeSingleCsv(customer, s"$tmp/single")   // K1
+      sources.Sinks.writeCsv(customer, s"$tmp/multi")          // K2
+      val inferred = sources.Csv.requireColumns(               // S3 + F6
+        sources.Csv.readInferred(s, s"$tmp/single"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      // The other three readers feed row-count columns: equality with the
+      // parquet count proves each surface scanned the full roundtrip.
+      val nAllString = sources.Csv.readAllString(s, s"$tmp/single").count() // S1
+      val nFormat = sources.Csv.readFormat(s, s"$tmp/single").count()       // S2
+      val nGlob = sources.Csv.readDirectory(s, s"$tmp/multi").count()       // S4
+      inferred.groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sum_acctbal_cents"),
+          min(col("c_name")).as("min_name"),
+          count_distinct(col("c_custkey")).as("n_custkeys"))
+        .withColumn("n_allstring", lit(nAllString))
+        .withColumn("n_format", lit(nFormat))
+        .withColumn("n_glob", lit(nGlob))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -375,6 +405,16 @@ object SparkEntry {
         "ded AS (SELECT o_orderkey, o_custkey, o_totalprice FROM surv WHERE rn = 1) " +
         "SELECT o_orderkey, o_custkey, o_totalprice, " +
         "CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS id FROM ded"),
+    // Aggregate over the parquet table directly: equality proves the CSV
+    // write/read roundtrip in the Spark query was lossless.
+    "q_csv_roundtrip" ->
+      ("SELECT c_mktsegment, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents, " +
+        "min(c_name) AS min_name, count(DISTINCT c_custkey) AS n_custkeys, " +
+        "(SELECT count(*) FROM customer) AS n_allstring, " +
+        "(SELECT count(*) FROM customer) AS n_format, " +
+        "(SELECT count(*) FROM customer) AS n_glob " +
+        "FROM customer GROUP BY c_mktsegment"),
     "q_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
         "scored AS (SELECT q.qid, e.vec_id, " +

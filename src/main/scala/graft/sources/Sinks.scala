@@ -12,17 +12,26 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** Spark's CSV WRITER trims leading/trailing whitespace by default
+    * (write-side ignoreLeading/TrailingWhiteSpace default true) — a lossy
+    * roundtrip the reference's to_csv never does. Both sinks disable it.
+    */
+  private def csvWriter(df: DataFrame) =
+    df.write.option("header", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+
   /** K1: single-file header'd CSV, overwrite — the reference's output
     * contract (coalesce(1) only at the FINAL write; upstream stages keep
     * full parallelism, unlike the reference which pays the single-task
     * bottleneck on every intermediate write too).
     */
   def writeSingleCsv(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
+    csvWriter(df.coalesce(1)).mode("overwrite").csv(path)
 
   /** K2: parallel CSV write, default error-if-exists mode. */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.option("header", true).csv(path)
+    csvWriter(df).csv(path)
 
   /** K3/K4 abstraction: a relational (or stand-in) table sink. */
   trait RelationalSink {

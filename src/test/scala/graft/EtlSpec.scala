@@ -69,4 +69,12 @@ class EtlSpec extends SparkSpec {
     Sinks.writeCsv(Seq((1, "a")).toDF("k", "v"), s"$d2/many")
     assert(spark.read.option("header", true).csv(s"$d2/many").count() == 1)
   }
+
+  test("sinks: CSV roundtrip preserves leading/trailing whitespace") {
+    // Spark's writer trims whitespace by default; the sinks disable that.
+    val d = tmpDir("graft_out_ws")
+    Sinks.writeSingleCsv(Seq((1, "  padded  ")).toDF("k", "v"), s"$d/ws")
+    val back = Csv.readAllString(spark, s"$d/ws").collect()
+    assert(back.head.getString(1) == "  padded  ")
+  }
 }
