@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.LongType
   * reference's mechanism (DAG/ETL.py:29,35) — safe here because one
   * SparkSession spans all stages (the reference silently depends on
   * Airflow workers sharing a session; across processes its handoff breaks,
-  * SURVEY §2.10 O2). Retries (O1) become plain `Try` + reread: each stage
-  * is a pure function of durable inputs, so re-running a failed stage is
-  * always safe — the property Airflow retries assume.
+  * SURVEY §2.10 O2). Retries (O1): [[retry]] wraps each stage in [[run]]
+  * with the reference's bounded-retry-with-delay policy; each stage is a
+  * pure function of durable inputs, so re-running a failed stage is always
+  * safe — the property Airflow retries assume.
   *
   * The load stage writes through [[Sinks.RelationalSink]]: executor-
   * parallel batches, not the reference's driver-side row loop.
@@ -63,12 +64,37 @@ object Etl {
   def load(df: DataFrame, sink: Sinks.RelationalSink, table: String): Unit =
     sink.overwrite(df, table)
 
-  /** Full run, returning the transformed frame for inspection. */
+  /** O1: bounded per-stage retry with fixed delay — the reference's
+    * Airflow task policy (retries=3, 5-minute delay): the first attempt
+    * plus up to `retries` re-runs. Safe because each stage is a pure
+    * function of durable inputs (object Scaladoc) — exactly the property
+    * Airflow retries assume.
+    */
+  def retry[T](retries: Int = 3, delayMs: Long = 300000L)(body: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case _: Throwable if attempt < retries =>
+          attempt += 1
+          Thread.sleep(delayMs)
+      }
+    }
+    out.get
+  }
+
+  /** Full run with per-stage retry, returning the transformed frame for
+    * inspection. `retryDelayMs` defaults to the reference's 5 minutes;
+    * tests pass ~0.
+    */
   def run(spark: SparkSession, csvPath: String, dedupKeys: Seq[String],
-          orderCol: String, sink: Sinks.RelationalSink, table: String): DataFrame = {
-    extract(spark, csvPath)
-    val out = transform(spark, dedupKeys, orderCol)
-    load(out, sink, table)
+          orderCol: String, sink: Sinks.RelationalSink, table: String,
+          retries: Int = 3, retryDelayMs: Long = 300000L): DataFrame = {
+    def staged[T](body: => T): T = retry(retries, retryDelayMs)(body)
+    staged(extract(spark, csvPath))
+    val out = staged(transform(spark, dedupKeys, orderCol))
+    staged(load(out, sink, table))
     out
   }
 }

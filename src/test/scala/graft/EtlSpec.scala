@@ -77,4 +77,51 @@ class EtlSpec extends SparkSpec {
     val back = Csv.readAllString(spark, s"$d/ws").collect()
     assert(back.head.getString(1) == "  padded  ")
   }
+
+  test("JDBC sink (K3/K4): append and truncate-overwrite via embedded Derby") {
+    // Real JDBC end-to-end: Derby ships in /opt/spark/jars, so append and
+    // overwrite exercise the actual Spark JDBC writer, not the parquet
+    // stand-in.
+    val url = s"jdbc:derby:${tmpDir("graft_derby")}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new Sinks.JdbcSink(url, props)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    sink.append(df, "t_jdbc")             // creates the table
+    sink.append(df, "t_jdbc")             // K3: append accumulates
+    assert(spark.read.jdbc(url, "t_jdbc", props).count() == 4)
+    sink.overwrite(df, "t_jdbc")          // K4: truncate keeps schema
+    val back = spark.read.jdbc(url, "t_jdbc", props)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("id", "name"))
+  }
+
+  test("ETL run (O1): a stage that fails once succeeds on retry") {
+    val root = tmpDir("graft_flaky")
+    val delegate = new Sinks.ParquetDirSink(root)
+    var failures = 0
+    val flaky = new Sinks.RelationalSink {
+      def append(df: org.apache.spark.sql.DataFrame, table: String): Unit =
+        delegate.append(df, table)
+      def overwrite(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+        if (failures == 0) { failures += 1; sys.error("transient sink outage") }
+        delegate.overwrite(df, table)
+      }
+    }
+    val out = Etl.run(spark, csvDir, Seq("Name", "IBAN"), "pk", flaky, "t_retry",
+      retries = 3, retryDelayMs = 1L)
+    assert(failures == 1)                 // failed once, then recovered
+    assert(out.count() == 2)
+    assert(spark.read.parquet(s"$root/t_retry").count() == 2)
+    // exhausted retries propagate the failure
+    val alwaysDown = new Sinks.RelationalSink {
+      def append(df: org.apache.spark.sql.DataFrame, table: String): Unit = ()
+      def overwrite(df: org.apache.spark.sql.DataFrame, table: String): Unit =
+        sys.error("permanent outage")
+    }
+    intercept[RuntimeException] {
+      Etl.run(spark, csvDir, Seq("Name", "IBAN"), "pk", alwaysDown, "t_dead",
+        retries = 2, retryDelayMs = 1L)
+    }
+  }
 }
