@@ -61,7 +61,7 @@ class AnnSpec extends SparkSpec {
     }
     val recall = (exact intersect approx.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
     info(f"IVF recall@5 vs exact: $recall%.2f")
-    assert(recall >= 0.5, f"recall $recall%.2f too low")
+    assert(recall >= 0.8, f"recall $recall%.2f too low")
   }
 
   test("lshTopK: subset of exact sims, self retrieved, recall reported") {
