@@ -38,6 +38,31 @@ object NearDup {
     df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
   }
 
+  /** [[shingles]] with the doc-frequency skew guard: a shingle present in
+    * d docs contributes d² candidate rows downstream, so boilerplate
+    * shingles (headers, license text, navigation chrome — the #1 LSH
+    * hot-key risk at web scale) dominate every posting-list join. Dropping
+    * shingles whose doc frequency exceeds `maxDocFreq`·nDocs keeps the
+    * joins linear; similarity is then computed over the SURVIVING shingle
+    * sets (a documented semantics change when enabled — near-dup quality
+    * usually improves, since boilerplate no longer counts as similarity).
+    * The hot set is tiny by definition -> broadcast anti join.
+    */
+  def shinglesWithSkewGuard(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, maxDocFreq: Option[Double]): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    maxDocFreq match {
+      case None => sh0
+      case Some(f) =>
+        val nDocs = df.select(col(idCol)).distinct().count()
+        val hot = sh0.groupBy("shingle")
+          .agg(count_distinct(col("id")).as("df"))
+          .filter(col("df") > f * nDocs)
+          .select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
+
   // ------------------------------------------------------- exact n-gram Jaccard
 
   /** Exact Jaccard-similar pairs (id_a < id_b, n_common, jacc >= threshold)
@@ -48,23 +73,7 @@ object NearDup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxDocFreq: Option[Double] = None): DataFrame = {
-    val sh = maxDocFreq match {
-      case None => shingles(df, idCol, textCol, n)
-      case Some(f) =>
-        // Skew guard for web-scale corpora: a shingle present in d docs
-        // contributes d² candidate rows, so boilerplate shingles dominate
-        // the join. Dropping shingles above a doc-frequency fraction keeps
-        // the join linear; Jaccard is then computed over the surviving
-        // shingle sets (document the semantics change when enabling).
-        // The hot set is tiny by definition -> broadcast anti join.
-        val sh0 = shingles(df, idCol, textCol, n)
-        val nDocs = df.select(col(idCol)).distinct().count()
-        val hot = sh0.groupBy("shingle")
-          .agg(count_distinct(col("id")).as("df"))
-          .filter(col("df") > f * nDocs)
-          .select("shingle")
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
+    val sh = shinglesWithSkewGuard(df, idCol, textCol, n, maxDocFreq)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // shuffle_hash: post-explode cardinality is opaque to Catalyst (same
     // mis-broadcast failure mode as EditDistanceJoin; see that Scaladoc)
@@ -139,8 +148,13 @@ object NearDup {
     * only (array_intersect on sorted sets), filtered at `threshold`.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+                          n: Int, threshold: Double,
+                          maxDocFreq: Option[Double] = None): DataFrame = {
+    // The skew guard applies to BOTH the signatures and the verify sets:
+    // signatures over unguarded shingles would still band ubiquitous-
+    // boilerplate docs together and re-create the hot candidate blowup the
+    // guard exists to prevent.
+    val sh = shinglesWithSkewGuard(df, idCol, textCol, n, maxDocFreq)
     val cands = lshCandidates(minhashSignatures(sh))
     val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("ss"))
     cands
@@ -161,8 +175,9 @@ object NearDup {
     * needs (filter is_canonical to materialize the deduped corpus).
     */
   def dedupByNearDup(df: DataFrame, idCol: String, textCol: String,
-                     n: Int, threshold: Double): DataFrame = {
-    val pairs = minhashNearDupPairs(df, idCol, textCol, n, threshold)
+                     n: Int, threshold: Double,
+                     maxDocFreq: Option[Double] = None): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, n, threshold, maxDocFreq)
     val comps = ConnectedComponents.run(
       df.select(col(idCol).as("id")),
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))

@@ -45,6 +45,27 @@ class NearDupSpec extends SparkSpec {
     assert(harsh.subsetOf(plain) && !harsh.contains((1L, 2L)))
   }
 
+  test("skew guard keeps a ubiquitous-boilerplate corpus linear end-to-end") {
+    // 40 docs, each = shared boilerplate sentence + unique tail. Without
+    // the cap, the boilerplate shingles band every doc with every other:
+    // LSH candidates ~ n²/2. With the cap, boilerplate is dropped and the
+    // unique tails share nothing -> zero candidates (linear behavior).
+    val boiler = "terms of service apply to all users of this site"
+    val corpus = (1L to 40L)
+      .map(i => (i, s"$boiler unique$i alpha$i beta$i gamma$i delta$i"))
+      .toDF("doc_id", "text")
+    val unguarded = NearDup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 0.0)
+      .count()
+    assert(unguarded > 5 * 40)  // boilerplate banding: superlinear in n
+    val guarded = NearDup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 0.0,
+      maxDocFreq = Some(0.5)).count()
+    assert(guarded == 0)
+    // composite propagates the cap: every doc becomes its own canonical
+    val ded = NearDup.dedupByNearDup(corpus, "doc_id", "text", 3, 0.0,
+      maxDocFreq = Some(0.5))
+    assert(ded.filter($"is_canonical").count() == 40)
+  }
+
   test("minhash signature of identical docs is identical") {
     val sig = NearDup.minhashSignatures(NearDup.shingles(docs, "doc_id", "text", 3))
     val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
