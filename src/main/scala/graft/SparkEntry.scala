@@ -163,6 +163,13 @@ object SparkEntry {
       Ann.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") % 50 === 0, 5)),
 
+    // ---- Embedding-cosine near-dup pairs: hyperplane-bucket candidates
+    // (equi-join), exact sequential-fold cosine verify — the LSH-banding
+    // shape applied to embeddings. Fully oracle-able: the ±1 planes are
+    // deterministic literals mirrored into the DuckDB SQL.
+    "q_embed_dup_pairs" -> ((s, dir) =>
+      Ann.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
+
     // ---- Multimodal: binary payload metadata (length, sha256, chunk
     // count, stub-decoded dims). Pure codegen projection over binary.
     "q_media_meta" -> ((s, dir) =>
@@ -415,6 +422,14 @@ object SparkEntry {
         "(SELECT count(*) FROM customer) AS n_format, " +
         "(SELECT count(*) FROM customer) AS n_glob " +
         "FROM customer GROUP BY c_mktsegment"),
+    "q_embed_dup_pairs" ->
+      (s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings) " +
+        "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${sqlDot("a.embedding", "b.embedding")} / " +
+        s"(sqrt(${sqlDot("a.embedding", "a.embedding")}) * " +
+        s"sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim " +
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE sim >= 0.3"),
     "q_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
         "scored AS (SELECT q.qid, e.vec_id, " +
@@ -434,6 +449,17 @@ object SparkEntry {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       s"$a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE), (acc, x) -> acc + x)"
+
+  /** Hyperplane bucket id (mirrors Ann.bucketId): bit p = sign of the
+    * sequential-fold projection onto the ±1 plane literal — exact FP parity
+    * with the Spark side, so bucket ids match bit-for-bit.
+    */
+  private def sqlBucket(v: String): String =
+    Ann.planes.zipWithIndex.map { case (pl, p) =>
+      val lst = pl.map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("list_value(", ",", ")")
+      s"(CASE WHEN ${sqlDot(v, lst)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   // ---- DuckDB oracle fragments shared by the near-dup queries. The hash is
   // md5-based on both sides (graft.functions.md5hash60) so sketches compare

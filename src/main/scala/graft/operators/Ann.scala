@@ -187,6 +187,32 @@ object Ann {
       .select("query_id", "rank", "vec_id", "sim")
   }
 
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold):
+    * candidates are vectors sharing the full [[LshBits]]-bit hyperplane
+    * bucket (an equi-join — shuffle linear in corpus size, never an n²
+    * score matrix), verified with the exact sequential-fold cosine on the
+    * candidate set only. The same candidates-then-verify shape as MinHash
+    * banding: recall comes from near-parallel vectors agreeing on sign
+    * bits with probability (1 - θ/π) per bit, so true near-dups
+    * (cos >= ~0.9, θ <= 26°) survive the 8-bit bucket with p >= ~0.27 per
+    * table — production stacks several plane tables (seed variants) the
+    * way MinHash stacks bands; one table keeps the oracle tractable here.
+    */
+  def cosineDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                     threshold: Double): DataFrame = {
+    val corpus = withNorm(emb, embCol)
+      .select(col(idCol).as("id"), col("emb_d"), col("norm"),
+        bucketId(col("emb_d")).as("bucket"))
+    // no join hint: corpus has real source stats, so Catalyst broadcasts
+    // a small side and falls back to a partitioned hash join at scale.
+    corpus.as("a").join(corpus.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.emb_d"), col("b.emb_d")) /
+          (col("a.norm") * col("b.norm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Bucketed approximate top-k: candidates share the query's bucket or any
     * bucket within Hamming distance 2 (multi-probe), scored exactly, top-k
     * per query. Same output shape as [[cosineTopK]]; recall is measured in

@@ -64,6 +64,33 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.2f too low")
   }
 
+  test("cosineDupPairs matches brute force restricted to shared buckets") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def bucket(v: Array[Float]): Long = {
+      val d = v.map(_.toDouble).toSeq
+      Ann.planes.zipWithIndex.map { case (pl, p) =>
+        if (dot(d, pl) >= 0) 1L << p else 0L
+      }.sum
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (da, db) = (a.map(_.toDouble).toSeq, b.map(_.toDouble).toSeq)
+      dot(da, db) / (math.sqrt(dot(da, da)) * math.sqrt(dot(db, db)))
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && bucket(va) == bucket(vb) && cos(va, vb) >= 0.2
+    } yield (ia, ib)).toSet
+    val got = Ann.cosineDupPairs(emb, "vec_id", "embedding", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)   // threshold chosen so the fixture yields pairs
+  }
+
   test("lshTopK: subset of exact sims, self retrieved, recall reported") {
     val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
