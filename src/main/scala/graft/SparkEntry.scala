@@ -112,6 +112,18 @@ object SparkEntry {
     "q_fingerprint_groups" -> ((s, dir) =>
       TextOps.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- Winnowing fingerprints (Schleimer+ SIGMOD'03): per-doc selected
+    // rolling-hash minima — the local/containment complement to whole-doc
+    // md5 and MinHash Jaccard. Pure codegen projection.
+    "q_winnow_fp" -> ((s, dir) =>
+      Winnow.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("fp"))),
+
+    // ---- Winnowing overlap pairs: docs sharing >= 2 selected
+    // fingerprints (posting-list equi-join, never n²).
+    "q_winnow_pairs" -> ((s, dir) =>
+      Winnow.sharedFingerprintPairs(Tables.documents(s, dir), "doc_id", "text", 2)),
+
     // ---- Near-dup: exact 3-gram Jaccard via shingle posting-list join
     // (no cartesian product; exact-equivalent to all-pairs for t > 0).
     "q_jaccard_pairs" -> ((s, dir) =>
@@ -192,6 +204,11 @@ object SparkEntry {
 
     // ---- Events: gap-based sessionization (30 min).
     "q_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+
+    // ---- Events: deterministic dedup-by-key (batch twin of the bounded-
+    // state streaming dedup, dropDuplicatesWithinWatermark — key-set
+    // equality asserted in EventOpsSpec).
+    "q_events_dedup" -> ((s, dir) => EventOps.dedupHourly(Tables.events(s, dir))),
 
     // ---- Filter/projection pushdown showcase: the predicate and the
     // 3-column projection both reach the parquet scan (PushedFilters +
@@ -313,6 +330,17 @@ object SparkEntry {
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
         "count(*) AS n_docs, min(doc_id) AS canonical_id " +
         "FROM documents GROUP BY 1"),
+    "q_winnow_fp" ->
+      (s"WITH $sqlWinnowCte SELECT doc_id, fp FROM wfp"),
+    "q_winnow_pairs" ->
+      (s"WITH $sqlWinnowCte " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+        "FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    "q_events_dedup" ->
+      ("SELECT user_id, event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, " +
+        "min(event_id) AS first_event, count(*) AS n_events " +
+        "FROM events GROUP BY 1, 2, 3"),
     "q_jaccard_pairs" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
         "SELECT id_a, id_b, n_common, " +
@@ -511,6 +539,28 @@ object SparkEntry {
     "tok AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
       "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t " +
       "FROM documents WHERE length(trim(text)) > 0))"
+
+  /** Winnowing fingerprints (mirrors Winnow.fingerprints bit-for-bit:
+    * md5hash60 token hashes, left-fold rolling k-gram hash with the same
+    * base/modulus, window-min selection). DuckDB's list_reduce seeds with
+    * the FIRST element, so a 0 is prepended to match Spark's aggregate
+    * init; slices are 1-based inclusive (th[i : i+k-1] == slice(th,i,k)).
+    */
+  private val sqlWinnowCte: String = {
+    val (k, w, b, m) = (Winnow.GramTokens, Winnow.WindowGrams, Winnow.Base, Winnow.Mod)
+    "wt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
+      "wth AS (SELECT doc_id, list_transform(t, x -> " +
+      s"('0x' || substr(md5(x), 1, 15))::BIGINT) AS th FROM wt WHERE len(t) >= $k), " +
+      s"whs AS (SELECT doc_id, list_transform(generate_series(1, len(th) - ${k - 1}), " +
+      s"i -> list_reduce(list_prepend(0::BIGINT, th[i:i+${k - 1}]), " +
+      s"(acc, x) -> (acc * $b + x) % $m)) AS hs FROM wth), " +
+      s"wfps AS (SELECT doc_id, CASE WHEN len(hs) >= $w " +
+      s"THEN list_transform(generate_series(1, len(hs) - ${w - 1}), " +
+      s"j -> list_min(hs[j:j+${w - 1}])) " +
+      "ELSE [list_min(hs)] END AS fp FROM whs), " +
+      "wfp AS (SELECT DISTINCT doc_id, unnest(fp) AS fp FROM wfps)"
+  }
 
   private val sqlSimHashSums: String =
     "sums AS (SELECT doc_id, " +

@@ -144,6 +144,34 @@ object EventOps {
       }
   }
 
+  /** Deterministic batch twin of [[dedupHourlyStream]]: one row per
+    * (user_id, event_type, hour) with the MINIMUM event_id as the survivor
+    * — dropDuplicates' arbitrary-survivor form is not oracle-comparable,
+    * min() is. Emits the hour as epoch micros (parity note in the class
+    * Scaladoc). The duplicate count rides along: n_events > 1 rows are
+    * exactly the events a streaming dedup would have dropped.
+    */
+  def dedupHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(min(col("event_id")).as("first_event"),
+        count(lit(1)).as("n_events"))
+
+  /** Streaming dedup with BOUNDED state: first event per
+    * (user_id, event_type, hour), via dropDuplicatesWithinWatermark — keys
+    * are evicted once the watermark passes, so state is O(keys per
+    * watermark window), not O(all keys ever) as plain dropDuplicates would
+    * be. The survivor is the first ARRIVAL (order-dependent); the batch
+    * twin [[dedupHourly]] pins min(event_id) instead, so EventOpsSpec
+    * asserts key-set equality, not survivor identity.
+    */
+  def dedupHourlyStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
+
   /** Structured Streaming form of [[tumblingAgg]]: watermarked windowed
     * aggregation. Caller starts it with a sink (EventOpsSpec uses the
     * memory sink with processAllAvailable for a synchronous check).

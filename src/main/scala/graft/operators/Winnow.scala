@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.md5hash60
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+  * — public algorithm): hash every k-token gram with a polynomial rolling
+  * hash, slide a w-gram window over the hash sequence, and keep each
+  * window's minimum. The selected set is position-insensitive and
+  * guarantees any shared token run of length >= k + w - 1 produces at
+  * least one shared fingerprint — the standard containment/overlap
+  * detector (MOSS) that complements set-similarity near-dup (MinHash
+  * measures whole-document Jaccard; winnowing catches a paragraph copied
+  * into an otherwise different document).
+  *
+  * North-star scope: the reference has no fingerprinting; this extends
+  * TextOps.fingerprint (whole-doc md5) with the local/rolling form a
+  * training-data contamination scan needs.
+  *
+  * Scale, 100 TB posture: fingerprint selection is a pure per-row
+  * projection (array expressions, whole-stage codegen — parquet-scan
+  * speed, no shuffle); the pair search is a posting-list equi-join on the
+  * fingerprint value, the same linear-shuffle shape as
+  * [[NearDup.jaccardPairs]] — never O(n²). Ubiquitous fingerprints
+  * (boilerplate runs) are the same hot-key risk as shingles; cap them
+  * upstream with [[NearDup.shinglesWithSkewGuard]]-style filtering if a
+  * corpus needs it.
+  *
+  * Oracle parity: the token hash is [[md5hash60]] (bit-identical in
+  * DuckDB); the rolling hash folds left with h = (h*[[Base]] + x) mod
+  * [[Mod]] over 64-bit signed arithmetic on BOTH engines — acc < 2^53 so
+  * acc*257 < 2^61.1, plus x < 2^60 stays under 2^63: no overflow, no
+  * engine divergence.
+  */
+object Winnow {
+
+  /** Tokens per gram (k). Shared runs shorter than k are never detected. */
+  val GramTokens = 3
+
+  /** Grams per winnowing window (w): guarantee threshold t = k + w - 1
+    * tokens; density of selected fingerprints ~ 2/(w+1).
+    */
+  val WindowGrams = 4
+
+  /** Rolling-hash base (> any byte value; coprime with [[Mod]]). */
+  val Base = 257L
+
+  /** Largest prime below 2^53 — the widest modulus whose fold stays inside
+    * signed-64 on both engines (see class Scaladoc).
+    */
+  val Mod = 9007199254740881L
+
+  /** Distinct selected fingerprints per document: (id, fp) rows, fp in
+    * [0, 2^53). Documents with fewer than k tokens produce no rows
+    * (nothing to fingerprint), mirroring [[NearDup.shingles]].
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = GramTokens, w: Int = WindowGrams): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+    // th: per-token 60-bit hashes; hs: rolling k-gram hashes (the fold
+    // re-reads k tokens per gram — O(n*k) codegen'd work, same asymptotics
+    // as emitting the grams themselves)
+    val th = transform(col("t"), t => md5hash60(t))
+    val hs = transform(sequence(lit(1), size(col("th")) - lit(k - 1)),
+      i => aggregate(slice(col("th"), i, k), lit(0L),
+        (acc, x) => (acc * Base + x) % Mod))
+    // each w-window's minimum; fewer than w grams -> one global minimum
+    val fps = when(size(col("hs")) >= w,
+        transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
+          j => array_min(slice(col("hs"), j, w))))
+      .otherwise(array(array_min(col("hs"))))
+    base.withColumn("th", th).withColumn("hs", hs)
+      .select(col("id"), explode(array_distinct(fps)).as("fp"))
+  }
+
+  /** Document pairs (id_a < id_b) sharing at least `minShared` selected
+    * fingerprints — the contamination/overlap report. Posting-list
+    * equi-join on fp; shuffle_hash-pinned for the same reason as
+    * [[NearDup.jaccardPairs]] (post-explode cardinality is opaque to
+    * Catalyst).
+    */
+  def sharedFingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+                             minShared: Int, k: Int = GramTokens,
+                             w: Int = WindowGrams): DataFrame = {
+    val fp = fingerprints(df, idCol, textCol, k, w)
+    fp.as("a").hint("shuffle_hash").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

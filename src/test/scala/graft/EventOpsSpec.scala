@@ -100,6 +100,38 @@ class EventOpsSpec extends SparkSpec {
     assert(rn.isNullAt(0))
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) covers the batch key set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventOps.dedupHourlyStream(stream)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("hr")).as("hour_us"), col("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_dedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_dedup")
+      val batch = EventOps.dedupHourly(events)
+      // exactly one survivor per key, keys identical to the batch twin;
+      // survivor identity is arrival-order-dependent, so assert membership
+      // (the survivor is SOME event of its key group), not min(event_id)
+      assert(got.count() == batch.count())
+      val keyCols = Seq("user_id", "event_type", "hour_us")
+      assert(got.select(keyCols.map(col): _*).except(
+        batch.select(keyCols.map(col): _*)).count() == 0)
+      val valid = events.select(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_id"))
+      assert(got.except(valid).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // FileStreamSource wants a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")

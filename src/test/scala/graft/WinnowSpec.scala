@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Winnow
+import org.apache.spark.sql.functions._
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  /** Reference implementation of the whole pipeline in plain Scala. */
+  private def winnowLocal(text: String, k: Int, w: Int): Set[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq.filter(_ => text.trim.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val th = toks.map(h60)
+    val hs = th.sliding(k).map(_.foldLeft(0L)((acc, x) =>
+      (acc * Winnow.Base + x) % Winnow.Mod)).toSeq
+    val fps = if (hs.length >= w) hs.sliding(w).map(_.min).toSeq else Seq(hs.min)
+    fps.toSet
+  }
+
+  test("fingerprints match a local reference implementation") {
+    val got = Winnow.fingerprints(docs.limit(50), "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    val texts = docs.limit(50).select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val expected = winnowLocal(t, Winnow.GramTokens, Winnow.WindowGrams)
+      assert(got.getOrElse(id, Set.empty) == expected, s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of k+w-1 tokens yields a shared fingerprint") {
+    // two docs sharing a 6-token run (k=3, w=4 -> threshold 3+4-1=6)
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val df = Seq(
+      (1L, s"one two three four five $shared six seven eight nine ten"),
+      (2L, s"$shared zz yy xx ww vv uu tt ss rr qq pp")
+    ).toDF("doc_id", "text")
+    val pairs = Winnow.sharedFingerprintPairs(df, "doc_id", "text", 1).collect()
+    assert(pairs.length == 1 && pairs(0).getAs[Long]("id_a") == 1L)
+  }
+
+  test("documents shorter than k tokens produce no fingerprints") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(df, "doc_id", "text").select("id").as[Long].collect()
+    assert(got.toSet == Set(3L))
+  }
+
+  test("all fingerprints are within [0, Mod)") {
+    val fps = Winnow.fingerprints(docs, "doc_id", "text").select("fp").as[Long].collect()
+    assert(fps.nonEmpty && fps.forall(f => f >= 0L && f < Winnow.Mod))
+  }
+}
