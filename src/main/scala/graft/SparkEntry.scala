@@ -238,7 +238,17 @@ object SparkEntry {
     // Oracle = the same aggregate over the parquet table directly: any
     // value lost or mangled by the CSV write/read breaks the hash match.
     "q_csv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+      val tmp = tmpPath.toString
+      // The returned DataFrame lazily re-reads $tmp/single, so the dir can
+      // only go away at JVM exit — delete it then (repeat invocations each
+      // clean their own dir; nothing leaks across runs).
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       val customer = Tables.customer(s, dir)
       sources.Sinks.writeSingleCsv(customer, s"$tmp/single")   // K1
       sources.Sinks.writeCsv(customer, s"$tmp/multi")          // K2

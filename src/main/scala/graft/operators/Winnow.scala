@@ -66,12 +66,12 @@ object Winnow {
     // as emitting the grams themselves)
     val th = transform(col("t"), t => md5hash60(t))
     val hs = transform(sequence(lit(1), size(col("th")) - lit(k - 1)),
-      i => aggregate(slice(col("th"), i, k), lit(0L),
+      i => aggregate(slice(col("th"), i, lit(k)), lit(0L),
         (acc, x) => (acc * Base + x) % Mod))
     // each w-window's minimum; fewer than w grams -> one global minimum
     val fps = when(size(col("hs")) >= w,
         transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
-          j => array_min(slice(col("hs"), j, w))))
+          j => array_min(slice(col("hs"), j, lit(w)))))
       .otherwise(array(array_min(col("hs"))))
     base.withColumn("th", th).withColumn("hs", hs)
       .select(col("id"), explode(array_distinct(fps)).as("fp"))
@@ -82,11 +82,32 @@ object Winnow {
     * equi-join on fp; shuffle_hash-pinned for the same reason as
     * [[NearDup.jaccardPairs]] (post-explode cardinality is opaque to
     * Catalyst).
+    *
+    * `maxDocFreq` is the same d² hot-key guard as
+    * [[NearDup.shinglesWithSkewGuard]]: a fingerprint selected by d docs
+    * contributes d² pair rows, so ubiquitous fingerprints (boilerplate
+    * runs — license headers, navigation chrome) dominate the join at
+    * corpus scale. When set, fingerprints whose doc frequency exceeds
+    * maxDocFreq·nDocs are dropped before pairing (broadcast anti join —
+    * the hot set is tiny by definition). Overlap is then counted over the
+    * SURVIVING fingerprints: boilerplate no longer counts as shared
+    * content, which is usually what a contamination scan wants.
     */
   def sharedFingerprintPairs(df: DataFrame, idCol: String, textCol: String,
                              minShared: Int, k: Int = GramTokens,
-                             w: Int = WindowGrams): DataFrame = {
-    val fp = fingerprints(df, idCol, textCol, k, w)
+                             w: Int = WindowGrams,
+                             maxDocFreq: Option[Double] = None): DataFrame = {
+    val fp0 = fingerprints(df, idCol, textCol, k, w)
+    val fp = maxDocFreq match {
+      case None => fp0
+      case Some(f) =>
+        val nDocs = df.select(col(idCol)).distinct().count()
+        val hot = fp0.groupBy("fp")
+          .agg(count_distinct(col("id")).as("df"))
+          .filter(col("df") > f * nDocs)
+          .select("fp")
+        fp0.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
     fp.as("a").hint("shuffle_hash").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

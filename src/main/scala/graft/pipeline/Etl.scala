@@ -68,7 +68,9 @@ object Etl {
     * Airflow task policy (retries=3, 5-minute delay): the first attempt
     * plus up to `retries` re-runs. Safe because each stage is a pure
     * function of durable inputs (object Scaladoc) — exactly the property
-    * Airflow retries assume.
+    * Airflow retries assume. Only NonFatal failures are retried: VM errors
+    * (OutOfMemoryError etc.) and interrupts propagate immediately —
+    * re-running a stage inside a dying or cancelled JVM is never safe.
     */
   def retry[T](retries: Int = 3, delayMs: Long = 300000L)(body: => T): T = {
     var attempt = 0
@@ -76,7 +78,7 @@ object Etl {
     while (out.isEmpty) {
       try out = Some(body)
       catch {
-        case _: Throwable if attempt < retries =>
+        case scala.util.control.NonFatal(_) if attempt < retries =>
           attempt += 1
           Thread.sleep(delayMs)
       }

@@ -24,11 +24,16 @@ object Csv {
   def readInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", true).option("inferSchema", true).csv(path)
 
-  /** S4: directory ingest — glob scan, planned as ONE distributed job
-    * (the reference loops os.listdir and reads serially).
+  /** S4: directory ingest — one distributed scan of the directory (the
+    * reference loops os.listdir and reads serially). `pathGlobFilter`
+    * keeps the "only *.csv" semantics while listing the directory itself
+    * rather than expanding a wildcard glob path: glob expansion races
+    * with just-committed writes under a loaded local scheduler
+    * (FileNotFoundException despite the part files existing), a directory
+    * listing does not.
     */
   def readDirectory(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("header", true).csv(s"$dir/*.csv")
+    spark.read.option("header", true).option("pathGlobFilter", "*.csv").csv(dir)
 
   /** F6: fail fast if required columns are missing (case-insensitive, like
     * Spark's default resolution).

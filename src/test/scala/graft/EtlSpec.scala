@@ -124,4 +124,23 @@ class EtlSpec extends SparkSpec {
         retries = 2, retryDelayMs = 1L)
     }
   }
+
+  test("ETL retry (O1): fatal errors propagate immediately, without retry") {
+    // VM errors: retrying inside a dying JVM is never safe.
+    var oomAttempts = 0
+    intercept[OutOfMemoryError] {
+      Etl.retry[Unit](retries = 3, delayMs = 1L) {
+        oomAttempts += 1; throw new OutOfMemoryError("simulated")
+      }
+    }
+    assert(oomAttempts == 1)
+    // Interrupts: a cancelled stage must not be silently re-run.
+    var intAttempts = 0
+    intercept[InterruptedException] {
+      Etl.retry[Unit](retries = 3, delayMs = 1L) {
+        intAttempts += 1; throw new InterruptedException("simulated")
+      }
+    }
+    assert(intAttempts == 1)
+  }
 }

@@ -55,4 +55,29 @@ class WinnowSpec extends SparkSpec {
     val fps = Winnow.fingerprints(docs, "doc_id", "text").select("fp").as[Long].collect()
     assert(fps.nonEmpty && fps.forall(f => f >= 0L && f < Winnow.Mod))
   }
+
+  test("doc-frequency cap keeps a ubiquitous-boilerplate corpus linear") {
+    // Mirror of NearDupSpec's skew-guard case: 40 docs, each = the same
+    // long boilerplate run + a unique tail. Unguarded, the boilerplate's
+    // fingerprints are selected by every doc -> ~n²/2 pair rows. Guarded,
+    // the ubiquitous fingerprints are dropped and the unique tails share
+    // nothing -> zero pairs (linear behavior).
+    val boiler = "terms of service apply to all users of this site without exception"
+    val corpus = (1L to 40L)
+      .map(i => (i, s"$boiler unique$i alpha$i beta$i gamma$i delta$i"))
+      .toDF("doc_id", "text")
+    val unguarded = Winnow.sharedFingerprintPairs(corpus, "doc_id", "text", 1).count()
+    assert(unguarded > 5 * 40)  // boilerplate pairing: superlinear in n
+    // Not exactly zero: windows straddling the boilerplate/tail boundary
+    // select boilerplate grams in doc-dependent subsets (df under the
+    // cap) — inherent to winnowing. The guard's job is collapsing the n²
+    // blowup to at-most-linear, which is what we assert.
+    val guarded = Winnow.sharedFingerprintPairs(corpus, "doc_id", "text", 1,
+      maxDocFreq = Some(0.5)).count()
+    assert(guarded < 40)
+    // cap at 1.0: nothing is ubiquitous enough -> identical to unguarded
+    val lax = Winnow.sharedFingerprintPairs(corpus, "doc_id", "text", 1,
+      maxDocFreq = Some(1.0)).count()
+    assert(lax == unguarded)
+  }
 }
