@@ -96,9 +96,14 @@ object EditDistanceJoin {
       .withColumn("__vs", explode(genVariants(col("key"))))
       .withColumn("__v", xxhash64(col("__vs")))
       .drop("__vs")
+    // Length band: lev(a,b) <= k forces |len(a)-len(b)| <= k, so the
+    // cheap char_length comparison runs at hash-probe time and spares the
+    // banded-levenshtein verify (and the distinct) the candidates it can
+    // reject — pure pruning, never drops a true pair.
     variants.as("a").hint("shuffle_hash")
       .join(variants.as("b"),
-        col("a.__v") === col("b.__v") && col("a.id") < col("b.id"))
+        col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
+          abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
       .filter(levenshtein(col("a.key"), col("b.key"), maxDist) >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
