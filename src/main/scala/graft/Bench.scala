@@ -22,6 +22,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A typo'd query name must not read as a perfect fast run: names that
+    // match nothing are reported and fail the bench.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}; " +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (name, _) => args.contains(name) }
@@ -37,6 +46,11 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // Nudge the ContextCleaner: shuffle files and broadcasts are only
+      // released when their owning objects are GC'd, and with a large heap
+      // GC may not run for many queries — letting dead shuffle data from
+      // earlier queries pile up under later timings.
+      System.gc()
       // A query counts as failed if ANY attempt failed — a crash that
       // sometimes passes is a flake, not a success.
       val err = attempts.collectFirst { case (_, Some(e)) => e }

@@ -12,6 +12,26 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** Temp dirs queued for deletion at JVM exit by ONE shared shutdown hook.
+    * (q_csv_roundtrip's output is lazily re-read, so its dir must outlive
+    * the query; per-invocation hooks piled up one per run before.)
+    */
+  private val exitCleanupDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitCleanupHook: Unit = sys.addShutdownHook {
+    exitCleanupDirs.forEach { root =>
+      scala.util.Using(java.nio.file.Files.walk(root)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+  private def cleanupAtExit(p: java.nio.file.Path): Unit = {
+    exitCleanupHook
+    exitCleanupDirs.add(p)
+  }
+
   /** Flagship (soulutionOne.py end-to-end shape, Spark-native): dedup the
     * counterparty-like customer table, then link near-duplicate names and
     * aggregate member sets per cluster. Driver smoke-checks rows>0 on sf0.001.
@@ -102,6 +122,16 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextOps.stats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- Token counting (north-star): whitespace tokens + the BPE-ish
+    // regex pre-tokenizer count (TextOps.BpeTokenPattern; engine-parity
+    // verified bit-for-bit) + the chars/4 estimate, per document.
+    "q_text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextOps.subwordEstimate(col("text")).as("n_subwords_est"))),
+
     // ---- Language ID: integer stopword-hit scores per language, argmax
     // with alphabetical tie-break.
     "q_text_lang" -> ((s, dir) =>
@@ -168,8 +198,8 @@ object SparkEntry {
       Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") % 50 === 0, 5)),
 
-    // ---- ANN scale path 2: IVF — coarse k-means cells, probe the 4 best
-    // of 16 per query (recall@5 ~0.72 vs exact, asserted in AnnSpec).
+    // ---- ANN scale path 2: IVF — coarse k-means cells, probe the 8 best
+    // of 16 per query (recall@5 ~0.86 vs exact, asserted in AnnSpec).
     // Approximate -> rows-only check.
     "q_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -193,6 +223,14 @@ object SparkEntry {
     // in MultimodalSpec. Rows-only check.
     "q_media_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
+        Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
+
+    // ---- Multimodal: frame sampling — every 2nd 256-byte chunk of the
+    // payload as a "frame" row with exact per-frame byte features (the
+    // codegen'd explode plumbing a video pipeline needs; chunk==frame is
+    // the declared stub).
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
         Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
 
     // ---- Events: tumbling 1h windowed aggregation (batch form; the
@@ -241,14 +279,10 @@ object SparkEntry {
       val tmpPath = java.nio.file.Files.createTempDirectory("graft_csv_rt")
       val tmp = tmpPath.toString
       // The returned DataFrame lazily re-reads $tmp/single, so the dir can
-      // only go away at JVM exit — delete it then (repeat invocations each
-      // clean their own dir; nothing leaks across runs).
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      // only go away at JVM exit — enqueue it for the single shared hook
+      // (one hook per JVM, not one per invocation; a long bench session
+      // runs this query dozens of times).
+      cleanupAtExit(tmpPath)
       val customer = Tables.customer(s, dir)
       sources.Sinks.writeSingleCsv(customer, s"$tmp/single")   // K1
       sources.Sinks.writeCsv(customer, s"$tmp/multi")          // K2
@@ -324,6 +358,15 @@ object SparkEntry {
         "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct, " +
         s"${sqlStopHits(TextOps.stopwords("en"))} AS n_stop_en " +
         "FROM documents)"),
+    // BPE-ish pattern embedded as a SQL literal: single quotes doubled;
+    // backslashes pass through verbatim (DuckDB strings are not
+    // escape-processed).
+    "q_text_tokens" ->
+      ("SELECT doc_id, " +
+        s"$sqlTokenCount AS n_ws_tokens, " +
+        s"len(regexp_extract_all(text, '${TextOps.BpeTokenPattern.replace("'", "''")}')) AS n_bpe_tokens, " +
+        "CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est " +
+        "FROM documents"),
     "q_text_lang" ->
       ("SELECT doc_id, s_de, s_en, s_es, s_fr, " +
         "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
@@ -419,6 +462,22 @@ object SparkEntry {
         "CAST(3 AS INTEGER) AS channels, " +
         "CAST(sum_bytes AS DOUBLE) / n AS mean_byte " +
         "FROM b JOIN s USING (doc_id)"),
+    // Frame features mirrored on the HEX string (DuckDB has no BLOB
+    // substring): frame fi covers hex chars [fi*512+1, fi*512+512].
+    "q_media_frames" ->
+      ("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), " +
+        "c AS (SELECT doc_id, hx, CAST(ceil(n / 256.0) AS INT) AS nc FROM b), " +
+        "f AS (SELECT doc_id, hx, unnest(range(0, nc, 2)) AS fi FROM c WHERE nc > 0), " +
+        "fr AS (SELECT doc_id, fi, substr(hx, fi*512 + 1, 512) AS fhx FROM f), " +
+        "s AS (SELECT doc_id, fi, sum(('0x' || substr(fhx, 2*i - 1, 2))::BIGINT) AS sb " +
+        "FROM (SELECT doc_id, fi, fhx, unnest(generate_series(1, CAST(length(fhx)/2 AS INT))) AS i FROM fr) " +
+        "GROUP BY doc_id, fi) " +
+        "SELECT fr.doc_id, CAST(fr.fi AS BIGINT) AS frame_idx, " +
+        "CAST(fr.fi*256 AS BIGINT) AS byte_offset, " +
+        "CAST(length(fhx)/2 AS BIGINT) AS n_bytes, " +
+        "('0x' || substr(fhx, 1, 2))::BIGINT AS first_byte, " +
+        "CAST(sb AS BIGINT) AS sum_bytes " +
+        "FROM fr JOIN s ON fr.doc_id = s.doc_id AND fr.fi = s.fi"),
     "q_events_window" ->
       ("SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us, " +
         "event_type, count(*) AS n_events, " +

@@ -64,6 +64,39 @@ object Multimodal {
     (width, height, 3, mean)
   }
 
+  /** Frame sampling over the binary payload: every `stride`-th
+    * [[ChunkBytes]]-sized chunk becomes one "frame" row with deterministic
+    * per-frame features (byte length, first byte, exact byte sum).
+    *
+    * The chunk==frame interpretation is the STUB part (a real video path
+    * swaps the fixed-size slice for codec frame extraction at sampled
+    * timestamps); the plumbing is the real shape a 100 TB video pipeline
+    * needs and is what this tests: one row per sampled frame via a
+    * codegen'd explode — no UDF, payload bytes never leave the executor,
+    * and the per-frame feature math is pure expressions (oracle-compared
+    * bit-for-bit in q_media_frames).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, stride: Int = 2): DataFrame = {
+    val nChunks = ceil(length(col("payload")).cast("double") / lit(ChunkBytes.toDouble))
+      .cast("int")
+    df.select(col(idCol), col("payload"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
+      .select(col(idCol), col("payload"),
+        explode(sequence(lit(0), col("nc") - 1, lit(stride))).as("fi"))
+      .withColumn("frame",
+        expr(s"substring(payload, fi * $ChunkBytes + 1, $ChunkBytes)"))
+      .select(
+        col(idCol),
+        col("fi").cast("long").as("frame_idx"),
+        (col("fi").cast("long") * ChunkBytes).as("byte_offset"),
+        length(col("frame")).cast("long").as("n_bytes"),
+        coalesce(conv(hex(substring(col("frame"), 1, 1)), 16, 10).cast("long"), lit(0L))
+          .as("first_byte"),
+        expr("aggregate(sequence(1, length(frame)), 0L, " +
+          "(acc, i) -> acc + CAST(conv(hex(substring(frame, i, 1)), 16, 10) AS LONG))")
+          .as("sum_bytes"))
+  }
+
   /** Batched decode via mapPartitions — the Scala analog of a pandas-UDF
     * `mapInPandas` stage: one decoder instantiation per partition, payload
     * bytes stay executor-local.

@@ -54,12 +54,25 @@ object NearDup {
     maxDocFreq match {
       case None => sh0
       case Some(f) =>
+        // The guard consumes the postings twice (doc-frequency aggregate +
+        // the guarded output feeding downstream joins), so materialize the
+        // tokenize/md5 transform ONCE instead of recomputing it per
+        // consumer. localCheckpoint (not persist): the cached RDD is
+        // reclaimed by the ContextCleaner as soon as the result goes out of
+        // scope — CacheManager entries would pile up across a long session
+        // because this function's caller has no handle to unpersist.
+        // Tradeoff, documented for the 100 TB posture: this materializes
+        // the posting list (MEMORY_AND_DISK) and truncates lineage, so an
+        // executor loss costs a job retry; a corpus where materialization
+        // is dearer than one recompute can pass maxDocFreq through its own
+        // pre-guarded shingle set instead.
+        val sh = sh0.localCheckpoint(true)
         val nDocs = df.select(col(idCol)).distinct().count()
-        val hot = sh0.groupBy("shingle")
+        val hot = sh.groupBy("shingle")
           .agg(count_distinct(col("id")).as("df"))
           .filter(col("df") > f * nDocs)
           .select("shingle")
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 

@@ -36,6 +36,27 @@ object TextOps {
   def subwordEstimate(c: Column): Column =
     ceil(length(regexp_replace(c, "\\s+", "")).cast("double") / lit(4.0)).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB): English
+    * contraction suffixes, space-prefixed letter runs, space-prefixed digit
+    * runs, space-prefixed punctuation runs, residual whitespace. The
+    * original GPT-2 pattern's `\s+(?!\S)` lookahead is RE2-inexpressible
+    * and dropped — trailing-space attachment differs from tiktoken, but the
+    * count is deterministic and engine-identical (verified bit-for-bit on
+    * the sf0.01 documents fixture).
+    */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer match count — the "BPE-ish regex" LLM token-budget
+    * counter (each match is what a byte-level BPE would then split against
+    * its vocab; the match count is a far better budget proxy than chars/4
+    * because it respects word/number/punct boundaries). Pure codegen'd
+    * projection: regexp_extract_all + size, no UDF, scan-speed at 100 TB.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Characters that are not alphanumeric and not whitespace. */
   def punctCount(c: Column): Column =
     length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("long")

@@ -101,12 +101,17 @@ object Winnow {
     val fp = maxDocFreq match {
       case None => fp0
       case Some(f) =>
+        // Materialize the md5/rolling-hash transform once for its two
+        // consumers (hot-set aggregate + guarded join input) —
+        // localCheckpoint, not persist, for the same lifecycle reasons as
+        // NearDup.shinglesWithSkewGuard (see that Scaladoc).
+        val fpc = fp0.localCheckpoint(true)
         val nDocs = df.select(col(idCol)).distinct().count()
-        val hot = fp0.groupBy("fp")
+        val hot = fpc.groupBy("fp")
           .agg(count_distinct(col("id")).as("df"))
           .filter(col("df") > f * nDocs)
           .select("fp")
-        fp0.join(broadcast(hot), Seq("fp"), "left_anti")
+        fpc.join(broadcast(hot), Seq("fp"), "left_anti")
     }
     fp.as("a").hint("shuffle_hash").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

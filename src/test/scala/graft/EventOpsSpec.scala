@@ -132,6 +132,40 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling agg: late data inside the watermark is aggregated, beyond it is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventOps.tumblingAggStream(ms.toDS().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_late").start()
+    try {
+      // batch 1 advances the watermark to 20:00 - 2h = 18:00
+      ms.addData((ts("2026-01-01 10:15:00"), "a", 1.0),
+                 (ts("2026-01-01 20:00:00"), "a", 2.0))
+      q.processAllAvailable()
+      // batch 2: out-of-order events. "b" @18:30 is late but its window
+      // [18:00,19:00) ends AFTER the 18:00 watermark -> must be kept;
+      // "c" @15:30's window [15:00,16:00) closed before it -> must be dropped.
+      ms.addData((ts("2026-01-01 18:30:00"), "b", 3.0),
+                 (ts("2026-01-01 15:30:00"), "c", 4.0))
+      q.processAllAvailable()
+      // batch 3 pushes the watermark far ahead so every surviving window flushes
+      ms.addData((ts("2026-01-02 06:00:00"), "a", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("ev_late")
+        .select("window_start_us", "event_type", "n_events", "sum_value_cents")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == Set(
+        (us("2026-01-01 10:00:00"), "a", 1L, 100L),
+        (us("2026-01-01 18:30:00") - 1800L * 1000000L, "b", 1L, 300L),
+        (us("2026-01-01 20:00:00"), "a", 1L, 200L)))
+      assert(!got.exists(_._2 == "c"), "an event older than the watermark leaked in")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // FileStreamSource wants a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")

@@ -44,6 +44,28 @@ class LinkerSpec extends SparkSpec {
     assert(byId("Umbrela Corp") == "Umbrela Corp,Umbrella Corp")
   }
 
+  // q_link_ro's oracle: Ratcliff/Obershelp is not expressible in DuckDB SQL
+  // (no gestalt-similarity function; the recursive longest-matching-block
+  // algorithm has no SQL form), so the driver's harness records a rows-only
+  // check. THIS test is the oracle instead: the full distributed pipeline
+  // against an independent driver-side O(n²) reimplementation over the real
+  // sf0.01 supplier table — the similarity scalar itself is separately
+  // pinned to CPython difflib in RatcliffObershelpSpec.
+  test("q_link_ro pipeline matches a brute-force driver-side oracle on supplier sf0.01") {
+    val supplier = Tables.supplier(spark, "/root/testdata/sf0.01")
+    val got = Linker.pipeline(supplier, "s_name", None, 80.0)
+      .as[(String, String)].collect().toMap
+    val names = supplier.select("s_name").distinct().as[String].collect()
+    val expected = (for {
+      a <- names; b <- names
+      if a != b && graft.functions.RatcliffObershelp.similarity(a, b) >= 80.0
+    } yield (if (a <= b) a else b, a))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).distinct.sorted.mkString(",") }
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("windowCollect collapses to one row per partition key") {
     val pairs = Seq(("k1", "b"), ("k1", "a"), ("k1", "a"), ("k2", "z"))
       .toDF("uniqId", "name_a")

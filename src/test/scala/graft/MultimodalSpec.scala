@@ -32,6 +32,24 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(4L)._1 == 16L * (1 + 0xc3 % 32))  // first byte of é, not the code point
   }
 
+  test("sampleFrames emits every 2nd chunk with exact byte features") {
+    val f = Multimodal.sampleFrames(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("frame_idx")) -> r).toMap
+    // doc 2 = 600 bytes of 'x' -> 3 chunks, stride 2 samples frames 0 and 2
+    assert(f.keySet.filter(_._1 == 2L) == Set((2L, 0L), (2L, 2L)))
+    assert(f((2L, 0L)).getAs[Long]("n_bytes") == 256L)
+    assert(f((2L, 0L)).getAs[Long]("sum_bytes") == 256L * 'x'.toLong)
+    assert(f((2L, 2L)).getAs[Long]("n_bytes") == 88L)      // 600 - 512
+    assert(f((2L, 2L)).getAs[Long]("byte_offset") == 512L)
+    // doc 1 = "hello world": one frame, sum over the 11 ascii bytes
+    assert(f((1L, 0L)).getAs[Long]("sum_bytes") ==
+      "hello world".getBytes("UTF-8").map(_.toLong).sum)
+    assert(f((1L, 0L)).getAs[Long]("first_byte") == 'h'.toLong)
+    // doc 3 is empty -> no frames; doc 4 starts with 0xC3 (é)
+    assert(!f.keySet.exists(_._1 == 3L))
+    assert(f((4L, 0L)).getAs[Long]("first_byte") == 0xC3L)
+  }
+
   test("decodeStub is deterministic and byte-driven") {
     val a = Multimodal.decodeStub("abc".getBytes("UTF-8"))
     assert(a == Multimodal.decodeStub("abc".getBytes("UTF-8")))

@@ -32,6 +32,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == "xx")   // empty text: no hits
   }
 
+  test("bpe-ish token count splits contractions, numbers, and punct runs") {
+    val rows = Seq(
+      (1L, "don't stop"),        // don | 't | _stop
+      (2L, "I'll pay $42.50!"),  // I | 'll | _pay | _$ | 42 | . | 50 | !
+      (3L, ""),                  // no matches
+      (4L, "  hi  ")             // "  " would glue to nothing: _hi then trailing "  "
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id", TextOps.bpeTokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 8L, 3L -> 0L, 4L -> 3L))
+  }
+
   test("fingerprint is case/whitespace-insensitive") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap
