@@ -59,6 +59,19 @@ object SparkEntry {
     "q_dedup_survivor" -> ((s, dir) =>
       Dedup.canonical(Tables.customer(s, dir), Seq("c_name"), Seq(col("c_custkey")))),
 
+    // ---- Training-data dedup composite: per content fingerprint keep the
+    // HIGHEST-quality document (ties -> smallest doc_id) — the survivor
+    // policy a 100 TB corpus dedup actually wants, vs canonical's
+    // smallest-key. One shuffle on fp + in-partition sort.
+    "q_dedup_best" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.qualityScore(col("text")).as("q"))
+      Dedup.bestByScore(scored, Seq("fp"), col("q"), col("doc_id"))
+        .select(col("fp"), col("doc_id").as("best_doc"), col("q").as("best_quality"))
+    }),
+
     // ---- P1: surrogate id — structural check (uniqueness + count), values
     // are nondeterministic by design so they are never compared directly.
     "q_surrogate_id" -> ((s, dir) => {
@@ -248,6 +261,23 @@ object SparkEntry {
     // equality asserted in EventOpsSpec).
     "q_events_dedup" -> ((s, dir) => EventOps.dedupHourly(Tables.events(s, dir))),
 
+    // ---- Star-schema broadcast join (the classic analytics shape the
+    // reference lacks): fact orders joined to the customer and nation
+    // dimensions, revenue per nation for finished orders. Catalyst
+    // broadcasts both dims (real parquet stats, no hints needed) so the
+    // fact table never shuffles — at 100 TB the orders scan streams
+    // through two executor-local hash joins; only the tiny per-nation
+    // aggregate exchanges.
+    "q_star_join" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"),
+          count_distinct(col("o_custkey")).as("n_customers"))),
+
     // ---- Filter/projection pushdown showcase: the predicate and the
     // 3-column projection both reach the parquet scan (PushedFilters +
     // pruned ReadSchema — verified by graft.tools.ExplainAll). At 100 TB
@@ -267,6 +297,27 @@ object SparkEntry {
       val ded = Dedup.canonical(src, Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
       pipeline.Etl.withDeterministicId(ded, "o_orderkey")
         .select("o_orderkey", "o_custkey", "o_totalprice", "id")
+    }),
+
+    // ---- Partitioned-layout roundtrip: write events PARTITIONED BY
+    // event_type, read back filtered to one partition (the scan lists only
+    // that directory — partition pruning, the difference between reading
+    // 1/5th and all of a 100 TB table), aggregate per user. Oracle = the
+    // same aggregate over the original table: equality proves the
+    // partitioned write/read was lossless AND the pruned scan saw every
+    // row of the partition.
+    "q_parquet_partitioned" -> ((s, dir) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_part")
+      cleanupAtExit(tmpPath)
+      val out = s"${tmpPath.toString}/events_by_type"
+      Tables.events(s, dir).write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
+          min(unix_micros(col("ts"))).as("first_us"))
     }),
 
     // ---- S1-S4/K1-K2/F6 end-to-end: write customer to CSV (single-file
@@ -324,6 +375,28 @@ object SparkEntry {
         "WHERE rn = 1"),
     "q_surrogate_id" ->
       "SELECT count(*) AS n, count(*) AS n_ids FROM (SELECT DISTINCT c_name FROM customer)",
+    "q_dedup_best" ->
+      ("WITH scored AS (SELECT doc_id, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
+        "round((CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4 " +
+        " + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) * 0.3 " +
+        " + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3, 6) AS q " +
+        "FROM (SELECT doc_id, text, " +
+        s"$sqlTokenCount AS n_tokens, " +
+        "length(text) AS n_chars, " +
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct, " +
+        s"${sqlStopHits(TextOps.stopwords("en"))} AS n_stop_en " +
+        "FROM documents)) " +
+        "SELECT fp, doc_id AS best_doc, q AS best_quality FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn FROM scored) " +
+        "WHERE rn = 1"),
+    // Equality with the direct aggregate proves the partitioned write/read
+    // roundtrip in the Spark query was lossless and the pruned scan complete.
+    "q_parquet_partitioned" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents, " +
+        "min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id"),
     "q_link_pairs_lev" ->
       ("SELECT a.c_custkey AS id_a, a.c_name AS key_a, b.c_custkey AS id_b, b.c_name AS key_b " +
         "FROM customer a JOIN customer b ON levenshtein(a.c_name, b.c_name) <= 2"),
@@ -500,6 +573,13 @@ object SparkEntry {
         "SELECT user_id, session_id, count(*) AS n_events, " +
         "min(us) AS session_start_us, max(us) AS session_end_us " +
         "FROM s GROUP BY 1, 2"),
+    "q_star_join" ->
+      ("SELECT n_name, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
+        "count(DISTINCT o_custkey) AS n_customers " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderstatus = 'F' GROUP BY n_name"),
     "q_filter_pushdown" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'"),

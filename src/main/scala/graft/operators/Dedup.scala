@@ -42,6 +42,20 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Best-of-group survivor: keep the row MAXIMIZING `score` per key, ties
+    * broken by the smallest `tiebreak` — the training-data dedup shape
+    * (keep the highest-quality document per content fingerprint) as opposed
+    * to [[canonical]]'s smallest-key survivor. Same physical plan: shuffle
+    * on `keys` + in-partition sort + row_number, no global sort.
+    */
+  def bestByScore(df: DataFrame, keys: Seq[String], score: Column,
+                  tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(score.desc, tiebreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** D5 analog (solutionFour.py): row counts before/after dedup on keys,
     * as a one-row DataFrame. countDistinct over the key tuple is a single
     * aggregate pass — no second scan.

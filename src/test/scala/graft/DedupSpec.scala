@@ -35,6 +35,16 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq("1", "3", "4"))
   }
 
+  test("bestByScore keeps the max-score row, ties broken by smallest tiebreak") {
+    val df = Seq(
+      ("k1", 1L, 0.5), ("k1", 2L, 0.9), ("k1", 3L, 0.9),  // max q=0.9, tie -> id 2
+      ("k2", 4L, 0.1)
+    ).toDF("key", "id", "q")
+    val out = Dedup.bestByScore(df, Seq("key"), col("q"), col("id"))
+      .select("key", "id").as[(String, Long)].collect().toMap
+    assert(out == Map("k1" -> 2L, "k2" -> 4L))
+  }
+
   test("stats reports before/after counts") {
     val r = Dedup.stats(cp, Seq("name", "iban")).collect().head
     assert(r.getLong(0) == 5 && r.getLong(1) == 3)
