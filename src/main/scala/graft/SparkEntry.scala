@@ -256,6 +256,27 @@ object SparkEntry {
     // ---- Events: gap-based sessionization (30 min).
     "q_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
 
+    // ---- As-of join (point-in-time): each view event attached to the
+    // user's most recent purchase at-or-before it — union-and-sweep (one
+    // shuffle on user_id + in-partition sort), never a per-key cartesian.
+    // Right side pre-aggregated to one row per (user_id, ts) for
+    // determinism; oracle = DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us").as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("us").as("ts_us"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      AsofJoin.asofJoin(views, purchases, Seq("user_id"), "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_purchase_id").as("asof_purchase"),
+          col("asof_ts_us"),
+          (col("ts_us") - col("asof_ts_us")).as("gap_us"))
+    }),
+
     // ---- Events: deterministic dedup-by-key (batch twin of the bounded-
     // state streaming dedup, dropDuplicatesWithinWatermark — key-set
     // equality asserted in EventOpsSpec).
@@ -463,6 +484,14 @@ object SparkEntry {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
         "FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    "q_asof_join" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "l AS (SELECT event_id, user_id, us AS ts_us FROM e WHERE event_type = 'view'), " +
+        "r AS (SELECT user_id, us AS ts_us, max(event_id) AS purchase_id FROM e " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, us) " +
+        "SELECT l.event_id, l.user_id, l.ts_us, r.purchase_id AS asof_purchase, " +
+        "r.ts_us AS asof_ts_us, l.ts_us - r.ts_us AS gap_us " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"),
     "q_events_dedup" ->
       ("SELECT user_id, event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, " +
         "min(event_id) AS first_event, count(*) AS n_events " +

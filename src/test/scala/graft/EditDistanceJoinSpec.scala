@@ -16,6 +16,53 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(deletionVariants("aa", 1).toSet == Set("aa", "a"))
   }
 
+  // The correctness heart of the SymSpell join, as a property: for ANY
+  // string a and ANY b produced by <= k random edits of a, the two
+  // <=k-deletion neighborhoods share a variant — so the equi-join on
+  // variants can never miss a true pair (the exact levenshtein verify then
+  // removes the collisions). Randomized over small alphabets to force
+  // dense collisions, plus astral-plane characters to exercise the
+  // code-point (not UTF-16 unit) deletion logic.
+  test("property: <=k edits always leave a shared deletion variant") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val alphabet = "ab😀"
+    val genStr = for {
+      n <- Gen.choose(0, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf(alphabet.toCharArray.map(_.toString) :+ "😀"))
+    } yield cs.mkString
+    def cps(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    val genEdit = Gen.oneOf(0, 1, 2) // 0=del, 1=sub, 2=ins
+    def applyEdit(s: String, kind: Int, pos: Int, ch: String): String = {
+      val a = cps(s)
+      kind match {
+        case 0 if a.nonEmpty => (a.take(pos % a.length) ++ a.drop(pos % a.length + 1)).mkString
+        case 1 if a.nonEmpty => a.updated(pos % a.length, ch).mkString
+        case 2 => (a.take(pos % (a.length + 1)) ++ Array(ch) ++ a.drop(pos % (a.length + 1))).mkString
+        case _ => s
+      }
+    }
+    val k = 2
+    val prop = forAll(genStr, Gen.listOfN(k, Gen.zip(genEdit, Gen.choose(0, 64),
+        Gen.oneOf("a", "b", "😀")))) { (a, edits) =>
+      val b = edits.foldLeft(a) { case (s, (kind, pos, ch)) => applyEdit(s, kind, pos, ch) }
+      val shared = deletionVariants(a, k).toSet
+        .intersect(deletionVariants(b, k).toSet)
+      Prop(shared.nonEmpty).label(s"a='$a' b='$b'")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private lazy val tricky = Seq(
     (1L, "abcdef"), (2L, "abcdxf"), (3L, "bcdef"),   // sub / del
     (4L, "abcdefgh"), (5L, "xabcdefg"),              // shift (ins+del)
