@@ -145,6 +145,12 @@ object SparkEntry {
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         TextOps.subwordEstimate(col("text")).as("n_subwords_est"))),
 
+    // ---- Token-repetition quality signals (Gopher/C4-style): distinct
+    // ratio and top token/bigram dominance, all inside one codegen'd
+    // projection — no shuffle.
+    "q_text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- Language ID: integer stopword-hit scores per language, argmax
     // with alphabetical tie-break.
     "q_text_lang" -> ((s, dir) =>
@@ -473,6 +479,17 @@ object SparkEntry {
         s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
         s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
         "FROM documents))"),
+    "q_text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "b AS (SELECT doc_id, t, CASE WHEN len(t) >= 2 THEN " +
+        "list_transform(generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' ')) " +
+        "ELSE []::VARCHAR[] END AS bi FROM toks) " +
+        "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens, " +
+        "CAST(coalesce(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))), 0) AS BIGINT) AS top_token_n, " +
+        "CAST(coalesce(list_max(list_transform(list_distinct(bi), x -> len(list_filter(bi, y -> y = x)))), 0) AS BIGINT) AS top_bigram_n " +
+        "FROM b"),
     "q_fingerprint_groups" ->
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
         "count(*) AS n_docs, min(doc_id) AS canonical_id " +

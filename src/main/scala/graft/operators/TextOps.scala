@@ -123,6 +123,34 @@ object TextOps {
       least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3), 6)
   }
 
+  /** Token-repetition stats (the Gopher/C4-style quality signals: a doc
+    * whose top token or top bigram dominates is boilerplate or spam).
+    * Computed entirely inside one codegen'd projection — the per-doc mode
+    * is an O(distinct·n) higher-order-function fold over the token array,
+    * NOT a groupBy: no shuffle, scan-speed at 100 TB (documents are short
+    * relative to corpus size; a pathological single doc is executor-local
+    * work, not a hot shuffle key).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    def bigrams(arr: Column): Column =
+      when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1),
+          i => concat_ws(" ", slice(arr, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    def topCount(arr: Column): Column =
+      coalesce(
+        array_max(transform(array_distinct(arr),
+          x => size(filter(arr, y => y === x)))),
+        lit(0)).cast("long")
+    df.select(
+      col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      topCount(t).as("top_token_n"),
+      topCount(bigrams(t)).as("top_bigram_n"))
+  }
+
   /** Full per-document stats projection. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

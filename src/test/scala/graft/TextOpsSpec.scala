@@ -44,6 +44,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 8L, 3L -> 0L, 4L -> 3L))
   }
 
+  test("repetition stats: distinct counts and top token/bigram dominance") {
+    val rows = Seq(
+      (1L, "a a a b"),          // top token a=3; bigrams: "a a","a a","a b" -> top 2
+      (2L, "x"),                // single token: no bigrams
+      (3L, ""),                 // empty: all zeros
+      (4L, "p q p q p q")       // top token 3; bigram "p q"=3 > "q p"=2
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((4L, 2L, 3L, 2L)))
+    assert(got(2L) == ((1L, 1L, 1L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((6L, 2L, 3L, 3L)))
+  }
+
   test("fingerprint is case/whitespace-insensitive") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap
