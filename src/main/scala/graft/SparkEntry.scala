@@ -244,6 +244,13 @@ object SparkEntry {
       Multimodal.decodeFeatures(
         Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
 
+    // ---- Multimodal: batched resize (STUB resampler) — the mapPartitions
+    // stage after decode; position-weighted integer checksum over an 8x8
+    // byte grid, bit-identical in the oracle.
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resizeFeatures(
+        Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
+
     // ---- Multimodal: frame sampling — every 2nd 256-byte chunk of the
     // payload as a "frame" row with exact per-frame byte features (the
     // codegen'd explode plumbing a video pipeline needs; chunk==frame is
@@ -581,6 +588,16 @@ object SparkEntry {
         "CAST(3 AS INTEGER) AS channels, " +
         "CAST(sum_bytes AS DOUBLE) / n AS mean_byte " +
         "FROM b JOIN s USING (doc_id)"),
+    // Resize mirrored on the HEX string: cell c covers 0-based bytes
+    // [c*n/64, (c+1)*n/64) = 1-based hex pairs [c*n//64 + 1, (c+1)*n//64].
+    "q_media_resize" ->
+      ("WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents), " +
+        "cell AS (SELECT doc_id, hx, n, unnest(range(0, 64)) AS c FROM b), " +
+        "pos AS (SELECT doc_id, c, hx, unnest(generate_series(CAST(c*n//64 AS INT) + 1, CAST((c+1)*n//64 AS INT))) AS i FROM cell), " +
+        "s AS (SELECT doc_id, sum((c+1) * ('0x' || substr(hx, 2*i-1, 2))::BIGINT) AS ck FROM pos GROUP BY doc_id) " +
+        "SELECT b.doc_id, CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h, " +
+        "CAST(n AS BIGINT) AS n_bytes, CAST(coalesce(ck, 0) AS BIGINT) AS resize_checksum " +
+        "FROM b LEFT JOIN s USING (doc_id)"),
     // Frame features mirrored on the HEX string (DuckDB has no BLOB
     // substring): frame fi covers hex chars [fi*512+1, fi*512+512].
     "q_media_frames" ->

@@ -97,6 +97,47 @@ object Multimodal {
           .as("sum_bytes"))
   }
 
+  /** ========= STUB: replace with a real resampler (libswscale/PIL/...) ====
+    * Deterministic fake resize to an outW x outH grid: cell c covers the
+    * byte range [floor(c·n/cells), floor((c+1)·n/cells)) and contributes
+    * its byte sum, position-weighted into one integer checksum
+    * (Σ (c+1)·cellSum — order-sensitive, so any resampling bug moves it).
+    * Integer math end to end: bit-identical in the DuckDB oracle.
+    */
+  def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Long = {
+    val cells = outW * outH
+    val n = payload.length
+    var checksum = 0L
+    var c = 0
+    while (c < cells) {
+      val from = (c.toLong * n / cells).toInt
+      val until = ((c + 1).toLong * n / cells).toInt
+      var s = 0L
+      var i = from
+      while (i < until) { s += payload(i) & 0xff; i += 1 }
+      checksum += (c + 1L) * s
+      c += 1
+    }
+    checksum
+  }
+
+  /** Batched resize via mapPartitions — the pipeline stage after decode
+    * (the mapInPandas shape again: one resampler per partition, bytes stay
+    * executor-local, output is a fixed-size feature row per doc).
+    */
+  def resizeFeatures(df: DataFrame, idCol: String,
+                     outW: Int = 8, outH: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+    in.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        (id, outW, outH, payload.length.toLong, resizeStub(payload, outW, outH))
+      }
+    }.toDF(idCol, "out_w", "out_h", "n_bytes", "resize_checksum")
+  }
+
   /** Batched decode via mapPartitions — the Scala analog of a pandas-UDF
     * `mapInPandas` stage: one decoder instantiation per partition, payload
     * bytes stay executor-local.

@@ -50,6 +50,31 @@ class MultimodalSpec extends SparkSpec {
     assert(f((4L, 0L)).getAs[Long]("first_byte") == 0xC3L)
   }
 
+  test("resizeStub partitions every byte into exactly one cell") {
+    // checksum with all-equal weights == total byte sum scaled: use a
+    // payload where cells are distinguishable instead
+    val p = (0 until 100).map(_.toByte).toArray
+    val ck = Multimodal.resizeStub(p, 8, 8)
+    // independent reference computation
+    val cells = 64
+    val expected = (0 until cells).map { c =>
+      val from = c * p.length / cells; val until = (c + 1) * p.length / cells
+      (c + 1L) * (from until until).map(i => (p(i) & 0xff).toLong).sum
+    }.sum
+    assert(ck == expected)
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 8, 8) == 0L)
+  }
+
+  test("resizeFeatures runs batched and matches the direct stub") {
+    val out = Multimodal.resizeFeatures(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("resize_checksum")).toMap
+    val direct = docs.select($"doc_id", $"payload").collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.resizeStub(r.getAs[Array[Byte]]("payload"), 8, 8)).toMap
+    assert(out == direct)
+    assert(out(3L) == 0L)  // empty payload
+  }
+
   test("decodeStub is deterministic and byte-driven") {
     val a = Multimodal.decodeStub("abc".getBytes("UTF-8"))
     assert(a == Multimodal.decodeStub("abc".getBytes("UTF-8")))
