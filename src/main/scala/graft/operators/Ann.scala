@@ -136,13 +136,24 @@ object Ann {
       struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
     }: _*)
 
-    def assigned(cs: Array[(Int, Seq[Double])]): DataFrame =
-      corpus.withColumn("__c", explode(centLit(cs)))
-        .withColumn("__score", dot(col("emb_d"), col("__c.cv")) / col("norm"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("__score").desc, col("__c.cid"))))
-        .filter(col("__rn") === 1)
-        .select(col("vec_id"), col("__c.cid").as("cell"), col("emb_d"))
+    // Assignment is a PURE PROJECTION: fold the (small, literal) centroid
+    // array to the per-row argmax — highest score, first (lowest) cid on
+    // ties, matching the previous explode+row_number plan — instead of
+    // exploding corpus x nCells and shuffling through a window. Each Lloyd
+    // iteration (and the final cell labeling) thus costs zero exchanges on
+    // the corpus side; at 100 TB that removes 2 full-corpus shuffles per
+    // iteration.
+    def assigned(cs: Array[(Int, Seq[Double])]): DataFrame = {
+      val scored = transform(centLit(cs), c => struct(
+        (dot(col("emb_d"), c.getField("cv")) / col("norm")).as("score"),
+        c.getField("cid").as("cid")))
+      val best = aggregate(scored,
+        struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cid")),
+        (acc, s) => when(s.getField("score") > acc.getField("score"), s)
+          .otherwise(acc))
+      corpus.withColumn("__b", best)
+        .select(col("vec_id"), col("__b.cid").as("cell"), col("emb_d"))
+    }
 
     for (_ <- 1 to iters) {
       val means = assigned(centroids)
