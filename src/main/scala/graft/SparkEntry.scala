@@ -173,6 +173,17 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, dir) =>
       Winnow.sharedFingerprintPairs(Tables.documents(s, dir), "doc_id", "text", 2)),
 
+    // ---- Contamination scan: winnowing-fingerprint overlap BETWEEN two
+    // corpora (train = even doc_ids, eval = odd) — the train-test leakage
+    // check; posting-list equi-join, never |train|x|eval|.
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Winnow.crossCorpusOverlapPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 2)
+    }),
+
     // ---- Near-dup: exact 3-gram Jaccard via shingle posting-list join
     // (no cartesian product; exact-equivalent to all-pairs for t > 0).
     "q_jaccard_pairs" -> ((s, dir) =>
@@ -507,6 +518,12 @@ object SparkEntry {
       (s"WITH $sqlWinnowCte " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
         "FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    "q_contamination" ->
+      (s"WITH $sqlWinnowCte " +
+        "SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS n_shared " +
+        "FROM wfp a JOIN wfp b ON a.fp = b.fp " +
+        "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
     "q_asof_join" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +

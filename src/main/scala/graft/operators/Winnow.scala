@@ -119,4 +119,24 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cross-corpus contamination scan — the two-table form of
+    * [[sharedFingerprintPairs]]: (train doc, eval doc) pairs sharing at
+    * least `minShared` selected fingerprints, i.e. eval material leaking
+    * into a training corpus (the benchmark-contamination check every LLM
+    * data pipeline runs before training). Same posting-list equi-join
+    * shape: both corpora reduce to (id, fp) postings, the join shuffles on
+    * fp — linear in corpus sizes, never |train|·|eval|.
+    */
+  def crossCorpusOverlapPairs(train: DataFrame, eval: DataFrame,
+                              idCol: String, textCol: String,
+                              minShared: Int, k: Int = GramTokens,
+                              w: Int = WindowGrams): DataFrame = {
+    val ft = fingerprints(train, idCol, textCol, k, w)
+    val fe = fingerprints(eval, idCol, textCol, k, w)
+    ft.as("a").hint("shuffle_hash").join(fe.as("b"), col("a.fp") === col("b.fp"))
+      .groupBy(col("a.id").as("train_id"), col("b.id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -45,6 +45,21 @@ class WinnowSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs(0).getAs[Long]("id_a") == 1L)
   }
 
+  test("cross-corpus contamination: copied paragraph detected, clean doc silent") {
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val train = Seq(
+      (10L, s"training text preamble $para and some unique training tail here"),
+      (12L, "completely unrelated training material nothing shared at all zz")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (21L, s"eval question setup $para answer choices follow below now"),
+      (23L, "pristine eval content with no overlap whatsoever in sight qq")
+    ).toDF("doc_id", "text")
+    val hits = Winnow.crossCorpusOverlapPairs(train, eval_, "doc_id", "text", 2)
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
+    assert(hits == Set((10L, 21L)))
+  }
+
   test("documents shorter than k tokens produce no fingerprints") {
     val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
     val got = Winnow.fingerprints(df, "doc_id", "text").select("id").as[Long].collect()
