@@ -135,6 +135,16 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextOps.stats(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- Global top-k by quality: ORDER BY + LIMIT plans as
+    // TakeOrderedAndProject — a per-partition bounded heap + driver merge
+    // of k rows, NOT a global sort: the only scalable top-k shape at
+    // 100 TB. Deterministic via the doc_id tie-break.
+    "q_top_quality" -> ((s, dir) =>
+      TextOps.stats(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .limit(20)),
+
     // ---- Token counting (north-star): whitespace tokens + the BPE-ish
     // regex pre-tokenizer count (TextOps.BpeTokenPattern; engine-parity
     // verified bit-for-bit) + the chars/4 estimate, per document.
@@ -464,18 +474,10 @@ object SparkEntry {
         "reach(u, v) AS (SELECT u, v FROM e " +
         "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
         "SELECT u AS c_custkey, min(v) AS component FROM reach GROUP BY u"),
-    "q_text_stats" ->
-      (s"SELECT doc_id, n_tokens, n_chars, n_subwords_est, n_punct, n_stop_en, " +
-        "round((CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4 " +
-        " + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) * 0.3 " +
-        " + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3, 6) AS quality " +
-        "FROM (SELECT doc_id, " +
-        s"$sqlTokenCount AS n_tokens, " +
-        "length(text) AS n_chars, " +
-        "CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est, " +
-        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct, " +
-        s"${sqlStopHits(TextOps.stopwords("en"))} AS n_stop_en " +
-        "FROM documents)"),
+    "q_text_stats" -> sqlTextStats,
+    "q_top_quality" ->
+      (s"WITH s AS ($sqlTextStats) " +
+        "SELECT doc_id, quality FROM s ORDER BY quality DESC, doc_id LIMIT 20"),
     // BPE-ish pattern embedded as a SQL literal: single quotes doubled;
     // backslashes pass through verbatim (DuckDB strings are not
     // escape-processed).
@@ -698,6 +700,25 @@ object SparkEntry {
         "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
         "WHERE rank <= 5"),
   )
+
+  /** Full per-doc text-stats SQL (mirrors TextOps.stats); shared by
+    * q_text_stats and the q_top_quality top-k. MUST be lazy: it
+    * interpolates vals declared further down the object body, which are
+    * still null during eager init (caught by check_oracle as a
+    * `null AS n_tokens` oracle).
+    */
+  private lazy val sqlTextStats: String =
+    s"SELECT doc_id, n_tokens, n_chars, n_subwords_est, n_punct, n_stop_en, " +
+      "round((CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4 " +
+      " + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) * 0.3 " +
+      " + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3, 6) AS quality " +
+      "FROM (SELECT doc_id, " +
+      s"$sqlTokenCount AS n_tokens, " +
+      "length(text) AS n_chars, " +
+      "CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est, " +
+      "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct, " +
+      s"${sqlStopHits(TextOps.stopwords("en"))} AS n_stop_en " +
+      "FROM documents)"
 
   /** Sequential-fold double dot product (mirrors Ann.dot: left fold in
     * element order; 0.0 + x1 is bit-exact x1, so list_reduce's first-element

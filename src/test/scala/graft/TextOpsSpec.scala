@@ -44,6 +44,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 8L, 3L -> 0L, 4L -> 3L))
   }
 
+  test("top-quality query plans as TakeOrderedAndProject, not a global sort") {
+    val q = SparkEntry.queries("q_top_quality")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    val rows = q.collect()
+    assert(rows.length == 20)
+    // deterministically ordered: quality desc, doc_id asc on ties
+    val pairs = rows.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (q1, id) => (-q1, id) }))
+  }
+
   test("repetition stats: distinct counts and top token/bigram dominance") {
     val rows = Seq(
       (1L, "a a a b"),          // top token a=3; bigrams: "a a","a a","a b" -> top 2
