@@ -333,6 +333,21 @@ object SparkEntry {
           sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"),
           count_distinct(col("o_custkey")).as("n_customers"))),
 
+    // ---- ROLLUP (grouping sets): revenue at (status, priority), per
+    // status, and grand total in ONE pass — Catalyst expands the grouping
+    // sets before the partial aggregate, so the input is still read once
+    // and map-side combined. Subtotal NULLs are coalesced to 'ALL' (the
+    // fixture columns are non-null, so the marker is unambiguous).
+    "q_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue_cents"))),
+
     // ---- Filter/projection pushdown showcase: the predicate and the
     // 3-column projection both reach the parquet scan (PushedFilters +
     // pruned ReadSchema — verified by graft.tools.ExplainAll). At 100 TB
@@ -662,6 +677,12 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE o_orderstatus = 'F' GROUP BY n_name"),
+    "q_rollup" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, " +
+        "count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
     "q_filter_pushdown" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'"),
