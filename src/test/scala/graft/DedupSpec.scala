@@ -35,6 +35,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq("1", "3", "4"))
   }
 
+  test("dedup idempotence and monotonicity (seeded property)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(200) + 1)(
+        (rnd.nextInt(10).toString, rnd.nextInt(5).toString))
+      val df = rows.toDF("k1", "k2")
+      val once = Dedup.exact(df, Seq("k1", "k2"))
+      assert(once.count() == Dedup.exact(once, Seq("k1", "k2")).count())
+      assert(once.count() <= df.count())
+      assert(once.count() == rows.distinct.size)
+    }
+  }
+
   test("bestByScore keeps the max-score row, ties broken by smallest tiebreak") {
     val df = Seq(
       ("k1", 1L, 0.5), ("k1", 2L, 0.9), ("k1", 3L, 0.9),  // max q=0.9, tie -> id 2
