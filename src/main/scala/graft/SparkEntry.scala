@@ -333,6 +333,33 @@ object SparkEntry {
           sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"),
           count_distinct(col("o_custkey")).as("n_customers"))),
 
+    // ---- Bucketed co-located join: both tables written bucketBy(8) on
+    // the join key, so the sort-merge join consumes bucket files directly
+    // — ZERO exchanges feeding the join (the only shuffle left is the
+    // final small aggregate; asserted in DedupSpec's plan test). The
+    // "merge" hint keeps Catalyst from broadcasting the small dim, which
+    // would hide the co-location this query demonstrates. At 100 TB,
+    // bucketing both fact tables on the join key at write time is the
+    // difference between joining in place and re-shuffling the corpus on
+    // every query.
+    "q_bucketed_join" -> ((s, dir) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_bucket")
+      cleanupAtExit(tmpPath)
+      val tmp = tmpPath.toString
+      Tables.orders(s, dir).write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/orders_b").saveAsTable("graft_orders_bucketed")
+      Tables.customer(s, dir).write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/customer_b").saveAsTable("graft_customer_bucketed")
+      s.table("graft_orders_bucketed").hint("merge")
+        .join(s.table("graft_customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+    }),
+
     // ---- ROLLUP (grouping sets): revenue at (status, priority), per
     // status, and grand total in ONE pass — Catalyst expands the grouping
     // sets before the partial aggregate, so the input is still read once
@@ -677,6 +704,13 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE o_orderstatus = 'F' GROUP BY n_name"),
+    // Equality proves the bucketed write/read roundtrip lossless and the
+    // co-located join complete.
+    "q_bucketed_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment"),
     "q_rollup" ->
       ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
         "coalesce(o_orderpriority, 'ALL') AS priority, " +

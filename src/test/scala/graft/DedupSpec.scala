@@ -68,6 +68,23 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").distinct().count() == out.count())
   }
 
+  test("bucketed join plans with no exchange feeding the join") {
+    val q = SparkEntry.queries("q_bucketed_join")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    // the ONLY exchange is the final per-segment aggregate; the join reads
+    // bucket files directly on both sides
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange (final agg), got $exchanges\n${plan.take(600)}")
+    // and the result itself is right
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("all declared queries run on sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
