@@ -72,6 +72,17 @@ object SparkEntry {
         .select(col("fp"), col("doc_id").as("best_doc"), col("q").as("best_quality"))
     }),
 
+    // ---- Incremental dedup: new batch (source src0) anti-joined against
+    // the existing corpus's content fingerprints — only genuinely novel
+    // documents survive. LEFT ANTI on fp; corpus side pruned to one column.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      val batch  = fp.filter(col("source") === "src0").select("doc_id", "fp")
+      val corpus = fp.filter(col("source") =!= "src0")
+      Dedup.incremental(batch, corpus, "fp")
+    }),
+
     // ---- P1: surrogate id — structural check (uniqueness + count), values
     // are nondeterministic by design so they are never compared directly.
     "q_surrogate_id" -> ((s, dir) => {
@@ -487,6 +498,11 @@ object SparkEntry {
         "SELECT fp, doc_id AS best_doc, q AS best_quality FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn FROM scored) " +
         "WHERE rn = 1"),
+    "q_dedup_incremental" ->
+      ("WITH fps AS (SELECT doc_id, source, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents) " +
+        "SELECT doc_id, fp FROM fps n WHERE n.source = 'src0' " +
+        "AND NOT EXISTS (SELECT 1 FROM fps c WHERE c.source <> 'src0' AND c.fp = n.fp)"),
     // Equality with the direct aggregate proves the partitioned write/read
     // roundtrip in the Spark query was lossless and the pruned scan complete.
     "q_parquet_partitioned" ->

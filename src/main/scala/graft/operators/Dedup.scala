@@ -67,6 +67,22 @@ object Dedup {
       count_distinct(ks.head, ks.tail: _*).as("n_distinct"))
   }
 
+  /** Incremental dedup: keep only rows of `newBatch` whose `key` does NOT
+    * already occur in `corpus` — the "dedupe the incoming crawl against the
+    * existing 100 TB corpus" shape (reference analog: re-running
+    * soulutionOne.py:41's distinct over old+new data; doing it incrementally
+    * touches only the new batch plus the corpus key column).
+    *
+    * Plans as LEFT ANTI join on `key`: the corpus side is pruned to the one
+    * key column at the scan (column pruning), then both sides shuffle on
+    * `key` — or, when the batch of new keys is small enough, AQE converts it
+    * to a broadcast anti join. No distinct() on the corpus side: the anti
+    * join's build table dedupes keys implicitly, and an explicit distinct
+    * would add a whole extra shuffle.
+    */
+  def incremental(newBatch: DataFrame, corpus: DataFrame, key: String): DataFrame =
+    newBatch.join(corpus.select(key), Seq(key), "left_anti")
+
   /** P1 (soulutionOne.py:44): surrogate key via monotonically_increasing_id.
     * Values are partition-encoded (not consecutive) and nondeterministic
     * across runs — never compare them by value; `q_surrogate_id` asserts

@@ -58,6 +58,17 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("k1" -> 2L, "k2" -> 4L))
   }
 
+  test("incremental dedup keeps only keys absent from the corpus") {
+    val corpus = Seq(("a", 1L), ("b", 2L)).toDF("fp", "old_id")
+    val batch  = Seq(("b", 10L), ("c", 11L), ("c", 12L), ("d", 13L))
+      .toDF("fp", "doc_id")
+    val out = Dedup.incremental(batch, corpus, "fp")
+    assert(out.columns.toSet == Set("fp", "doc_id"))
+    // 'b' is in the corpus; both 'c' rows survive (batch-internal dups are
+    // a separate concern for Dedup.exact), and 'd' survives
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L, 13L))
+  }
+
   test("stats reports before/after counts") {
     val r = Dedup.stats(cp, Seq("name", "iban")).collect().head
     assert(r.getLong(0) == 5 && r.getLong(1) == 3)
