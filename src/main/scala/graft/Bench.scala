@@ -20,6 +20,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Round-4 postmortem: the official bench died mid-run with
+      // temp_shuffle files vanishing under a shared /tmp/spark-local
+      // (external cleanup), taking the executor down with exit 56. Keep
+      // shuffle/block storage under a directory this process owns.
+      .config("spark.local.dir", GraftLocalDir.path)
+      // The official bench runs on a loaded box (20-40x local wall time
+      // observed); don't let a long GC pause read as a dead executor.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A typo'd query name must not read as a perfect fast run: names that

@@ -1,0 +1,34 @@
+package graft
+
+/** Repo-owned Spark scratch directory.
+  *
+  * Spark's default local dir is java.io.tmpdir (or whatever the launcher
+  * points it at): a SHARED /tmp location an external cleaner may sweep
+  * while a run is in flight. Round 4's official bench died exactly that
+  * way — blockmgr temp_shuffle files disappeared mid-stage and the
+  * executor self-terminated (exit 56). Every graft main/test session
+  * instead uses a per-process directory under the build's target/, which
+  * nothing else touches; it is deleted on clean JVM exit (Spark already
+  * deletes its own blockmgr-* subdirs, this removes the parent too).
+  *
+  * NOTE: SPARK_LOCAL_DIRS in the environment would still override
+  * spark.local.dir (Spark reads the env var first); there is no in-JVM
+  * way around that, but the observed failure came from the tmpdir path.
+  */
+object GraftLocalDir {
+  lazy val path: String = {
+    val base = new java.io.File("target/spark-local")
+    base.mkdirs()
+    val dir = java.io.File.createTempFile("run-", "", base)
+    dir.delete()
+    dir.mkdirs()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+    dir.getAbsolutePath
+  }
+}

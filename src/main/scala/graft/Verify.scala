@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same scratch-dir + loaded-box hardening as Bench (see
+      // GraftLocalDir: round-4 official bench lost /tmp/spark-local
+      // mid-run).
+      .config("spark.local.dir", GraftLocalDir.path)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Repo-owned scratch dir — see GraftLocalDir (shared /tmp was
+      // swept mid-run during the round-4 official bench).
+      .config("spark.local.dir", GraftLocalDir.path)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
