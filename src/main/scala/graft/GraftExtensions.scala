@@ -19,25 +19,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.roSimilarityDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[graft] val roSimilarityDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("ro_similarity"),
-    new ExpressionInfo(classOf[RatcliffObershelpSimilarity].getName, "ro_similarity"),
-    (args: Seq[Expression]) => {
-      require(args.length == 2, "ro_similarity expects exactly 2 arguments")
-      RatcliffObershelpSimilarity(args(0), args(1))
-    })
+  private[graft] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("ro_similarity"),
+      new ExpressionInfo(classOf[RatcliffObershelpSimilarity].getName, "ro_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ro_similarity expects exactly 2 arguments")
+        RatcliffObershelpSimilarity(args(0), args(1))
+      }),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product expects exactly 2 arguments")
+        graft.functions.DotProduct(args(0), args(1))
+      }))
 }
 
 object Graft {
   /** Register graft SQL functions on a live session. */
-  def registerFunctions(spark: SparkSession): Unit = {
-    val (_, _, builder) = GraftExtensions.roSimilarityDescriptor
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("ro_similarity", builder, "built-in")
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
 }

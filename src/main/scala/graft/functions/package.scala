@@ -19,6 +19,16 @@ package object functions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Sequential-fold dot product of two `array<double>` columns — the ANN
+    * scorer's kernel as a native codegen expression (see [[DotProduct]]);
+    * bit-identical to the `aggregate(zip_with(...))` fold it replaces.
+    */
+  def dot_product(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
     * lexicographic min of two strings as the cluster representative. A
     * Python UDF in the reference; Spark's built-in codegen'd `least` here.

@@ -34,17 +34,21 @@ object Ann {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product — a native codegen kernel
+    * ([[graft.functions.DotProduct]]), bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces (same left-fold order,
+    * same IEEE doubles), so oracle hash-parity is preserved while the
+    * O(|Q|·N·d) scorer stays inside WholeStageCodegen instead of an
+    * interpreted higher-order-function fallback.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.dot_product(a, b)
 
   /** Adds emb_d (double array) and norm columns. */
   def withNorm(df: DataFrame, embCol: String): DataFrame = {
     val d = toDouble(col(embCol))
     df.withColumn("emb_d", d)
-      .withColumn("norm", sqrt(aggregate(
-        zip_with(col("emb_d"), col("emb_d"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("norm", sqrt(dot(col("emb_d"), col("emb_d"))))
   }
 
   /** Exact cosine top-k: for each query vector (filter on the id column),
