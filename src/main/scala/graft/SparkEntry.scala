@@ -127,7 +127,9 @@ object SparkEntry {
     // DuckDB oracle = recursive-CTE transitive closure.
     "q_cluster_cc" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      val edges = EditDistanceJoin.pairs(c, "c_custkey", "c_name", 1)
+      // idPairs, not pairs: CC wants an undirected edge list, so the key
+      // re-attach and directed/reflexive expansion would be pure waste.
+      val edges = EditDistanceJoin.idPairs(c, "c_custkey", "c_name", 1)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       ConnectedComponents.run(c.select(col("c_custkey").as("id")), edges)
         .select(col("id").as("c_custkey"), col("component"))
@@ -181,6 +183,41 @@ object SparkEntry {
     // ---- Content fingerprint groups: md5-of-normalized-text dedup.
     "q_fingerprint_groups" -> ((s, dir) =>
       TextOps.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- TF-IDF top terms per doc (rational idf for engine-exact FP —
+    // see TfIdf Scaladoc; ranking unchanged vs ln-idf).
+    "q_tfidf_top" -> ((s, dir) =>
+      TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // ---- Deterministic hash-threshold sample (~20% of docs): pure
+    // projection+filter, no shuffle — the scan-speed sampling path.
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir), "doc_id", 200)
+        .select("doc_id", "lang", "source")),
+
+    // ---- Stratified exact-quota sample: 50 docs per language, selected
+    // by deterministic (md5-hash, id) order — a reproducible reservoir.
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedQuota(Tables.documents(s, dir), "lang", "doc_id", 50)
+        .select("doc_id", "lang", "sample_rank")),
+
+    // ---- PII scrub: URLs/emails/long digit runs redacted with typed
+    // placeholders + pre-scrub match counts. Run over a composite with
+    // real digit runs (the 9-digit customer-name suffix); URL/email
+    // behavior is spec-covered on synthetic rows. Pure regexp projection.
+    "q_pii_scrub" -> ((s, dir) =>
+      TextOps.piiCounts(
+        Tables.customer(s, dir).select(col("c_custkey"),
+          concat_ws(" ", col("c_name"), col("c_mktsegment")).as("blob")),
+        "c_custkey", "blob")),
+
+    // ---- Sequence packing: documents laid end-to-end per source shard
+    // (concatenate-then-split model), each doc's start offset and
+    // capacity-512 sequence index. Prefix sum per shard — parallel across
+    // shards, the production packing layout.
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.pack(Tables.documents(s, dir), "doc_id", "text", "source", 512)),
 
     // ---- Winnowing fingerprints (Schleimer+ SIGMOD'03): per-doc selected
     // rolling-hash minima — the local/containment complement to whole-doc
@@ -572,6 +609,51 @@ object SparkEntry {
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
         "count(*) AS n_docs, min(doc_id) AS canonical_id " +
         "FROM documents GROUP BY 1"),
+    // Rational idf (n+1)/(df+1): every op (BIGINT->DOUBLE widen, one add,
+    // one divide, one multiply) is correctly rounded IEEE on both engines,
+    // so scores hash-match bit-for-bit — see TfIdf Scaladoc.
+    "q_tfidf_top" ->
+      ("WITH t2 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf), " +
+        "dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1) " +
+        "SELECT doc_id, term, tf, score, rank FROM " +
+        "(SELECT tf.doc_id, tf.term, tf.tf, " +
+        "tf.tf * ((nd.n + 1.0) / (dfq.dfreq + 1.0)) AS score, " +
+        "CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY " +
+        "tf.tf * ((nd.n + 1.0) / (dfq.dfreq + 1.0)) DESC, tf.term) AS BIGINT) AS rank " +
+        "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd) " +
+        "WHERE rank <= 3"),
+    "q_sample_hash" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000 < 200"),
+    "q_sample_stratified" ->
+      ("SELECT doc_id, lang, sample_rank FROM " +
+        "(SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang " +
+        s"ORDER BY ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)}, doc_id) AS BIGINT) " +
+        "AS sample_rank FROM documents) WHERE sample_rank <= 50"),
+    "q_pii_scrub" -> {
+      val (u, e, n) = (TextOps.UrlPattern, TextOps.EmailPattern,
+        TextOps.NumberRunPattern)
+      "WITH blob AS (SELECT c_custkey, " +
+        "c_name || ' ' || c_mktsegment AS b FROM customer) " +
+        "SELECT c_custkey, " +
+        s"regexp_replace(regexp_replace(regexp_replace(b, '$u', '<URL>', 'g'), " +
+        s"'$e', '<EMAIL>', 'g'), '$n', '<NUM>', 'g') AS scrubbed, " +
+        s"len(regexp_extract_all(b, '$u')) AS n_urls, " +
+        s"len(regexp_extract_all(b, '$e')) AS n_emails, " +
+        s"len(regexp_extract_all(b, '$n')) AS n_num_runs " +
+        "FROM blob"
+    },
+    "q_pack_sequences" ->
+      ("SELECT doc_id, source, n_tokens, start_offset, " +
+        "CAST(floor(start_offset / 512) AS BIGINT) AS seq_index FROM " +
+        "(SELECT doc_id, source, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens " +
+        "AS start_offset FROM " +
+        s"(SELECT doc_id, source, $sqlTokenCount AS n_tokens FROM documents))"),
     "q_winnow_fp" ->
       (s"WITH $sqlWinnowCte SELECT doc_id, fp FROM wfp"),
     "q_winnow_pairs" ->

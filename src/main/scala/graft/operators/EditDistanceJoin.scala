@@ -118,6 +118,15 @@ object EditDistanceJoin {
     base.filter(col("key").isNotNull)
       .select(col("id").as("id_a"), col("id").as("id_b"))
 
+  /** Undirected verified id pairs (id_a < id_b) with lev <= maxDist — the
+    * edge-list form for graph consumers ([[ConnectedComponents]]): skips
+    * the key re-attach joins and the directed/reflexive expansion that
+    * [[pairs]] performs, none of which an undirected edge list needs.
+    */
+  def idPairs(df: DataFrame, idCol: String, keyCol: String,
+              maxDist: Int): DataFrame =
+    halfIdPairs(df.select(col(idCol).as("id"), col(keyCol).as("key")), maxDist)
+
   /** Matched pairs (id_a, key_a, id_b, key_b) with lev(key_a, key_b) <= maxDist.
     * Reflexive pairs included unless includeSelf=false (then id_a != id_b).
     * `df` must have unique values in idCol.
