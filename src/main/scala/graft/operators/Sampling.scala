@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.md5hash60
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing (north-star scope: every
+  * LLM pipeline downsamples/upweights corpus strata — by language, source,
+  * quality band — and the sample must be REPRODUCIBLE across reruns and
+  * engines, which `rand()` is not).
+  *
+  * Both operators key the decision on [[md5hash60]] of the row id — a pure
+  * engine-portable function of the data, so the same row is selected on
+  * every run, on any cluster layout, and in the DuckDB oracle.
+  */
+object Sampling {
+
+  /** Hash-threshold sample: keeps rows with md5hash60(id) mod 1000 <
+    * perMille. A PURE PROJECTION + FILTER — no shuffle, no state,
+    * scan-speed at 100 TB, and composable (sampling by 200‰ then 500‰
+    * selects a nested 100‰ subset only if seeds differ — pass `seed` to
+    * decorrelate stages). Expected fraction perMille/1000 per stratum;
+    * exact size is binomial, which is what production pipelines accept in
+    * exchange for never shuffling.
+    */
+  def hashSample(df: DataFrame, idCol: String, perMille: Int,
+                 seed: Int = 0): DataFrame =
+    df.filter(pmod(md5hash60(col(idCol).cast("string"), seed), lit(1000L)) < perMille)
+
+  /** Stratified EXACT-quota sample: per stratum, the `quota` rows with the
+    * smallest (hash, id) — a deterministic reservoir. Needs one shuffle on
+    * the stratum key plus a bounded per-stratum sort; strata counts are
+    * usually few and fat, so AQE's skew split keeps partitions balanced.
+    * When exactness is not required, [[hashSample]] is the cheaper path.
+    */
+  def stratifiedQuota(df: DataFrame, strataCol: String, idCol: String,
+                      quota: Int, seed: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5hash60(col(idCol).cast("string"), seed), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= quota)
+  }
+}

@@ -151,6 +151,43 @@ object TextOps {
       topCount(bigrams(t)).as("top_bigram_n"))
   }
 
+  /** PII scrub patterns — restricted to constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+    * bounded/unbounded counted repetition, alternation. No lookaround, no
+    * backreferences. Replacement order matters: URLs first (they may
+    * embed '@' and digits), then emails, then digit runs.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Digit runs of >= 7 chars allowing space/dash separators (phone
+    * numbers, account ids, card numbers).
+    */
+  val NumberRunPattern = "[0-9][0-9 -]{5,}[0-9]"
+
+  /** Redacts URLs, emails, and long digit runs with typed placeholder
+    * tokens — the standard pre-training PII/noise scrub. A pure codegen
+    * regexp projection: no shuffle, scan-speed at 100 TB.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      NumberRunPattern, "<NUM>")
+
+  /** Pre-scrub match counts, for audit/reporting alongside [[scrubPii]]. */
+  def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      scrubPii(col(textCol)).as("scrubbed"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(NumberRunPattern), lit(0)))
+        .cast("long").as("n_num_runs"))
+
   /** Full per-document stats projection. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Packing, Sampling, TextOps, TfIdf}
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b a c", "s1"),
+    (2L, "b b d", "s1"),
+    (3L, "a d d d", "s1"),
+    (4L, "", "s2"),
+    (5L, "e e e e e", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("tf-idf: scores and deterministic ranks on a hand corpus") {
+    // 4 docs with tokens; df: a=2, b=2, c=1, d=2, e=1; idf = (4+1)/(df+1)
+    val out = TfIdf.topTerms(docs, "doc_id", "text", 2)
+      .orderBy("id", "rank").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // doc 1: a tf=2 idf=5/3 -> 10/3; b tf=1 idf=5/3; c tf=1 idf=5/2
+    val d1 = byDoc(1L).map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(d1.head == ("a", 2L, 2 * (5.0 / 3.0)))
+    assert(d1(1) == ("c", 1L, 5.0 / 2.0)) // 2.5 > 5/3: c outranks b
+    // doc 5: only term e, tf=5, idf=5/2 -> one row despite k=2
+    assert(byDoc(5L).map(_.getString(1)).toSeq == Seq("e"))
+    // doc 4 has no tokens -> no rows
+    assert(!byDoc.contains(4L))
+    // every rank sequence starts at 1 and is dense
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("hash sample: deterministic, nested across rates, roughly proportional") {
+    val d = Tables.documents(spark, sf0001).select("doc_id")
+    val n = d.count()
+    val s20 = Sampling.hashSample(d, "doc_id", 200).as[Long].collect().toSet
+    val s50 = Sampling.hashSample(d, "doc_id", 500).as[Long].collect().toSet
+    // same seed => thresholds nest; rerun => identical
+    assert(s20.subsetOf(s50))
+    assert(Sampling.hashSample(d, "doc_id", 200).as[Long].collect().toSet == s20)
+    // binomial(n, 0.2): allow a wide band
+    assert(s20.size > n * 0.1 && s20.size < n * 0.3, s"got ${s20.size} of $n")
+    // a different seed decorrelates the selection
+    val s20b = Sampling.hashSample(d, "doc_id", 200, seed = 7).as[Long].collect().toSet
+    assert(s20b != s20)
+  }
+
+  test("stratified quota: exact per-stratum sizes, deterministic membership") {
+    val d = Tables.documents(spark, sf0001)
+    val out = Sampling.stratifiedQuota(d, "lang", "doc_id", 5)
+    val sizes = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val langSizes = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    langSizes.foreach { case (l, total) =>
+      assert(sizes(l) == math.min(5L, total), s"stratum $l")
+    }
+    // deterministic across runs
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratifiedQuota(d, "lang", "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("packing: per-shard prefix offsets and capacity-4 sequence indexes") {
+    val out = Packing.pack(docs, "doc_id", "text", "source", 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "seq_index")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, 0L),   // s1 stream: [0,4) -> seq 0
+      (2L, 3L, 4L, 1L),   //            [4,7) -> starts in seq 1
+      (3L, 4L, 7L, 1L),   //            [7,11) -> starts in seq 1
+      (4L, 0L, 0L, 0L),   // s2 stream: empty doc occupies nothing
+      (5L, 5L, 0L, 0L)))
+  }
+
+  test("pii scrub: urls, emails, digit runs replaced; counts pre-scrub") {
+    val rows = Seq(
+      (1L, "mail me@example.com or visit https://x.io/a?b=1 now"),
+      (2L, "call 25-989-741-2988 or 555 123 4567 today"),
+      (3L, "clean text, nothing to scrub")
+    ).toDF("id", "t")
+    val out = TextOps.piiCounts(rows, "id", "t")
+      .orderBy("id")
+      .select("scrubbed", "n_urls", "n_emails", "n_num_runs")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out(0) == (("mail <EMAIL> or visit <URL> now", 1L, 1L, 0L)))
+    assert(out(1) == (("call <NUM> or <NUM> today", 0L, 0L, 2L)))
+    assert(out(2) == (("clean text, nothing to scrub", 0L, 0L, 0L)))
+  }
+
+  test("scrub stays whole-stage codegen (no eval-fallback operators)") {
+    val plan = TextOps.piiCounts(Tables.documents(spark, sf0001), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    assert(!plan.contains("BatchEvalPython"), plan.take(500))
+  }
+}
