@@ -184,6 +184,14 @@ object SparkEntry {
     "q_fingerprint_groups" -> ((s, dir) =>
       TextOps.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- Sketch-based corpus profile per language: HLL distinct
+    // fingerprints + approx token quantiles — mergeable-sketch aggregates,
+    // the scan-plus-KBs profiling shape at 100 TB. Estimates are
+    // engine-specific -> rows-only check; accuracy vs exact is asserted
+    // in PipelineOpsSpec.
+    "q_corpus_stats" -> ((s, dir) =>
+      TextOps.corpusStats(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
     // ---- TF-IDF top terms per doc (rational idf for engine-exact FP —
     // see TfIdf Scaladoc; ranking unchanged vs ln-idf).
     "q_tfidf_top" -> ((s, dir) =>

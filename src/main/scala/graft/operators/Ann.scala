@@ -32,7 +32,12 @@ object Ann {
     */
   val LshBits = 8
 
-  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Elementwise float→double widening via the built-in array Cast (exact,
+    * and codegen'd — a `transform(_.cast)` HOF here would be
+    * CodegenFallback and break whole-stage codegen for every projection
+    * it collapses into).
+    */
+  private def toDouble(c: Column): Column = c.cast("array<double>")
 
   /** Sequential-fold dot product — a native codegen kernel
     * ([[graft.functions.DotProduct]]), bit-identical to the

@@ -206,4 +206,28 @@ object TextOps {
     df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** Sketch-based corpus profile per stratum: doc count, HyperLogLog++
+    * estimate of distinct content fingerprints (the dedup-rate probe), and
+    * approximate token-count quantiles (p50/p95).
+    *
+    * This is the 100 TB profiling shape: HLL and the quantile sketch are
+    * MERGEABLE partial aggregates — constant per-partition state combined
+    * on the reducer — so the profile costs one scan plus a few KB of
+    * shuffle per stratum, where the exact forms (count_distinct over
+    * fingerprints, exact percentile over all token counts) would shuffle
+    * every row's value. Estimates are engine-specific by construction
+    * (no DuckDB oracle); accuracy bounds vs the exact answers are
+    * asserted in PipelineOpsSpec.
+    */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String,
+                  strataCol: String): DataFrame =
+    df.select(col(strataCol), fingerprint(col(textCol)).as("fp"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("fp"), 0.02).as("approx_distinct_fp"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"))
 }

@@ -91,6 +91,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) == (("clean text, nothing to scrub", 0L, 0L, 0L)))
   }
 
+  test("corpus stats: sketch estimates track the exact answers") {
+    val d = Tables.documents(spark, sf0001)
+    val approx = TextOps.corpusStats(d, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = d.select(col("lang"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.tokenCount(col("text")).as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), count_distinct(col("fp")).as("nd"),
+        expr("percentile(n, 0.5)").as("p50"), expr("percentile(n, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (nDocs, nd, p50, p95)) =>
+      val (aDocs, aNd, aP50, aP95) = approx(lang)
+      assert(aDocs == nDocs, s"$lang doc count")
+      // HLL at rsd=0.02: allow 5%
+      assert(math.abs(aNd - nd) <= math.max(1L, (nd * 0.05).toLong), s"$lang hll")
+      // percentile_approx with accuracy 10000 on small strata is near-exact;
+      // exact percentile interpolates, so allow off-by-one-value
+      assert(math.abs(aP50 - p50) <= 1.0, s"$lang p50: $aP50 vs $p50")
+      assert(math.abs(aP95 - p95) <= 1.0, s"$lang p95: $aP95 vs $p95")
+    }
+  }
+
+  test("dot_product: parity with the HOF fold, null and length semantics") {
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),      // 32.0
+      (2L, Seq(0.1, 0.2), Seq(0.3, 0.7)),                 // fold order matters
+      (3L, Seq(1.0), Seq(1.0, 2.0)),                      // length mismatch -> null
+      (4L, null, Seq(1.0)),                               // null array -> null
+      (5L, Seq(1e300, -1e300, 1.0), Seq(1e10, 1e10, 1.0)) // non-assoc fold check
+    ).toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val out = rows.select(col("id"),
+        graft.functions.dot_product(col("a"), col("b")).as("native"), hof.as("ref"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    out.foreach { case (id, (native, ref)) =>
+      // bit-pattern equality so NaN == NaN (row 5 overflows to inf + -inf)
+      assert(native.map(java.lang.Double.doubleToLongBits) ==
+        ref.map(java.lang.Double.doubleToLongBits),
+        s"row $id: native=$native hof=$ref")
+    }
+    assert(out(1L)._1.contains(32.0))
+    assert(out(3L)._1.isEmpty && out(4L)._1.isEmpty)
+  }
+
+  test("dot_product fuses into whole-stage codegen over a parquet scan") {
+    val e = Tables.embeddings(spark, sf0001)
+    val emb = col("embedding").cast("array<double>")
+    val plan = e.select(graft.functions.dot_product(emb, emb).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+  }
+
   test("scrub stays whole-stage codegen (no eval-fallback operators)") {
     val plan = TextOps.piiCounts(Tables.documents(spark, sf0001), "doc_id", "text")
       .queryExecution.executedPlan.toString
