@@ -29,6 +29,16 @@ package object functions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** All space-joined n-grams of consecutive elements of a string-array
+    * column — the shingling kernel as a native codegen expression (see
+    * [[WordNGrams]]); semantics identical to the transform/slice/concat_ws
+    * fold it replaces.
+    */
+  def word_ngrams(arr: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(arr), n))
+  }
+
   /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
     * lexicographic min of two strings as the cluster representative. A
     * Python UDF in the reference; Spark's built-in codegen'd `least` here.

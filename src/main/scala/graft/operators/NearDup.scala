@@ -30,11 +30,9 @@ object NearDup {
     * with fewer than n tokens produce no rows.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // word_ngrams is the native codegen kernel (fewer-than-n tokens ->
+    // empty array -> explode drops the doc, as before)
+    val grams = graft.functions.word_ngrams(TextOps.tokens(col(textCol)), n)
     df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
   }
 

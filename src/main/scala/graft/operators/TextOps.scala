@@ -133,11 +133,7 @@ object TextOps {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
-    def bigrams(arr: Column): Column =
-      when(size(arr) >= 2,
-        transform(sequence(lit(1), size(arr) - 1),
-          i => concat_ws(" ", slice(arr, i, lit(2)))))
-        .otherwise(array().cast("array<string>"))
+    def bigrams(arr: Column): Column = graft.functions.word_ngrams(arr, 2)
     def topCount(arr: Column): Column =
       coalesce(
         array_max(transform(array_distinct(arr),

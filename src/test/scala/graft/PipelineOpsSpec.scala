@@ -150,6 +150,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan.take(500))
   }
 
+  test("word_ngrams: parity with the HOF slice/concat_ws formulation") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]]),
+      (5L, Seq("only", "two"))
+    ).toDF("id", "t")
+    for (n <- 1 to 3) {
+      val hof = when(size(col("t")) >= n,
+        transform(sequence(lit(1), size(col("t")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val got = rows.select(col("id"),
+          graft.functions.word_ngrams(col("t"), n).as("native"), hof.as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.get(1) == r.get(2) ||
+          (r.isNullAt(1) && r.isNullAt(3 - 2)), s"n=$n id=${r.getLong(0)}: " +
+          s"${r.get(1)} vs ${r.get(2)}")
+      }
+    }
+    // null array: HOF's `when` yields empty (size(null) is null -> otherwise
+    // branch), native is null-intolerant -> documented difference, and the
+    // only one: shingles() never feeds it a null (split never returns null).
+    val nullRow = rows.filter(col("t").isNull)
+      .select(graft.functions.word_ngrams(col("t"), 2)).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("scrub stays whole-stage codegen (no eval-fallback operators)") {
     val plan = TextOps.piiCounts(Tables.documents(spark, sf0001), "doc_id", "text")
       .queryExecution.executedPlan.toString
