@@ -346,6 +346,13 @@ object SparkEntry {
     // ---- Events: gap-based sessionization (30 min).
     "q_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
 
+    // ---- Salted two-stage distinct: per event_type distinct users with
+    // the hot-key-proof (key, hash(value) mod 16) pre-aggregation —
+    // exact-equivalent to plain count_distinct (oracle) while spreading
+    // each key's distinct work over 16 reducers.
+    "q_salted_distinct" -> ((s, dir) =>
+      Skew.saltedCountDistinct(Tables.events(s, dir), "event_type", "user_id", 16)),
+
     // ---- As-of join (point-in-time): each view event attached to the
     // user's most recent purchase at-or-before it — union-and-sweep (one
     // shuffle on user_id + in-partition sort), never a per-key cartesian.
@@ -471,6 +478,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
           min(unix_micros(col("ts"))).as("first_us"))
+    }),
+
+    // ---- JSON-lines roundtrip: write documents as JSON, read back both
+    // inferred and explicit-schema, aggregate the explicit-schema read.
+    // Oracle = the same aggregate over the parquet table: any value
+    // mangled by the JSON write/read breaks the hash match (the inferred
+    // read feeds a row-count column, proving that surface scanned all
+    // rows too).
+    "q_json_roundtrip" -> ((s, dir) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_json_rt")
+      cleanupAtExit(tmpPath)
+      val out = s"${tmpPath.toString}/docs"
+      val docs = Tables.documents(s, dir)
+      sources.Json.write(docs, out)
+      val nInferred = sources.Json.readInferred(s, out).count()
+      sources.Json.readWithSchema(s, out, docs.schema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          count_distinct(col("text")).as("n_texts"))
+        .withColumn("n_inferred", lit(nInferred))
     }),
 
     // ---- S1-S4/K1-K2/F6 end-to-end: write customer to CSV (single-file
@@ -803,6 +832,9 @@ object SparkEntry {
         "SELECT user_id, session_id, count(*) AS n_events, " +
         "min(us) AS session_start_us, max(us) AS session_end_us " +
         "FROM s GROUP BY 1, 2"),
+    "q_salted_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_distinct " +
+        "FROM events GROUP BY event_type"),
     "q_star_join" ->
       ("SELECT n_name, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
@@ -842,6 +874,14 @@ object SparkEntry {
         "(SELECT count(*) FROM customer) AS n_format, " +
         "(SELECT count(*) FROM customer) AS n_glob " +
         "FROM customer GROUP BY c_mktsegment"),
+    // Aggregate over the parquet table directly: equality proves the JSON
+    // write/read roundtrip in the Spark query was lossless.
+    "q_json_roundtrip" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc, " +
+        "count(DISTINCT text) AS n_texts, " +
+        "(SELECT count(*) FROM documents) AS n_inferred " +
+        "FROM documents GROUP BY lang"),
     "q_embed_dup_pairs" ->
       (s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings) " +
         "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

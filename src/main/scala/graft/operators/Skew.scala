@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-mitigation operators (100 TB posture). AQE's skew-join
+  * split and the doc-frequency guards in [[NearDup]]/[[Winnow]] cover the
+  * join side; this covers the AGGREGATION side, where a hot group key
+  * funnels one reducer.
+  *
+  * The problem case is distinct-style aggregation: plain `count_distinct`
+  * cannot map-side combine (every distinct value must reach the reducer
+  * owning its group), so one hot key — a bot user, an empty-string
+  * default, a boilerplate fingerprint — ships ALL of its values to one
+  * task. Salting splits each group into `salts` sub-groups BY VALUE HASH,
+  * so distinct work spreads over `salts` reducers and the final
+  * recombination is a tiny exact merge (value-hash partitioning means a
+  * value appears in exactly one sub-group — partial distinct counts are
+  * disjoint and SUM to the exact answer).
+  */
+object Skew {
+
+  /** Exact per-key distinct-value counts with two-stage salted
+    * aggregation: stage 1 groups by (key, hash(value) mod salts) and
+    * counts distinct within the sub-group (parallel across `salts` tasks
+    * even for one hot key); stage 2 sums the disjoint partials per key.
+    * Result is EXACTLY `groupBy(key).agg(count_distinct(value))` for any
+    * salts >= 1 (null values are excluded, matching count_distinct).
+    */
+  def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
+                          salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    df.select(col(keyCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), pmod(xxhash64(col(valueCol)), lit(salts.toLong)).as("__salt"))
+      .agg(count_distinct(col(valueCol)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("n_distinct"))
+  }
+}

@@ -180,6 +180,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("salted count-distinct equals plain count_distinct for any salts") {
+    val e = Tables.events(spark, sf0001)
+    val exact = e.filter(col("user_id").isNotNull)
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    for (salts <- Seq(1, 3, 16)) {
+      val got = operators.Skew.saltedCountDistinct(e, "event_type", "user_id", salts)
+        .as[(String, Long)].collect().toMap
+      assert(got == exact, s"salts=$salts")
+    }
+    // nulls excluded, matching count_distinct
+    val withNulls = Seq(("a", java.lang.Long.valueOf(1L)),
+      ("a", null.asInstanceOf[java.lang.Long]), ("a", java.lang.Long.valueOf(1L)))
+      .toDF("k", "v")
+    assert(operators.Skew.saltedCountDistinct(withNulls, "k", "v", 4)
+      .as[(String, Long)].collect().toSeq == Seq(("a", 1L)))
+  }
+
+  test("json roundtrip: write + schema read is lossless on documents") {
+    val d = Tables.documents(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_spec")
+    try {
+      sources.Json.write(d, s"$tmp/docs")
+      val back = sources.Json.readWithSchema(spark, s"$tmp/docs", d.schema)
+      assert(back.schema == d.schema)
+      val a = d.collect().map(_.toSeq).toSet
+      val b = back.collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using(java.nio.file.Files.walk(tmp)) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("scrub stays whole-stage codegen (no eval-fallback operators)") {
     val plan = TextOps.piiCounts(Tables.documents(spark, sf0001), "doc_id", "text")
       .queryExecution.executedPlan.toString
