@@ -83,6 +83,22 @@ object Dedup {
   def incremental(newBatch: DataFrame, corpus: DataFrame, key: String): DataFrame =
     newBatch.join(corpus.select(key), Seq(key), "left_anti")
 
+  /** Streaming twin of content-fingerprint dedup ([[TextOps.fingerprintGroups]]
+    * collapsed to survivors): first-ARRIVAL document per md5-of-normalized-
+    * text fingerprint, with BOUNDED state — dropDuplicatesWithinWatermark
+    * evicts a fingerprint's state once the watermark passes, so a
+    * continuously-ingesting corpus holds O(fingerprints per watermark
+    * window) state, not O(all fingerprints ever) as plain dropDuplicates
+    * would. The survivor is arrival-order-dependent (like the reference's
+    * dropDuplicates); the batch canonical form pins min-id instead, so the
+    * spec asserts fingerprint-set equality, not survivor identity.
+    */
+  def byFingerprintStream(docs: DataFrame, textCol: String, tsCol: String,
+                          watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** P1 (soulutionOne.py:44): surrogate key via monotonically_increasing_id.
     * Values are partition-encoded (not consecutive) and nondeterministic
     * across runs — never compare them by value; `q_surrogate_id` asserts

@@ -217,6 +217,83 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("property: word_ngrams kernel equals sliding-window join") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val genTok = Gen.oneOf("a", "bb", "c", "", "d e", "😀")
+    val prop = forAll(Gen.listOf(genTok), Gen.choose(1, 4)) { (toks, n) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = graft.functions.WordNGrams.compute(arr, n)
+      val exp =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      Prop(got.numElements() == exp.length &&
+        (0 until got.numElements()).forall(i =>
+          got.getUTF8String(i).toString == exp(i)))
+        .label(s"toks=$toks n=$n")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: DotProduct eval is the bit-exact sequential fold") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val genD = Gen.oneOf(Gen.choose(-1e3, 1e3), Gen.oneOf(0.0, -0.0, 1e300,
+      -1e300, Double.MinPositiveValue, Double.NaN))
+    val prop = forAll(Gen.choose(0, 8).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, genD), Gen.listOfN(n, genD)))) { case (a, b) =>
+      val e = graft.functions.DotProduct(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType)))
+      var s = 0.0
+      a.indices.foreach(i => s += a(i) * b(i))
+      val got = e.eval(null).asInstanceOf[Double]
+      Prop(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(s)).label(s"a=$a b=$b got=$got exp=$s")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("streaming fingerprint dedup matches batch fingerprint set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = operators.Dedup.byFingerprintStream(
+        ms.toDS().toDF("doc_id", "text", "ts"), "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fp_dedup").start()
+    try {
+      // batch 1: "hello  WORLD" and "Hello world" normalize identically
+      ms.addData((1L, "hello  WORLD", ts("2026-01-01 10:00:00")),
+                 (2L, "Hello world", ts("2026-01-01 10:00:05")),
+                 (3L, "something else", ts("2026-01-01 10:00:10")))
+      q.processAllAvailable()
+      // batch 2: a repeat within the watermark window is dropped; new text kept
+      ms.addData((4L, "hello world", ts("2026-01-01 10:30:00")),
+                 (5L, "brand new", ts("2026-01-01 10:30:01")))
+      q.processAllAvailable()
+      val emitted = spark.table("fp_dedup").select("doc_id", "fp")
+        .as[(Long, String)].collect()
+      // one survivor per distinct fingerprint, and it is a first arrival
+      val batchFps = Seq("hello  WORLD", "something else", "brand new")
+        .toDF("text").select(TextOps.fingerprint(col("text"))).as[String]
+        .collect().toSet
+      assert(emitted.map(_._2).toSet == batchFps)
+      assert(emitted.length == batchFps.size)
+      assert(!emitted.map(_._1).contains(4L), "duplicate doc 4 leaked through")
+    } finally q.stop()
+  }
+
   test("scrub stays whole-stage codegen (no eval-fallback operators)") {
     val plan = TextOps.piiCounts(Tables.documents(spark, sf0001), "doc_id", "text")
       .queryExecution.executedPlan.toString
