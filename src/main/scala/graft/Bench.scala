@@ -31,6 +31,7 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.enableOptimizations(spark)
     // A typo'd query name must not read as a perfect fast run: names that
     // match nothing are reported and fail the bench.
     val unknown = args.filterNot(SparkEntry.queries.keySet)

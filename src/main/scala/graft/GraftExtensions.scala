@@ -18,8 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - [[Graft.registerFunctions]] for an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RoSimilarityBound)
+  }
 }
 
 object GraftExtensions {
@@ -46,4 +48,12 @@ object Graft {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
+
+  /** Add graft's optimizer rules ([[graft.plans.RoSimilarityBound]]) to a
+    * live session. Idempotent.
+    */
+  def enableOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RoSimilarityBound))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RoSimilarityBound
 }

@@ -294,6 +294,48 @@ class PipelineOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: real_quick_ratio bound always dominates ro similarity") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val genS = Gen.listOf(Gen.oneOf("a", "b", "c", "xy", "😀", "")).map(_.mkString)
+    val prop = forAll(genS, genS) { (a, b) =>
+      // the bound expression's exact FP op order (see RoSimilarityBound)
+      val la = a.codePointCount(0, a.length).toDouble
+      val lb = b.codePointCount(0, b.length).toDouble
+      val bound = 2.0 * math.min(la, lb) / (la + lb) * 100.0
+      val sim = graft.functions.RatcliffObershelp.similarity(a, b)
+      // NaN bound (both empty) is ordered above everything by Spark —
+      // treat as pass-through here
+      Prop(bound.isNaN || bound >= sim).label(s"a='$a' b='$b' bound=$bound sim=$sim")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("RoSimilarityBound rewrites threshold predicates, preserving results") {
+    val rows = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamm"), (3L, "x"),
+      (4L, "alpha beta"), (5L, "completely different string here")
+    ).toDF("id", "key")
+    val q = rows.as("a").join(rows.as("b"),
+        graft.functions.string_similarity(col("a.key"), col("b.key")) >= 80.0 &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // the optimized plan carries the cheap length-bound conjunct
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("length("), opt.take(800))
+    // and results equal the unguarded evaluation (rule disabled via a
+    // session clone would be heavyweight; assert against scalar recompute)
+    val got = q.as[(Long, Long)].collect().toSet
+    val keys = rows.as[(Long, String)].collect()
+    val exp = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys
+      if ia < ib && graft.functions.RatcliffObershelp.similarity(ka, kb) >= 80.0
+    } yield (ia, ib)).toSet
+    assert(got == exp)
+  }
+
   test("scrub stays whole-stage codegen (no eval-fallback operators)") {
     val plan = TextOps.piiCounts(Tables.documents(spark, sf0001), "doc_id", "text")
       .queryExecution.executedPlan.toString

@@ -17,6 +17,7 @@ object TestSpark {
       .config("spark.local.dir", GraftLocalDir.path)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Graft.enableOptimizations(s)
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
