@@ -145,23 +145,25 @@ object Ann {
       struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
     }: _*)
 
-    // Assignment is a PURE PROJECTION: fold the (small, literal) centroid
-    // array to the per-row argmax — highest score, first (lowest) cid on
-    // ties, matching the previous explode+row_number plan — instead of
-    // exploding corpus x nCells and shuffling through a window. Each Lloyd
-    // iteration (and the final cell labeling) thus costs zero exchanges on
-    // the corpus side; at 100 TB that removes 2 full-corpus shuffles per
-    // iteration.
+    // Assignment is a PURE PROJECTION: per-row argmax over the (small,
+    // literal) centroid set — highest score, lowest cid on ties — instead
+    // of exploding corpus x nCells and shuffling through a window. Each
+    // Lloyd iteration (and the final cell labeling) thus costs zero
+    // exchanges on the corpus side; at 100 TB that removes 2 full-corpus
+    // shuffles per iteration. The argmax is `greatest` over (score, -cid)
+    // structs — struct comparison is lexicographic and greatest is
+    // codegen'd, where the previous aggregate-over-array fold was a
+    // CodegenFallback HOF running interpreted per corpus row. (Degenerate
+    // all-NaN scores — a zero vector — pick cell 0 here vs the fold's -1
+    // sentinel; both are arbitrary, and no real embedding hits it.)
     def assigned(cs: Array[(Int, Seq[Double])]): DataFrame = {
-      val scored = transform(centLit(cs), c => struct(
-        (dot(col("emb_d"), c.getField("cv")) / col("norm")).as("score"),
-        c.getField("cid").as("cid")))
-      val best = aggregate(scored,
-        struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cid")),
-        (acc, s) => when(s.getField("score") > acc.getField("score"), s)
-          .otherwise(acc))
+      val scored = cs.map { case (cid, v) =>
+        struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm")).as("score"),
+          lit(-cid).as("ncid"))
+      }
+      val best = if (scored.length == 1) scored.head else greatest(scored: _*)
       corpus.withColumn("__b", best)
-        .select(col("vec_id"), col("__b.cid").as("cell"), col("emb_d"))
+        .select(col("vec_id"), (-col("__b.ncid")).as("cell"), col("emb_d"))
     }
 
     for (_ <- 1 to iters) {
