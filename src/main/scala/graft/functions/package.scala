@@ -39,6 +39,18 @@ package object functions {
     ColumnBridge.column(WordNGrams(ColumnBridge.expression(arr), n))
   }
 
+  /** Distinct winnowing-selected fingerprints of a token array — the
+    * whole per-document selection as one codegen kernel (see
+    * [[WinnowFingerprints]]); bit-identical to the md5hash60 → rolling
+    * k-gram → window-min HOF chain it replaces.
+    */
+  def winnow_fingerprints(toks: Column, k: Int, w: Int,
+                          base: Long, mod: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WinnowFingerprints(
+      ColumnBridge.expression(toks), k, w, base, mod))
+  }
+
   /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
     * lexicographic min of two strings as the cluster representative. A
     * Python UDF in the reference; Spark's built-in codegen'd `least` here.

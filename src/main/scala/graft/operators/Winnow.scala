@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.md5hash60
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -58,23 +57,17 @@ object Winnow {
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = GramTokens, w: Int = WindowGrams): DataFrame = {
+    // The whole selection (md5hash60 token hashes -> rolling k-gram fold
+    // -> window minima -> distinct) is one codegen kernel; the previous
+    // transform/aggregate HOF chain ran interpreted per document
+    // (graft.functions.WinnowFingerprints documents the bit-parity
+    // argument; WinnowSpec pins it against the HOF formulation).
     val toks = TextOps.tokens(lower(col(textCol)))
-    val base = df.select(col(idCol).as("id"), toks.as("t"))
+    df.select(col(idCol).as("id"), toks.as("t"))
       .filter(size(col("t")) >= k)
-    // th: per-token 60-bit hashes; hs: rolling k-gram hashes (the fold
-    // re-reads k tokens per gram — O(n*k) codegen'd work, same asymptotics
-    // as emitting the grams themselves)
-    val th = transform(col("t"), t => md5hash60(t))
-    val hs = transform(sequence(lit(1), size(col("th")) - lit(k - 1)),
-      i => aggregate(slice(col("th"), i, lit(k)), lit(0L),
-        (acc, x) => (acc * Base + x) % Mod))
-    // each w-window's minimum; fewer than w grams -> one global minimum
-    val fps = when(size(col("hs")) >= w,
-        transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
-          j => array_min(slice(col("hs"), j, lit(w)))))
-      .otherwise(array(array_min(col("hs"))))
-    base.withColumn("th", th).withColumn("hs", hs)
-      .select(col("id"), explode(array_distinct(fps)).as("fp"))
+      .select(col("id"),
+        explode(graft.functions.winnow_fingerprints(col("t"), k, w, Base, Mod))
+          .as("fp"))
   }
 
   /** Document pairs (id_a < id_b) sharing at least `minShared` selected

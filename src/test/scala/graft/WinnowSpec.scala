@@ -95,4 +95,28 @@ class WinnowSpec extends SparkSpec {
       maxDocFreq = Some(1.0)).count()
     assert(lax == unguarded)
   }
+
+  test("kernel fingerprints equal the HOF md5/rolling-hash formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.md5hash60
+    val (k, w) = (Winnow.GramTokens, Winnow.WindowGrams)
+    val d = Tables.documents(spark, sf0001)
+    val toks = operators.TextOps.tokens(lower(col("text")))
+    val base = d.select(col("doc_id").as("id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+    val th = transform(col("t"), t => md5hash60(t))
+    val hs = transform(sequence(lit(1), size(col("th")) - lit(k - 1)),
+      i => aggregate(slice(col("th"), i, lit(k)), lit(0L),
+        (acc, x) => (acc * Winnow.Base + x) % Winnow.Mod))
+    val fps = when(size(col("hs")) >= w,
+        transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
+          j => array_min(slice(col("hs"), j, lit(w)))))
+      .otherwise(array(array_min(col("hs"))))
+    val hof = base.withColumn("th", th).withColumn("hs", hs)
+      .select(col("id"), explode(array_distinct(fps)).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    val kernel = Winnow.fingerprints(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(kernel == hof)
+  }
 }
