@@ -438,6 +438,19 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n_orders"), col("revenue_cents"))),
 
+    // ---- CUBE: all four grouping sets of (status, priority) in one
+    // pass — same single-scan expand as ROLLUP, plus the priority-only
+    // subtotal a rollup omits.
+    "q_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue_cents"))),
+
     // ---- Filter/projection pushdown showcase: the predicate and the
     // 3-column projection both reach the parquet scan (PushedFilters +
     // pruned ReadSchema — verified by graft.tools.ExplainAll). At 100 TB
@@ -855,6 +868,12 @@ object SparkEntry {
         "count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+    "q_cube" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, " +
+        "count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
     "q_filter_pushdown" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'"),
