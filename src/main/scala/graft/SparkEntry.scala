@@ -158,6 +158,48 @@ object SparkEntry {
         .orderBy(col("quality").desc, col("doc_id"))
         .limit(20)),
 
+    // ---- Per-group top-k: best 3 documents by quality per source via
+    // row_number over a (source)-partitioned window — one shuffle on
+    // source, per-partition sort, early filter. (q_top_quality is the
+    // GLOBAL top-k / TakeOrderedAndProject shape; this is the grouped
+    // complement every per-domain curation pass needs.)
+    "q_topk_per_source" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // ---- Document chunking: fixed 400-char windows, stride 300 (100
+    // overlap) — sequence + posexplode + substr, pure codegen, no
+    // shuffle; the unit-of-work producer for Packing.pack.
+    "q_chunk_docs" -> ((s, dir) =>
+      Chunker.chunk(Tables.documents(s, dir), "doc_id", "text", 400, 300)),
+
+    // ---- Per-source quality-percentile filter ("keep each domain's top
+    // quartile"): exact P75 per source via the sort-based percentile
+    // aggregate (tiny result — one row per source), broadcast back onto
+    // the scan, filter strictly above. Two passes over the corpus, no
+    // wide shuffle of the data itself: the aggregate exchanges only
+    // per-source state and the threshold join is broadcast. The filtered
+    // projection never emits the threshold, so the result is robust to
+    // sub-ulp interpolation differences between engines (both thresholds
+    // land strictly between the same two adjacent quality values).
+    "q_quality_filter" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      val thresholds = scored.groupBy("source")
+        .agg(percentile(col("quality"), lit(0.75)).as("q75"))
+      scored.join(broadcast(thresholds), "source")
+        .filter(col("quality") > col("q75"))
+        .select(col("source"), col("doc_id"), col("quality"))
+    }),
+
     // ---- Token counting (north-star): whitespace tokens + the BPE-ish
     // regex pre-tokenizer count (TextOps.BpeTokenPattern; engine-parity
     // verified bit-for-bit) + the chars/4 estimate, per document.
@@ -245,6 +287,19 @@ object SparkEntry {
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Winnow.crossCorpusOverlapPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 2)
+    }),
+
+    // ---- Contamination scan, bloom-pruned: identical result (and
+    // oracle) to q_contamination, but train postings are filtered by a
+    // distributed-built Bloom sketch of the eval fingerprints BEFORE the
+    // shuffle — the train side is the 100 TB side, so the prune removes
+    // ~(1-fpp) of the join's shuffle I/O for mostly-disjoint corpora.
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Winnow.crossCorpusOverlapPairsBloomPruned(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", 2)
@@ -373,6 +428,15 @@ object SparkEntry {
           col("asof_ts_us"),
           (col("ts_us") - col("asof_ts_us")).as("gap_us"))
     }),
+
+    // ---- Bucketed time-range self-join: same-user event pairs within
+    // 10 min of each other. The naive |ta-tb| theta-join is a per-key
+    // cartesian; bucketing by window width turns it into a plain equi-join
+    // on (user_id, bucket) with a 3x exploded probe side — linear shuffle,
+    // AQE-skew-splittable, each pair emitted exactly once.
+    "q_range_join" -> ((s, dir) =>
+      RangeJoin.timeRangePairs(Tables.events(s, dir),
+        "user_id", "event_id", "ts", 600)),
 
     // ---- Events: deterministic dedup-by-key (batch twin of the bounded-
     // state streaming dedup, dropDuplicatesWithinWatermark — key-set
@@ -717,6 +781,44 @@ object SparkEntry {
         "FROM wfp a JOIN wfp b ON a.fp = b.fp " +
         "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    // Bloom pruning is result-invariant (no false negatives; false
+    // positives die in the exact join) — the oracle is IDENTICAL to
+    // q_contamination's.
+    "q_contamination_bloom" ->
+      (s"WITH $sqlWinnowCte " +
+        "SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS n_shared " +
+        "FROM wfp a JOIN wfp b ON a.fp = b.fp " +
+        "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    "q_range_join" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) " +
+        "SELECT a.user_id AS key, a.event_id AS id_a, b.event_id AS id_b, " +
+        "abs(a.us - b.us) AS gap_us " +
+        "FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id " +
+        "AND abs(a.us - b.us) <= 600000000"),
+    "q_chunk_docs" ->
+      ("WITH idx AS (SELECT doc_id, text, " +
+        "unnest(generate_series(0, CAST(greatest((length(text)-1)//300, 0) AS BIGINT))) AS i " +
+        "FROM documents) " +
+        "SELECT doc_id, i AS chunk_idx, " +
+        "substring(text, CAST(i*300+1 AS INT), 400) AS chunk, " +
+        "CAST(length(substring(text, CAST(i*300+1 AS INT), 400)) AS BIGINT) AS chunk_len " +
+        "FROM idx"),
+    "q_topk_per_source" ->
+      (s"WITH s AS ($sqlTextStats), " +
+        "j AS (SELECT d.source, s.doc_id, s.quality FROM s " +
+        "JOIN documents d ON s.doc_id = d.doc_id), " +
+        "r AS (SELECT source, doc_id, quality, row_number() OVER " +
+        "(PARTITION BY source ORDER BY quality DESC, doc_id) AS rk FROM j) " +
+        "SELECT source, doc_id, quality, rk FROM r WHERE rk <= 3"),
+    "q_quality_filter" ->
+      (s"WITH s AS ($sqlTextStats), " +
+        "j AS (SELECT d.source, s.doc_id, s.quality FROM s " +
+        "JOIN documents d ON s.doc_id = d.doc_id), " +
+        "t AS (SELECT source, quantile_cont(quality, 0.75) AS q75 " +
+        "FROM j GROUP BY source) " +
+        "SELECT j.source, j.doc_id, j.quality FROM j " +
+        "JOIN t ON j.source = t.source WHERE j.quality > t.q75"),
     "q_asof_join" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
         "l AS (SELECT event_id, user_id, us AS ts_us FROM e WHERE event_type = 'view'), " +

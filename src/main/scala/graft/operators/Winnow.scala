@@ -132,4 +132,44 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[crossCorpusOverlapPairs]] with a Bloom-filter prune on the train
+    * side — the asymmetry a real contamination scan has: train postings
+    * are the 100 TB side, eval suites are thousands of documents. Shipping
+    * every train posting into the shuffle to match a tiny eval set wastes
+    * the whole join's I/O; instead
+    *
+    *   1. build a Bloom filter over the eval fingerprints with Spark's
+    *      distributed sketch aggregate (`stat.bloomFilter` — treeAggregate
+    *      of fixed-size bitmaps; only the final ~MBs reach the driver);
+    *   2. broadcast it and filter train postings BEFORE the shuffle —
+    *      for disjoint corpora this drops ~(1 - fpp) of all train rows at
+    *      scan time;
+    *   3. run the exact equi-join on the survivors.
+    *
+    * False positives only let extra candidates through to the exact join;
+    * a Bloom filter has no false negatives, so the result is IDENTICAL to
+    * the unpruned operator (same DuckDB oracle, q_contamination_bloom).
+    * This is the manual form of Spark's runtime bloom-filter injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), which cannot
+    * fire here because both sides derive from the same scan.
+    */
+  def crossCorpusOverlapPairsBloomPruned(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      minShared: Int, k: Int = GramTokens, w: Int = WindowGrams,
+      fpp: Double = 0.01): DataFrame = {
+    val ft = fingerprints(train, idCol, textCol, k, w)
+    // Materialized once: the eval postings feed both the sketch aggregate
+    // and the join build side (localCheckpoint over persist for the same
+    // lifecycle reasons as sharedFingerprintPairs).
+    val fe = fingerprints(eval, idCol, textCol, k, w).localCheckpoint(true)
+    val bf = fe.stat.bloomFilter("fp", math.max(fe.count(), 1L), fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+    ft.filter(mightContain(col("fp")))
+      .as("a").hint("shuffle_hash").join(fe.as("b"), col("a.fp") === col("b.fp"))
+      .groupBy(col("a.id").as("train_id"), col("b.id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -60,6 +60,32 @@ class WinnowSpec extends SparkSpec {
     assert(hits == Set((10L, 21L)))
   }
 
+  test("bloom-pruned contamination equals the unpruned scan on real docs") {
+    val train = docs.filter(col("doc_id") % 2 === 0).limit(200)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1).limit(200)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("train_id"),
+        r.getAs[Long]("eval_id"), r.getAs[Long]("n_shared"))).toSet
+    val plain = norm(Winnow.crossCorpusOverlapPairs(
+      train, eval_, "doc_id", "text", 2))
+    val pruned = norm(Winnow.crossCorpusOverlapPairsBloomPruned(
+      train, eval_, "doc_id", "text", 2))
+    assert(pruned == plain)
+  }
+
+  test("bloom prune drops disjoint train postings before the join") {
+    val train = (0 until 50).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta unique$i train only"))
+      .toDF("doc_id", "text")
+    val eval_ = (100 until 110).map(i =>
+      (i.toLong, s"totally different evaluation corpus content item number $i"))
+      .toDF("doc_id", "text")
+    // Disjoint corpora: the exact scan finds nothing, and so must the
+    // pruned one (bloom filters have no false negatives).
+    assert(Winnow.crossCorpusOverlapPairsBloomPruned(
+      train, eval_, "doc_id", "text", 1).count() == 0L)
+  }
+
   test("documents shorter than k tokens produce no fingerprints") {
     val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
     val got = Winnow.fingerprints(df, "doc_id", "text").select("id").as[Long].collect()
