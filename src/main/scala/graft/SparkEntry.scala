@@ -310,6 +310,18 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) =>
       NearDup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- Incremental near-dedup: today's batch (src0) Jaccard-paired
+    // against the standing corpus (everything else) — batch-postings x
+    // corpus-postings equi-join, never corpus x corpus. The exact-match
+    // twin is q_dedup_incremental.
+    "q_jaccard_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      NearDup.crossJaccardPairs(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", 3, 0.3)
+    }),
+
     // ---- Near-dup: MinHash signatures (16 md5-based hashes, shared with
     // the oracle bit-for-bit).
     "q_minhash_sig" -> ((s, dir) =>
@@ -838,6 +850,23 @@ object SparkEntry {
         "FROM inter JOIN counts ca ON ca.doc_id = id_a " +
         "JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_jaccard_incremental" ->
+      ("WITH toksS AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "shS AS (SELECT DISTINCT doc_id, source, " +
+        "array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS s " +
+        "FROM toksS, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), " +
+        "shb AS (SELECT doc_id, s FROM shS WHERE source = 'src0'), " +
+        "shc AS (SELECT doc_id, s FROM shS WHERE source <> 'src0'), " +
+        "cb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id), " +
+        "cc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, " +
+        "count(*) AS n_common FROM shb a JOIN shc b ON a.s = b.s GROUP BY 1, 2) " +
+        "SELECT batch_id, corpus_id, n_common, " +
+        "CAST(n_common AS DOUBLE) / (cb.n + cc.n - n_common) AS jacc " +
+        "FROM inter JOIN cb ON cb.doc_id = batch_id " +
+        "JOIN cc ON cc.doc_id = corpus_id " +
+        "WHERE CAST(n_common AS DOUBLE) / (cb.n + cc.n - n_common) >= 0.3"),
     "q_minhash_sig" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlAbCte " +
         s"SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id"),

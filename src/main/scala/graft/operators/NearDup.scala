@@ -101,6 +101,37 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Incremental near-dedup: exact Jaccard pairs BETWEEN a new batch and
+    * an existing corpus — the daily-ingest shape (dedup today's crawl
+    * against the accumulated corpus without re-pairing the corpus with
+    * itself). Same posting-list equi-join as [[jaccardPairs]], but the
+    * join is batch-postings x corpus-postings: cost scales with
+    * |batch| x (matching postings), never |corpus|². Per-doc shingle
+    * counts join back WITHOUT a broadcast hint — the corpus count table is
+    * one row per document (too big to broadcast at 100 TB); at small SF
+    * AQE broadcasts it on its own.
+    */
+  def crossJaccardPairs(batch: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDocFreq: Option[Double] = None): DataFrame = {
+    val shB = shinglesWithSkewGuard(batch, idCol, textCol, n, maxDocFreq)
+    val shC = shinglesWithSkewGuard(corpus, idCol, textCol, n, maxDocFreq)
+    val cntB = shB.groupBy("id").agg(count(lit(1)).as("n"))
+    val cntC = shC.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = shB.as("a").hint("shuffle_hash")
+      .join(shC.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(cntB.as("ca"), col("batch_id") === col("ca.id"))
+      .join(cntC.as("cb"), col("corpus_id") === col("cb.id"))
+      .select(col("batch_id"), col("corpus_id"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   val NumHashes = 16

@@ -31,6 +31,23 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("crossJaccardPairs pairs batch against corpus only, never within a side") {
+    val batch = Seq(
+      (10L, "a b c d e f"),          // near-dups corpus doc 1 (and 2)
+      (11L, "a b c d e f"),          // dup of 10 WITHIN the batch — must not pair
+      (12L, "q r s t u v w")         // unrelated to the corpus
+    ).toDF("doc_id", "text")
+    val got = NearDup.crossJaccardPairs(batch, docs, "doc_id", "text", 3, 0.4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(got((10L, 1L)) == ((4L, 1.0)) && got((10L, 2L)) == ((4L, 1.0)))
+    assert(got((11L, 1L)) == ((4L, 1.0)))
+    // within-side pairs (10,11) and corpus (1,2) are out of scope
+    assert(!got.keySet.exists { case (a, b) => a == 11L && b == 10L })
+    assert(got.keySet.forall { case (a, b) => a >= 10L && b < 10L })
+    assert(!got.keySet.exists(_._1 == 12L))
+  }
+
   test("doc-frequency cap drops ubiquitous shingles only") {
     // cap at 1.0: nothing ubiquitous enough -> identical results
     val plain = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
