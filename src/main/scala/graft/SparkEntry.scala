@@ -413,6 +413,42 @@ object SparkEntry {
     // ---- Events: gap-based sessionization (30 min).
     "q_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
 
+    // ---- SCD2 intervals from a change log: each user's event stream
+    // becomes [valid_from, valid_to) state rows via a lead() window — one
+    // shuffle on user_id, in-partition sort, the standard point-in-time
+    // dimension build. Open intervals (current state) have null valid_to.
+    "q_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"),
+          col("us").as("valid_from_us"), col("valid_to_us"))
+    }),
+
+    // ---- Pivot: per-cohort event-type counts as columns. The value list
+    // is explicit, so Spark skips the extra distinct-values pass and the
+    // plan is ONE hash aggregate over (cohort) with pivot-bucketed
+    // partial state — scan-speed at any scale, output width fixed.
+    "q_pivot_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))),
+
+    // ---- Histogram: fixed-width binning of a numeric column (floor
+    // division to the bin origin) + count — the profiling primitive; pure
+    // hash aggregate, bin count bounded by the value range not the data.
+    "q_histogram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
     // ---- Salted two-stage distinct: per event_type distinct users with
     // the hot-key-proof (key, hash(value) mod 16) pre-aggregation —
     // exact-equivalent to plain count_distinct (oracle) while spreading
@@ -965,6 +1001,24 @@ object SparkEntry {
         "CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k FROM " +
         "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
         "GROUP BY event_type"),
+    "q_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) " +
+        "SELECT user_id, event_id, event_type AS state, us AS valid_from_us, " +
+        "lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us " +
+        "FROM e"),
+    "q_pivot_events" ->
+      ("SELECT user_id % 10 AS cohort, " +
+        "count(*) FILTER (event_type = 'view') AS view, " +
+        "count(*) FILTER (event_type = 'click') AS click, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup') AS signup, " +
+        "count(*) FILTER (event_type = 'error') AS error " +
+        "FROM events GROUP BY 1"),
+    "q_histogram" ->
+      ("SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bin_lo, " +
+        "count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+        "FROM documents GROUP BY 1"),
     "q_sessions" ->
       ("WITH o AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
         "m AS (SELECT user_id, event_id, us, " +
