@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RoSimilarityBound)
+    ext.injectOptimizerRule(_ => graft.plans.TimeRangeJoinRewrite)
   }
 }
 
@@ -49,11 +50,14 @@ object Graft {
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
 
-  /** Add graft's optimizer rules ([[graft.plans.RoSimilarityBound]]) to a
-    * live session. Idempotent.
+  /** Add graft's optimizer rules ([[graft.plans.RoSimilarityBound]],
+    * [[graft.plans.TimeRangeJoinRewrite]]) to a live session. Idempotent.
     */
-  def enableOptimizations(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RoSimilarityBound))
+  def enableOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.RoSimilarityBound, graft.plans.TimeRangeJoinRewrite)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RoSimilarityBound
+        spark.experimental.extraOptimizations ++ missing
+  }
 }

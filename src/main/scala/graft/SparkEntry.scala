@@ -486,6 +486,26 @@ object SparkEntry {
       RangeJoin.timeRangePairs(Tables.events(s, dir),
         "user_id", "event_id", "ts", 600)),
 
+    // ---- A KEYLESS range join written as the naive SQL theta-join
+    // (global burst detection: any two events within 2s of each other).
+    // Without the plans.TimeRangeJoinRewrite optimizer rule this can only
+    // plan as a nested-loop cartesian — the rule rewrites the
+    // abs(a.us - b.us) <= W conjunct into the bucket-and-explode
+    // equi-join automatically, so plain SQL users get the linear-shuffle
+    // plan without knowing the trick (plan asserted nested-loop-free in
+    // TimeRangeJoinRewriteSpec; keyed range joins keep their hash join
+    // and use the explicit RangeJoin operator instead — see the rule's
+    // Scaladoc for why).
+    "q_range_join_sql" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .createOrReplaceTempView("graft_events_us")
+      s.sql("SELECT a.event_id AS id_a, b.event_id AS id_b, " +
+        "abs(a.us - b.us) AS gap_us " +
+        "FROM graft_events_us a JOIN graft_events_us b " +
+        "ON a.event_id < b.event_id AND abs(a.us - b.us) <= 2000000")
+    }),
+
     // ---- Events: deterministic dedup-by-key (batch twin of the bounded-
     // state streaming dedup, dropDuplicatesWithinWatermark — key-set
     // equality asserted in EventOpsSpec).
@@ -844,6 +864,12 @@ object SparkEntry {
         "abs(a.us - b.us) AS gap_us " +
         "FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id " +
         "AND abs(a.us - b.us) <= 600000000"),
+    "q_range_join_sql" ->
+      ("WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) " +
+        "SELECT a.event_id AS id_a, b.event_id AS id_b, " +
+        "abs(a.us - b.us) AS gap_us " +
+        "FROM e a JOIN e b ON a.event_id < b.event_id " +
+        "AND abs(a.us - b.us) <= 2000000"),
     "q_chunk_docs" ->
       ("WITH idx AS (SELECT doc_id, text, " +
         "unnest(generate_series(0, CAST(greatest((length(text)-1)//300, 0) AS BIGINT))) AS i " +
