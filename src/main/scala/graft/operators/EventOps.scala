@@ -188,4 +188,19 @@ object EventOps {
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .select(unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value_cents"))
+
+  /** Stream-static enrichment: attach dimension attributes to a stream by
+    * key — the standard "decorate the event with what we know about the
+    * user" step. A stream-static join is stateless on the stream side
+    * (no watermark needed, left-outer allowed); Spark re-plans the static
+    * side each micro-batch, so a dimension that lives in a table picks up
+    * slowly-changing updates between batches for free. The broadcast hint
+    * keeps it an executor-local hash join — at stream scale the dimension
+    * must stay broadcast-sized (or be bucketed/pre-partitioned instead;
+    * drop the hint and co-partition for a 10⁹-row dimension). Batch
+    * equivalence is asserted in EventOpsSpec.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }

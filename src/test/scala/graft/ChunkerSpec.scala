@@ -37,6 +37,33 @@ class ChunkerSpec extends SparkSpec {
     assert(chunksOf("äöüßé", 2, 2) == Seq((0L, "äö"), (1L, "üß"), (2L, "é")))
   }
 
+  test("property: chunks reconstruct the original text for random corpora") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = Seq("a", "b", " ", "X", "é", "😀", "\n")
+    val docs = (0 until 300).map { i =>
+      val len = rnd.nextInt(60)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((4, 4), (5, 3), (7, 2), (400, 300))) {
+      val byDoc = Chunker.chunk(df, "doc_id", "text", size, stride)
+        .select("doc_id", "chunk_idx", "chunk")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        val chunks = byDoc(id)
+        // contiguous coverage: the first `stride` chars of every non-last
+        // chunk, then the last chunk whole, is exactly the document
+        val rebuilt = chunks.init.map(c =>
+          c.codePoints().toArray.take(stride)
+            .foldLeft(new java.lang.StringBuilder)((sb, cp) => sb.appendCodePoint(cp))
+            .toString).mkString + chunks.last
+        assert(rebuilt == text, s"doc $id size=$size stride=$stride")
+        assert(chunks.forall(c => c.codePointCount(0, c.length) <= size))
+      }
+    }
+  }
+
   test("no shuffle in the plan — chunking is a narrow transform") {
     val df = Seq((1L, "abc")).toDF("doc_id", "text")
     val plan = Chunker.chunk(df, "doc_id", "text", 4, 4)

@@ -190,4 +190,26 @@ class EventOpsSpec extends SparkSpec {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("stream-static enrichment equals the batch join; unmatched keys survive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "cohort")
+    val ms = MemoryStream[(Long, String)]
+    val q = EventOps.enrichStream(ms.toDS().toDF("user_id", "event_type"), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_enrich").start()
+    try {
+      ms.addData((1L, "view"), (2L, "click"), (9L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("ev_enrich")
+        .as[(Long, String, Option[String])].collect().toSet
+      val batch = Seq((1L, "view"), (2L, "click"), (9L, "view"))
+        .toDF("user_id", "event_type")
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(got == batch)
+      assert(got.contains((9L, "view", None)))   // left semantics: no dim row
+    } finally q.stop()
+  }
 }
