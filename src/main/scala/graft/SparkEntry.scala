@@ -625,6 +625,32 @@ object SparkEntry {
           min(unix_micros(col("ts"))).as("first_us"))
     }),
 
+    // ---- Layout maintenance roundtrip: fragment the customer table into
+    // 40 small files, compact to byte-targeted outputs (Layout.compact —
+    // narrow coalesce, no shuffle), range-cluster a second copy
+    // (Layout.writeClustered), then aggregate the compacted read. Oracle
+    // = the same aggregate over the source table: any row lost or mangled
+    // by either rewrite breaks the hash match. File-count and
+    // disjoint-range assertions live in LayoutSpec.
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_compact")
+      cleanupAtExit(tmpPath)
+      val frag = s"$tmpPath/fragmented"
+      val comp = s"$tmpPath/compacted"
+      val clus = s"$tmpPath/clustered"
+      val c = Tables.customer(s, dir)
+      c.repartition(40).write.mode("overwrite").parquet(frag)
+      sources.Layout.compact(s, frag, comp, 1L << 20)
+      sources.Layout.writeClustered(c, clus, 6, "c_custkey")
+      val clustered = s.read.parquet(clus)
+        .select(col("c_custkey"), col("c_nationkey"))
+      s.read.parquet(comp)
+        .join(clustered, Seq("c_custkey", "c_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_custkey")).as("sum_keys"))
+    }),
+
     // ---- JSON-lines roundtrip: write documents as JSON, read back both
     // inferred and explicit-schema, aggregate the explicit-schema read.
     // Oracle = the same aggregate over the parquet table: any value
@@ -724,6 +750,10 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM fps c WHERE c.source <> 'src0' AND c.fp = n.fp)"),
     // Equality with the direct aggregate proves the partitioned write/read
     // roundtrip in the Spark query was lossless and the pruned scan complete.
+    "q_compact_roundtrip" ->
+      ("SELECT c_nationkey, count(*) AS n_customers, " +
+        "CAST(sum(c_custkey) AS BIGINT) AS sum_keys " +
+        "FROM customer GROUP BY c_nationkey"),
     "q_parquet_partitioned" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents, " +

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Parquet layout maintenance — the two jobs every 100 TB table needs run
+  * against it periodically, independent of any query:
+  *
+  *  - '''compaction''': streaming/incremental writers emit many small
+  *    files; scans then pay per-file open/footer costs and lose row-group
+  *    locality. Rewrite a directory into ~targetBytes files.
+  *  - '''range clustering''': co-locate rows by sort key so parquet
+  *    row-group min/max statistics become tight, disjoint ranges — a
+  *    selective predicate then skips whole files at planning time (the
+  *    poor-man's index every lake table relies on).
+  *
+  * The reference hands this problem to `coalesce(1)` (soulutionOne.py:47
+  * — one task, one file, one writer core); these are the
+  * cluster-parallel replacements.
+  */
+object Layout {
+
+  /** Rewrite `inDir` (parquet) into `outDir` as ~`targetBytes`-sized
+    * files. File count is computed from the ACTUAL on-disk byte size (via
+    * the Hadoop FS listing, so it works on any supported filesystem),
+    * never hardcoded. Uses coalesce when shrinking the file count — a
+    * narrow, shuffle-free merge; compaction must not cost a full
+    * re-shuffle of the table.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    // Report what actually landed (AQE/empty-partition elision may merge
+    // below the plan), so callers can log honest compaction ratios.
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    fs.listStatus(out).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Write `df` range-clustered on `cols`: repartitionByRange gives each
+    * output file a disjoint key range (sampled range boundaries — one
+    * shuffle), sortWithinPartitions makes row-group stats tight within
+    * each file. A later `WHERE key = ...` scan reads ONE file's worth of
+    * row groups instead of every file (LayoutSpec asserts the per-file
+    * ranges are disjoint).
+    */
+  def writeClustered(df: DataFrame, outDir: String, numFiles: Int,
+                     cols: String*): Unit =
+    df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+}
