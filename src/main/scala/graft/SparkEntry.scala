@@ -226,6 +226,37 @@ object SparkEntry {
     "q_fingerprint_groups" -> ((s, dir) =>
       TextOps.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- End-to-end curation composite (the full LLM-data shape in one
+    // plan): content-fingerprint dedup with deterministic min-id survivor
+    // → language ID → quality score → keep confident-English docs above
+    // 0.5. One fingerprint shuffle + codegen projections; lang/quality
+    // are computed ONLY for surviving docs (filter before the expensive
+    // columns). Every stage reuses an independently-oracled operator.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val surv = Dedup.canonical(docs, Seq("fp"), Seq(col("doc_id")))
+      TextOps.languageScores(surv, "text")
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+    }),
+
+    // ---- Vocabulary build: global token frequencies, top 500 — the seed
+    // step of any tokenizer/BPE training run. explode + hash aggregate,
+    // then ORDER BY + LIMIT plans as TakeOrderedAndProject (bounded heap
+    // per partition + driver merge of 500 rows, never a global sort).
+    // Deterministic via the token tie-break.
+    "q_vocab_top" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(500)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     // ---- Sketch-based corpus profile per language: HLL distinct
     // fingerprints + approx token quantiles — mergeable-sketch aggregates,
     // the scan-plus-KBs profiling shape at 100 TB. Estimates are
@@ -942,6 +973,33 @@ object SparkEntry {
         "FROM inter JOIN counts ca ON ca.doc_id = id_a " +
         "JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_curation_pipeline" ->
+      ("WITH fps AS (SELECT doc_id, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
+        "surv AS (SELECT doc_id FROM (SELECT doc_id, " +
+        "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps) WHERE rn = 1), " +
+        s"s AS ($sqlTextStats), " +
+        "lang AS (SELECT doc_id, " +
+        "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
+        "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
+        "ELSE 'xx' END AS lang_pred " +
+        "FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+        "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, " +
+        s"${sqlStopHits(TextOps.stopwords("de"))} AS s_de, " +
+        s"${sqlStopHits(TextOps.stopwords("en"))} AS s_en, " +
+        s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
+        s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
+        "FROM documents))) " +
+        "SELECT s.doc_id, lang.lang_pred, s.quality " +
+        "FROM surv JOIN s ON surv.doc_id = s.doc_id " +
+        "JOIN lang ON surv.doc_id = lang.doc_id " +
+        "WHERE s.quality >= 0.5 AND lang.lang_pred = 'en'"),
+    "q_vocab_top" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT token, count(*) AS n FROM t GROUP BY token) " +
+        "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank " +
+        "FROM c ORDER BY n DESC, token LIMIT 500"),
     "q_jaccard_incremental" ->
       ("WITH toksS AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t " +
         "FROM documents WHERE length(trim(text)) > 0), " +
