@@ -542,6 +542,28 @@ object SparkEntry {
     // equality asserted in EventOpsSpec).
     "q_events_dedup" -> ((s, dir) => EventOps.dedupHourly(Tables.events(s, dir))),
 
+    // ---- Left-semi join: customers with at least one URGENT open order —
+    // existence check WITHOUT materializing the match (the probe stops at
+    // the first hit; no fan-out however many orders match). The
+    // dedup-against-reference shape (q_dedup_incremental is its anti
+    // twin over fingerprints).
+    "q_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir).join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+
+    // ---- Left-anti join: orders no lineitem references — referential
+    // orphan scan. Same single-shuffle cost as the semi form; the filter
+    // on the right side is pushed to its scan.
+    "q_anti_join" -> ((s, dir) =>
+      Tables.orders(s, dir).join(
+        Tables.lineitem(s, dir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))),
+
     // ---- Star-schema broadcast join (the classic analytics shape the
     // reference lacks): fact orders joined to the customer and nation
     // dimensions, revenue per nation for finished orders. Catalyst
@@ -1147,6 +1169,13 @@ object SparkEntry {
     "q_salted_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_distinct " +
         "FROM events GROUP BY event_type"),
+    "q_semi_join" ->
+      ("SELECT c_custkey, c_name, c_nationkey FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')"),
+    "q_anti_join" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders " +
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"),
     "q_star_join" ->
       ("SELECT n_name, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
