@@ -480,6 +480,21 @@ object SparkEntry {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
 
+    // ---- Grouped top-k as a MERGEABLE AGGREGATE (typed Aggregator): each
+    // user's first 3 events via min_k — map-side partial aggregation
+    // reduces every group to <= k values BEFORE the shuffle (a
+    // billion-event user ships 3 longs, not a billion rows), unlike the
+    // window row_number form which shuffles and sorts whole groups
+    // (q_topk_per_source shows that shape). Plan asserted in MinKSpec.
+    "q_first_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(graft.functions.MinK.min_k(col("event_id"), 3).as("firsts"))
+        .select(col("user_id"),
+          posexplode(col("firsts")).as(Seq("rk", "event_id")))
+        .select(col("user_id"), col("rk").cast("long").as("rk"),
+          col("event_id"))),
+
     // ---- Salted two-stage distinct: per event_type distinct users with
     // the hot-key-proof (key, hash(value) mod 16) pre-aggregation —
     // exact-equivalent to plain count_distinct (oracle) while spreading
@@ -1169,6 +1184,10 @@ object SparkEntry {
     "q_salted_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_distinct " +
         "FROM events GROUP BY event_type"),
+    "q_first_events" ->
+      ("SELECT user_id, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY event_id) - 1 AS rk, event_id " +
+        "FROM events QUALIFY rk <= 2"),
     "q_semi_join" ->
       ("SELECT c_custkey, c_name, c_nationkey FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
