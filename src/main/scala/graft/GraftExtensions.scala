@@ -44,11 +44,17 @@ object GraftExtensions {
 
 object Graft {
   /** Register graft SQL functions on a live session. */
-  def registerFunctions(spark: SparkSession): Unit =
+  def registerFunctions(spark: SparkSession): Unit = {
     GraftExtensions.descriptors.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
+    // Aggregators register through the UDF surface, not FunctionRegistry
+    // builders (they need their encoders carried along). Fixed small k
+    // variant for SQL; the Column API takes any k (MinK.min_k).
+    spark.udf.register("min_3",
+      org.apache.spark.sql.functions.udaf(new graft.functions.MinK(3)))
+  }
 
   /** Add graft's optimizer rules ([[graft.plans.RoSimilarityBound]],
     * [[graft.plans.TimeRangeJoinRewrite]]) to a live session. Idempotent.

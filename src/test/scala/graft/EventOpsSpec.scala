@@ -98,6 +98,10 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(r - 80.0) < 1e-9)
     val rn = spark.sql("SELECT ro_similarity(NULL, 'x') AS s").collect()(0)
     assert(rn.isNullAt(0))
+    val mk = spark.sql(
+      "SELECT min_3(v) AS m FROM VALUES (5L),(1L),(9L),(3L) AS t(v)")
+      .as[Seq[Long]].collect()(0)
+    assert(mk == Seq(1L, 3L, 5L))
   }
 
   test("streaming dedup (dropDuplicatesWithinWatermark) covers the batch key set") {
