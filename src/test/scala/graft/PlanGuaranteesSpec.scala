@@ -1,0 +1,33 @@
+package graft
+
+/** Standing plan-shape guarantees over EVERY registered query — the 100 TB
+  * properties that must not regress silently when a query is edited:
+  *
+  *  - no `CartesianProduct` anywhere;
+  *  - `BroadcastNestedLoopJoin` only in the two by-design exact baselines
+  *    (q_link_ro replays the reference's O(n²) similarity join —
+  *    EditDistanceJoin / MinHash / SimHash are the scale paths;
+  *    q_ann_cosine is the exact-ANN broadcast cross join that
+  *    q_ann_lsh / q_ann_ivf replace at scale).
+  *
+  * Plans are built at sf0.001 (construction only — nothing is executed
+  * beyond the side-effecting roundtrip queries' own writes).
+  */
+class PlanGuaranteesSpec extends SparkSpec {
+
+  private val allowedBnlj = Set("q_link_ro", "q_ann_cosine")
+
+  test("no query plans a cartesian; BNLJ only in the documented baselines") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val cart = if (plan.contains("CartesianProduct")) Seq(s"$name:CART") else Nil
+        val bnlj =
+          if (plan.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name))
+            Seq(s"$name:BNLJ")
+          else Nil
+        cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+}
