@@ -277,6 +277,13 @@ object SparkEntry {
       Sampling.hashSample(Tables.documents(s, dir), "doc_id", 200)
         .select("doc_id", "lang", "source")),
 
+    // ---- Deterministic train/val/test split: hash-bucket assignment as a
+    // pure projection — reproducible across runs/engines, stable under
+    // corpus growth (a doc's split never changes when other docs arrive).
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
+        .select("doc_id", "split")),
+
     // ---- Stratified exact-quota sample: 50 docs per language, selected
     // by deterministic (md5-hash, id) order — a reproducible reservoir.
     "q_sample_stratified" -> ((s, dir) =>
@@ -908,6 +915,11 @@ object SparkEntry {
     "q_sample_hash" ->
       ("SELECT doc_id, lang, source FROM documents " +
         s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000 < 200"),
+    "q_split_assign" ->
+      ("SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
+        "WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
+        s"FROM (SELECT doc_id, ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b " +
+        "FROM documents)"),
     "q_sample_stratified" ->
       ("SELECT doc_id, lang, sample_rank FROM " +
         "(SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang " +

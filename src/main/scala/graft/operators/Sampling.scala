@@ -27,6 +27,25 @@ object Sampling {
                  seed: Int = 0): DataFrame =
     df.filter(pmod(md5hash60(col(idCol).cast("string"), seed), lit(1000L)) < perMille)
 
+  /** Deterministic train/val/test assignment: md5hash60(id) mod 100 into
+    * [0,trainPct) → train, [trainPct, trainPct+valPct) → val, rest →
+    * test. The properties every split needs, by construction: pure
+    * projection (no shuffle, no state, reproducible across runs and
+    * engines — the DuckDB oracle replays the same md5 arithmetic),
+    * stable under corpus growth (a doc's split never changes when other
+    * docs arrive), and decorrelatable from sampling stages via `seed`.
+    */
+  def splitAssign(df: DataFrame, idCol: String, trainPct: Int = 80,
+                  valPct: Int = 10, seed: Int = 0): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"bad split: train=$trainPct val=$valPct")
+    val bucket = pmod(md5hash60(col(idCol).cast("string"), seed), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Stratified EXACT-quota sample: per stratum, the `quota` rows with the
     * smallest (hash, id) — a deterministic reservoir. Needs one shuffle on
     * the stratum key plus a bounded per-stratum sort; strata counts are
