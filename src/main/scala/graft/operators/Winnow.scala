@@ -163,7 +163,20 @@ object Winnow {
     // and the join build side (localCheckpoint over persist for the same
     // lifecycle reasons as sharedFingerprintPairs).
     val fe = fingerprints(eval, idCol, textCol, k, w).localCheckpoint(true)
-    val bf = fe.stat.bloomFilter("fp", math.max(fe.count(), 1L), fpp)
+    val nEval = fe.count()
+    if (nEval == 0) {
+      // Spark's sketch aggregate NPEs building a Bloom filter over zero
+      // rows, and the result is empty by definition anyway.
+      val spark = train.sparkSession
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("train_id", ft.schema("id").dataType),
+          StructField("eval_id", fe.schema("id").dataType),
+          StructField("n_shared", LongType, nullable = false))))
+    }
+    val bf = fe.stat.bloomFilter("fp", nEval, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
     ft.filter(mightContain(col("fp")))

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Every operator over an EMPTY input must return an empty (or
+  * well-defined) result, never throw — the "first day of a new corpus" /
+  * "filter matched nothing" path that crashes pipelines in production.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val someDocs =
+    Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+  private lazy val noEvents =
+    Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("event_id", "user_id", "ts")
+
+  test("text/dedup/near-dup operators return empty on an empty corpus") {
+    assert(TextOps.stats(noDocs, "doc_id", "text").count() == 0)
+    assert(TextOps.languageScores(noDocs, "text").count() == 0)
+    assert(TextOps.repetitionStats(noDocs, "doc_id", "text").count() == 0)
+    assert(TextOps.fingerprintGroups(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.exact(noDocs, Seq("text")).count() == 0)
+    assert(Dedup.stats(noDocs, Seq("text")).count() == 1)  // 0/0 count row
+    assert(NearDup.jaccardPairs(noDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(NearDup.minhashNearDupPairs(noDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(NearDup.simhashPairs(
+      NearDup.simhash(noDocs, "doc_id", "text"), 3).count() == 0)
+    assert(Winnow.sharedFingerprintPairs(noDocs, "doc_id", "text", 2).count() == 0)
+    assert(Chunker.chunk(noDocs, "doc_id", "text", 400, 300).count() == 0)
+    assert(TfIdf.topTerms(noDocs, "doc_id", "text", 5).count() == 0)
+  }
+
+  test("cross-corpus operators tolerate one empty side") {
+    assert(Winnow.crossCorpusOverlapPairs(noDocs, someDocs, "doc_id", "text", 1).count() == 0)
+    assert(Winnow.crossCorpusOverlapPairs(someDocs, noDocs, "doc_id", "text", 1).count() == 0)
+    assert(Winnow.crossCorpusOverlapPairsBloomPruned(someDocs, noDocs, "doc_id", "text", 1).count() == 0)
+    assert(NearDup.crossJaccardPairs(noDocs, someDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.incremental(noDocs.select(col("doc_id"), md5(col("text")).as("fp")),
+      someDocs.select(col("doc_id"), md5(col("text")).as("fp")), "fp").count() == 0)
+  }
+
+  test("event operators return empty on an empty stream") {
+    assert(EventOps.sessionize(noEvents.withColumn("event_type", lit("v"))).count() == 0)
+    assert(EventOps.dedupHourly(noEvents.withColumn("event_type", lit("v"))).count() == 0)
+    assert(RangeJoin.timeRangePairs(noEvents, "user_id", "event_id", "ts", 60).count() == 0)
+    assert(AsofJoin.asofJoin(
+      noEvents.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us")),
+      noEvents.select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id").as("p")),
+      Seq("user_id"), "us").count() == 0)
+  }
+
+  test("sampling/packing/clustering tolerate empty input") {
+    assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
+    assert(Sampling.stratifiedQuota(noDocs.withColumn("lang", lit("en")),
+      "lang", "doc_id", 5).count() == 0)
+    assert(Sampling.splitAssign(noDocs, "doc_id").count() == 0)
+    assert(Packing.pack(noDocs.withColumn("shard", lit(0)),
+      "doc_id", "text", "shard", 128).count() == 0)
+    assert(ConnectedComponents.run(
+      Seq.empty[Tuple1[Long]].toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+}
