@@ -586,6 +586,20 @@ object SparkEntry {
         col("o_orderkey") === col("l_orderkey"), "left_anti")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))),
 
+    // ---- Global cumulative curve (distributed prefix sum): daily shipped
+    // quantity and its running total over the whole date range. The naive
+    // `sum() OVER (ORDER BY date)` is a single-partition window — the
+    // worst scaling cliff in the window API; PrefixSum.runningTotal is
+    // the two-phase scan (range partition → parallel local scan → KB-size
+    // offset broadcast) whose wall-clock matches a sort at any scale.
+    "q_cum_shipments" -> ((s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_shipdate").cast("date").cast("string").as("ship_date"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("day_qty"))
+      PrefixSum.runningTotal(daily, "ship_date", "day_qty")
+        .withColumnRenamed("cum_day_qty", "cum_qty")
+    }),
+
     // ---- Star-schema broadcast join (the classic analytics shape the
     // reference lacks): fact orders joined to the customer and nation
     // dimensions, revenue per nation for finished orders. Catalyst
@@ -1200,6 +1214,14 @@ object SparkEntry {
       ("SELECT user_id, row_number() OVER " +
         "(PARTITION BY user_id ORDER BY event_id) - 1 AS rk, event_id " +
         "FROM events QUALIFY rk <= 2"),
+    "q_cum_shipments" ->
+      ("WITH d AS (SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS day_qty " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT ship_date, day_qty, " +
+        "CAST(sum(day_qty) OVER (ORDER BY ship_date " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qty " +
+        "FROM d"),
     "q_semi_join" ->
       ("SELECT c_custkey, c_name, c_nationkey FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global running total (prefix sum) — cumulative curves over
+  * a total order: cumulative tokens shipped to a training mix, cumulative
+  * bytes per day, concurrency sweeps (+1/-1 deltas), monotonic offset
+  * assignment. The naive Spark form
+  * `sum(v) OVER (ORDER BY k)` is a WINDOW WITH NO PARTITION: every row
+  * shuffles into ONE task and the cluster serializes — the single worst
+  * scaling cliff in the window API (Spark even logs a warning). This is
+  * the textbook two-phase scan instead:
+  *
+  *   1. `repartitionByRange(orderCol)` — each partition owns a contiguous
+  *      key range (one shuffle, same as any sort);
+  *   2. per-partition local running sum (in-partition window — parallel);
+  *   3. per-partition totals to the driver (numPartitions longs — KBs),
+  *      exclusive-scanned into per-partition offsets;
+  *   4. broadcast the offsets back and add.
+  *
+  * Wall-clock is one shuffle + one parallel scan, identical to a sort —
+  * at any scale. The partitioned frame is materialized once
+  * (localCheckpoint) because steps 2 and 3 must observe the SAME range
+  * boundaries — repartitionByRange samples boundaries per job, so
+  * recomputation could split differently between the two passes.
+  *
+  * Caller contract: `orderCol` values are UNIQUE (pre-aggregate to the
+  * grain first — q_cum_shipments groups to one row per day); with
+  * duplicate keys the intra-key order, and thus each duplicate's running
+  * value, would be nondeterministic in ANY engine.
+  */
+object PrefixSum {
+
+  /** Adds `cum_<valueCol>`: the inclusive running total of `valueCol` in
+    * `orderCol` order. `valueCol` must be integral (LongType result).
+    */
+  def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
+                   numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__local",
+      sum(col(valueCol).cast("long")).over(w))
+    val totals = parted.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    local.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(s"cum_$valueCol", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+}
