@@ -277,6 +277,15 @@ object SparkEntry {
       Sampling.hashSample(Tables.documents(s, dir), "doc_id", 200)
         .select("doc_id", "lang", "source")),
 
+    // ---- Language-mix rebalancing (data mixing): down-sample each
+    // language to ~the smallest language's size via per-stratum integer
+    // keep-rates + the hash-threshold filter — two scale-flat passes,
+    // deterministic and engine-reproducible end-to-end (at sf0.01 'en'
+    // keeps 293‰, the rarest language keeps everything).
+    "q_rebalance_mix" -> ((s, dir) =>
+      Sampling.rebalanceMix(Tables.documents(s, dir), "lang", "doc_id")
+        .select("doc_id", "source", "lang")),
+
     // ---- Deterministic train/val/test split: hash-bucket assignment as a
     // pure projection — reproducible across runs/engines, stable under
     // corpus growth (a doc's split never changes when other docs arrive).
@@ -929,6 +938,11 @@ object SparkEntry {
     "q_sample_hash" ->
       ("SELECT doc_id, lang, source FROM documents " +
         s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000 < 200"),
+    "q_rebalance_mix" ->
+      ("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "r AS (SELECT lang, (1000 * (SELECT min(n) FROM c)) // n AS rate FROM c) " +
+        "SELECT doc_id, source, d.lang FROM documents d JOIN r ON d.lang = r.lang " +
+        s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000 < rate"),
     "q_split_assign" ->
       ("SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
         "WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +

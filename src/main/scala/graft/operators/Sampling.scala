@@ -46,6 +46,34 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Source-mix rebalancing — the data-mixing step of an LLM pipeline:
+    * down-sample over-represented strata so every stratum contributes
+    * (approximately) the size of the SMALLEST one. Two passes, both
+    * scale-flat: a per-stratum count aggregate (rows = #strata, broadcast
+    * back), then the same hash-threshold filter as [[hashSample]] with a
+    * per-stratum keep rate of floor(1000·min/count) per-mille. All-integer
+    * rate arithmetic + md5 thresholds keep the selected set deterministic
+    * and engine-reproducible (oracled end-to-end, q_rebalance_mix);
+    * within-stratum selection stays unbiased because the hash is
+    * independent of any ordering. Target shares beyond "equalize" are a
+    * caller-side tweak of the rate expression.
+    */
+  def rebalanceMix(df: DataFrame, strataCol: String, idCol: String,
+                   seed: Int = 0): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minN = min(col("__n")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy())   // global min over the tiny counts frame only
+    // `div` (integral division), never `/`: double division + cast could
+    // round differently from the oracle's integer arithmetic.
+    val rates = counts.withColumn("__min", minN)
+      .withColumn("__rate", expr("(1000 * __min) div __n"))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(pmod(md5hash60(col(idCol).cast("string"), seed), lit(1000L)) <
+        col("__rate"))
+      .drop("__rate")
+  }
+
   /** Stratified EXACT-quota sample: per stratum, the `quota` rows with the
     * smallest (hash, id) — a deterministic reservoir. Needs one shuffle on
     * the stratum key plus a bounded per-stratum sort; strata counts are
