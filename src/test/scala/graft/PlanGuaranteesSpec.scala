@@ -30,4 +30,28 @@ class PlanGuaranteesSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("star join broadcasts both dimensions — the fact side never shuffles for the join") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("filter pushdown reaches the parquet scan with a pruned schema") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(o_totalprice"), p)
+    // 4 columns: the 3 projected + the filter column — and nothing else
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("posting-list joins keep their shuffle-hash pin (no mis-broadcast of exploded sides)") {
+    for (q <- Seq("q_jaccard_pairs", "q_minhash_pairs", "q_winnow_pairs")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q: $p")
+    }
+  }
 }
