@@ -109,6 +109,24 @@ object Ann {
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               queryPred: Column, k: Int, nCells: Int = 16,
               nProbe: Int = 8, iters: Int = 5): DataFrame = {
+    val model = trainIvf(emb, idCol, embCol, nCells, iters)
+    ivfSearch(emb, idCol, embCol, model, queryPred, k, nProbe)
+  }
+
+  /** Trained IVF index: the (tiny — nCells x Dim doubles) centroid set.
+    * Train ONCE per corpus snapshot and reuse across query batches
+    * ([[ivfSearch]]) — a production ANN serves many query sets against
+    * one index build; retraining per batch ([[ivfTopK]]'s convenience
+    * form) only makes sense for one-shot jobs. Serializable driver state,
+    * so callers can persist it between pipeline runs.
+    */
+  final case class IvfModel(centroids: Array[(Int, Seq[Double])])
+
+  /** Spherical k-means training — see [[ivfTopK]]'s Scaladoc for the
+    * assignment/update shapes and determinism argument.
+    */
+  def trainIvf(emb: DataFrame, idCol: String, embCol: String,
+               nCells: Int = 16, iters: Int = 5): IvfModel = {
     val corpus = withNorm(emb, embCol)
       .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
       .cache()
@@ -184,9 +202,32 @@ object Ann {
 
     // The cache served the training loop's repeated actions; release it so
     // cached blocks don't linger into later queries on a shared session.
-    // The search plan below recomputes corpus from the (pruned) scan —
-    // which is also the only viable shape at 100 TB.
+    // The search plan recomputes corpus from the (pruned) scan — which is
+    // also the only viable shape at 100 TB.
     corpus.unpersist()
+    IvfModel(centroids)
+  }
+
+  /** Probe-and-verify search against a trained [[IvfModel]]. */
+  def ivfSearch(emb: DataFrame, idCol: String, embCol: String,
+                model: IvfModel, queryPred: Column, k: Int,
+                nProbe: Int = 8): DataFrame = {
+    val centroids = model.centroids
+    val corpus = withNorm(emb, embCol)
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
+
+    def centLit(cs: Array[(Int, Seq[Double])]): Column = array(cs.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    def assigned(cs: Array[(Int, Seq[Double])]): DataFrame = {
+      val scored = cs.map { case (cid, v) =>
+        struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm")).as("score"),
+          lit(-cid).as("ncid"))
+      }
+      val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+      corpus.withColumn("__b", best)
+        .select(col("vec_id"), (-col("__b.ncid")).as("cell"), col("emb_d"))
+    }
 
     // ---- search: probe the nProbe best cells per query
     val cells = assigned(centroids)

@@ -64,6 +64,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.2f too low")
   }
 
+  test("a trained IvfModel is reusable across disjoint query batches") {
+    val model = Ann.trainIvf(emb, "vec_id", "embedding")
+    val b1 = Ann.ivfSearch(emb, "vec_id", "embedding", model,
+      col("vec_id") < 5, 5)
+    val b2 = Ann.ivfSearch(emb, "vec_id", "embedding", model,
+      col("vec_id") >= 5 && col("vec_id") < 10, 5)
+    val q1 = b1.select("query_id").distinct().as[Long].collect().toSet
+    val q2 = b2.select("query_id").distinct().as[Long].collect().toSet
+    assert(q1.forall(_ < 5) && q2.forall(q => q >= 5 && q < 10))
+    assert(q1.nonEmpty && q2.nonEmpty)
+    // one-shot convenience form equals train-then-search with same params
+    val oneShot = Ann.ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(b1.as[(Long, Long, Long, Double)].collect().toSet == oneShot)
+  }
+
   test("cosineDupPairs matches brute force restricted to shared buckets") {
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
     def dot(a: Seq[Double], b: Seq[Double]): Double = {
