@@ -50,8 +50,12 @@ object Graft {
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
     // Aggregators register through the UDF surface, not FunctionRegistry
-    // builders (they need their encoders carried along). Fixed small k
-    // variant for SQL; the Column API takes any k (MinK.min_k).
+    // builders (they need their encoders carried along), so min_3 exists
+    // ONLY on this live-session path — SparkSessionExtensions has no
+    // hook for session-scoped UDF registration, so a cluster configured
+    // via spark.sql.extensions must still call registerFunctions once
+    // per session for the aggregate (documented asymmetry). Fixed small
+    // k variant for SQL; the Column API takes any k (MinK.min_k).
     spark.udf.register("min_3",
       org.apache.spark.sql.functions.udaf(new graft.functions.MinK(3)))
   }

@@ -477,14 +477,20 @@ object SparkEntry {
     }),
 
     // ---- Pivot: per-cohort event-type counts as columns. The value list
-    // is explicit, so Spark skips the extra distinct-values pass and the
-    // plan is ONE hash aggregate over (cohort) with pivot-bucketed
-    // partial state — scan-speed at any scale, output width fixed.
-    "q_pivot_events" -> ((s, dir) =>
-      Tables.events(s, dir)
+    // is explicit, so Spark skips the extra distinct-values pass; counts
+    // are coalesced to 0 because Spark's pivot emits NULL for a (cohort,
+    // value) combination with no rows while SQL's count(*) FILTER emits 0
+    // — on any data where a cohort misses an event type the two would
+    // otherwise diverge.
+    "q_pivot_events" -> ((s, dir) => {
+      val values = Seq("view", "click", "purchase", "signup", "error")
+      val p = Tables.events(s, dir)
         .groupBy((col("user_id") % 10).as("cohort"))
-        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
-        .agg(count(lit(1)))),
+        .pivot("event_type", values)
+        .agg(count(lit(1)))
+      p.select(col("cohort") +:
+        values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+    }),
 
     // ---- Histogram: fixed-width binning of a numeric column (floor
     // division to the bin origin) + count — the profiling primitive; pure

@@ -159,33 +159,8 @@ object Ann {
 
     // ---- train: Lloyd's on normalized vectors (cosine ~ dot on unit-ish)
 
-    def centLit(cs: Array[(Int, Seq[Double])]): Column = array(cs.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
-
-    // Assignment is a PURE PROJECTION: per-row argmax over the (small,
-    // literal) centroid set — highest score, lowest cid on ties — instead
-    // of exploding corpus x nCells and shuffling through a window. Each
-    // Lloyd iteration (and the final cell labeling) thus costs zero
-    // exchanges on the corpus side; at 100 TB that removes 2 full-corpus
-    // shuffles per iteration. The argmax is `greatest` over (score, -cid)
-    // structs — struct comparison is lexicographic and greatest is
-    // codegen'd, where the previous aggregate-over-array fold was a
-    // CodegenFallback HOF running interpreted per corpus row. (Degenerate
-    // all-NaN scores — a zero vector — pick cell 0 here vs the fold's -1
-    // sentinel; both are arbitrary, and no real embedding hits it.)
-    def assigned(cs: Array[(Int, Seq[Double])]): DataFrame = {
-      val scored = cs.map { case (cid, v) =>
-        struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm")).as("score"),
-          lit(-cid).as("ncid"))
-      }
-      val best = if (scored.length == 1) scored.head else greatest(scored: _*)
-      corpus.withColumn("__b", best)
-        .select(col("vec_id"), (-col("__b.ncid")).as("cell"), col("emb_d"))
-    }
-
     for (_ <- 1 to iters) {
-      val means = assigned(centroids)
+      val means = assignedOver(corpus, centroids)
         .select(col("cell"), posexplode(col("emb_d")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell").agg(map_from_arrays(
@@ -208,6 +183,36 @@ object Ann {
     IvfModel(centroids)
   }
 
+  /** The (small) centroid set as a literal array-of-structs column. */
+  private def centLit(cs: Array[(Int, Seq[Double])]): Column =
+    array(cs.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+
+  /** Cell assignment — the ONE definition both training and search use
+    * (cell semantics drifting between the two directly costs recall).
+    * A PURE PROJECTION: per-row argmax over the (small, literal) centroid
+    * set — highest score, lowest cid on ties — instead of exploding
+    * corpus x nCells and shuffling through a window; each Lloyd iteration
+    * (and the final cell labeling) thus costs zero exchanges on the
+    * corpus side. The argmax is `greatest` over (score, -cid) structs —
+    * struct comparison is lexicographic and greatest is codegen'd, where
+    * an aggregate-over-array fold would run interpreted per corpus row.
+    * (Degenerate all-NaN scores — a zero vector — pick cell 0 here vs a
+    * fold's -1 sentinel; both are arbitrary, and no real embedding hits
+    * it.)
+    */
+  private def assignedOver(corpus: DataFrame,
+                           cs: Array[(Int, Seq[Double])]): DataFrame = {
+    val scored = cs.map { case (cid, v) =>
+      struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm")).as("score"),
+        lit(-cid).as("ncid"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    corpus.withColumn("__b", best)
+      .select(col("vec_id"), (-col("__b.ncid")).as("cell"), col("emb_d"))
+  }
+
   /** Probe-and-verify search against a trained [[IvfModel]]. */
   def ivfSearch(emb: DataFrame, idCol: String, embCol: String,
                 model: IvfModel, queryPred: Column, k: Int,
@@ -216,21 +221,8 @@ object Ann {
     val corpus = withNorm(emb, embCol)
       .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
 
-    def centLit(cs: Array[(Int, Seq[Double])]): Column = array(cs.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
-    def assigned(cs: Array[(Int, Seq[Double])]): DataFrame = {
-      val scored = cs.map { case (cid, v) =>
-        struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm")).as("score"),
-          lit(-cid).as("ncid"))
-      }
-      val best = if (scored.length == 1) scored.head else greatest(scored: _*)
-      corpus.withColumn("__b", best)
-        .select(col("vec_id"), (-col("__b.ncid")).as("cell"), col("emb_d"))
-    }
-
     // ---- search: probe the nProbe best cells per query
-    val cells = assigned(centroids)
+    val cells = assignedOver(corpus, centroids)
     val indexed = corpus.join(cells.select("vec_id", "cell"), "vec_id")
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),

@@ -35,13 +35,16 @@ object TfIdf {
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
     val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    // Corpus size: a single driver scalar (the one number every idf needs),
-    // same bounded-driver-state pattern as Winnow's nDocs.
-    val nDocs = tf.select("id").distinct().count()
+    // Corpus size as a ONE-ROW aggregate cross-joined in (broadcast of a
+    // single long): keeps the whole computation one lazy plan — an eager
+    // .count() here would run a full scan+aggregate job at DataFrame
+    // CONSTRUCTION time and then recompute tf again at execution.
+    val nDocs = tf.select(count_distinct(col("id")).as("__nd"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        col("tf") * (lit(nDocs + 1.0) / (col("dfreq") + lit(1.0))))
+        col("tf") * ((col("__nd") + lit(1.0)) / (col("dfreq") + lit(1.0))))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

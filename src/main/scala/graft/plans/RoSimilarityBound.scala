@@ -45,20 +45,43 @@ object RoSimilarityBound extends Rule[LogicalPlan] {
   }
 
   private def guarded(cmp: BinaryComparison, ro: RatcliffObershelpSimilarity,
-                      t: Expression): Expression = cmp match {
-    case _: GreaterThanOrEqual => And(GreaterThanOrEqual(bound(ro), t), cmp)
-    case _: GreaterThan => And(GreaterThan(bound(ro), t), cmp)
-    case _ => cmp
+                      t: Expression): Expression = {
+    val b = bound(ro)
+    // A foldable bound (both arguments literal) would be constant-folded
+    // to a boolean and stripped by BooleanSimplification in the shared
+    // fixed-point batch — re-guarding every iteration would oscillate to
+    // maxIterations. There is nothing to short-circuit per-row anyway.
+    if (b.foldable) cmp
+    else cmp match {
+      case _: GreaterThanOrEqual => And(GreaterThanOrEqual(b, t), cmp)
+      case _: GreaterThan => And(GreaterThan(b, t), cmp)
+      case _ => cmp
+    }
   }
 
-  private def isGuard(l: Expression, cmp: BinaryComparison): Boolean =
-    cmp match {
-      case GreaterThanOrEqual(ro: RatcliffObershelpSimilarity, t) =>
-        l.semanticEquals(GreaterThanOrEqual(bound(ro), t))
-      case GreaterThan(ro: RatcliffObershelpSimilarity, t) =>
-        l.semanticEquals(GreaterThan(bound(ro), t))
+  /** Already-guarded detection must be LOOSE: on the
+    * spark.sql.extensions injection path this rule sits in the same
+    * fixed-point batch as ConstantFolding, which partially folds the
+    * guard whenever a similarity argument is a literal (Length(lit) → lit
+    * and onward) — an exact semanticEquals against the freshly built,
+    * unfolded guard would then never match and the batch would stack one
+    * guard per iteration until maxIterations. So: any same-direction
+    * comparison against the same threshold, whose left side is not itself
+    * a similarity call, counts as the guard. False positives (a user's
+    * own `x >= t` conjunct directly left of the similarity predicate)
+    * only skip the optimization, never change semantics.
+    */
+  private def isGuard(l: Expression, cmp: BinaryComparison): Boolean = {
+    def notRo(e: Expression): Boolean =
+      !e.exists(_.isInstanceOf[RatcliffObershelpSimilarity])
+    (l, cmp) match {
+      case (GreaterThanOrEqual(lb, lt), GreaterThanOrEqual(_: RatcliffObershelpSimilarity, t)) =>
+        lt.semanticEquals(t) && notRo(lb)
+      case (GreaterThan(lb, lt), GreaterThan(_: RatcliffObershelpSimilarity, t)) =>
+        lt.semanticEquals(t) && notRo(lb)
       case _ => false
     }
+  }
 
   private def rewrite(e: Expression): Expression = e match {
     case And(l, cmp: BinaryComparison) if isGuard(l, cmp) => e

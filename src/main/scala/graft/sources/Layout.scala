@@ -34,9 +34,16 @@ object Layout {
     val totalBytes = fs.listStatus(path).filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir)
-      .coalesce(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val df = spark.read.parquet(inDir)
+    // coalesce CAPS the partition count, it never raises it: when Spark's
+    // read-side bin-packing already merged the small files into fewer
+    // scan partitions than nFiles (low-core hosts, large
+    // maxPartitionBytes), coalesce(nFiles) would silently emit those few
+    // oversized files instead. Growing the count needs the shuffle.
+    val sized =
+      if (df.rdd.getNumPartitions >= nFiles) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    sized.write.mode(SaveMode.Overwrite).parquet(outDir)
     // Report what actually landed (AQE/empty-partition elision may merge
     // below the plan), so callers can log honest compaction ratios.
     val out = new org.apache.hadoop.fs.Path(outDir)

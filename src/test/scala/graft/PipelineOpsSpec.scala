@@ -166,9 +166,10 @@ class PipelineOpsSpec extends SparkSpec {
       val got = rows.select(col("id"),
           graft.functions.word_ngrams(col("t"), n).as("native"), hof.as("ref"))
         .collect()
-      got.foreach { r =>
-        assert(r.get(1) == r.get(2) ||
-          (r.isNullAt(1) && r.isNullAt(3 - 2)), s"n=$n id=${r.getLong(0)}: " +
+      // id=4 (null input) is the ONE documented divergence — asserted
+      // separately below, excluded from strict parity here.
+      got.filter(_.getLong(0) != 4L).foreach { r =>
+        assert(r.get(1) == r.get(2), s"n=$n id=${r.getLong(0)}: " +
           s"${r.get(1)} vs ${r.get(2)}")
       }
     }
@@ -334,6 +335,30 @@ class PipelineOpsSpec extends SparkSpec {
       if ia < ib && graft.functions.RatcliffObershelp.similarity(ka, kb) >= 80.0
     } yield (ia, ib)).toSet
     assert(got == exp)
+  }
+
+  test("RoSimilarityBound reaches a fixpoint under interleaved ConstantFolding") {
+    // Simulates the spark.sql.extensions path, where the rule shares a
+    // fixed-point batch with ConstantFolding: a literal argument used to
+    // defeat the exact-match guard detection and stack one guard per
+    // iteration; both-literal arguments used to oscillate via
+    // BooleanSimplification stripping the folded guard.
+    import org.apache.spark.sql.catalyst.optimizer.{BooleanSimplification, ConstantFolding}
+    val rows = Seq((1L, "alpha beta gamma")).toDF("id", "key")
+    for (pred <- Seq(
+        graft.functions.string_similarity(col("key"), lit("alpha beta gamm")) >= 80.0,
+        graft.functions.string_similarity(lit("aa"), lit("ab")) >= 80.0)) {
+      var plan = rows.filter(pred).queryExecution.analyzed
+      val once = graft.plans.RoSimilarityBound(plan)
+      for (_ <- 1 to 5) {
+        plan = graft.plans.RoSimilarityBound(
+          BooleanSimplification(ConstantFolding(graft.plans.RoSimilarityBound(plan))))
+      }
+      // stable: repeated folding+rewriting never grows the condition
+      assert(plan.toString.length <=
+        BooleanSimplification(ConstantFolding(once)).toString.length + 16,
+        plan.toString.take(800))
+    }
   }
 
   test("scrub stays whole-stage codegen (no eval-fallback operators)") {
