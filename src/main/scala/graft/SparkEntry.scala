@@ -755,6 +755,34 @@ object SparkEntry {
           sum(col("c_custkey")).as("sum_keys"))
     }),
 
+    // ---- ORC roundtrip: the second columnar format (predicate pushdown
+    // + column pruning work the same as parquet). Write orders as ORC,
+    // read back with a pushed filter, aggregate — oracle is the same
+    // aggregate over the parquet table, so any value mangled by the
+    // ORC write/read breaks the hash.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft_orc")
+      cleanupAtExit(tmpPath)
+      val out = s"$tmpPath/orders_orc"
+      Tables.orders(s, dir).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+    }),
+
+    // ---- Multi-distinct aggregation: several COUNT(DISTINCT ...) in one
+    // pass — Catalyst plans the Expand-based rewrite (one row per
+    // distinct-column group), the single-scan shape for audience/overlap
+    // reports that would otherwise need one job per distinct column.
+    "q_multi_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count_distinct(to_date(col("ts")).cast("string")).as("n_days"),
+          count(lit(1)).as("n_events"))),
+
     // ---- JSON-lines roundtrip: write documents as JSON, read back both
     // inferred and explicit-schema, aggregate the explicit-schema read.
     // Oracle = the same aggregate over the parquet table: any value
@@ -854,6 +882,14 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM fps c WHERE c.source <> 'src0' AND c.fp = n.fp)"),
     // Equality with the direct aggregate proves the partitioned write/read
     // roundtrip in the Spark query was lossless and the pruned scan complete.
+    "q_orc_roundtrip" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"),
+    "q_multi_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "count(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR)) AS n_days, " +
+        "count(*) AS n_events FROM events GROUP BY event_type"),
     "q_compact_roundtrip" ->
       ("SELECT c_nationkey, count(*) AS n_customers, " +
         "CAST(sum(c_custkey) AS BIGINT) AS sum_keys " +
