@@ -90,6 +90,32 @@ class TimeRangeJoinRewriteSpec extends SparkSpec {
     assert(!rewritten(nonLit))
   }
 
+  test("property: the bucket-adjacency lemma holds for random longs (incl. negatives)") {
+    // soundness core: |a-b| <= w  =>  bucket(a) within 1 of bucket(b),
+    // with bucket(x) = (x - pmod(x, w)) div w — the exact arithmetic the
+    // rule emits (true floor for any sign, no double rounding).
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    def bucket(x: Long, w: Long): Long = {
+      val p = ((x % w) + w) % w
+      (x - p) / w
+    }
+    val genW = Gen.oneOf(Gen.choose(1L, 1000L),
+      Gen.oneOf(1L, 60L, 600L, 86400L, 1000000L, 3600L * 1000000L))
+    // nanosecond-epoch magnitudes included: the no-double argument must
+    // hold where floor(x / w.toDouble) would already be wrong
+    val genX = Gen.oneOf(Gen.choose(-1000000L, 1000000L),
+      Gen.choose(-4e18.toLong, 4e18.toLong))
+    val prop = forAll(genW, genX, Gen.choose(-1.0, 1.0)) { (w, x, f) =>
+      val y = x + math.round(f * w)   // |x - y| <= w by construction
+      val d = math.abs(bucket(x, w) - bucket(y, w))
+      Prop(d <= 1).label(s"w=$w x=$x y=$y d=$d")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("negative timestamps bucket correctly (true floor division)") {
     val df = Seq((1L, -100L), (2L, -40L), (3L, 10L), (4L, 500L))
       .toDF("id", "us")
