@@ -32,6 +32,20 @@ object SparkEntry {
     exitCleanupDirs.add(p)
   }
 
+  /** Scratch dir for the roundtrip queries, under the build's target/
+    * rather than java.io.tmpdir: a shared /tmp is subject to external
+    * sweeps mid-run (the round-4 bench lost its shuffle files exactly that
+    * way — see [[GraftLocalDir]]), and a sink written milliseconds before
+    * its re-read is the same exposure. Registered for exit cleanup.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get("target", "graft-scratch")
+    java.nio.file.Files.createDirectories(base)
+    val p = java.nio.file.Files.createTempDirectory(base, prefix)
+    cleanupAtExit(p)
+    p
+  }
+
   /** Flagship (soulutionOne.py end-to-end shape, Spark-native): dedup the
     * counterparty-like customer table, then link near-duplicate names and
     * aggregate member sets per cluster. Driver smoke-checks rows>0 on sf0.001.
@@ -642,8 +656,7 @@ object SparkEntry {
     // difference between joining in place and re-shuffling the corpus on
     // every query.
     "q_bucketed_join" -> ((s, dir) => {
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft_bucket")
-      cleanupAtExit(tmpPath)
+      val tmpPath = scratchDir("graft_bucket")
       val tmp = tmpPath.toString
       Tables.orders(s, dir).write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -716,8 +729,7 @@ object SparkEntry {
     // partitioned write/read was lossless AND the pruned scan saw every
     // row of the partition.
     "q_parquet_partitioned" -> ((s, dir) => {
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft_part")
-      cleanupAtExit(tmpPath)
+      val tmpPath = scratchDir("graft_part")
       val out = s"${tmpPath.toString}/events_by_type"
       Tables.events(s, dir).write.mode("overwrite")
         .partitionBy("event_type").parquet(out)
@@ -737,8 +749,7 @@ object SparkEntry {
     // by either rewrite breaks the hash match. File-count and
     // disjoint-range assertions live in LayoutSpec.
     "q_compact_roundtrip" -> ((s, dir) => {
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft_compact")
-      cleanupAtExit(tmpPath)
+      val tmpPath = scratchDir("graft_compact")
       val frag = s"$tmpPath/fragmented"
       val comp = s"$tmpPath/compacted"
       val clus = s"$tmpPath/clustered"
@@ -761,8 +772,7 @@ object SparkEntry {
     // aggregate over the parquet table, so any value mangled by the
     // ORC write/read breaks the hash.
     "q_orc_roundtrip" -> ((s, dir) => {
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft_orc")
-      cleanupAtExit(tmpPath)
+      val tmpPath = scratchDir("graft_orc")
       val out = s"$tmpPath/orders_orc"
       Tables.orders(s, dir).write.mode("overwrite").orc(out)
       s.read.orc(out)
@@ -790,8 +800,7 @@ object SparkEntry {
     // read feeds a row-count column, proving that surface scanned all
     // rows too).
     "q_json_roundtrip" -> ((s, dir) => {
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft_json_rt")
-      cleanupAtExit(tmpPath)
+      val tmpPath = scratchDir("graft_json_rt")
       val out = s"${tmpPath.toString}/docs"
       val docs = Tables.documents(s, dir)
       sources.Json.write(docs, out)
@@ -812,13 +821,12 @@ object SparkEntry {
     // Oracle = the same aggregate over the parquet table directly: any
     // value lost or mangled by the CSV write/read breaks the hash match.
     "q_csv_roundtrip" -> ((s, dir) => {
-      val tmpPath = java.nio.file.Files.createTempDirectory("graft_csv_rt")
-      val tmp = tmpPath.toString
       // The returned DataFrame lazily re-reads $tmp/single, so the dir can
-      // only go away at JVM exit — enqueue it for the single shared hook
-      // (one hook per JVM, not one per invocation; a long bench session
-      // runs this query dozens of times).
-      cleanupAtExit(tmpPath)
+      // only go away at JVM exit — scratchDir enqueues it for the single
+      // shared hook (one hook per JVM, not one per invocation; a long
+      // bench session runs this query dozens of times).
+      val tmpPath = scratchDir("graft_csv_rt")
+      val tmp = tmpPath.toString
       val customer = Tables.customer(s, dir)
       sources.Sinks.writeSingleCsv(customer, s"$tmp/single")   // K1
       sources.Sinks.writeCsv(customer, s"$tmp/multi")          // K2
@@ -839,6 +847,68 @@ object SparkEntry {
         .withColumn("n_allstring", lit(nAllString))
         .withColumn("n_format", lit(nFormat))
         .withColumn("n_glob", lit(nGlob))
+    }),
+
+    // ---- Directed n-gram containment: subset-duplication scan (a doc
+    // quoted wholesale inside a longer host — symmetric Jaccard misses it
+    // once the host dwarfs the quote). Same posting-list equi-join scale
+    // shape as q_jaccard_pairs.
+    "q_containment_pairs" -> ((s, dir) =>
+      NearDup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)),
+
+    // ---- Keyed upsert (MERGE): a correction batch (every 10th order,
+    // repriced) replaces same-key rows of the standing snapshot — one
+    // corpus scan + one broadcast anti-join on change keys, the
+    // incremental counterpart of the reference's truncate-and-reload
+    // (DAG/sample.py:71-87).
+    "q_upsert" -> ((s, dir) => {
+      val current = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val updates = current.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("price_cents", col("price_cents") * 2)
+      Upsert.upsert(current, updates, Seq("o_orderkey"))
+    }),
+
+    // ---- CDC apply: mixed change batch — deletes (every 7th key) and
+    // upserts (every 10th, repriced) — folded into the snapshot in one
+    // anti-join pass; deleted keys fall out of both branches.
+    "q_cdc_apply" -> ((s, dir) => {
+      val current = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val changes = current.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("d"))
+        .unionByName(current
+          .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 7 =!= 0)
+          .withColumn("price_cents", col("price_cents") * 2)
+          .withColumn("op", lit("u")))
+      Upsert.applyCdc(current, changes, Seq("o_orderkey"), "op")
+    }),
+
+    // ---- Salted large-x-large join: lineitem⋈orders on the salted key —
+    // result-identical to the plain join (oracle proves it) while a hot
+    // orderkey's rows spread over 8 reducers instead of funneling one.
+    "q_salted_join" -> ((s, dir) => {
+      val probe = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("orderkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      val build = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(probe, build, Seq("orderkey"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_cents")).as("sum_price_cents"))
+    }),
+
+    // ---- Quantile bucketing for curation: per-source deciles by doc
+    // length — the "keep the top-N% per source" primitive, as an exact
+    // ntile window (per-source sort; sources partition the corpus, so the
+    // sort parallelizes across them).
+    "q_quality_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          ntile(10).over(w).cast("long").as("decile"))
     }),
   )
 
@@ -1356,6 +1426,43 @@ object SparkEntry {
         "(SELECT qid, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
         "WHERE rank <= 5"),
+    "q_containment_pairs" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
+        "SELECT id_a, id_b, n_common, " +
+        "CAST(n_common AS DOUBLE) / ca.n AS cont_a_in_b, " +
+        "CAST(n_common AS DOUBLE) / cb.n AS cont_b_in_a " +
+        "FROM inter JOIN counts ca ON ca.doc_id = id_a " +
+        "JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE greatest(CAST(n_common AS DOUBLE) / ca.n, " +
+        "CAST(n_common AS DOUBLE) / cb.n) >= 0.8"),
+    "q_upsert" ->
+      ("WITH cur AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders), " +
+        "u AS (SELECT o_orderkey, o_custkey, price_cents * 2 AS price_cents " +
+        "FROM cur WHERE o_orderkey % 10 = 0) " +
+        "SELECT o_orderkey, o_custkey, price_cents FROM u " +
+        "UNION ALL SELECT c.o_orderkey, c.o_custkey, c.price_cents FROM cur c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = c.o_orderkey)"),
+    "q_cdc_apply" ->
+      ("WITH cur AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders), " +
+        "up AS (SELECT o_orderkey, o_custkey, price_cents * 2 AS price_cents " +
+        "FROM cur WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0), " +
+        "ck AS (SELECT o_orderkey FROM cur " +
+        "WHERE o_orderkey % 7 = 0 OR o_orderkey % 10 = 0) " +
+        "SELECT o_orderkey, o_custkey, price_cents FROM up " +
+        "UNION ALL SELECT c.o_orderkey, c.o_custkey, c.price_cents FROM cur c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.o_orderkey = c.o_orderkey)"),
+    "q_salted_join" ->
+      ("SELECT o.o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS sum_price_cents " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY 1"),
+    "q_quality_deciles" ->
+      ("SELECT doc_id, source, CAST(ntile(10) OVER " +
+        "(PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile " +
+        "FROM documents"),
   )
 
   /** Full per-doc text-stats SQL (mirrors TextOps.stats); shared by

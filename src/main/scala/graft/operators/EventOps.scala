@@ -203,4 +203,27 @@ object EventOps {
   def enrichStream(events: DataFrame, dim: DataFrame,
                    key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join: pair two event streams by key where the
+    * right event lands within [left.ts - before, left.ts + after] — the
+    * correlation shape (click ↔ conversion, request ↔ error) that needs
+    * BOTH sides buffered, unlike [[enrichStream]]'s stateless static side.
+    * Both inputs are watermarked and the join condition carries the time
+    * interval, which is what lets Spark bound the buffered state: a row is
+    * held only until the other side's watermark passes its interval end,
+    * then evicted. Without the interval bounds the state grows without
+    * limit — the watermark alone is NOT enough for stream-stream joins.
+    * Batch equivalence and interval edges are asserted in EventOpsSpec.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         before: String = "10 minutes",
+                         after: String = "10 minutes",
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $before") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $after"))
+  }
 }

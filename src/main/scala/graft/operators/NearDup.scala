@@ -101,6 +101,37 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Directed n-gram containment pairs: containment of A in B is
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| — the asymmetric cousin
+    * of Jaccard that catches SUBSET duplication (a document quoted or
+    * embedded wholesale inside a longer one), which symmetric Jaccard
+    * misses whenever the host document is much larger (the union term
+    * drowns the overlap). The pair row carries both directions; rows
+    * survive when either direction clears `threshold`.
+    *
+    * Same posting-list equi-join as [[jaccardPairs]] — candidates are
+    * pairs sharing >= 1 shingle, which is exhaustive for any
+    * threshold > 0 — so the scale posture is identical (linear shuffle,
+    * skew guard available, no n²).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDocFreq: Option[Double] = None): DataFrame = {
+    val sh = shinglesWithSkewGuard(df, idCol, textCol, n, maxDocFreq)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
+      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") / col("ca.n")).as("cont_a_in_b"),
+        (col("n_common").cast("double") / col("cb.n")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Incremental near-dedup: exact Jaccard pairs BETWEEN a new batch and
     * an existing corpus — the daily-ingest shape (dedup today's crawl
     * against the accumulated corpus without re-pairing the corpus with

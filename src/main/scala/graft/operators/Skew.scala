@@ -37,4 +37,32 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("n_distinct"))
   }
+
+  /** Skew-safe inner equi-join for the large-×-large case where the build
+    * side is too big to broadcast and the probe side's join key is skewed
+    * (a handful of hot keys funnel whole shuffle partitions into single
+    * tasks — the sort-merge path AQE can split, but the shuffle_hash path
+    * it cannot). Each build row is replicated `salts` times with a salt
+    * tag; each probe row picks ONE salt deterministically (hash of the
+    * whole row, so a hot key's rows spread across all `salts` reducers);
+    * the join runs on (key, salt). Result is EXACTLY the plain inner join
+    * for any salts >= 1: every probe row meets every matching build row
+    * exactly once (the build copy carrying its salt), and identical probe
+    * rows landing on one salt is a spreading loss, not a correctness one.
+    *
+    * Cost model: build side shuffles `salts`× its size — the standard
+    * trade, sized for build << probe (dimension-vs-fact with a hot fact
+    * key). `keys` columns must exist on both sides.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+    val expandedBuild = build.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedProbe.hint("shuffle_hash")
+      .join(expandedBuild, keys :+ "__salt")
+      .drop("__salt")
+  }
 }

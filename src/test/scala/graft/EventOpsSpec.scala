@@ -195,6 +195,47 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-interval pairs only, both directions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val msL = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val msR = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = EventOps.intervalJoinStream(
+      msL.toDS().toDF("ts", "user_id", "click_id"),
+      msR.toDS().toDF("ts", "user_id", "conv_id"), "user_id")
+      .select(col("l.click_id"), col("r.conv_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ev_ssj").start()
+    try {
+      msL.addData((ts("2026-01-01 10:00:00"), 1L, 100L),
+                  (ts("2026-01-01 12:00:00"), 2L, 200L))
+      msR.addData(
+        (ts("2026-01-01 10:05:00"), 1L, 900L),   // +5m: inside
+        (ts("2026-01-01 09:55:00"), 1L, 901L),   // -5m: inside (before-bound)
+        (ts("2026-01-01 10:30:00"), 1L, 902L),   // +30m: outside the interval
+        (ts("2026-01-01 12:05:00"), 3L, 903L))   // in-interval ts, wrong key
+      q.processAllAvailable()
+      val got = spark.table("ev_ssj").as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 900L), (100L, 901L)))
+      // batch equivalence of the same condition
+      val batch = Seq((ts("2026-01-01 10:00:00"), 1L, 100L),
+                      (ts("2026-01-01 12:00:00"), 2L, 200L))
+        .toDF("ts", "user_id", "click_id").as("l")
+        .join(Seq((ts("2026-01-01 10:05:00"), 1L, 900L),
+                  (ts("2026-01-01 09:55:00"), 1L, 901L),
+                  (ts("2026-01-01 10:30:00"), 1L, 902L),
+                  (ts("2026-01-01 12:05:00"), 3L, 903L))
+          .toDF("ts", "user_id", "conv_id").as("r"),
+          col("l.user_id") === col("r.user_id") &&
+            col("r.ts") >= col("l.ts") - expr("INTERVAL 10 minutes") &&
+            col("r.ts") <= col("l.ts") + expr("INTERVAL 10 minutes"))
+        .select(col("l.click_id"), col("r.conv_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment equals the batch join; unmatched keys survive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -31,6 +31,26 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("containmentPairs: subset duplication both directions, Jaccard blind spot") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),                       // 4 3-grams, all inside doc 2
+      (2L, "a b c d e f g h i j k l m n o p"),   // long host: 14 3-grams
+      (3L, "z y x w v u")                        // unrelated
+    ).toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(corpus, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    // doc 1 fully contained in doc 2: cont(1->2)=4/4=1.0, cont(2->1)=4/14
+    assert(got((1L, 2L))._1 == 4L)
+    assert(got((1L, 2L))._2 == 1.0)
+    assert(math.abs(got((1L, 2L))._3 - 4.0 / 14.0) < 1e-12)
+    assert(got.size == 1)
+    // the same pair's Jaccard is 4/14 ~= 0.29 — invisible at any
+    // symmetric threshold >= 0.3
+    val jacc = NearDup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3).count()
+    assert(jacc == 0L)
+  }
+
   test("crossJaccardPairs pairs batch against corpus only, never within a side") {
     val batch = Seq(
       (10L, "a b c d e f"),          // near-dups corpus doc 1 (and 2)
