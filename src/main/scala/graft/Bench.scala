@@ -46,15 +46,26 @@ object Bench {
       else SparkEntry.queries.filter { case (name, _) => args.contains(name) }
     // Failures are recorded per query, never swallowed: a crashing query
     // must not read as a fast success that improves the total.
+    // A second attempt only pays off when noise could dominate the first:
+    // past this many seconds the measurement is signal, and re-running a
+    // long query doubles the bench's wall time on the (20-40x slower)
+    // official host for nothing.
+    val repeatCutoffSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "60").toDouble
     val results = selected.map { case (name, fn) =>
-      val attempts = (1 to nRuns).map { _ =>
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").take(160))
+      val attempts = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String])]
+        while (buf.length < nRuns &&
+               (buf.isEmpty || buf.last._1 <= repeatCutoffSec)) {
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None } catch {
+            case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").take(160))
+          }
+          buf += (((System.nanoTime() - t0) / 1e9, err))
         }
-        ((System.nanoTime() - t0) / 1e9, err)
+        buf.toSeq
       }
       // Nudge the ContextCleaner: shuffle files and broadcasts are only
       // released when their owning objects are GC'd, and with a large heap

@@ -39,6 +39,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product expects exactly 2 arguments")
         graft.functions.DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[graft.functions.ZOrder].getName, "z_order"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "z_order expects exactly 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        graft.functions.ZOrder(Cast(args(0), LongType), Cast(args(1), LongType))
       }))
 }
 

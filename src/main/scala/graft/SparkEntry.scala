@@ -899,6 +899,55 @@ object SparkEntry {
           sum(col("price_cents")).as("sum_price_cents"))
     }),
 
+    // ---- Snapshot diff: per-key churn between two corpus snapshots —
+    // output is ONLY the delta (added / removed / changed), the property
+    // that makes auditing a 100 TB rebuild affordable. One full-outer
+    // shuffle join.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val prev = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val cur = prev.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 10 === 0, col("price_cents") * 2)
+            .otherwise(col("price_cents")))
+        .unionByName(prev.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), col("price_cents")))
+      Upsert.snapshotDiff(prev, cur, Seq("o_orderkey"))
+    }),
+
+    // ---- Schema evolution: two parquet batches written under different
+    // schema versions (v2 adds a column) read back as ONE table via
+    // mergeSchema — v1 rows surface the new column as null. The
+    // append-only corpus reality: schemas drift, old files stay.
+    "q_schema_evolution" -> ((s, dir) => {
+      val tmp = scratchDir("graft_evolve").toString
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderpriority"))
+      base.filter(col("o_orderkey") % 2 === 0).drop("o_orderpriority")
+        .write.parquet(s"$tmp/t/v1")
+      base.filter(col("o_orderkey") % 2 =!= 0)
+        .write.parquet(s"$tmp/t/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/t/v1", s"$tmp/t/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("<v1>")).as("priority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("sum_cents"))
+    }),
+
+    // ---- Z-order clustering key: Morton interleave of (l_partkey,
+    // l_suppkey) as a native codegen expression — the layout key that
+    // keeps parquet file stats tight in BOTH dimensions (pruning asserted
+    // per-dimension in LayoutSpec; Layout.writeZOrdered is the writer).
+    // Pure integer math -> the oracle recomputes the interleave
+    // bit-for-bit in SQL.
+    "q_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select((col("l_partkey") % 16).as("bucket"),
+          graft.functions.z_order(col("l_partkey"), col("l_suppkey")).as("z"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("z")).as("min_z"),
+          max(col("z")).as("max_z"), sum(col("z")).as("sum_z"))),
+
     // ---- Quantile bucketing for curation: per-source deciles by doc
     // length — the "keep the top-N% per source" primitive, as an exact
     // ntile window (per-source sort; sources partition the corpus, so the
@@ -1463,7 +1512,52 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(ntile(10) OVER " +
         "(PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile " +
         "FROM documents"),
+    "q_snapshot_diff" ->
+      ("WITH prev AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders), " +
+        "cur AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN price_cents * 2 ELSE price_cents END " +
+        "AS price_cents FROM prev WHERE o_orderkey % 7 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, price_cents " +
+        "FROM prev WHERE o_orderkey % 13 = 0), " +
+        "d AS (SELECT COALESCE(p.o_orderkey, c.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN p.o_orderkey IS NULL THEN 'added' " +
+        "WHEN c.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN p.o_custkey IS DISTINCT FROM c.o_custkey " +
+        "OR p.price_cents IS DISTINCT FROM c.price_cents THEN 'changed' " +
+        "ELSE 'unchanged' END AS change " +
+        "FROM prev p FULL JOIN cur c ON p.o_orderkey = c.o_orderkey) " +
+        "SELECT o_orderkey, change FROM d WHERE change <> 'unchanged'"),
+    "q_schema_evolution" ->
+      ("WITH base AS (SELECT o_orderkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, " +
+        "o_orderpriority FROM orders), " +
+        "m AS (SELECT price_cents, NULL AS o_orderpriority FROM base " +
+        "WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT price_cents, o_orderpriority FROM base " +
+        "WHERE o_orderkey % 2 <> 0) " +
+        "SELECT COALESCE(o_orderpriority, '<v1>') AS priority, " +
+        "count(*) AS n_rows, CAST(sum(price_cents) AS BIGINT) AS sum_cents " +
+        "FROM m GROUP BY 1"),
+    "q_zorder" ->
+      (s"WITH z AS (SELECT l_partkey % 16 AS bucket, " +
+        s"(${sqlBitSpread("l_partkey", 0)} | ${sqlBitSpread("l_suppkey", 1)}) AS z " +
+        "FROM lineitem) " +
+        "SELECT bucket, count(*) AS n_rows, min(z) AS min_z, max(z) AS max_z, " +
+        "CAST(sum(z) AS BIGINT) AS sum_z FROM z GROUP BY 1"),
   )
+
+  /** Morton spread of the low 32 bits of a BIGINT column into even
+    * (shift=0) or odd (shift=1) bit positions, as plain SQL bit
+    * arithmetic — mirrors [[graft.functions.ZOrder]] bit-for-bit. Bits
+    * whose target position would exceed 63 can only be set by inputs
+    * >= 2^32, which the Spark side masks off; the mirror skips them (a
+    * `1 << 63` would overflow DuckDB's signed BIGINT check).
+    */
+  private def sqlBitSpread(colName: String, shift: Int): String =
+    (0 until 32).filter(i => 2 * i + shift <= 62)
+      .map(i => s"(((($colName >> $i) & 1)) << ${2 * i + shift})")
+      .mkString("(", " | ", ")")
 
   /** Full per-doc text-stats SQL (mirrors TextOps.stats); shared by
     * q_text_stats and the q_top_quality top-k. MUST be lazy: it

@@ -51,6 +51,16 @@ package object functions {
       ColumnBridge.expression(toks), k, w, base, mod))
   }
 
+  /** Z-order (Morton) interleave of the low 32 bits of two long columns —
+    * the multi-dimensional clustering key for layout maintenance (see
+    * [[ZOrder]]); pure integer math, bit-identical in any engine.
+    */
+  def z_order(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ZOrder(
+      ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
+  }
+
   /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
     * lexicographic min of two strings as the cluster representative. A
     * Python UDF in the reference; Spark's built-in codegen'd `least` here.

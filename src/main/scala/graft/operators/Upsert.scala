@@ -44,4 +44,34 @@ object Upsert {
     val upserts = changes.filter(col(opCol) === "u").drop(opCol)
     upserts.unionByName(current.join(changeKeys, keys, "left_anti"))
   }
+
+  /** Snapshot diff: per-key churn between two corpus snapshots of the same
+    * schema — `added` (key only in `cur`), `removed` (only in `prev`),
+    * `changed` (present in both, any non-key column differs, null-safe).
+    * Unchanged keys are dropped, so the OUTPUT is only the churn — the
+    * property that makes this usable at 100 TB, where two snapshots are
+    * huge but their delta is small (audit a rebuild, derive a CDC batch
+    * for [[applyCdc]], alert on unexpected mass-deletes).
+    *
+    * One full-outer shuffle join on the key — both sides partition once,
+    * payload comparison is a null-safe struct equality evaluated in place
+    * (no hashing round-trip, no second pass). Keys must be non-null on
+    * both sides (null keys would full-outer-mismatch into added+removed).
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    require(prev.columns.sameElements(cur.columns),
+      s"snapshot schemas differ: ${prev.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    val payload = prev.columns.filterNot(keys.contains).toSeq
+    val keyCond = keys.map(k => col(s"p.$k") === col(s"c.$k")).reduce(_ && _)
+    val pPay = struct(payload.map(f => col(s"p.$f")): _*)
+    val cPay = struct(payload.map(f => col(s"c.$f")): _*)
+    prev.as("p").join(cur.as("c"), keyCond, "full_outer")
+      .withColumn("change",
+        when(col(s"p.${keys.head}").isNull, lit("added"))
+          .when(col(s"c.${keys.head}").isNull, lit("removed"))
+          .when(pPay <=> cPay, lit("unchanged"))
+          .otherwise(lit("changed")))
+      .filter(col("change") =!= "unchanged")
+      .select(keys.map(k => coalesce(col(s"p.$k"), col(s"c.$k")).as(k)) :+ col("change"): _*)
+  }
 }

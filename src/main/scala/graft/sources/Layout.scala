@@ -63,4 +63,24 @@ object Layout {
     df.repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Write `df` Z-order-clustered on two long columns: range-partition and
+    * sort by the Morton interleave ([[graft.functions.z_order]]) instead
+    * of lexicographically. [[writeClustered]] on (a, b) gives tight file
+    * stats on `a` only — a predicate on `b` alone still scans every file;
+    * the Z-curve keeps every file's min/max envelope narrow in BOTH
+    * dimensions, so single-column predicates on either side prune
+    * (LayoutSpec asserts pruning on each dimension separately). Same cost
+    * as writeClustered: one shuffle + per-partition sort; the z key is a
+    * few codegen'd shifts per row.
+    */
+  def writeZOrdered(df: DataFrame, outDir: String, numFiles: Int,
+                    colA: String, colB: String): Unit = {
+    val z = graft.functions.z_order(col(colA).cast("long"), col(colB).cast("long"))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
 }

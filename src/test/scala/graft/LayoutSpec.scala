@@ -46,4 +46,38 @@ class LayoutSpec extends SparkSpec {
     val key = ranges(ranges.size / 2)._1
     assert(ranges.count { case (lo, hi) => lo <= key && key <= hi } == 1)
   }
+
+  test("writeZOrdered narrows per-file envelopes in BOTH dimensions") {
+    // 256x256 uniform grid: the case where the z-curve's guarantee is
+    // crisp (comparable bit-widths; z over the grid is a bijection onto
+    // 0..65535, so range boundaries land on clean Morton blocks)
+    val grid = spark.range(65536L)
+      .selectExpr("id % 256 AS x", "id DIV 256 AS y")
+    def envelopes(dir: String): Seq[(Long, Long, Long, Long)] =
+      parquetFiles(dir).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("x"), max("x"), min("y"), max("y")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    val zDir = tmpDir("zorder")
+    Layout.writeZOrdered(grid, zDir, 16, "x", "y")
+    assert(spark.read.parquet(zDir).count() == 65536L)
+    val zEnv = envelopes(zDir)
+    assert(zEnv.size >= 8)
+    // both dimensions' average per-file span well below the global 255
+    val avgX = zEnv.map(e => e._2 - e._1).sum.toDouble / zEnv.size
+    val avgY = zEnv.map(e => e._4 - e._3).sum.toDouble / zEnv.size
+    assert(avgX < 0.5 * 255, s"x spans not narrowed: $zEnv")
+    assert(avgY < 0.5 * 255, s"y spans not narrowed: $zEnv")
+    // a single-dimension predicate on EITHER column skips files
+    assert(zEnv.count(e => e._1 <= 64 && 64 <= e._2) < zEnv.size)
+    assert(zEnv.count(e => e._3 <= 64 && 64 <= e._4) < zEnv.size)
+    // contrast: lexicographic clustering on (x, y) leaves y unpruned —
+    // every file's y span is the full domain
+    val lexDir = tmpDir("lex")
+    Layout.writeClustered(grid, lexDir, 16, "x", "y")
+    val lexEnv = envelopes(lexDir)
+    val lexAvgY = lexEnv.map(e => e._4 - e._3).sum.toDouble / lexEnv.size
+    assert(lexAvgY > 0.9 * 255, s"expected full y spans under lex sort: $lexEnv")
+  }
 }

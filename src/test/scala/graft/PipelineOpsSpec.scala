@@ -150,6 +150,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan.take(500))
   }
 
+  test("z_order: known interleaves, reference bit-loop parity, codegen, SQL") {
+    // hand-checked Morton values
+    val known = Seq(
+      (0L, 0L, 0L),
+      (1L, 0L, 1L),                       // x takes even bits
+      (0L, 1L, 2L),                       // y takes odd bits
+      (3L, 3L, 15L),                      // 0b11 ⊗ 0b11 = 0b1111
+      (5L, 3L, 27L),                      // 0b101,0b011 -> 0b11011
+      (0xFFFFFFFFL, 0xFFFFFFFFL, -1L)     // full 32+32 bits -> all 64 set
+    )
+    val got = known.toDF("x", "y", "want")
+      .select(graft.functions.z_order(col("x"), col("y")).as("z"), col("want"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (z, want) => assert(z == want) }
+    // property vs a reference bit loop on arbitrary values
+    def ref(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    val zs = samples.toDF("x", "y")
+      .select(graft.functions.z_order(col("x"), col("y"))).as[Long].collect()
+    samples.zip(zs).foreach { case ((x, y), z) => assert(z == ref(x, y)) }
+    // null-intolerant; codegen-friendly; registered on the SQL surface
+    val nz = Seq((Option.empty[Long], Option(1L))).toDF("x", "y")
+      .select(graft.functions.z_order(col("x"), col("y"))).collect()
+    assert(nz(0).isNullAt(0))
+    val plan = Tables.lineitem(spark, sf0001)
+      .select(graft.functions.z_order(col("l_partkey"), col("l_suppkey")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    Graft.registerFunctions(spark)
+    assert(spark.sql("SELECT z_order(5, 3)").as[Long].head() == 27L)
+  }
+
   test("word_ngrams: parity with the HOF slice/concat_ws formulation") {
     val rows = Seq(
       (1L, Seq("a", "b", "c", "d")),

@@ -41,6 +41,34 @@ class UpsertSpec extends SparkSpec {
       twice.as[(Long, String, Long)].collect().toSet)
   }
 
+  test("snapshotDiff: added/removed/changed only, unchanged dropped, null-safe") {
+    val prev = Seq(
+      (1L, Option("a"), 100L),
+      (2L, Option("b"), 200L),
+      (3L, Option.empty[String], 300L),   // null payload field
+      (4L, Option("d"), 400L)
+    ).toDF("k", "name", "cents")
+    val cur = Seq(
+      (1L, Option("a"), 100L),            // unchanged -> dropped
+      (2L, Option("b"), 999L),            // changed (value)
+      (3L, Option.empty[String], 300L),   // unchanged, null <=> null -> dropped
+      (5L, Option("e"), 500L)             // added; 4 removed
+    ).toDF("k", "name", "cents")
+    val got = Upsert.snapshotDiff(prev, cur, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (4L, "removed"), (5L, "added")))
+    // null -> non-null payload transition is a change, not unchanged
+    val cur2 = Seq((3L, Option("now-set"), 300L)).toDF("k", "name", "cents")
+    val got2 = Upsert.snapshotDiff(prev.filter(col("k") === 3L), cur2, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got2 == Set((3L, "changed")))
+  }
+
+  test("snapshotDiff of a snapshot with itself is empty") {
+    val c = Tables.customer(spark, sf0001)
+    assert(Upsert.snapshotDiff(c, c, Seq("c_custkey")).count() == 0L)
+  }
+
   test("saltedJoin equals the plain inner join for any salts, incl. dup rows") {
     val probe = Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
