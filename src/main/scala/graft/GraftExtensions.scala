@@ -47,6 +47,12 @@ object GraftExtensions {
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
         graft.functions.ZOrder(Cast(args(0), LongType), Cast(args(1), LongType))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize expects exactly 1 argument")
+        graft.functions.NfcNormalize(args(0))
       }))
 }
 

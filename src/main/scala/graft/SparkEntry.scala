@@ -959,6 +959,38 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           ntile(10).over(w).cast("long").as("decile"))
     }),
+
+    // ---- Null-key skew bypass: left join where null-keyed rows (every
+    // 11th order, unattributed) skip the shuffle instead of funneling one
+    // hash(null) partition — result identical to the plain left join
+    // (oracle proves it).
+    "q_null_skew_join" -> ((s, dir) => {
+      val left = Tables.orders(s, dir).select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val right = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.nullTolerantLeftJoin(left, right, "custkey")
+        .groupBy(coalesce(col("c_mktsegment"), lit("<no-key>")).as("segment"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("sum_cents"))
+    }),
+
+    // ---- Unicode NFC normalization (native codegen expression, mirrors
+    // DuckDB nfc_normalize byte-for-byte): byte-stable fingerprints across
+    // mixed normalization forms — run before fingerprint/shingle dedup.
+    "q_text_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(col("text")).as("len_raw"),
+        length(graft.functions.nfc_normalize(col("text"))).as("len_nfc"),
+        md5(graft.functions.nfc_normalize(col("text"))).as("fp_nfc"))),
+
+    // ---- Per-label embedding centroids: class prototypes as a
+    // map-side-combinable (label, dim) hash aggregate — shuffles
+    // labels x dim partial sums, never vectors. Fixed-point sums for
+    // engine-exact determinism.
+    "q_label_centroid" -> ((s, dir) =>
+      Ann.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1539,6 +1571,24 @@ object SparkEntry {
         "SELECT COALESCE(o_orderpriority, '<v1>') AS priority, " +
         "count(*) AS n_rows, CAST(sum(price_cents) AS BIGINT) AS sum_cents " +
         "FROM m GROUP BY 1"),
+    "q_null_skew_join" ->
+      ("WITH l AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS custkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders) " +
+        "SELECT COALESCE(c.c_mktsegment, '<no-key>') AS segment, " +
+        "count(*) AS n_rows, CAST(sum(l.price_cents) AS BIGINT) AS sum_cents " +
+        "FROM l LEFT JOIN customer c ON l.custkey = c.c_custkey GROUP BY 1"),
+    "q_text_normalize" ->
+      ("SELECT doc_id, length(text) AS len_raw, " +
+        "length(nfc_normalize(text)) AS len_nfc, " +
+        "md5(nfc_normalize(text)) AS fp_nfc FROM documents"),
+    "q_label_centroid" ->
+      ("WITH x AS (SELECT label, CAST(i AS BIGINT) - 1 AS pos, " +
+        "embedding[CAST(i AS INT)] AS x " +
+        "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)) " +
+        "SELECT label, pos, " +
+        "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) " +
+        "AS sum_scaled, count(*) AS n FROM x GROUP BY 1, 2"),
     "q_zorder" ->
       (s"WITH z AS (SELECT l_partkey % 16 AS bucket, " +
         s"(${sqlBitSpread("l_partkey", 0)} | ${sqlBitSpread("l_suppkey", 1)}) AS z " +

@@ -61,6 +61,15 @@ package object functions {
       ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
   }
 
+  /** Unicode NFC normalization (TR15 canonical composition) — byte-stable
+    * fingerprints across mixed normalization forms (see [[NfcNormalize]]);
+    * mirrors DuckDB's `nfc_normalize` byte-for-byte.
+    */
+  def nfc_normalize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
+
   /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
     * lexicographic min of two strings as the cluster representative. A
     * Python UDF in the reference; Spark's built-in codegen'd `least` here.

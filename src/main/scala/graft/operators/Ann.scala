@@ -296,4 +296,25 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "sim")
   }
+
+  /** Per-label embedding centroids (class prototypes): one output row per
+    * (label, dimension) with the component sum and member count — the
+    * building block for prototype classifiers, cluster drift monitors, and
+    * per-class retrieval anchors.
+    *
+    * posexplode + hash-aggregate: fully map-side combinable, shuffles
+    * labels·dim partial rows, never the vectors themselves. Component sums
+    * are fixed-point (round(x·10⁶) as BIGINT): double accumulation order
+    * varies with partitioning, so an FP sum is nondeterministic across
+    * re-runs/engines — integer micro-units make the aggregate exact,
+    * deterministic at any parallelism, and DuckDB-oracle-able (same
+    * contract as the cents columns elsewhere). Consumers divide
+    * `sum_scaled / (1e6 · n)` for the mean.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String, embCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("sum_scaled"),
+        count(lit(1)).as("n"))
 }

@@ -65,4 +65,24 @@ object Skew {
       .join(expandedBuild, keys :+ "__salt")
       .drop("__salt")
   }
+
+  /** Left join where null-keyed left rows BYPASS the join: SQL equi-join
+    * semantics already guarantee a null key matches nothing, but Spark
+    * still ships every null-keyed row through the shuffle into one
+    * partition (hash(null) is one value) — the single most common skew
+    * accident in practice, because real corpora are full of
+    * not-yet-attributed rows (events before login, docs without a source).
+    * Splitting them off is free (same scan), they keep their left-join
+    * null padding, and the shuffle only carries rows that can match.
+    * Result is EXACTLY `left.join(right, Seq(key), "left")`.
+    */
+  def nullTolerantLeftJoin(left: DataFrame, right: DataFrame,
+                           key: String): DataFrame = {
+    val joined = left.filter(col(key).isNotNull).join(right, Seq(key), "left")
+    val rightPad = right.schema.fields.filterNot(_.name == key)
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    val bypass = left.filter(col(key).isNull)
+      .select(left.columns.map(col) ++ rightPad: _*)
+    joined.unionByName(bypass)
+  }
 }

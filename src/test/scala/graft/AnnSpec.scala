@@ -122,4 +122,23 @@ class AnnSpec extends SparkSpec {
     info(f"LSH recall@5 vs exact: $recall%.2f")
     assert(recall >= 0.4, f"recall $recall%.2f too low")
   }
+
+  test("labelCentroids matches a driver-side brute force, one row per (label, dim)") {
+    val rows = emb.select(col("label"), col("embedding").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+    val dim = rows.head._2.length
+    val expected = rows.groupBy(_._1).flatMap { case (label, vs) =>
+      (0 until dim).map { p =>
+        // mirror Spark round(): BigDecimal HALF_UP, not JVM math.round
+        val scaled = vs.map(v => new java.math.BigDecimal(v._2(p) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+        (label, p.toLong) -> ((scaled.sum, vs.length.toLong))
+      }
+    }
+    val got = Ann.labelCentroids(emb, "label", "embedding")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"key $k") }
+  }
 }

@@ -186,6 +186,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT z_order(5, 3)").as[Long].head() == 27L)
   }
 
+  test("nfc_normalize: composes combining marks, ascii fast-path, SQL surface") {
+    val decomposed = "e\u0301clair"   // e + combining acute
+    val precomposed = "\u00e9clair"   // U+00E9
+    val rows = Seq(
+      (1L, decomposed),
+      (2L, precomposed),
+      (3L, "plain ascii stays"),
+      (4L, "A\u030a"),                // A + combining ring -> U+00C5
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = rows.select(col("id"), graft.functions.nfc_normalize(col("s")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains(precomposed))
+    assert(got(2L).contains(precomposed))
+    assert(got(1L) == got(2L), "mixed normalization forms must collapse")
+    assert(got(3L).contains("plain ascii stays"))
+    assert(got(4L).contains("\u00c5"))
+    assert(got(5L).isEmpty)
+    // idempotent
+    val twice = rows.filter(col("s").isNotNull)
+      .select(graft.functions.nfc_normalize(
+        graft.functions.nfc_normalize(col("s"))).as("a"),
+        graft.functions.nfc_normalize(col("s")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(twice == 0L)
+    Graft.registerFunctions(spark)
+    assert(spark.sql("SELECT nfc_normalize('e\u0301') = '\u00e9'")
+      .as[Boolean].head())
+  }
+
   test("word_ngrams: parity with the HOF slice/concat_ws formulation") {
     val rows = Seq(
       (1L, Seq("a", "b", "c", "d")),

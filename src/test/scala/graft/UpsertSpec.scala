@@ -69,6 +69,24 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.snapshotDiff(c, c, Seq("c_custkey")).count() == 0L)
   }
 
+  test("nullTolerantLeftJoin equals the plain left join, nulls bypass") {
+    val left = Seq(
+      (1L, Option(10L), "a"),
+      (2L, Option.empty[Long], "b"),   // null key -> bypass, padded
+      (3L, Option(99L), "c")           // no match -> padded
+    ).toDF("rid", "k", "payload")
+    val right = Seq((10L, "dim10"), (20L, "dim20")).toDF("k", "attr")
+    val leftK = left.select(col("rid"), col("k"), col("payload"))
+    val got = Skew.nullTolerantLeftJoin(leftK, right, "k")
+      .select("rid", "k", "payload", "attr")
+      .as[(Long, Option[Long], String, Option[String])].collect().toSet
+    val plain = leftK.join(right, Seq("k"), "left")
+      .select("rid", "k", "payload", "attr")
+      .as[(Long, Option[Long], String, Option[String])].collect().toSet
+    assert(got == plain)
+    assert(got.contains((2L, None, "b", None)))
+  }
+
   test("saltedJoin equals the plain inner join for any salts, incl. dup rows") {
     val probe = Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
