@@ -991,6 +991,23 @@ object SparkEntry {
     // engine-exact determinism.
     "q_label_centroid" -> ((s, dir) =>
       Ann.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
+
+    // ---- EXACT heavy-hitter tokens via a Misra-Gries sketch + exact
+    // recount of the <= k candidates: KBs through the shuffle instead of
+    // the whole token domain, and the MG guarantee makes the thresholded
+    // output exact — so a trivial full-aggregation oracle checks it.
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitterTokens(Tables.documents(s, dir), "text", 30)),
+
+    // ---- Percent-rank normalization: score -> [0,1] rank position per
+    // source (deterministic tie-break), the cross-source-comparable form
+    // quality filters compose over.
+    "q_percent_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), percent_rank().over(w).as("pr"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1589,6 +1606,14 @@ object SparkEntry {
         "SELECT label, pos, " +
         "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) " +
         "AS sum_scaled, count(*) AS n FROM x GROUP BY 1, 2"),
+    "q_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0) " +
+        "SELECT token, count(*) AS n FROM t GROUP BY token " +
+        "HAVING count(*) > (SELECT count(*) FROM t) / 31.0"),
+    "q_percent_rank" ->
+      ("SELECT doc_id, source, percent_rank() OVER " +
+        "(PARTITION BY source ORDER BY n_chars, doc_id) AS pr FROM documents"),
     "q_zorder" ->
       (s"WITH z AS (SELECT l_partkey % 16 AS bucket, " +
         s"(${sqlBitSpread("l_partkey", 0)} | ${sqlBitSpread("l_suppkey", 1)}) AS z " +

@@ -226,4 +226,31 @@ object TextOps {
         approx_count_distinct(col("fp"), 0.02).as("approx_distinct_fp"),
         percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
         percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"))
+
+  /** EXACT corpus-wide heavy-hitter tokens (frequency > n_tokens/(k+1))
+    * via candidates-then-verify: a Misra-Gries sketch
+    * ([[graft.functions.HeavyHitters]]) reduces the corpus map-side to a
+    * <= k-entry candidate set (KBs through the shuffle, never the token
+    * domain), a second pass exactly recounts ONLY the candidates
+    * (broadcast isin filter -> hash agg over a tiny key set), and the MG
+    * guarantee — every item above the threshold survives the sketch —
+    * makes the thresholded result exactly the true heavy hitters. The
+    * sketch's order-dependent extra candidates are filtered away by their
+    * exact counts, so the OUTPUT is deterministic and oracle-able even
+    * though the sketch state is not. Compare `vocabTop`: exact top-N by
+    * full hash aggregation over every distinct token — fine when the
+    * token domain fits a shuffle, wrong cost at web scale.
+    */
+  def heavyHitterTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+      .localCheckpoint(true) // consumed twice: sketch pass + recount pass
+    val row = toks.agg(count(lit(1)).as("n"),
+      graft.functions.HeavyHitters
+        .heavy_hitter_candidates(col("token"), k).as("cands")).head()
+    val n = row.getLong(0)
+    val cands = row.getSeq[String](1)
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(n).cast("double") / (k + 1))
+  }
 }

@@ -64,6 +64,25 @@ object Etl {
   def load(df: DataFrame, sink: Sinks.RelationalSink, table: String): Unit =
     sink.overwrite(df, table)
 
+  /** [[load]] with data-quality metrics observed DURING the write: row
+    * count plus per-column null counts ride along on the sink action via
+    * `Dataset.observe` — accumulator-backed, so the table is NOT scanned a
+    * second time (the difference between "metrics are free" and "metrics
+    * double the pipeline's I/O" at 100 TB). Returns the metrics row
+    * (`n_rows`, `n_null_<col>`...) for gating/alerting; EtlSpec asserts it
+    * equals a direct recomputation.
+    */
+  def loadWithMetrics(df: DataFrame, sink: Sinks.RelationalSink,
+                      table: String, nullCheckCols: Seq[String]): Map[String, Long] = {
+    val obs = org.apache.spark.sql.Observation()
+    val metricCols = count(lit(1)).as("n_rows") +:
+      nullCheckCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    val observed = df.observe(obs, metricCols.head, metricCols.tail: _*)
+    sink.overwrite(observed, table)
+    obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
+
   /** O1: bounded per-stage retry with fixed delay — the reference's
     * Airflow task policy (retries=3, 5-minute delay): the first attempt
     * plus up to `retries` re-runs. Safe because each stage is a pure

@@ -44,6 +44,19 @@ class EtlSpec extends SparkSpec {
     assert(loaded.count() == 2)
   }
 
+  test("loadWithMetrics: observed metrics equal direct recomputation, one scan") {
+    val root = tmpDir("graft_obs_sink")
+    val sink = new Sinks.ParquetDirSink(root)
+    val df = Tables.orders(spark, sf0001).select(col("o_orderkey"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("custkey"))
+    val metrics = Etl.loadWithMetrics(df, sink, "obs_tbl", Seq("custkey"))
+    assert(metrics("n_rows") == df.count())
+    assert(metrics("n_null_custkey") == df.filter(col("custkey").isNull).count())
+    // the sink got the data unchanged
+    assert(spark.read.parquet(s"$root/obs_tbl").count() == df.count())
+  }
+
   test("withDeterministicId: dense, ordered, stable across reruns") {
     val df = Tables.orders(spark, sf0001)
     val a = Etl.withDeterministicId(df, "o_orderkey")

@@ -195,6 +195,20 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window agrees with custom sessionize on (start, count)") {
+    val custom = EventOps.sessionize(events)
+      .select("user_id", "session_start_us", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val builtin = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(custom == builtin)
+  }
+
   test("stream-stream interval join: in-interval pairs only, both directions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -186,6 +186,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT z_order(5, 3)").as[Long].head() == 27L)
   }
 
+  test("heavy hitters: MG guarantee holds across partitionings; verified output exact") {
+    // skewed synthetic stream: token i appears freq(i) times
+    val freqs = Map("hot1" -> 400L, "hot2" -> 250L, "hot3" -> 150L) ++
+      (1 to 200).map(i => s"tail$i" -> 3L).toMap
+    val n = freqs.values.sum
+    val k = 10
+    val truth = freqs.filter(_._2 > n.toDouble / (k + 1)).keySet
+    assert(truth == Set("hot1", "hot2", "hot3")) // fixture sanity
+    val rows = freqs.toSeq.flatMap { case (t, c) => Seq.fill(c.toInt)(t) }
+    for (parts <- Seq(1, 7, 32)) {
+      // different partitionings exercise different merge trees
+      val df = spark.createDataset(rows).repartition(parts).toDF("token")
+      val cands = df.agg(graft.functions.HeavyHitters
+          .heavy_hitter_candidates(col("token"), k)).head().getSeq[String](0)
+      assert(cands.size <= k, s"parts=$parts: state exceeded k")
+      assert(truth.subsetOf(cands.toSet), s"parts=$parts: guarantee violated: $cands")
+    }
+    // end-to-end operator: exact verified output on a documents-shaped frame
+    val docs = rows.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.heavyHitterTokens(docs, "text", k)
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == truth)
+    assert(got("hot1") == 400L && got("hot2") == 250L && got("hot3") == 150L)
+  }
+
   test("nfc_normalize: composes combining marks, ascii fast-path, SQL surface") {
     val decomposed = "e\u0301clair"   // e + combining acute
     val precomposed = "\u00e9clair"   // U+00E9
