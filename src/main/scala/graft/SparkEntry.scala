@@ -992,6 +992,13 @@ object SparkEntry {
     "q_label_centroid" -> ((s, dir) =>
       Ann.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- Embedding-quality eval: 5-NN majority-vote label prediction vs
+    // ground truth, per class — deterministic end to end (exact FP-parity
+    // scorer + tie-broken votes), so the whole eval is oracled.
+    "q_knn_eval" -> ((s, dir) =>
+      Ann.knnLabelEval(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", col("vec_id") % 50 === 0, 5)),
+
     // ---- EXACT heavy-hitter tokens via a Misra-Gries sketch + exact
     // recount of the <= k candidates: KBs through the shuffle instead of
     // the whole token domain, and the MG guarantee makes the thresholded
@@ -1606,6 +1613,27 @@ object SparkEntry {
         "SELECT label, pos, " +
         "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) " +
         "AS sum_scaled, count(*) AS n FROM x GROUP BY 1, 2"),
+    "q_knn_eval" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
+        "scored AS (SELECT q.qid, e.vec_id, " +
+        s"${sqlDot("q.qe", "e.embedding")} / " +
+        s"(sqrt(${sqlDot("q.qe", "q.qe")}) * sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+        "FROM q, embeddings e), " +
+        "ranked AS (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM scored), " +
+        "nbr AS (SELECT qid, vec_id, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY rank) AS nrank " +
+        "FROM ranked WHERE rank <= 6 AND vec_id <> qid), " +
+        "votes AS (SELECT n.qid, e.label AS nbr_label, count(*) AS nv " +
+        "FROM nbr n JOIN embeddings e ON n.vec_id = e.vec_id " +
+        "WHERE n.nrank <= 5 GROUP BY 1, 2), " +
+        "pred AS (SELECT qid, nbr_label AS pred_label FROM " +
+        "(SELECT qid, nbr_label, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY nv DESC, nbr_label) AS r FROM votes) WHERE r = 1) " +
+        "SELECT t.label AS true_label, count(*) AS n_queries, " +
+        "CAST(sum(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_correct " +
+        "FROM pred p JOIN embeddings t ON p.qid = t.vec_id GROUP BY 1"),
     "q_heavy_hitters" ->
       ("WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token " +
         "FROM documents WHERE length(trim(text)) > 0) " +

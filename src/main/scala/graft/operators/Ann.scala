@@ -297,6 +297,42 @@ object Ann {
       .select("query_id", "rank", "vec_id", "sim")
   }
 
+  /** Embedding-quality evaluation: k-NN majority-vote label prediction
+    * scored against the ground-truth label column — the standard intrinsic
+    * check that an embedding space (or an index over it) actually encodes
+    * the classes it claims to. Per query: the k nearest non-self
+    * neighbors vote by label (ties → smaller label); output is per-class
+    * (n_queries, n_correct).
+    *
+    * Built on [[cosineTopK]] with k+1 then self-exclusion, so it inherits
+    * the exact FP-parity scorer — the whole evaluation is deterministic
+    * and DuckDB-oracle-able end to end. Swap in [[lshTopK]]/[[ivfSearch]]
+    * candidates to measure an index's end-task cost instead of recall.
+    */
+  def knnLabelEval(emb: DataFrame, idCol: String, embCol: String,
+                   labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val neighbors = cosineTopK(emb, idCol, embCol, queryPred, k + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+    val wn = Window.partitionBy("query_id").orderBy(col("rank"))
+    val topk = neighbors.withColumn("nrank", row_number().over(wn))
+      .filter(col("nrank") <= k)
+    val labels = emb.select(col(idCol).as("vec_id"), col(labelCol).as("nbr_label"))
+    val votes = topk.join(labels, "vec_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("nbr_label"))
+    val pred = votes.withColumn("r", row_number().over(wv))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("nbr_label").as("pred_label"))
+    val truth = emb.select(col(idCol).as("query_id"), col(labelCol).as("true_label"))
+    pred.join(truth, "query_id")
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
+
   /** Per-label embedding centroids (class prototypes): one output row per
     * (label, dimension) with the component sum and member count — the
     * building block for prototype classifiers, cluster drift monitors, and

@@ -123,6 +123,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall $recall%.2f too low")
   }
 
+  test("knnLabelEval matches a driver-side brute force") {
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label")).as[(Long, Seq[Double], Int)].collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    val expected = rows.filter(_._1 % 50 == 0).map { case (qid, qe, qLabel) =>
+      val top6 = rows.map { case (vid, ve, _) => (vid, cos(qe, ve)) }
+        .sortBy { case (vid, sim) => (-sim, vid) }.take(6)
+      val nbrs = top6.filter(_._1 != qid).take(5)
+      val votes = nbrs.groupBy(n => byId(n._1)._3).view.mapValues(_.size).toSeq
+      val predLabel = votes.minBy { case (l, nv) => (-nv, l) }._1
+      (qLabel, predLabel == qLabel)
+    }.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.count(_._2).toLong)).toMap
+    val got = Ann.knnLabelEval(emb, "vec_id", "embedding", "label",
+        col("vec_id") % 50 === 0, 5)
+      .as[(Int, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == rows.count(_._1 % 50 == 0))
+  }
+
   test("labelCentroids matches a driver-side brute force, one row per (label, dim)") {
     val rows = emb.select(col("label"), col("embedding").cast("array<double>"))
       .as[(Int, Seq[Double])].collect()

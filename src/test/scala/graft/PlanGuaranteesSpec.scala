@@ -16,11 +16,15 @@ package graft
 class PlanGuaranteesSpec extends SparkSpec {
 
   /** q_link_ro / q_ann_cosine: by-design exact baselines (see class doc).
-    * q_tfidf_top: crossJoin(broadcast(<one-row aggregate>)) — attaching a
-    * single scalar (corpus size) to every row plans as a BNLJ whose build
-    * side is ONE row; that is constant-attach, not a candidate blowup.
+    * q_knn_eval builds on q_ann_cosine's exact scorer (same broadcast
+    * cross join; swap in lshTopK/ivfSearch candidates for the scale path —
+    * Ann.knnLabelEval Scaladoc). q_tfidf_top:
+    * crossJoin(broadcast(<one-row aggregate>)) — attaching a single scalar
+    * (corpus size) to every row plans as a BNLJ whose build side is ONE
+    * row; that is constant-attach, not a candidate blowup.
     */
-  private val allowedBnlj = Set("q_link_ro", "q_ann_cosine", "q_tfidf_top")
+  private val allowedBnlj =
+    Set("q_link_ro", "q_ann_cosine", "q_knn_eval", "q_tfidf_top")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
