@@ -992,6 +992,15 @@ object SparkEntry {
     "q_label_centroid" -> ((s, dir) =>
       Ann.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- Retrieval-indexing composite (RAG shape): chunk -> embed (stub,
+    // md5-derived — no model runtime here; plumbing is real) -> exact
+    // top-3 per query chunk. Chunking/embedding are shuffle-free
+    // projections; lshTopK/ivfSearch are the scale paths over the same
+    // embedded-chunk table.
+    "q_rag_topk" -> ((s, dir) =>
+      Retrieval.chunkRetrievalTopK(Tables.documents(s, dir), "doc_id", "text",
+        400, 300, 8, 97L, 3)),
+
     // ---- Embedding-quality eval: 5-NN majority-vote label prediction vs
     // ground truth, per class — deterministic end to end (exact FP-parity
     // scorer + tie-broken votes), so the whole eval is oracled.
@@ -1613,6 +1622,29 @@ object SparkEntry {
         "SELECT label, pos, " +
         "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) " +
         "AS sum_scaled, count(*) AS n FROM x GROUP BY 1, 2"),
+    "q_rag_topk" -> {
+      val stubEmb = (1 to 8)
+        .map(i => s"CAST(${sqlHash60("chunk", i)} AS DOUBLE) / 1152921504606846976.0")
+        .mkString("[", ", ", "]")
+      def dot8(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, 9), i -> " +
+          s"$a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (acc, x) -> acc + x)"
+      ("WITH idx AS (SELECT doc_id, text, " +
+        "unnest(generate_series(0, CAST(greatest((length(text)-1)//300, 0) AS BIGINT))) AS i " +
+        "FROM documents), " +
+        "ch AS (SELECT doc_id*1000 + i AS cid, " +
+        "substring(text, CAST(i*300+1 AS INT), 400) AS chunk FROM idx), " +
+        s"emb AS (SELECT cid, $stubEmb AS e FROM ch), " +
+        "q AS (SELECT cid AS qid, e AS qe FROM emb WHERE cid % 97 = 0), " +
+        "scored AS (SELECT q.qid, emb.cid, " +
+        s"${dot8("q.qe", "emb.e")} / " +
+        s"(sqrt(${dot8("q.qe", "q.qe")}) * sqrt(${dot8("emb.e", "emb.e")})) AS sim " +
+        "FROM q, emb) " +
+        "SELECT qid AS query_id, rank, cid AS vec_id, sim FROM " +
+        "(SELECT qid, cid, sim, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank FROM scored) " +
+        "WHERE rank <= 3")
+    },
     "q_knn_eval" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
         "scored AS (SELECT q.qid, e.vec_id, " +

@@ -249,7 +249,11 @@ object TextOps {
         .heavy_hitter_candidates(col("token"), k).as("cands")).head()
     val n = row.getLong(0)
     val cands = row.getSeq[String](1)
-    toks.filter(col("token").isin(cands: _*))
+    // empty corpus -> empty candidate set; isin() with zero values is not
+    // a well-defined predicate, so short-circuit to a constant-false filter
+    val candFilter =
+      if (cands.isEmpty) lit(false) else col("token").isin(cands: _*)
+    toks.filter(candFilter)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") > lit(n).cast("double") / (k + 1))
   }

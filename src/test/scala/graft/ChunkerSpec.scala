@@ -1,6 +1,8 @@
 package graft
+// (Retrieval composite tests live here too — it builds on Chunker.)
 
 import graft.operators.Chunker
+import org.apache.spark.sql.functions.col
 
 class ChunkerSpec extends SparkSpec {
   import spark.implicits._
@@ -69,5 +71,34 @@ class ChunkerSpec extends SparkSpec {
     val plan = Chunker.chunk(df, "doc_id", "text", 4, 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("retrieval composite: stub embeddings deterministic, self at rank 1, dup text found") {
+    import graft.operators.Retrieval
+    // doc 97000/1000=97: construct ids so one chunk id hits the % 97 query set
+    val docs = Seq(
+      (97L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 97
+      (7L, "completely different content about spark and parquet files")
+    ).toDF("doc_id", "text")
+    // determinism + shape of the stub embedder
+    val e = docs.select(Retrieval.stubEmbedding(col("text"), 8).as("e"))
+      .as[Seq[Double]].collect()
+    assert(e.forall(_.length == 8))
+    assert(e.forall(_.forall(x => x >= 0.0 && x < 1.0)))
+    assert(e(0) == e(1) && e(0) != e(2))   // same text -> same vector
+    val got = Retrieval.chunkRetrievalTopK(docs, "doc_id", "text",
+        400, 300, 8, 97L, 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val q = got.filter(_._1 == 97000L)
+    assert(q.nonEmpty, s"expected query chunk 97000 in ${got.toSeq}")
+    // identical text -> sim exactly 1 for both self and the dup; the
+    // deterministic (sim DESC, vec_id ASC) tie-break puts the lower chunk
+    // id (5000, the dup) at rank 1 and self at rank 2 — both at sim 1
+    val top2 = q.filter(_._2 <= 2L).sortBy(_._2)
+    assert(top2.map(_._3).toSeq == Seq(5000L, 97000L), top2.toSeq)
+    top2.foreach(r => assert(math.abs(r._4 - 1.0) < 1e-12))
+    // the unrelated doc's chunk ranks strictly below
+    assert(q.find(_._2 == 3L).get._4 < 1.0 - 1e-9)
   }
 }

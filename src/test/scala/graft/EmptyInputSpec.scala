@@ -52,6 +52,27 @@ class EmptyInputSpec extends SparkSpec {
       Seq("user_id"), "us").count() == 0)
   }
 
+  test("round-5 additions tolerate empty input") {
+    assert(NearDup.containmentPairs(noDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(TextOps.heavyHitterTokens(noDocs, "text", 10).count() == 0)
+    assert(Upsert.upsert(noDocs, noDocs, Seq("doc_id")).count() == 0)
+    // empty change batch leaves the corpus untouched
+    assert(Upsert.upsert(someDocs, noDocs, Seq("doc_id")).count() == someDocs.count())
+    assert(Upsert.applyCdc(someDocs, noDocs.withColumn("op", lit("u")),
+      Seq("doc_id"), "op").count() == someDocs.count())
+    assert(Upsert.snapshotDiff(noDocs, noDocs, Seq("doc_id")).count() == 0)
+    // whole empty snapshot vs a populated one: everything is "added"
+    assert(Upsert.snapshotDiff(noDocs, someDocs, Seq("doc_id"))
+      .select("change").as[String].collect().toSet == Set("added"))
+    assert(Skew.saltedJoin(noDocs, someDocs, Seq("doc_id"), 4).count() == 0)
+    assert(Skew.nullTolerantLeftJoin(noDocs, someDocs.withColumnRenamed("text", "t2"),
+      "doc_id").count() == 0)
+    val noEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Ann.labelCentroids(noEmb, "label", "embedding").count() == 0)
+    assert(Ann.knnLabelEval(noEmb, "vec_id", "embedding", "label",
+      col("vec_id") % 2 === 0, 3).count() == 0)
+  }
+
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
     assert(Sampling.stratifiedQuota(noDocs.withColumn("lang", lit("en")),
