@@ -69,6 +69,38 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.snapshotDiff(c, c, Seq("c_custkey")).count() == 0L)
   }
 
+  test("streaming CDC apply via foreachBatch equals the batch-applied state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    root.toFile.deleteOnExit()
+    val state = s"$root/state"
+    Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "cents")
+      .write.mode("overwrite").parquet(state)
+    val ms = MemoryStream[(Long, Long, String)]
+    // the standard exactly-once-per-micro-batch shape: foreachBatch folds
+    // each change batch into the standing snapshot with applyCdc.
+    // localCheckpoint materializes the next state BEFORE the overwrite —
+    // a lazy plan would read the very directory it is replacing (a real
+    // table format or versioned-dir swap is the production form).
+    val q = ms.toDS().toDF("k", "cents", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = Upsert.applyCdc(spark.read.parquet(state), batch,
+          Seq("k"), "op").localCheckpoint(true)
+        next.write.mode("overwrite").parquet(state)
+        ()
+      }
+      .start()
+    try {
+      ms.addData((2L, 999L, "u"), (4L, 400L, "u"))   // update 2, insert 4
+      q.processAllAvailable()
+      ms.addData((1L, 0L, "d"), (4L, 444L, "u"))     // delete 1, re-update 4
+      q.processAllAvailable()
+      val got = spark.read.parquet(state).as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 999L), (3L, 300L), (4L, 444L)))
+    } finally q.stop()
+  }
+
   test("nullTolerantLeftJoin equals the plain left join, nulls bypass") {
     val left = Seq(
       (1L, Option(10L), "a"),
