@@ -992,6 +992,23 @@ object SparkEntry {
     "q_label_centroid" -> ((s, dir) =>
       Ann.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- Cross-table edit-distance match (master-data / spell-correction
+    // shape): every 5th part name gets one deterministic character
+    // deletion, then maps back to the clean dictionary within lev <= 1 via
+    // the two-table deletion-neighborhood equi-join (never |dirty|x|dict|).
+    // Oracle replays the naive levenshtein join.
+    "q_dict_match" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val dirty = parts.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          concat(expr("substring(p_name, 1, CAST((p_partkey DIV 5) % length(p_name) AS INT))"),
+            expr("substring(p_name, CAST((p_partkey DIV 5) % length(p_name) AS INT) + 2)"))
+            .as("dirty_name"))
+      EditDistanceJoin.pairsAgainst(dirty, "dirty_id", "dirty_name",
+          parts.select(col("p_partkey"), col("p_name")), "p_partkey", "p_name", 1)
+        .withColumn("dist", col("dist").cast("long"))
+    }),
+
     // ---- Retrieval-indexing composite (RAG shape): chunk -> embed (stub,
     // md5-derived — no model runtime here; plumbing is real) -> exact
     // top-3 per query chunk. Chunking/embedding are shuffle-free
@@ -1622,6 +1639,15 @@ object SparkEntry {
         "SELECT label, pos, " +
         "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) " +
         "AS sum_scaled, count(*) AS n FROM x GROUP BY 1, 2"),
+    "q_dict_match" ->
+      ("WITH dirty AS (SELECT p_partkey AS dirty_id, " +
+        "substring(p_name, 1, CAST((p_partkey // 5) % length(p_name) AS INT)) || " +
+        "substring(p_name, CAST((p_partkey // 5) % length(p_name) AS INT) + 2) " +
+        "AS dirty_name FROM part WHERE p_partkey % 5 = 0) " +
+        "SELECT d.dirty_id AS left_id, d.dirty_name AS left_key, " +
+        "p.p_partkey AS right_id, p.p_name AS right_key, " +
+        "CAST(levenshtein(d.dirty_name, p.p_name) AS BIGINT) AS dist " +
+        "FROM dirty d JOIN part p ON levenshtein(d.dirty_name, p.p_name) <= 1"),
     "q_rag_topk" -> {
       val stubEmb = (1 to 8)
         .map(i => s"CAST(${sqlHash60("chunk", i)} AS DOUBLE) / 1152921504606846976.0")

@@ -127,6 +127,45 @@ object EditDistanceJoin {
               maxDist: Int): DataFrame =
     halfIdPairs(df.select(col(idCol).as("id"), col(keyCol).as("key")), maxDist)
 
+  /** Cross-table edit-distance match: every `left` row paired with every
+    * `right` (dictionary) row within lev <= maxDist — the master-data /
+    * spell-correction shape ("map each dirty name to its canonical
+    * entry"), as a TWO-TABLE deletion-neighborhood equi-join: both sides
+    * explode into their <=maxDist-deletion variant hashes and meet on the
+    * variant (superset guarantee is the same one-sided-deletions argument
+    * as the self-join), then the exact banded `levenshtein` verifies.
+    * Output: (left_id, left_key, right_id, right_key, dist), directed —
+    * one row per matching dictionary entry; downstream picks a winner
+    * (e.g. min dist, then min right_id) when it needs one.
+    *
+    * Scale: linear shuffle on variant hashes for both sides; the
+    * dictionary is typically the small side — its ~(len·k) variant
+    * explosion still shuffles (not broadcast) because post-explode size is
+    * opaque to Catalyst (same shuffle_hash reasoning as [[halfIdPairs]]).
+    */
+  def pairsAgainst(left: DataFrame, leftId: String, leftKey: String,
+                   right: DataFrame, rightId: String, rightKey: String,
+                   maxDist: Int): DataFrame = {
+    val genVariants = udf((s: String) =>
+      if (s == null) Array.empty[String] else deletionVariants(s, maxDist))
+    def explodeSide(df: DataFrame, id: String, key: String): DataFrame =
+      df.select(col(id).as("id"), col(key).as("key"))
+        .withColumn("__vs", explode(genVariants(col("key"))))
+        .withColumn("__v", xxhash64(col("__vs")))
+        .drop("__vs")
+    val l = explodeSide(left, leftId, leftKey)
+    val r = explodeSide(right, rightId, rightKey)
+    l.as("a").hint("shuffle_hash")
+      .join(r.as("b"),
+        col("a.__v") === col("b.__v") &&
+          abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
+      .filter(levenshtein(col("a.key"), col("b.key"), maxDist) >= 0)
+      .select(col("a.id").as("left_id"), col("a.key").as("left_key"),
+        col("b.id").as("right_id"), col("b.key").as("right_key"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("left_key"), col("right_key")))
+  }
+
   /** Matched pairs (id_a, key_a, id_b, key_b) with lev(key_a, key_b) <= maxDist.
     * Reflexive pairs included unless includeSelf=false (then id_a != id_b).
     * `df` must have unique values in idCol.

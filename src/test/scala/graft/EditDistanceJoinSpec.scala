@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.EditDistanceJoin
 import graft.operators.EditDistanceJoin.{DeletionNeighborhood, Naive, deletionVariants}
+import org.apache.spark.sql.functions.{expr, levenshtein}
 
 class EditDistanceJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -118,5 +119,39 @@ class EditDistanceJoinSpec extends SparkSpec {
     val row = agg.filter($"id" === 1L).collect().head
     assert(row.getAs[String]("linked_keys") == "abcdef,abcdefgh,abcdxf,bcdef,xabcdefg")
     assert(row.getAs[Long]("n_linked") == 5L)
+  }
+
+  test("pairsAgainst equals the naive cross-table levenshtein join") {
+    val dirty = Seq(
+      (1L, "spark"),     // 1 del from "sparks", 1 sub from "spank": both match
+      (2L, "paruqet"),   // transposition = 2 edits from "parquet": NO match at k=1
+      (3L, "flink"),     // exact dictionary hit (dist 0) + "blink" at 1
+      (4L, "zzzzz")      // matches nothing
+    ).toDF("did", "dname")
+    val dict = Seq(
+      (10L, "sparks"), (11L, "spank"), (12L, "parquet"),
+      (13L, "flink"), (14L, "blink")
+    ).toDF("cid", "cname")
+    val got = EditDistanceJoin.pairsAgainst(dirty, "did", "dname",
+        dict, "cid", "cname", 1)
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    val naive = dirty.as("d").join(dict.as("c"),
+        levenshtein($"d.dname", $"c.cname") <= 1)
+      .select($"d.did", $"c.cid", levenshtein($"d.dname", $"c.cname"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 1), (3L, 13L, 0), (3L, 14L, 1)))
+    // and on real data: every 10th customer name, one char deleted, maps
+    // back to (at least) its own original at distance 1
+    val c = Tables.customer(spark, sf0001)
+    val mangled = c.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey".as("did"),
+        expr("concat(substring(c_name, 1, CAST((c_custkey DIV 10) % length(c_name) AS INT)), " +
+          "substring(c_name, CAST((c_custkey DIV 10) % length(c_name) AS INT) + 2))").as("dname"))
+    val back = EditDistanceJoin.pairsAgainst(mangled, "did", "dname",
+        c.select($"c_custkey", $"c_name"), "c_custkey", "c_name", 1)
+    val selfHits = back.filter($"left_id" === $"right_id").count()
+    assert(selfHits == mangled.count())
   }
 }
