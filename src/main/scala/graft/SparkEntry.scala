@@ -992,6 +992,26 @@ object SparkEntry {
     "q_label_centroid" -> ((s, dir) =>
       Ann.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- Prefix-filtered exact Jaccard (AllPairs/PPJoin): result-
+    // identical to q_jaccard_pairs, but candidates come only from each
+    // doc's RAREST shingles — the boilerplate hot keys drop out of
+    // candidate generation entirely. Same oracle SQL as q_jaccard_pairs.
+    "q_jaccard_prefix" -> ((s, dir) =>
+      NearDup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
+
+    // ---- Trailing 7-day revenue per customer: RANGE-frame window over
+    // epoch days (integer cents — deterministic at any parallelism).
+    "q_rolling_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("cents")).over(w).as("revenue_7d"),
+        count(lit(1)).over(w).as("n_orders_7d"))
+    }),
+
     // ---- Cross-table edit-distance match (master-data / spell-correction
     // shape): every 5th part name gets one deterministic character
     // deletion, then maps back to the clean dictionary within lev <= 1 via
@@ -1639,6 +1659,22 @@ object SparkEntry {
         "SELECT label, pos, " +
         "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) " +
         "AS sum_scaled, count(*) AS n FROM x GROUP BY 1, 2"),
+    "q_jaccard_prefix" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
+        "SELECT id_a, id_b, n_common, " +
+        "CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc " +
+        "FROM inter JOIN counts ca ON ca.doc_id = id_a " +
+        "JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_rolling_revenue" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, " +
+        "epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_orderkey, o_custkey, day, " +
+        "CAST(sum(cents) OVER w AS BIGINT) AS revenue_7d, " +
+        "count(*) OVER w AS n_orders_7d FROM o " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY day " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"),
     "q_dict_match" ->
       ("WITH dirty AS (SELECT p_partkey AS dirty_id, " +
         "substring(p_name, 1, CAST((p_partkey // 5) % length(p_name) AS INT)) || " +

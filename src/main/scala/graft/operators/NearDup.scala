@@ -101,6 +101,61 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** [[jaccardPairs]] with PREFIX FILTERING (Chaudhuri et al. SSJoin /
+    * Bayardo et al. AllPairs / Xiao et al. PPJoin — public literature):
+    * result-identical for the same threshold, but candidates come only
+    * from each document's RAREST few shingles instead of all of them.
+    *
+    * Under any global total order on shingles (here: (doc-frequency,
+    * shingle) ascending — rarest first, which also minimizes posting-list
+    * sizes), a pair with jacc >= t has >= ceil(t·max(|x|,|y|)) common
+    * shingles, so its globally-first common shingle must sit inside BOTH
+    * documents' prefixes of length |x| - ceil(t·|x|) + 1 (else the suffix,
+    * which holds fewer than ceil(t·|x|) positions, would have to hold all
+    * of them). Candidates = prefix ⋈ prefix is therefore exhaustive; the
+    * exact intersection count over FULL shingle sets then verifies.
+    *
+    * At t=0.5 the prefix is ~half of each document's shingles, and it is
+    * the rare half — the d² hot-key risk of boilerplate shingles drops
+    * out of candidate generation entirely (they are the FREQUENT ones).
+    * Verify cost is linear in candidates. Equality with [[jaccardPairs]]
+    * is property-tested in NearDupSpec; the oracle is the same SQL.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // consumed three times (doc-frequency agg, prefix build, verify) —
+    // same localCheckpoint lifecycle reasoning as shinglesWithSkewGuard
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "shingle")
+    val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify: expand each candidate pair by side A's full shingle set,
+    // probe side B's postings — linear in candidates x avg set size
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .hint("shuffle_hash")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    common
+      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
+      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   /** Directed n-gram containment pairs: containment of A in B is
     * |shingles(A) ∩ shingles(B)| / |shingles(A)| — the asymmetric cousin
     * of Jaccard that catches SUBSET duplication (a document quoted or

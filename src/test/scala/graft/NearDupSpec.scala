@@ -31,6 +31,23 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("prefix-filtered Jaccard equals the all-postings join (fixture + real docs)") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val all = NearDup.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val pre = NearDup.jaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(pre == all, s"t=$t")
+    }
+    val real = Tables.documents(spark, sf0001)
+    val all = NearDup.jaccardPairs(real, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val pre = NearDup.jaccardPairsPrefix(real, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pre == all)
+    assert(all.nonEmpty)   // fixture has near-dups: the equality is not vacuous
+  }
+
   test("containmentPairs: subset duplication both directions, Jaccard blind spot") {
     val corpus = Seq(
       (1L, "a b c d e f"),                       // 4 3-grams, all inside doc 2
