@@ -120,6 +120,14 @@ object NearDup {
     * out of candidate generation entirely (they are the FREQUENT ones).
     * Verify cost is linear in candidates. Equality with [[jaccardPairs]]
     * is property-tested in NearDupSpec; the oracle is the same SQL.
+    *
+    * Measured trade (sf0.1, local[32]): 8.9s vs 0.9s for the plain
+    * posting join — the prefix machinery (doc-frequency join, per-doc
+    * rank window, checkpoint) costs more than it saves on a clean small
+    * corpus. It is the variant to reach for when posting lists are
+    * boilerplate-dominated and candidate-pair volume, not scan time, is
+    * the bottleneck; [[jaccardPairs]] + maxDocFreq covers the cases where
+    * dropping hot shingles is acceptable instead of exact.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
