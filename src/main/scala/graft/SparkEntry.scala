@@ -992,6 +992,19 @@ object SparkEntry {
     "q_label_centroid" -> ((s, dir) =>
       Ann.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- Generic per-column data-quality profile: one pass (Expand-based
+    // multi-distinct), one row per column — the first scan every new
+    // table gets.
+    "q_profile_orders" -> ((s, dir) =>
+      Profiler.profile(Tables.orders(s, dir))),
+
+    // ---- Collocation mining: top-100 bigrams with unigram counts — the
+    // integer sufficient statistics for PMI/LLR association scoring
+    // (phrase vocabularies, tokenizer merges), engine-exact by emitting
+    // counts instead of log-ratios.
+    "q_bigram_stats" -> ((s, dir) =>
+      TextOps.bigramStats(Tables.documents(s, dir), "text", 100)),
+
     // ---- Prefix-filtered exact Jaccard (AllPairs/PPJoin): result-
     // identical to q_jaccard_pairs, but candidates come only from each
     // doc's RAREST shingles — the boilerplate hot keys drop out of
@@ -1659,6 +1672,27 @@ object SparkEntry {
         "SELECT label, pos, " +
         "CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) " +
         "AS sum_scaled, count(*) AS n FROM x GROUP BY 1, 2"),
+    "q_profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct FROM orders")
+        .mkString(" UNION ALL ")
+    },
+    "q_bigram_stats" ->
+      ("WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "bg AS (SELECT array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS bigram " +
+        "FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), " +
+        "bgc AS (SELECT bigram, count(*) AS n_xy FROM bg GROUP BY 1 " +
+        "ORDER BY n_xy DESC, bigram LIMIT 100), " +
+        "un AS (SELECT unnest(t) AS tok FROM toks), " +
+        "unc AS (SELECT tok, count(*) AS n FROM un GROUP BY 1) " +
+        "SELECT bigram, n_xy, ux.n AS n_x, uy.n AS n_y FROM bgc " +
+        "JOIN unc ux ON ux.tok = string_split(bigram, ' ')[1] " +
+        "JOIN unc uy ON uy.tok = string_split(bigram, ' ')[2]"),
     "q_jaccard_prefix" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
         "SELECT id_a, id_b, n_common, " +

@@ -227,6 +227,33 @@ object TextOps {
         percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
         percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"))
 
+  /** Top-N token bigrams with their unigram counts — the integer inputs
+    * to any association score (PMI, log-likelihood ratio, t-score):
+    * emitting (n_xy, n_x, n_y) instead of the score keeps the output
+    * engine-exact (association scores are logs of ratios — FP; the counts
+    * are the sufficient statistics). Collocation mining is a standard
+    * corpus-analysis pass (phrase vocabularies, tokenizer merges,
+    * MWE detection).
+    *
+    * Shape: two hash aggregates (bigrams with multiplicity via the
+    * word_ngrams codegen kernel, unigrams via explode) + two joins of the
+    * top-N set against the unigram counts; top-N is
+    * TakeOrderedAndProject (bounded heap), never a global sort.
+    */
+  def bigramStats(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bg = df.select(explode(graft.functions.word_ngrams(toks, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+      .orderBy(col("n_xy").desc, col("bigram")).limit(topN)
+    val un = df.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    bg
+      .join(un.as("ux"), split(col("bigram"), " ").getItem(0) === col("ux.tok"))
+      .join(un.as("uy"), split(col("bigram"), " ").getItem(1) === col("uy.tok"))
+      .select(col("bigram"), col("n_xy"),
+        col("ux.n").as("n_x"), col("uy.n").as("n_y"))
+  }
+
   /** EXACT corpus-wide heavy-hitter tokens (frequency > n_tokens/(k+1))
     * via candidates-then-verify: a Misra-Gries sketch
     * ([[graft.functions.HeavyHitters]]) reduces the corpus map-side to a

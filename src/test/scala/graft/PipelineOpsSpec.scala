@@ -186,6 +186,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT z_order(5, 3)").as[Long].head() == 27L)
   }
 
+  test("profiler: per-column nulls and exact distincts; empty table well-formed") {
+    val df = Seq(
+      (1L, Option("a"), Option(1.5)),
+      (2L, Option("a"), Option.empty[Double]),
+      (3L, Option.empty[String], Option(2.5)),
+      (4L, Option("b"), Option(1.5))
+    ).toDF("id", "s", "v")
+    val got = graft.operators.Profiler.profile(df)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("id") == ((4L, 0L, 4L)))
+    assert(got("s") == ((4L, 1L, 2L)))    // nulls excluded from distinct
+    assert(got("v") == ((4L, 1L, 2L)))
+    val empty = graft.operators.Profiler.profile(df.limit(0))
+      .as[(String, Long, Long, Long)].collect()
+    assert(empty.length == 3 && empty.forall(t => t._2 == 0L && t._3 == 0L && t._4 == 0L))
+  }
+
+  test("bigram stats: counts with multiplicity, unigram joins, top-N tie-break") {
+    val df = Seq(
+      (1L, "a b a b c"),     // bigrams: "a b","b a","a b","b c"
+      (2L, "a b"),           // "a b"
+      (3L, "z")              // too short -> none
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramStats(df, "text", 10)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // unigrams: a=3, b=3, c=1, z=1
+    assert(got("a b") == ((3L, 3L, 3L)))
+    assert(got("b a") == ((1L, 3L, 3L)))
+    assert(got("b c") == ((1L, 3L, 1L)))
+    assert(got.size == 3)
+    // top-N cuts deterministically by (n_xy desc, bigram)
+    val top1 = TextOps.bigramStats(df, "text", 1).as[(String, Long, Long, Long)].collect()
+    assert(top1.map(_._1).toSeq == Seq("a b"))
+  }
+
   test("heavy hitters: MG guarantee holds across partitionings; verified output exact") {
     // skewed synthetic stream: token i appears freq(i) times
     val freqs = Map("hot1" -> 400L, "hot2" -> 250L, "hot3" -> 150L) ++
