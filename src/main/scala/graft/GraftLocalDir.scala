@@ -17,8 +17,14 @@ package graft
   */
 object GraftLocalDir {
   lazy val path: String = {
-    val base = new java.io.File("target/spark-local")
-    base.mkdirs()
+    // Anchored at the launcher's CWD (sbt runs from the repo root). If that
+    // isn't writable — e.g. a harness launching the assembly from elsewhere —
+    // fall back to tmpdir rather than failing session construction: a
+    // sweepable scratch dir is still better than no session at all.
+    val base = Seq(new java.io.File("target/spark-local"),
+                   new java.io.File(sys.props("java.io.tmpdir"), "graft-spark-local"))
+      .find(d => d.isDirectory || d.mkdirs())
+      .getOrElse(new java.io.File(sys.props("java.io.tmpdir")))
     val dir = java.io.File.createTempFile("run-", "", base)
     dir.delete()
     dir.mkdirs()

@@ -271,6 +271,21 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w).cast("long"))
     }),
 
+    // ---- Per-dimension embedding-QA profile: dead-dimension / scale-
+    // drift / outlier screen ahead of an ANN index build. Fixed-point
+    // BIGINT moments -> engine-exact; shuffle is dim-sized KBs. See
+    // Ann.dimStats.
+    "q_embed_dim_stats" -> ((s, dir) =>
+      Ann.dimStats(Tables.embeddings(s, dir), "embedding")),
+
+    // ---- Unigram corpus-frequency rarity scoring: the exact-integer
+    // sufficient statistics of a KenLM-style perplexity filter (CCNet /
+    // RefinedWeb). Two map-side-combinable aggregates + one token
+    // equi-join, fan-out bounded by per-doc multiplicity collapse — see
+    // TextOps.rarityScore.
+    "q_rarity_score" -> ((s, dir) =>
+      TextOps.rarityScore(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- Sketch-based corpus profile per language: HLL distinct
     // fingerprints + approx token quantiles — mergeable-sketch aggregates,
     // the scan-plus-KBs profiling shape at 100 TB. Estimates are
@@ -1353,6 +1368,25 @@ object SparkEntry {
         "c AS (SELECT token, count(*) AS n FROM t GROUP BY token) " +
         "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank " +
         "FROM c ORDER BY n DESC, token LIMIT 500"),
+    "q_embed_dim_stats" ->
+      ("WITH x AS (SELECT CAST(i AS BIGINT) - 1 AS pos, " +
+        "CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x " +
+        "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)) " +
+        "SELECT pos, count(*) AS n, " +
+        "CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled, " +
+        "CAST(sum(CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT)) AS BIGINT) AS sumsq_scaled, " +
+        "min(CAST(round(x * 1000000) AS BIGINT)) AS min_scaled, " +
+        "max(CAST(round(x * 1000000) AS BIGINT)) AS max_scaled " +
+        "FROM x GROUP BY 1"),
+    "q_rarity_score" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "dt AS (SELECT doc_id, token, count(*) AS k FROM t GROUP BY 1, 2), " +
+        "c AS (SELECT token, sum(k) AS corpus_n FROM dt GROUP BY token) " +
+        "SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(k * corpus_n) AS BIGINT) AS freq_weight, " +
+        "CAST(min(corpus_n) AS BIGINT) AS rarest_freq " +
+        "FROM dt JOIN c USING (token) GROUP BY doc_id"),
     "q_jaccard_incremental" ->
       ("WITH toksS AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t " +
         "FROM documents WHERE length(trim(text)) > 0), " +

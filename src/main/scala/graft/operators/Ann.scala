@@ -353,4 +353,28 @@ object Ann {
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("sum_scaled"),
         count(lit(1)).as("n"))
+
+  /** Per-dimension embedding-QA profile: n / sum / sum-of-squares / min /
+    * max for every vector position — the screen for dead dimensions
+    * (constant values), scale drift between embedding batches, and
+    * outlier coordinates, run before any ANN index build. Same
+    * fixed-point trick as [[labelCentroids]]: micro-scaled (and, for the
+    * squares, milli-scaled — their product is micro²-scaled) BIGINT sums
+    * make the result independent of FP accumulation order, hence
+    * engine-exact and deterministic at any parallelism; the consumer
+    * derives mean/variance from the integers on its own FP terms.
+    *
+    * Scale shape: posexplode fans rows out by the dimension count, but
+    * the aggregate is map-side combinable into at most `dim` groups per
+    * partition, so the shuffle carries KBs regardless of corpus size.
+    */
+  def dimStats(emb: DataFrame, embCol: String): DataFrame =
+    emb.select(posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("sum_scaled"),
+        sum(expr("CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT)"))
+          .as("sumsq_scaled"),
+        min(expr("CAST(round(x * 1000000) AS BIGINT)")).as("min_scaled"),
+        max(expr("CAST(round(x * 1000000) AS BIGINT)")).as("max_scaled"))
 }

@@ -284,4 +284,36 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") > lit(n).cast("double") / (k + 1))
   }
+
+  /** Unigram corpus-frequency ("LM rarity") document scoring — the
+    * sufficient-statistics half of a KenLM-style perplexity filter
+    * (CCNet/RefinedWeb shape): score each document by how common its
+    * tokens are in the corpus itself. Emits exact integers only
+    * (`freq_weight` = sum over token occurrences of that token's corpus
+    * count; `rarest_freq` = the rarest token's corpus count), so the
+    * result is engine-reproducible and DuckDB-oracled — a downstream
+    * filter derives mean-log-frequency or perplexity from these on its
+    * own FP terms.
+    *
+    * Scale shape: tokens are collapsed to per-document multiplicities
+    * FIRST (one row per (doc, distinct token) — bounds any token's join
+    * fan-out at nDocs instead of total occurrences), then the global
+    * count table is equi-joined back. Both aggregates are map-side
+    * combinable; the join's hot keys (stopwords) are docs-per-token
+    * bounded and AQE skew-split handles the residue. The doc-token
+    * multiset subtree feeds both the count build and the probe side —
+    * two evaluations of one scan+partial-agg, each scale-flat, rather
+    * than materializing a corpus-sized checkpoint.
+    */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTok = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("k"))
+    val counts = docTok.groupBy("token").agg(sum("k").as("corpus_n"))
+    docTok.join(counts, Seq("token"))
+      .groupBy(idCol)
+      .agg(sum(col("k")).cast("long").as("n_tokens"),
+        sum(col("k") * col("corpus_n")).cast("long").as("freq_weight"),
+        min(col("corpus_n")).cast("long").as("rarest_freq"))
+  }
 }

@@ -166,4 +166,24 @@ class AnnSpec extends SparkSpec {
     assert(got.size == expected.size)
     expected.foreach { case (k, v) => assert(got(k) == v, s"key $k") }
   }
+
+  test("dimStats matches a driver-side brute force, one row per dim") {
+    def scale(v: Double, f: Double): Long = new java.math.BigDecimal(v * f)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val rows = emb.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    val dim = rows.head.length
+    val expected = (0 until dim).map { p =>
+      val xs = rows.map(_(p))
+      p.toLong -> ((xs.length.toLong,
+        xs.map(scale(_, 1e6)).sum,
+        xs.map { x => val m = scale(x, 1e3); m * m }.sum,
+        xs.map(scale(_, 1e6)).min,
+        xs.map(scale(_, 1e6)).max))
+    }.toMap
+    val got = Ann.dimStats(emb, "embedding")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(got == expected)
+  }
 }

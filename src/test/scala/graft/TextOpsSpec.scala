@@ -82,4 +82,19 @@ class TextOpsSpec extends SparkSpec {
     assert(g.count() == 4)
     assert(g.filter($"n_docs" === 2).select("canonical_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("rarity score: exact unigram sufficient statistics") {
+    // corpus counts: the=2 (docs 1,2), cat=2 (1,2), rare=1 (doc 2)
+    val rows = Seq(
+      (1L, "the cat"),
+      (2L, "the cat rare THE"), // lowercased: the x2
+      (3L, "")                  // no tokens -> dropped
+    ).toDF("doc_id", "text")
+    // counts: the=3, cat=2, rare=1
+    val got = TextOps.rarityScore(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((2L, 3L + 2L, 2L)))           // the(3) + cat(2); rarest = cat(2)
+    assert(got(2L) == ((4L, 2L * 3L + 2L + 1L, 1L))) // 2*the(3) + cat(2) + rare(1)
+  }
 }
