@@ -278,6 +278,13 @@ object SparkEntry {
     "q_embed_dim_stats" -> ((s, dir) =>
       Ann.dimStats(Tables.embeddings(s, dir), "embedding")),
 
+    // ---- Blocklist safety screen (C4 badwords shape): per-doc blocked-
+    // token occurrences + keep flag, one shuffle-free codegen projection.
+    // See TextOps.blocklistFlags.
+    "q_safety_filter" -> ((s, dir) =>
+      TextOps.blocklistFlags(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spam", "dup", "slow"))),
+
     // ---- Unigram corpus-frequency rarity scoring: the exact-integer
     // sufficient statistics of a KenLM-style perplexity filter (CCNet /
     // RefinedWeb). Two map-side-combinable aggregates + one token
@@ -1368,6 +1375,14 @@ object SparkEntry {
         "c AS (SELECT token, count(*) AS n FROM t GROUP BY token) " +
         "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank " +
         "FROM c ORDER BY n DESC, token LIMIT 500"),
+    "q_safety_filter" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "b AS (SELECT doc_id, count(*) AS n FROM t " +
+        "WHERE token IN ('spam', 'dup', 'slow') GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(b.n, 0) AS BIGINT) AS n_blocked, " +
+        "coalesce(b.n, 0) = 0 AS keep " +
+        "FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id"),
     "q_embed_dim_stats" ->
       ("WITH x AS (SELECT CAST(i AS BIGINT) - 1 AS pos, " +
         "CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x " +

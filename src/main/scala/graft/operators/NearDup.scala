@@ -139,7 +139,10 @@ object NearDup {
     val wDoc = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
     val ranked = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      // same (partition, order) spec as rn with an unbounded frame ->
+      // both window functions share ONE WindowExec sort pass
+      .withColumn("sz", count(lit(1)).over(wDoc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("id", "shingle")

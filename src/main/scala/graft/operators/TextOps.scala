@@ -305,6 +305,22 @@ object TextOps {
     * two evaluations of one scan+partial-agg, each scale-flat, rather
     * than materializing a corpus-sized checkpoint.
     */
+  /** Blocklist ("badwords") safety screen — the C4/CCNet-style filter
+    * that drops or flags documents containing terms from a curated
+    * denylist. Emits per-document `n_blocked` (token occurrences hitting
+    * the list) and a `keep` flag instead of silently filtering, so the
+    * rejection rate is auditable and thresholds can move without a
+    * rescan. The list rides the expression tree as a literal array
+    * (broadcast-equivalent; real-world lists are thousands of terms —
+    * still KBs) and the whole screen is one shuffle-free codegen'd
+    * projection: scan-speed at 100 TB.
+    */
+  def blocklistFlags(df: DataFrame, idCol: String, textCol: String,
+                     blocklist: Seq[String]): DataFrame =
+    df.select(col(idCol),
+      stopwordHits(col(textCol), blocklist.map(_.toLowerCase)).as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0)
+
   def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docTok = df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))

@@ -83,6 +83,20 @@ class TextOpsSpec extends SparkSpec {
     assert(g.filter($"n_docs" === 2).select("canonical_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("blocklist flags: occurrence counts, case-insensitive, empty text kept") {
+    val rows = Seq(
+      (1L, "clean text here"),
+      (2L, "some SPAM and more spam"),
+      (3L, ""),
+      (4L, "dup dup dup")
+    ).toDF("doc_id", "text")
+    val got = TextOps.blocklistFlags(rows, "doc_id", "text", Seq("Spam", "dup"))
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(
+      1L -> ((0L, true)), 2L -> ((2L, false)),
+      3L -> ((0L, true)), 4L -> ((3L, false))))
+  }
+
   test("rarity score: exact unigram sufficient statistics") {
     // corpus counts: the=2 (docs 1,2), cat=2 (1,2), rare=1 (doc 2)
     val rows = Seq(
