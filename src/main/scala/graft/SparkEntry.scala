@@ -416,6 +416,13 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       NearDup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- Approximate-dedup quality audit: LSH candidate recall vs the
+    // exact Jaccard ground truth, one row — the published measurement
+    // that justifies running only the sketch at full scale. See
+    // NearDup.lshRecallEval.
+    "q_lsh_recall" -> ((s, dir) =>
+      NearDup.lshRecallEval(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
+
     // ---- North-star composite: corpus dedup = MinHash-LSH pairs →
     // connected components → canonical doc per cluster.
     "q_near_dedup" -> ((s, dir) =>
@@ -1432,6 +1439,20 @@ object SparkEntry {
         "FROM cands c JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
         "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_lsh_recall" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
+        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
+        s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
+        s"ON a.id < b.id AND ($sqlBandCond)), " +
+        "truth AS (SELECT i.id_a, i.id_b FROM inter i " +
+        "JOIN counts ca ON ca.doc_id = i.id_a JOIN counts cb ON cb.doc_id = i.id_b " +
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5) " +
+        "SELECT count(*) AS n_true, " +
+        "CAST(coalesce(sum(CASE WHEN c.cid_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_caught, " +
+        "CASE WHEN count(*) > 0 THEN " +
+        "CAST(coalesce(sum(CASE WHEN c.cid_a IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) " +
+        "END AS recall " +
+        "FROM truth t LEFT JOIN cands c ON c.cid_a = t.id_a AND c.cid_b = t.id_b"),
     "q_near_dedup" ->
       (s"WITH RECURSIVE $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
         s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +

@@ -101,6 +101,32 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Approximate-dedup quality audit: recall of the MinHash-LSH candidate
+    * generator against the EXACT Jaccard ground truth at `threshold`,
+    * reduced to one audit row (n_true, n_caught, recall). This is the
+    * measurement a pipeline publishes before trusting the banded path at
+    * scale: the exact side runs on a sample tier, the sketch settings
+    * (NumHashes, band shape) are tuned until recall clears the bar, then
+    * only the sketch runs on the full corpus. Both sides are the existing
+    * scale-safe operators (posting-list join / band equi-join); the
+    * evaluation adds one pair-key left join and a global aggregate that
+    * ships two longs per partition. Fully DuckDB-oracled — the minhash
+    * sketch is md5-derived and bit-identical across engines.
+    */
+  def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
+                    n: Int, threshold: Double): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"))
+    val cands = lshCandidates(minhashSignatures(shingles(df, idCol, textCol, n)))
+      .withColumn("hit", lit(1L))
+    truth.join(cands, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum("hit"), lit(0L)).as("n_caught"))
+      .select(col("n_true"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** [[jaccardPairs]] with PREFIX FILTERING (Chaudhuri et al. SSJoin /
     * Bayardo et al. AllPairs / Xiao et al. PPJoin — public literature):
     * result-identical for the same threshold, but candidates come only

@@ -144,6 +144,24 @@ class NearDupSpec extends SparkSpec {
     assert(!s.contains(6L))
   }
 
+  test("lshRecallEval: one audit row, caught bounded by truth, exact dups caught") {
+    val r = NearDup.lshRecallEval(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(r.length == 1)
+    val (nTrue, nCaught, recall) = r.head
+    // docs 1/2 are exact dups: identical shingle sets -> identical
+    // signatures -> always a candidate, and jacc = 1 -> always truth
+    assert(nTrue >= 1 && nCaught >= 1 && nCaught <= nTrue)
+    assert(recall.exists(x => x > 0.0 && x <= 1.0))
+  }
+
+  test("lshRecallEval on an empty corpus: zero truth, null recall") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = NearDup.lshRecallEval(empty, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(r.toSeq == Seq((0L, 0L, None)))
+  }
+
   test("simhashPairs: hamming band join matches brute force") {
     val sig = NearDup.simhash(docs, "doc_id", "text")
     val got = NearDup.simhashPairs(sig, 3)
