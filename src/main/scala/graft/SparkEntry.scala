@@ -278,6 +278,12 @@ object SparkEntry {
     "q_embed_dim_stats" -> ((s, dir) =>
       Ann.dimStats(Tables.embeddings(s, dir), "embedding")),
 
+    // ---- Gopher structural rule filter: four auditable per-rule
+    // booleans + keep conjunction, one shuffle-free codegen projection.
+    // See TextOps.gopherRules.
+    "q_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- Blocklist safety screen (C4 badwords shape): per-doc blocked-
     // token occurrences + keep flag, one shuffle-free codegen projection.
     // See TextOps.blocklistFlags.
@@ -1382,6 +1388,28 @@ object SparkEntry {
         "c AS (SELECT token, count(*) AS n FROM t GROUP BY token) " +
         "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank " +
         "FROM c ORDER BY n DESC, token LIMIT 500"),
+    "q_gopher_rules" ->
+      ("WITH b AS (SELECT doc_id, " +
+        s"CAST($sqlTokenCount AS BIGINT) AS n_words, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS n_ns, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), " +
+        "x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha, " +
+        s"${sqlStopHits(TextOps.stopwords("en"))} AS n_stop " +
+        "FROM documents) " +
+        "SELECT doc_id, n_words, " +
+        "CASE WHEN n_words > 0 THEN CAST(n_ns AS DOUBLE) / n_words END AS mean_word_len, " +
+        "(n_words >= 50 AND n_words <= 100000) AS r_word_count, " +
+        "coalesce(CAST(n_ns AS DOUBLE) / n_words >= 3.0 " +
+        "AND CAST(n_ns AS DOUBLE) / n_words <= 10.0, false) AS r_mean_len, " +
+        "coalesce(CAST(n_alpha AS DOUBLE) / n_words >= 0.8, false) AS r_alpha_ratio, " +
+        "(n_stop >= 2) AS r_stopwords, " +
+        "((n_words >= 50 AND n_words <= 100000) " +
+        "AND coalesce(CAST(n_ns AS DOUBLE) / n_words >= 3.0 " +
+        "AND CAST(n_ns AS DOUBLE) / n_words <= 10.0, false) " +
+        "AND coalesce(CAST(n_alpha AS DOUBLE) / n_words >= 0.8, false) " +
+        "AND n_stop >= 2) AS keep " +
+        "FROM b"),
     "q_safety_filter" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
         "FROM documents WHERE length(trim(text)) > 0), " +

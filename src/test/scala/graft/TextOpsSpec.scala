@@ -83,6 +83,26 @@ class TextOpsSpec extends SparkSpec {
     assert(g.filter($"n_docs" === 2).select("canonical_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("gopher rules: per-rule booleans, zero-token docs fail ratio rules") {
+    val longDoc = (("the and of to in is you that it for " * 5).trim + " " +
+      Seq.tabulate(10)(i => s"word$i").mkString(" "))  // 60 words, all alpha
+    val rows = Seq(
+      (1L, longDoc),            // passes all four rules
+      (2L, "the and short"),    // fails word count, passes stopwords
+      (3L, ""),                 // zero tokens: every ratio rule false
+      (4L, ("42 " * 60).trim)   // 60 words, no letters -> alpha rule false
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(rows, "doc_id", "text")
+      .select("doc_id", "r_word_count", "r_mean_len", "r_alpha_ratio",
+        "r_stopwords", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(got(2L) == ((false, true, true, true, false)))
+    assert(got(3L) == ((false, false, false, false, false)))
+    assert(got(4L) == ((true, false, false, false, false))) // mean len 2 < 3
+  }
+
   test("blocklist flags: occurrence counts, case-insensitive, empty text kept") {
     val rows = Seq(
       (1L, "clean text here"),
