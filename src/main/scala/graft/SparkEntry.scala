@@ -422,6 +422,12 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       NearDup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- Text-side similarity search: top-3 most-similar docs per doc
+    // by 3-gram Jaccard (posting-list pairs -> symmetrize -> bounded
+    // per-doc rank). See NearDup.textKnn.
+    "q_text_knn" -> ((s, dir) =>
+      NearDup.textKnn(Tables.documents(s, dir), "doc_id", "text", 3, 0.3, 3)),
+
     // ---- Approximate-dedup quality audit: LSH candidate recall vs the
     // exact Jaccard ground truth, one row — the published measurement
     // that justifies running only the sketch at full scale. See
@@ -1467,6 +1473,18 @@ object SparkEntry {
         "FROM cands c JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
         "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    "q_text_knn" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, " +
+        "p AS (SELECT i.id_a, i.id_b, " +
+        "CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc " +
+        "FROM inter i JOIN counts ca ON ca.doc_id = i.id_a " +
+        "JOIN counts cb ON cb.doc_id = i.id_b " +
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.3), " +
+        "sym AS (SELECT id_a AS id, id_b AS nbr, jacc FROM p " +
+        "UNION ALL SELECT id_b AS id, id_a AS nbr, jacc FROM p) " +
+        "SELECT id, nbr, jacc, rk FROM (SELECT id, nbr, jacc, " +
+        "row_number() OVER (PARTITION BY id ORDER BY jacc DESC, nbr) AS rk " +
+        "FROM sym) WHERE rk <= 3"),
     "q_lsh_recall" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
         s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +

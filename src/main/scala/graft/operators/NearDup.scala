@@ -101,6 +101,27 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Text-side similarity search: the top-k most-similar documents per
+    * document by n-gram Jaccard — the lexical complement of Ann's
+    * embedding kNN (near-dup review queues, "more like this" without a
+    * vector index). Pairs come from the scale-safe posting-list join at
+    * `threshold` (never n²), are symmetrized with a union (each direction
+    * once — no second join), and ranked per doc with a bounded
+    * row_number window; ties break on neighbor id so the output is
+    * deterministic. The window sorts only each doc's candidate list
+    * (post-threshold, typically tiny), not the corpus.
+    */
+  def textKnn(df: DataFrame, idCol: String, textCol: String,
+              n: Int, threshold: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("jacc"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("jacc")))
+    val w = Window.partitionBy("id").orderBy(col("jacc").desc, col("nbr"))
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Approximate-dedup quality audit: recall of the MinHash-LSH candidate
     * generator against the EXACT Jaccard ground truth at `threshold`,
     * reduced to one audit row (n_true, n_caught, recall). This is the

@@ -144,6 +144,23 @@ class NearDupSpec extends SparkSpec {
     assert(!s.contains(6L))
   }
 
+  test("textKnn: symmetric neighbors, rank bounded by k, exact dup is rank 1") {
+    val r = NearDup.textKnn(docs, "doc_id", "text", 3, 0.3, 2)
+      .as[(Long, Long, Double, Long)].collect()
+    val byDoc = r.groupBy(_._1)
+    // every neighbor edge appears in both directions (same jacc)
+    r.foreach { case (id, nbr, j, _) =>
+      assert(byDoc(nbr).exists(e => e._2 == id && e._3 == j), s"($id,$nbr)")
+    }
+    byDoc.values.foreach { es =>
+      assert(es.length <= 2)
+      assert(es.map(_._4).sorted.toSeq == (1L to es.length).toSeq)
+    }
+    // docs 1 and 2 are identical -> each other's rank-1 with jacc 1.0
+    assert(byDoc(1L).find(_._4 == 1L).exists(e => e._2 == 2L && e._3 == 1.0))
+    assert(byDoc(2L).find(_._4 == 1L).exists(e => e._2 == 1L && e._3 == 1.0))
+  }
+
   test("lshRecallEval: one audit row, caught bounded by truth, exact dups caught") {
     val r = NearDup.lshRecallEval(docs, "doc_id", "text", 3, 0.5)
       .as[(Long, Long, Option[Double])].collect()
