@@ -278,6 +278,16 @@ object SparkEntry {
     "q_embed_dim_stats" -> ((s, dir) =>
       Ann.dimStats(Tables.embeddings(s, dir), "embedding")),
 
+    // ---- Per-source dup-rate observability: rows / distinct
+    // fingerprints / dup rate per source — which feeds are mostly
+    // duplicates, before paying for the dedup. One map-side-combinable
+    // hash aggregate. See Dedup.statsByGroup.
+    "q_dedup_sources" -> ((s, dir) =>
+      Dedup.statsByGroup(
+        Tables.documents(s, dir)
+          .withColumn("fp", TextOps.fingerprint(col("text"))),
+        "source", Seq("fp"))),
+
     // ---- Gopher structural rule filter: four auditable per-rule
     // booleans + keep conjunction, one shuffle-free codegen projection.
     // See TextOps.gopherRules.
@@ -1394,6 +1404,12 @@ object SparkEntry {
         "c AS (SELECT token, count(*) AS n FROM t GROUP BY token) " +
         "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank " +
         "FROM c ORDER BY n DESC, token LIMIT 500"),
+    "q_dedup_sources" ->
+      ("SELECT source, count(*) AS n_rows, " +
+        "count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct, " +
+        "CAST(count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS DOUBLE) " +
+        "/ count(*) AS dup_rate " +
+        "FROM documents GROUP BY source"),
     "q_gopher_rules" ->
       ("WITH b AS (SELECT doc_id, " +
         s"CAST($sqlTokenCount AS BIGINT) AS n_words, " +

@@ -67,6 +67,24 @@ object Dedup {
       count_distinct(ks.head, ks.tail: _*).as("n_distinct"))
   }
 
+  /** [[stats]] per group: the dup-rate dashboard row every ingest
+    * pipeline tracks per source/crawl/shard — which feeds are mostly
+    * duplicates, BEFORE paying for the dedup itself. One hash aggregate
+    * (group key + distinct-on-key), map-side combinable, output rows =
+    * group cardinality. `dup_rate` is derived from the two exact counts
+    * in-engine ((n_rows - n_distinct)/n_rows, double) so the row is
+    * self-contained for a dashboard while staying engine-reproducible.
+    */
+  def statsByGroup(df: DataFrame, groupCol: String, keys: Seq[String]): DataFrame = {
+    val ks = keys.map(col)
+    df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(ks.head, ks.tail: _*).as("n_distinct"))
+      .withColumn("dup_rate",
+        (col("n_rows") - col("n_distinct")).cast("double") / col("n_rows"))
+  }
+
   /** Incremental dedup: keep only rows of `newBatch` whose `key` does NOT
     * already occur in `corpus` — the "dedupe the incoming crawl against the
     * existing 100 TB corpus" shape (reference analog: re-running

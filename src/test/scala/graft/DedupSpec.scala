@@ -74,6 +74,14 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(0) == 5 && r.getLong(1) == 3)
   }
 
+  test("statsByGroup reports per-group dup rates") {
+    val r = Dedup.statsByGroup(cp, "name", Seq("name", "iban"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("Acme GmbH") == ((3L, 2L, 1.0 / 3.0)))
+    assert(r("Umbrella Corp") == ((2L, 1L, 0.5)))
+  }
+
   test("surrogate ids are unique") {
     val out = Dedup.withSurrogateId(Tables.customer(spark, sf0001))
     assert(out.select("id").distinct().count() == out.count())
