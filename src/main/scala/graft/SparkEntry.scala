@@ -278,6 +278,13 @@ object SparkEntry {
     "q_embed_dim_stats" -> ((s, dir) =>
       Ann.dimStats(Tables.embeddings(s, dir), "embedding")),
 
+    // ---- Corpus data card: per-(lang, source) docs / distinct
+    // fingerprints / token totals / fixed-point quality sum — the
+    // per-stratum release report, one hash aggregate over a codegen
+    // projection. See TextOps.dataCard.
+    "q_data_card" -> ((s, dir) =>
+      TextOps.dataCard(Tables.documents(s, dir), "text", Seq("lang", "source"))),
+
     // ---- Per-source dup-rate observability: rows / distinct
     // fingerprints / dup rate per source — which feeds are mostly
     // duplicates, before paying for the dedup. One map-side-combinable
@@ -1404,6 +1411,20 @@ object SparkEntry {
         "c AS (SELECT token, count(*) AS n FROM t GROUP BY token) " +
         "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank " +
         "FROM c ORDER BY n DESC, token LIMIT 500"),
+    "q_data_card" ->
+      ("WITH raw AS (SELECT lang, source, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
+        s"$sqlTokenCount AS n_tokens, " +
+        "length(text) AS n_chars, " +
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct, " +
+        s"${sqlStopHits(TextOps.stopwords("en"))} AS n_stop_en " +
+        "FROM documents), " +
+        s"q AS (SELECT lang, source, fp, n_tokens, $sqlQualityExpr AS q FROM raw) " +
+        "SELECT lang, source, count(*) AS n_docs, " +
+        "count(DISTINCT fp) AS n_distinct_fp, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT) AS quality_micro_sum " +
+        "FROM q GROUP BY 1, 2"),
     "q_dedup_sources" ->
       ("SELECT source, count(*) AS n_rows, " +
         "count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct, " +
@@ -1928,11 +1949,17 @@ object SparkEntry {
     * still null during eager init (caught by check_oracle as a
     * `null AS n_tokens` oracle).
     */
+  /** Quality formula over (n_tokens, n_chars, n_punct, n_stop_en) —
+    * mirrors TextOps.qualityScore; shared by q_text_stats and q_data_card.
+    */
+  private val sqlQualityExpr: String =
+    "round((CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4 " +
+      " + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) * 0.3 " +
+      " + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3, 6)"
+
   private lazy val sqlTextStats: String =
     s"SELECT doc_id, n_tokens, n_chars, n_subwords_est, n_punct, n_stop_en, " +
-      "round((CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4 " +
-      " + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) * 0.3 " +
-      " + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3, 6) AS quality " +
+      s"$sqlQualityExpr AS quality " +
       "FROM (SELECT doc_id, " +
       s"$sqlTokenCount AS n_tokens, " +
       "length(text) AS n_chars, " +

@@ -285,6 +285,27 @@ object TextOps {
       .filter(col("n") > lit(n).cast("double") / (k + 1))
   }
 
+  /** Corpus "data card": per-stratum doc counts, distinct content
+    * fingerprints, token totals, and a fixed-point quality sum — the
+    * per-(language, source) report a training-data pipeline publishes
+    * with every corpus release. One map-side-combinable hash aggregate
+    * over a codegen'd projection; output rows = stratum cardinality.
+    * The quality sum is micro-scaled to BIGINT (same trick as
+    * Ann.labelCentroids) so the aggregate is independent of FP
+    * accumulation order — consumers derive the mean on their own FP
+    * terms from (sum, count).
+    */
+  def dataCard(df: DataFrame, textCol: String, dims: Seq[String]): DataFrame =
+    df.select(dims.map(col) ++ Seq(
+        fingerprint(col(textCol)).as("fp"),
+        qualityScore(col(textCol)).as("q"),
+        tokenCount(col(textCol)).as("nt")): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_distinct_fp"),
+        sum(col("nt")).as("n_tokens"),
+        sum(expr("CAST(round(q * 1000000) AS BIGINT)")).as("quality_micro_sum"))
+
   /** Unigram corpus-frequency ("LM rarity") document scoring — the
     * sufficient-statistics half of a KenLM-style perplexity filter
     * (CCNet/RefinedWeb shape): score each document by how common its

@@ -83,6 +83,28 @@ class TextOpsSpec extends SparkSpec {
     assert(g.filter($"n_docs" === 2).select("canonical_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("data card: per-stratum counts, distinct fps, fixed-point quality sum") {
+    val rows = Seq(
+      ("en", "s0", "the quick fox"),
+      ("en", "s0", "THE  Quick   fox"), // same fingerprint as above
+      ("en", "s1", "other text"),
+      ("de", "s0", "")
+    ).toDF("lang", "source", "text")
+    val got = TextOps.dataCard(rows, "text", Seq("lang", "source"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    assert(got.keySet == Set(("en", "s0"), ("en", "s1"), ("de", "s0")))
+    val (nDocs, nFp, nTok, qSum) = got(("en", "s0"))
+    assert(nDocs == 2L && nFp == 1L && nTok == 6L)
+    // both docs score identically (same normalized stats) -> sum = 2x one
+    val oneQ = TextOps.dataCard(rows.limit(1), "text", Seq("lang"))
+      .select("quality_micro_sum").as[Long].head()
+    assert(qSum == 2 * oneQ)
+    assert(got(("de", "s0")) == ((1L, 1L, 0L,
+      TextOps.dataCard(rows.filter($"lang" === "de"), "text", Seq("lang"))
+        .select("quality_micro_sum").as[Long].head())))
+  }
+
   test("gopher rules: per-rule booleans, zero-token docs fail ratio rules") {
     val longDoc = (("the and of to in is you that it for " * 5).trim + " " +
       Seq.tabulate(10)(i => s"word$i").mkString(" "))  // 60 words, all alpha
