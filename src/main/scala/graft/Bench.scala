@@ -93,7 +93,11 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2._3.isDefined)
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"failed":$nFailed,"n_runs":$nRuns,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of stdout; with 100+
+    // queries the leading "value" headline scrolls out of that window.
+    // Duplicate the headline fields at the very END of the object so any
+    // tail capture, however short, still contains total/count/failed.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}""")
     spark.stop()
   }
 }

@@ -19,11 +19,25 @@ object GraftLocalDir {
   lazy val path: String = {
     // Anchored at the launcher's CWD (sbt runs from the repo root). If that
     // isn't writable — e.g. a harness launching the assembly from elsewhere —
-    // fall back to tmpdir rather than failing session construction: a
-    // sweepable scratch dir is still better than no session at all.
+    // fall back to a PER-USER tmpdir subdir rather than failing session
+    // construction: a sweepable scratch dir is still better than no session
+    // at all, and the user suffix keeps a same-named dir owned by another
+    // user from being selected (isDirectory alone would accept it and
+    // createTempFile would then fail anyway). Writability is probed with a
+    // real file create, not isDirectory — an existing-but-unwritable dir
+    // must not win the search.
+    def writable(d: java.io.File): Boolean =
+      (d.isDirectory || d.mkdirs()) && {
+        try {
+          val probe = java.io.File.createTempFile("probe-", "", d)
+          probe.delete()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    val user = sys.props.getOrElse("user.name", "anon")
     val base = Seq(new java.io.File("target/spark-local"),
-                   new java.io.File(sys.props("java.io.tmpdir"), "graft-spark-local"))
-      .find(d => d.isDirectory || d.mkdirs())
+                   new java.io.File(sys.props("java.io.tmpdir"), s"graft-spark-local-$user"))
+      .find(writable)
       .getOrElse(new java.io.File(sys.props("java.io.tmpdir")))
     val dir = java.io.File.createTempFile("run-", "", base)
     dir.delete()

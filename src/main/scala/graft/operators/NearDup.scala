@@ -83,8 +83,17 @@ object NearDup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   maxDocFreq: Option[Double] = None): DataFrame = {
-    val sh = shinglesWithSkewGuard(df, idCol, textCol, n, maxDocFreq)
+                   maxDocFreq: Option[Double] = None): DataFrame =
+    jaccardPairsFromShingles(
+      shinglesWithSkewGuard(df, idCol, textCol, n, maxDocFreq), threshold)
+
+  /** [[jaccardPairs]] over a pre-built (id, shingle) posting list — lets a
+    * caller that already materialized the postings (e.g. [[lshRecallEval]],
+    * which feeds the SAME shingles to both the exact and sketch sides)
+    * reuse them instead of re-running tokenize+md5 per consumer.
+    */
+  private[graft] def jaccardPairsFromShingles(sh: DataFrame,
+                                              threshold: Double): DataFrame = {
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // shuffle_hash: post-explode cardinality is opaque to Catalyst (same
     // mis-broadcast failure mode as EditDistanceJoin; see that Scaladoc)
@@ -92,9 +101,14 @@ object NearDup {
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    // counts is one row PER DOCUMENT — unbounded at corpus scale, so no
+    // broadcast hint (a forced broadcast build dies at the driver long
+    // before anything else in this plan). AQE still picks broadcast on its
+    // own when the corpus is genuinely small; otherwise the id shuffle is
+    // trivial next to the posting join above.
     inter
-      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
-      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .join(counts.as("ca"), col("id_a") === col("ca.id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.id"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("ca.n") + col("cb.n") - col("n_common"))).as("jacc"))
@@ -114,7 +128,10 @@ object NearDup {
   def textKnn(df: DataFrame, idCol: String, textCol: String,
               n: Int, threshold: Double, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+    // the union consumes pairs twice (one scan per direction) — without a
+    // materialization the whole posting-list join runs twice per action;
+    // same localCheckpoint lifecycle reasoning as shinglesWithSkewGuard
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold).localCheckpoint(true)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("jacc"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("jacc")))
     val w = Window.partitionBy("id").orderBy(col("jacc").desc, col("nbr"))
@@ -136,9 +153,13 @@ object NearDup {
     */
   def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double): DataFrame = {
-    val truth = jaccardPairs(df, idCol, textCol, n, threshold)
+    // truth and sketch consume the SAME postings — materialize the
+    // tokenize+md5 scan once (localCheckpoint lifecycle reasoning as
+    // shinglesWithSkewGuard) instead of building shingles per side
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val truth = jaccardPairsFromShingles(sh, threshold)
       .select(col("id_a"), col("id_b"))
-    val cands = lshCandidates(minhashSignatures(shingles(df, idCol, textCol, n)))
+    val cands = lshCandidates(minhashSignatures(sh))
       .withColumn("hit", lit(1L))
     truth.join(cands, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true"),
@@ -205,9 +226,10 @@ object NearDup {
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // per-doc counts: no broadcast hint (see jaccardPairs)
     common
-      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
-      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .join(counts.as("ca"), col("id_a") === col("ca.id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.id"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("ca.n") + col("cb.n") - col("n_common"))).as("jacc"))
@@ -236,9 +258,10 @@ object NearDup {
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    // per-doc counts: no broadcast hint (see jaccardPairs)
     inter
-      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.id"))
-      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.id"))
+      .join(counts.as("ca"), col("id_a") === col("ca.id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.id"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("n_common").cast("double") / col("ca.n")).as("cont_a_in_b"),
         (col("n_common").cast("double") / col("cb.n")).as("cont_b_in_a"))

@@ -306,26 +306,6 @@ object TextOps {
         sum(col("nt")).as("n_tokens"),
         sum(expr("CAST(round(q * 1000000) AS BIGINT)")).as("quality_micro_sum"))
 
-  /** Unigram corpus-frequency ("LM rarity") document scoring — the
-    * sufficient-statistics half of a KenLM-style perplexity filter
-    * (CCNet/RefinedWeb shape): score each document by how common its
-    * tokens are in the corpus itself. Emits exact integers only
-    * (`freq_weight` = sum over token occurrences of that token's corpus
-    * count; `rarest_freq` = the rarest token's corpus count), so the
-    * result is engine-reproducible and DuckDB-oracled — a downstream
-    * filter derives mean-log-frequency or perplexity from these on its
-    * own FP terms.
-    *
-    * Scale shape: tokens are collapsed to per-document multiplicities
-    * FIRST (one row per (doc, distinct token) — bounds any token's join
-    * fan-out at nDocs instead of total occurrences), then the global
-    * count table is equi-joined back. Both aggregates are map-side
-    * combinable; the join's hot keys (stopwords) are docs-per-token
-    * bounded and AQE skew-split handles the residue. The doc-token
-    * multiset subtree feeds both the count build and the probe side —
-    * two evaluations of one scan+partial-agg, each scale-flat, rather
-    * than materializing a corpus-sized checkpoint.
-    */
   /** Gopher-style rule filter (Rae et al. 2021, appendix A — public):
     * per-document booleans for the four classic structural rules (word
     * count in [50, 100k], mean word length in [3, 10], >= 80% of words
@@ -371,6 +351,26 @@ object TextOps {
       stopwordHits(col(textCol), blocklist.map(_.toLowerCase)).as("n_blocked"))
       .withColumn("keep", col("n_blocked") === 0)
 
+  /** Unigram corpus-frequency ("LM rarity") document scoring — the
+    * sufficient-statistics half of a KenLM-style perplexity filter
+    * (CCNet/RefinedWeb shape): score each document by how common its
+    * tokens are in the corpus itself. Emits exact integers only
+    * (`freq_weight` = sum over token occurrences of that token's corpus
+    * count; `rarest_freq` = the rarest token's corpus count), so the
+    * result is engine-reproducible and DuckDB-oracled — a downstream
+    * filter derives mean-log-frequency or perplexity from these on its
+    * own FP terms.
+    *
+    * Scale shape: tokens are collapsed to per-document multiplicities
+    * FIRST (one row per (doc, distinct token) — bounds any token's join
+    * fan-out at nDocs instead of total occurrences), then the global
+    * count table is equi-joined back. Both aggregates are map-side
+    * combinable; the join's hot keys (stopwords) are docs-per-token
+    * bounded and AQE skew-split handles the residue. The doc-token
+    * multiset subtree feeds both the count build and the probe side —
+    * two evaluations of one scan+partial-agg, each scale-flat, rather
+    * than materializing a corpus-sized checkpoint.
+    */
   def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docTok = df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))

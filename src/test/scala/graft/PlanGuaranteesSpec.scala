@@ -63,4 +63,18 @@ class PlanGuaranteesSpec extends SparkSpec {
       assert(p.contains("ShuffledHashJoin"), s"$q: $p")
     }
   }
+
+  test("per-doc count joins carry no forced broadcast hint (unbounded build at scale)") {
+    // The counts side of the Jaccard family has one row PER DOCUMENT — a
+    // forced broadcast() there is a driver OOM at corpus scale. Assert on
+    // the ANALYZED plan (the hint), not the physical one: at tiny SF AQE
+    // may legitimately CHOOSE broadcast, which is exactly the behavior we
+    // want to preserve while banning the unconditional hint.
+    for (q <- Seq("q_jaccard_pairs", "q_jaccard_prefix", "q_containment_pairs")) {
+      val analyzed =
+        SparkEntry.queries(q)(spark, sf0001).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint (strategy=broadcast)"),
+        s"$q analyzed plan carries a forced broadcast hint:\n$analyzed")
+    }
+  }
 }
