@@ -131,8 +131,9 @@ object SparkEntry {
 
     // ---- J1 faithful: Ratcliff/Obershelp >= 80 similarity link on supplier
     // names (reference's exact predicate; JVM UDF, no Python crossing).
-    // Not SQL-expressible in DuckDB -> rows-only check; semantics covered by
-    // LinkerSpec against hand-computed difflib ground truth.
+    // Fully DuckDB-oracled via a recursive-CTE difflib replay (see
+    // sqlDifflibChain): the SQL recomputes every pair's matching-block
+    // total M and links on the integer form 200*M >= 80*(|a|+|b|).
     "q_link_ro" -> ((s, dir) =>
       Linker.pipeline(Tables.supplier(s, dir), "s_name", None, 80.0)),
 
@@ -151,8 +152,13 @@ object SparkEntry {
 
     // ---- A4 faithful mode: solutionTwo's greedy driver-side clustering
     // (order-dependent, multi-assign, non-transitive) on supplier names,
-    // ordered by s_suppkey. Sequential semantics — no SQL oracle; parity
-    // with a CPython simulation of the reference is in GreedyClusterSpec.
+    // ordered by s_suppkey. Sequential semantics in general — but the
+    // DuckDB oracle derives the result under the one-cluster condition
+    // (every name strictly >80-similar to the FIRST name, true of TPC-H
+    // supplier names at every SF), recomputing those difflib sims with the
+    // same recursive CTE as q_link_ro; if the condition ever broke, Spark
+    // would emit extra cluster rows and the compare would fail loudly.
+    // CPython-parity of the sequential fold itself is in ClusterSpec.
     "q_cluster_greedy" -> ((s, dir) =>
       GreedyCluster.cluster(Tables.supplier(s, dir).withColumn("alt",
         col("s_nationkey").cast("string")), "s_name", "alt", "s_suppkey")),
@@ -319,10 +325,17 @@ object SparkEntry {
     // ---- Sketch-based corpus profile per language: HLL distinct
     // fingerprints + approx token quantiles — mergeable-sketch aggregates,
     // the scan-plus-KBs profiling shape at 100 TB. Estimates are
-    // engine-specific -> rows-only check; accuracy vs exact is asserted
-    // in PipelineOpsSpec.
+    // engine-specific -> rows-only check (the ONE remaining no-oracle
+    // query); accuracy vs exact is asserted in PipelineOpsSpec, and the
+    // exact columns are hash-checked through q_corpus_profile below.
     "q_corpus_stats" -> ((s, dir) =>
       TextOps.corpusStats(Tables.documents(s, dir), "doc_id", "text", "lang")),
+
+    // ---- Exact twin of q_corpus_stats (sample-tier calibration shape):
+    // same per-language profile with exact distinct counts and
+    // deterministic integer percentiles — fully DuckDB-oracled.
+    "q_corpus_profile" -> ((s, dir) =>
+      TextOps.corpusProfile(Tables.documents(s, dir), "doc_id", "text", "lang")),
 
     // ---- TF-IDF top terms per doc (rational idf for engine-exact FP —
     // see TfIdf Scaladoc; ranking unchanged vs ln-idf).
@@ -474,18 +487,23 @@ object SparkEntry {
         col("vec_id") % 50 === 0, 5)),
 
     // ---- ANN scale path: random-hyperplane LSH buckets + multi-probe.
-    // Approximate by construction -> no SQL oracle; recall vs the exact
-    // baseline is asserted in AnnSpec.
+    // Approximate RELATIVE TO exact kNN (recall asserted in AnnSpec), but
+    // fully deterministic given the seeded planes — so the DuckDB oracle
+    // mirrors the planes, the 37 multi-probe XOR masks, and the
+    // sequential-fold cosine, and hash-checks the entire output.
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") % 50 === 0, 5)),
 
-    // ---- ANN scale path 2: IVF — coarse k-means cells, probe the 8 best
-    // of 16 per query (recall@5 ~0.86 vs exact, asserted in AnnSpec).
-    // Approximate -> rows-only check.
+    // ---- ANN scale path 2: IVF serving a FROZEN trained index (the
+    // production shape: train once per corpus snapshot — graft.tools
+    // .FreezeIvf — serve many query batches; recall@5 vs exact is in
+    // AnnSpec via ivfTopK). Given the frozen centroids the whole search
+    // (cell argmax, probe ranking, exact re-rank) is deterministic; the
+    // DuckDB oracle carries the centroids as literals and hash-checks it.
     "q_ann_ivf" -> ((s, dir) =>
-      Ann.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5)),
+      Ann.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+        IvfFixture.model, col("vec_id") % 50 === 0, 5)),
 
     // ---- Embedding-cosine near-dup pairs: hyperplane-bucket candidates
     // (equi-join), exact sequential-fold cosine verify — the LSH-banding
@@ -1743,6 +1761,93 @@ object SparkEntry {
         "(SELECT qid, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
         "WHERE rank <= 5"),
+    // Mirrors Ann.lshTopK end-to-end: per-vector plane-sign bucket
+    // (sqlBucket — the same +/-1 plane literals), 37 multi-probe XOR
+    // masks, bucket equi-join, sequential-fold cosine, dedup, top-5 rank.
+    "q_ann_lsh" ->
+      (s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings), " +
+        "qv AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bk WHERE vec_id % 50 = 0), " +
+        s"pb AS (SELECT query_id, qe, xor(CAST(bucket AS BIGINT), mk.m) AS bucket " +
+        s"FROM qv, (SELECT CAST(unnest([$sqlLshMasks]) AS BIGINT) AS m) mk), " +
+        "sc AS (SELECT DISTINCT p.query_id, c.vec_id, " +
+        s"${sqlDot("p.qe", "c.embedding")} / " +
+        s"(sqrt(${sqlDot("p.qe", "p.qe")}) * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS sim " +
+        "FROM pb p JOIN bk c ON p.bucket = CAST(c.bucket AS BIGINT)) " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // Mirrors Ann.ivfSearch against the frozen IvfFixture centroids:
+    // per-vector cell argmax (score DESC, cid tie-break — Spark's
+    // greatest-over-structs), 8-probe cell ranking per query, exact
+    // cosine re-rank within probed cells.
+    "q_ann_ivf" ->
+      (s"WITH $sqlCentsCte, " +
+        "cor AS (SELECT vec_id, embedding, " +
+        s"sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings), " +
+        "asn AS (SELECT vec_id, cell FROM " +
+        "(SELECT c.vec_id, ct.cid AS cell, row_number() OVER (PARTITION BY c.vec_id " +
+        s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
+        "FROM cor c, cents ct) WHERE rn = 1), " +
+        "qp AS (SELECT query_id, qe, qn, cell FROM " +
+        "(SELECT c.vec_id AS query_id, c.embedding AS qe, c.nrm AS qn, ct.cid AS cell, " +
+        "row_number() OVER (PARTITION BY c.vec_id " +
+        s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
+        "FROM cor c, cents ct WHERE c.vec_id % 50 = 0) WHERE rn <= 8), " +
+        "sc AS (SELECT q.query_id, c.vec_id, " +
+        s"${sqlDot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS sim " +
+        "FROM qp q JOIN (SELECT cc.vec_id, cc.embedding, cc.nrm, a.cell " +
+        "FROM cor cc JOIN asn a ON a.vec_id = cc.vec_id) c ON q.cell = c.cell) " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // Recursive-CTE difflib replay (sqlDifflibChain): link on the integer
+    // form of ratio*100 >= 80, then the same least-key/sorted-member-set
+    // aggregation as Linker.groupCollect.
+    "q_link_ro" ->
+      ("WITH RECURSIVE nm AS (SELECT DISTINCT s_name AS name FROM supplier), " +
+        "pr AS (SELECT a.name AS na, b.name AS nb, " +
+        "length(a.name) AS la, length(b.name) AS lb " +
+        "FROM nm a JOIN nm b ON a.name <> b.name), " +
+        sqlDifflibChain + ", " +
+        "link AS (SELECT na, nb FROM ms WHERE 200 * mtot >= 80 * (la + lb)) " +
+        "SELECT least(na, nb) AS uniqId, " +
+        "string_agg(DISTINCT na, ',' ORDER BY na) AS CollectedNames " +
+        "FROM link GROUP BY least(na, nb)"),
+    // Greedy clustering derived under the one-cluster condition (see the
+    // query comment): members = first name + every name STRICTLY >80
+    // difflib-similar to it (strict > — solutionTwo's quirk — is exact in
+    // integer form: 200*M > 80*(la+lb)). One output row by construction;
+    // if Spark ever emits more clusters the row-count check fails loudly.
+    "q_cluster_greedy" ->
+      ("WITH RECURSIVE k0 AS (SELECT s_name AS kname FROM supplier ORDER BY s_suppkey LIMIT 1), " +
+        "nm AS (SELECT DISTINCT s_name AS name FROM supplier), " +
+        "pr AS (SELECT k.kname AS na, n.name AS nb, " +
+        "length(k.kname) AS la, length(n.name) AS lb " +
+        "FROM k0 k JOIN nm n ON n.name <> k.kname), " +
+        sqlDifflibChain + ", " +
+        "mem AS (SELECT nb AS name FROM ms WHERE 200 * mtot > 80 * (la + lb) " +
+        "UNION ALL SELECT kname FROM k0) " +
+        "SELECT (SELECT kname FROM k0) AS name, " +
+        "(SELECT string_agg(DISTINCT m.name, ',' ORDER BY m.name) FROM mem m) AS names, " +
+        "(SELECT string_agg(DISTINCT CAST(s.s_nationkey AS VARCHAR), ',' " +
+        "ORDER BY CAST(s.s_nationkey AS VARCHAR)) " +
+        "FROM supplier s JOIN mem m ON s.s_name = m.name) AS alts"),
+    "q_corpus_profile" ->
+      ("WITH base AS (SELECT lang, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
+        s"CAST($sqlTokenCount AS BIGINT) AS nt FROM documents), " +
+        "tot AS (SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp " +
+        "FROM base GROUP BY lang), " +
+        "cts AS (SELECT lang, nt, count(*) AS c FROM base GROUP BY lang, nt), " +
+        "cum AS (SELECT lang, nt, sum(c) OVER (PARTITION BY lang ORDER BY nt) AS cum, " +
+        "sum(c) OVER (PARTITION BY lang) AS total FROM cts), " +
+        "pct AS (SELECT lang, min(CASE WHEN cum * 2 >= total THEN nt END) AS p50_tokens, " +
+        "min(CASE WHEN cum * 20 >= total * 19 THEN nt END) AS p95_tokens " +
+        "FROM cum GROUP BY lang) " +
+        "SELECT t.lang, t.n_docs, t.n_distinct_fp, p.p50_tokens, p.p95_tokens " +
+        "FROM tot t JOIN pct p ON t.lang = p.lang"),
     "q_containment_pairs" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
         "SELECT id_a, id_b, n_common, " +
@@ -2070,6 +2175,83 @@ object SparkEntry {
     (0 until NearDup.SimHashBits)
       .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+
+  /** Recursive-CTE replay of CPython difflib's matching-block recursion
+    * (SequenceMatcher.get_matching_blocks with isjunk=None and |b| < 200,
+    * so autojunk and the junk-extension phases are no-ops — names are 18
+    * chars). Appended after CTEs `nm(name)` (the distinct name set, used
+    * only to bound `pos`) and `pr(na, nb, la, lb)` (the ordered pairs to
+    * score); yields `ms(na, nb, la, lb, mtot)` with mtot = difflib's total
+    * matched characters M, so ratio comparisons become exact integer
+    * arithmetic: ratio*100 >= t  <=>  200*M >= t*(la+lb).
+    *
+    * Key identity making find_longest_match SQL-expressible: with no junk,
+    * the DP's winner is the FIRST (end_i, end_j) in (i asc, j asc) scan
+    * order attaining the maximal segment-bounded run length k — i.e.
+    * ORDER BY k DESC, i, j LIMIT 1 (here: row_number = 1 per segment).
+    * `runs` precomputes the segment-UNBOUNDED run length r ending at each
+    * matching (i, j) once (materialized — the recursion re-reads it every
+    * level); inside a segment k = least(r, i - alo + 1, j - blo + 1).
+    * Each recursion level emits the winning block's size as an exhausted
+    * (0,0,0,0) segment carrying m=k, plus the left/right sub-segments,
+    * exactly difflib's queue step. Used by q_link_ro and q_cluster_greedy.
+    */
+  private val sqlDifflibChain: String =
+    "pos AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 512) t(i) " +
+      "WHERE t.i <= (SELECT max(greatest(length(name), 1)) FROM nm)), " +
+      "runs AS MATERIALIZED (" +
+      "SELECT p.na, p.nb, pi.i AS i, pj.i AS j, max(pm.i) AS r " +
+      "FROM pr p, pos pi, pos pj, pos pm " +
+      "WHERE pi.i <= p.la AND pj.i <= p.lb AND pm.i <= least(pi.i, pj.i) " +
+      "AND substr(p.na, CAST(pi.i - pm.i + 1 AS INT), CAST(pm.i AS INT)) " +
+      "  = substr(p.nb, CAST(pj.i - pm.i + 1 AS INT), CAST(pm.i AS INT)) " +
+      "GROUP BY p.na, p.nb, pi.i, pj.i), " +
+      "seg AS (" +
+      "SELECT na, nb, la, lb, CAST(1 AS BIGINT) AS alo, CAST(la + 1 AS BIGINT) AS ahi, " +
+      "CAST(1 AS BIGINT) AS blo, CAST(lb + 1 AS BIGINT) AS bhi, CAST(0 AS BIGINT) AS m " +
+      "FROM pr " +
+      "UNION ALL " +
+      "SELECT na, nb, la, lb, " +
+      "CASE t.which WHEN 0 THEN 0 WHEN 1 THEN alo ELSE i + 1 END AS alo, " +
+      "CASE t.which WHEN 0 THEN 0 WHEN 1 THEN i - k + 1 ELSE ahi END AS ahi, " +
+      "CASE t.which WHEN 0 THEN 0 WHEN 1 THEN blo ELSE j + 1 END AS blo, " +
+      "CASE t.which WHEN 0 THEN 0 WHEN 1 THEN j - k + 1 ELSE bhi END AS bhi, " +
+      "CASE t.which WHEN 0 THEN k ELSE CAST(0 AS BIGINT) END AS m " +
+      "FROM (" +
+      "SELECT s.na, s.nb, s.la, s.lb, s.alo, s.ahi, s.blo, s.bhi, g.i, g.j, " +
+      "least(g.r, g.i - s.alo + 1, g.j - s.blo + 1) AS k, " +
+      "row_number() OVER (PARTITION BY s.na, s.nb, s.alo, s.blo " +
+      "ORDER BY least(g.r, g.i - s.alo + 1, g.j - s.blo + 1) DESC, g.i, g.j) AS rn " +
+      "FROM seg s JOIN runs g ON g.na = s.na AND g.nb = s.nb " +
+      "AND g.i >= s.alo AND g.i < s.ahi AND g.j >= s.blo AND g.j < s.bhi " +
+      "WHERE s.alo < s.ahi AND s.blo < s.bhi" +
+      ") w, (VALUES (0), (1), (2)) t(which) " +
+      "WHERE w.rn = 1 AND (t.which = 0 " +
+      "OR (t.which = 1 AND w.alo < w.i - w.k + 1 AND w.blo < w.j - w.k + 1) " +
+      "OR (t.which = 2 AND w.i + 1 < w.ahi AND w.j + 1 < w.bhi))), " +
+      "ms AS (SELECT na, nb, la, lb, sum(m) AS mtot FROM seg GROUP BY na, nb, la, lb)"
+
+  /** The 37 multi-probe XOR masks of Ann.lshTopK (self + all Hamming<=2
+    * bucket flips over LshBits planes), as a SQL list body.
+    */
+  private val sqlLshMasks: String = {
+    val singles = (0 until Ann.LshBits).map(1L << _)
+    val doubles = for {
+      i <- 0 until Ann.LshBits; j <- i + 1 until Ann.LshBits
+    } yield (1L << i) | (1L << j)
+    (0L +: (singles ++ doubles)).mkString(", ")
+  }
+
+  /** The frozen IVF centroid set (IvfFixture) as a VALUES CTE — double
+    * literals via Double.toString round-trip bit-exactly through DuckDB's
+    * parser, so SQL-side scores match the Spark literals.
+    */
+  private val sqlCentsCte: String = {
+    val rows = IvfFixture.centroids.map { case (cid, v) =>
+      s"($cid, [${v.mkString(", ")}])"
+    }.mkString(", ")
+    s"cents AS (SELECT t.cid, t.cv FROM (VALUES $rows) t(cid, cv))"
+  }
 
   /** DuckDB fragment mirroring TextOps.tokenCount on column `text`. */
   private val sqlTokenCount: String =

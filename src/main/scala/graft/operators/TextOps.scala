@@ -227,6 +227,41 @@ object TextOps {
         percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
         percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"))
 
+  /** Exact per-stratum corpus profile — the sample-tier twin of
+    * [[corpusStats]]: same columns, exact values (count_distinct over
+    * fingerprints; discrete percentiles of the integer token counts), so
+    * the whole profile is engine-exact and DuckDB-oracled. The production
+    * workflow pairs them: run THIS on a sample tier to calibrate the
+    * sketch settings, then trust [[corpusStats]]'s mergeable sketches on
+    * the full corpus (the same measure-then-trust shape as lshRecallEval).
+    *
+    * Percentile definition (deterministic, integer-only): pXX = the
+    * smallest token count nt with |docs with n_tokens <= nt| * 100 >=
+    * XX * n_docs — no FP interpolation, so both engines agree bit-for-bit.
+    * Scale shape: the cumulative window runs over the per-(stratum,
+    * token-count) aggregate — bounded by the distinct value count, not the
+    * corpus — and count_distinct(fp) is the one genuinely corpus-sized
+    * shuffle, which is exactly the cost [[corpusStats]] exists to avoid.
+    */
+  def corpusProfile(df: DataFrame, idCol: String, textCol: String,
+                    strataCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(strataCol), fingerprint(col(textCol)).as("fp"),
+      tokenCount(col(textCol)).as("nt"))
+    val tot = base.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_distinct_fp"))
+    val cts = base.groupBy(col(strataCol), col("nt")).agg(count(lit(1)).as("c"))
+    val cum = cts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy(strataCol).orderBy("nt")))
+      .withColumn("total", sum("c").over(Window.partitionBy(strataCol)))
+    val pct = cum.groupBy(col(strataCol)).agg(
+      min(when(col("cum") * 2 >= col("total"), col("nt"))).as("p50_tokens"),
+      min(when(col("cum") * 20 >= col("total") * 19, col("nt"))).as("p95_tokens"))
+    tot.join(pct, strataCol)
+  }
+
   /** Top-N token bigrams with their unigram counts — the integer inputs
     * to any association score (PMI, log-likelihood ratio, t-score):
     * emitting (n_xy, n_x, n_y) instead of the score keeps the output
