@@ -932,6 +932,20 @@ object SparkEntry {
     "q_containment_pairs" -> ((s, dir) =>
       NearDup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)),
 
+    // ---- Span-level exact substring dedup (the suffix-array tier of LLM
+    // dedup, join-friendly form): maximal verbatim token runs >= 8 tokens
+    // per doc pair, from positioned k-gram postings + diagonal
+    // gaps-and-islands. Fully DuckDB-oracled (md5 gram hashes, integer
+    // positions).
+    "q_substring_spans" -> ((s, dir) =>
+      SubstringDedup.sharedSpans(Tables.documents(s, dir), "doc_id", "text", 8)),
+
+    // ---- The rewrite pass over those spans: higher-id side of each pair
+    // loses the duplicated tokens (min-key keeper convention), text
+    // rebuilt from the surviving original-case tokens.
+    "q_substring_dedup" -> ((s, dir) =>
+      SubstringDedup.removeSharedSpans(Tables.documents(s, dir), "doc_id", "text", 8)),
+
     // ---- Keyed upsert (MERGE): a correction batch (every 10th order,
     // repriced) replaces same-key rows of the standing snapshot — one
     // corpus scan + one broadcast anti-join on change keys, the
@@ -1834,6 +1848,26 @@ object SparkEntry {
         "(SELECT string_agg(DISTINCT CAST(s.s_nationkey AS VARCHAR), ',' " +
         "ORDER BY CAST(s.s_nationkey AS VARCHAR)) " +
         "FROM supplier s JOIN mem m ON s.s_name = m.name) AS alts"),
+    "q_substring_spans" ->
+      (s"WITH $sqlSpanCtes " +
+        "SELECT id_a, id_b, start_a, start_b, len_tokens FROM sp"),
+    "q_substring_dedup" ->
+      (s"WITH $sqlSpanCtes, " +
+        "rem AS (SELECT DISTINCT id_b AS doc_id, CAST(u.p AS BIGINT) AS pos " +
+        "FROM sp, unnest(range(start_b, start_b + len_tokens)) u(p)), " +
+        "otoks AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[CAST(u.i AS INT)] AS tok " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0) ot, " +
+        "unnest(range(1, len(t) + 1)) u(i)), " +
+        "kept AS (SELECT o.doc_id, o.pos, o.tok FROM otoks o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = o.doc_id AND r.pos = o.pos)), " +
+        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup " +
+        "FROM kept GROUP BY doc_id), " +
+        "nrem AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(reb.text_dedup, '') AS text_dedup, " +
+        "coalesce(nrem.n_removed, 0) AS n_removed FROM documents d " +
+        "LEFT JOIN reb ON reb.doc_id = d.doc_id " +
+        "LEFT JOIN nrem ON nrem.doc_id = d.doc_id"),
     "q_corpus_profile" ->
       ("WITH base AS (SELECT lang, " +
         "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
@@ -2252,6 +2286,26 @@ object SparkEntry {
     }.mkString(", ")
     s"cents AS (SELECT t.cid, t.cv FROM (VALUES $rows) t(cid, cv))"
   }
+
+  /** Shared-span CTE chain mirroring SubstringDedup.sharedSpans with
+    * k=3, minTokens=8 on documents: positioned lowercased 3-gram md5
+    * hashes -> position-pair equi-join -> diagonal gaps-and-islands ->
+    * maximal runs (g grams = g+2 tokens). Yields `sp(id_a, id_b, start_a,
+    * start_b, len_tokens)`.
+    */
+  private lazy val sqlSpanCtes: String =
+    "ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
+      "pg AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, " +
+      s"${sqlHash60("array_to_string(t[CAST(u.i AS INT):CAST(u.i + 2 AS INT)], ' ')", 0)} AS gh " +
+      "FROM ltoks, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3), " +
+      "sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b, " +
+      "count(*) + 2 AS len_tokens FROM " +
+      "(SELECT id_a, id_b, pa - pb AS diag, pa, pb, " +
+      "pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS island " +
+      "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb " +
+      "FROM pg a JOIN pg b ON a.gh = b.gh AND a.doc_id < b.doc_id)) " +
+      "GROUP BY id_a, id_b, diag, island HAVING count(*) + 2 >= 8)"
 
   /** DuckDB fragment mirroring TextOps.tokenCount on column `text`. */
   private val sqlTokenCount: String =
