@@ -518,12 +518,15 @@ object SparkEntry {
       Multimodal.metadata(
         Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
 
-    // ---- Multimodal: batched mapPartitions decode (STUB codec) — the
-    // mapInPandas-shaped path; parity with the expression path is tested
-    // in MultimodalSpec. Rows-only check.
+    // ---- Multimodal: batched mapPartitions decode of REAL PNG payloads
+    // (JDK javax.imageio codecs — no external deps): per-doc deterministic
+    // PNGs are generated, then actually parsed back. The oracle recomputes
+    // width/height/mean from the pixel formula, so a broken encoder OR
+    // decoder fails the hash compare; the stub fallback path (non-image
+    // payloads) stays covered by MultimodalSpec.
     "q_media_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
-        Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
+        Multimodal.imagePayloads(Tables.documents(s, dir), "doc_id"), "doc_id")),
 
     // ---- Multimodal: batched resize (STUB resampler) — the mapPartitions
     // stage after decode; position-weighted integer checksum over an 8x8
@@ -1602,20 +1605,22 @@ object SparkEntry {
         "CAST(16 * (1 + ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT % 32) AS BIGINT) AS fake_width, " +
         "CAST(16 * (1 + octet_length(encode(text)) % 32) AS BIGINT) AS fake_height " +
         "FROM documents"),
-    // decodeStub mirrored in SQL: per-byte sum via hex 2-char slices. The
-    // byte sum is an integer < 2^53, so Spark's sequential double sum is
-    // exact and the division matches bit-for-bit.
+    // Real-decode oracle: recomputes width/height/channels and the pixel
+    // mean from the PNG GENERATING formula (Multimodal.makePng: w=1+id%13,
+    // h=1+id%7, 3 identical bands of (id + 31x + 17y) % 256) — the Spark
+    // side must actually parse the PNG to reproduce them. Mean parity:
+    // Spark divides (3*sum)/(3*w*h), the SQL sum/(w*h) — the same exact
+    // rational of sub-2^53 integers, hence the identical IEEE double.
     "q_media_decode" ->
-      ("WITH b AS (SELECT doc_id, encode(text) AS p, octet_length(encode(text)) AS n FROM documents), " +
-        "idx AS (SELECT doc_id, p, n, unnest(generate_series(1, n)) AS i FROM b), " +
-        "s AS (SELECT doc_id, sum(('0x' || substr(hex(p), 2*i - 1, 2))::BIGINT) AS sum_bytes " +
-        "FROM idx GROUP BY doc_id) " +
-        "SELECT b.doc_id, " +
-        "CAST(16 * (1 + ('0x' || substr(hex(p), 1, 2))::BIGINT % 32) AS INTEGER) AS width, " +
-        "CAST(16 * (1 + n % 32) AS INTEGER) AS height, " +
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, (doc_id + 31 * x.i + 17 * y.i) % 256 AS v " +
+        "FROM g, generate_series(0, 12) x(i), generate_series(0, 6) y(i) " +
+        "WHERE x.i < w AND y.i < h) " +
+        "SELECT doc_id, CAST(any_value(w) AS INTEGER) AS width, " +
+        "CAST(any_value(h) AS INTEGER) AS height, " +
         "CAST(3 AS INTEGER) AS channels, " +
-        "CAST(sum_bytes AS DOUBLE) / n AS mean_byte " +
-        "FROM b JOIN s USING (doc_id)"),
+        "CAST(sum(v) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_byte " +
+        "FROM px GROUP BY doc_id"),
     // Resize mirrored on the HEX string: cell c covers 0-based bytes
     // [c*n/64, (c+1)*n/64) = 1-based hex pairs [c*n//64 + 1, (c+1)*n//64].
     "q_media_resize" ->

@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, and run
   * decode / feature-extraction as batched per-partition functions.
   *
-  * The container has no media codecs, so the decode step is a clearly
-  * marked DETERMINISTIC STUB ([[decodeStub]]) — the Spark-side plumbing
-  * (binary schema, per-partition batching, metadata projection, chunking)
-  * is real and tested. In production the stub body is replaced by an
-  * actual codec call; nothing else changes.
+  * The decode step is REAL for image payloads: `javax.imageio` ships
+  * PNG/BMP/GIF codecs inside the JDK, so [[decodeImage]] parses actual
+  * image bytes (dimensions, band count, pixel mean) with no external
+  * dependency, and [[imagePayloads]] generates deterministic PNGs to feed
+  * it (the sandbox stand-in for reading real image bytes out of a parquet
+  * binary column). Non-image payloads fall back to the clearly marked
+  * DETERMINISTIC STUB ([[decodeStub]]) — the no-codec stand-in for
+  * audio/video formats the JDK cannot parse; swapping it for an ffmpeg
+  * call changes nothing else in the plumbing.
   *
   * Scale notes: payload bytes never leave the executor (no collect); the
   * metadata path is a pure codegen projection; `decodeFeatures` is
@@ -50,10 +54,79 @@ object Multimodal {
       (lit(16) * (lit(1) + nBytes % 32)).cast("long").as("fake_height"))
   }
 
+  /** Deterministic per-id PNG: width = 1 + id%13, height = 1 + id%7,
+    * RGB with every channel of pixel (x, y) set to (id + 31x + 17y) % 256.
+    * PNG is lossless, so however the encoder compresses, the DECODED
+    * pixels equal this formula — which is what lets q_media_decode carry a
+    * DuckDB oracle over a real codec path: the oracle recomputes
+    * dimensions and pixel mean from the formula, the Spark side has to
+    * actually parse the PNG to reproduce them.
+    */
+  def makePng(id: Long): Array[Byte] = {
+    val w = (1 + id % 13).toInt
+    val h = (1 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id + 31L * x + 17L * y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** (id, payload) with a real PNG per row — the image-corpus stand-in
+    * (a production pipeline reads the bytes from a parquet binary column
+    * instead; generation is a mapPartitions batch like decode, bytes never
+    * leave the executor).
+    */
+  def imagePayloads(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        // no temp-file cache for the in-memory streams (per-partition init)
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => (id, makePng(id)))
+      }.toDF(idCol, "payload")
+  }
+
+  /** REAL image decode via the JDK's built-in codecs (PNG/BMP/GIF):
+    * (width, height, bands, mean over every sample of every band), or
+    * None when the payload is not a decodable image.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val r = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { s += r.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, bands, s.toDouble / (w.toLong * h * bands))
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** ========= STUB: replace with a real codec (libjpeg/ffmpeg/...) =========
-    * Deterministic fake decode of a payload: (width, height, channels,
-    * meanByte). Mirrors [[metadata]]'s dimension formula so the two paths
-    * cross-validate.
+    * Deterministic fake decode of a NON-IMAGE payload: (width, height,
+    * channels, meanByte). Mirrors [[metadata]]'s dimension formula so the
+    * two paths cross-validate.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
     val first = if (payload.isEmpty) 0 else payload(0) & 0xff
@@ -140,7 +213,9 @@ object Multimodal {
 
   /** Batched decode via mapPartitions — the Scala analog of a pandas-UDF
     * `mapInPandas` stage: one decoder instantiation per partition, payload
-    * bytes stay executor-local.
+    * bytes stay executor-local. Image payloads are REALLY decoded
+    * ([[decodeImage]] — JDK codecs); non-image payloads take the declared
+    * stub fallback.
     */
   def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -148,9 +223,10 @@ object Multimodal {
     val in: Dataset[(Long, Array[Byte])] =
       df.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
     in.mapPartitions { it =>
-      // per-partition setup (a real decoder would init its codec here)
+      // per-partition codec setup: in-memory streams only
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { case (id, payload) =>
-        val (w, h, c, mean) = decodeStub(payload)
+        val (w, h, c, mean) = decodeImage(payload).getOrElse(decodeStub(payload))
         (id, w, h, c, mean)
       }
     }.toDF(idCol, "width", "height", "channels", "mean_byte")

@@ -75,6 +75,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == 0L)  // empty payload
   }
 
+  test("real PNG roundtrip: decode recovers the generating formula") {
+    for (id <- Seq(0L, 1L, 12L, 13L, 97L)) {
+      val png = Multimodal.makePng(id)
+      // actual PNG magic bytes
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val Some((w, h, c, mean)) = Multimodal.decodeImage(png)
+      assert(w == (1 + id % 13).toInt && h == (1 + id % 7).toInt && c == 3)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield ((id + 31L * x + 17L * y) % 256).toDouble).sum / (w * h)
+      assert(mean == expected, s"id $id")
+    }
+  }
+
+  test("decodeFeatures really decodes image payloads and stubs the rest") {
+    val imgs = Multimodal.imagePayloads(
+      Seq((5L, "a"), (20L, "b")).toDF("doc_id", "text"), "doc_id")
+    val dec = Multimodal.decodeFeatures(imgs, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(dec(5L) == ((6, 6, 3)) && dec(20L) == ((8, 7, 3)))
+    // text payloads are not decodable images -> stub fallback
+    val stubbed = Multimodal.decodeFeatures(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stubbed(1L) == 16 * (1 + 'h' % 32))
+  }
+
   test("decodeStub is deterministic and byte-driven") {
     val a = Multimodal.decodeStub("abc".getBytes("UTF-8"))
     assert(a == Multimodal.decodeStub("abc".getBytes("UTF-8")))
