@@ -45,6 +45,55 @@ object Upsert {
     upserts.unionByName(current.join(changeKeys, keys, "left_anti"))
   }
 
+  /** Structured-Streaming twin of [[applyCdc]]: a continuously maintained
+    * keyed materialization of a CDC change log via
+    * `flatMapGroupsWithState`. Input columns: `k` (key), `seq` (the
+    * change-log LSN — total order per key), `v` (payload), `op`
+    * ("u" upsert / "d" delete). Each micro-batch folds a key's changes in
+    * seq order into per-key state and emits one update row
+    * (k, last_seq, v = None when deleted) — Update output mode; the
+    * downstream sink keeps each key's latest row (the UpsertSpec parity
+    * test reconstructs exactly that and matches it against the batch
+    * [[applyCdc]] fold).
+    *
+    * Replay-safe: a change at or below the key's folded `last_seq` is a
+    * no-op, so at-least-once upstream delivery cannot corrupt state (the
+    * reason deletes keep a tombstone entry instead of removing state —
+    * `state.remove()` would forget last_seq and let a late stale upsert
+    * resurrect the key).
+    *
+    * Scale: state is one small tuple per LIVE key (plus tombstones),
+    * partitioned by key across executors — the bounded-state shape;
+    * production retires cold tombstones with a state TTL/timeout, elided
+    * here to keep replay protection unconditional.
+    */
+  def cdcApplyStream(changes: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Option[Long])] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.select(col("k").cast("long"), col("seq").cast("long"),
+        col("v").cast("long"), col("op").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Boolean), (Long, Long, Option[Long])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        // state = (lastSeq, value, exists)
+        (k: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, Boolean)]) =>
+          var (lastSeq, v, exists) =
+            state.getOption.getOrElse((Long.MinValue, 0L, false))
+          it.toSeq.sortBy(_._2).foreach { case (_, seq, value, op) =>
+            if (seq > lastSeq) {
+              lastSeq = seq
+              if (op == "u") { v = value; exists = true } else exists = false
+            }
+          }
+          state.update((lastSeq, v, exists))
+          Iterator.single((k, lastSeq, if (exists) Some(v) else None))
+      }
+  }
+
   /** Snapshot diff: per-key churn between two corpus snapshots of the same
     * schema — `added` (key only in `cur`), `removed` (only in `prev`),
     * `changed` (present in both, any non-key column differs, null-safe).

@@ -101,6 +101,42 @@ class UpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApplyStream (flatMapGroupsWithState) equals the batch-applied state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = Upsert.cdcApplyStream(ms.toDS().toDF("k", "seq", "v", "op"))
+      .toDF("k", "last_seq", "v")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdc_stream_tbl").start()
+    val b1 = Seq((1L, 1L, 100L, "u"), (2L, 2L, 200L, "u"), (3L, 3L, 300L, "u"))
+    // batch 2: update 2, insert-then-update 4 IN ONE batch, delete 1,
+    // plus a STALE replay of key 2 (seq 1 < folded 4) that must no-op
+    val b2 = Seq((2L, 4L, 999L, "u"), (4L, 5L, 400L, "u"), (1L, 6L, 0L, "d"),
+      (4L, 7L, 444L, "u"), (2L, 1L, 5L, "u"))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // the sink's materialization: each key's row at its max last_seq
+      val got = spark.table("cdc_stream_tbl")
+        .as[(Long, Long, Option[Long])].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2)._3 }
+      // batch twin: fold the same batches with applyCdc, collapsing each
+      // batch to its latest change per key first (applyCdc's one-row-per-
+      // key contract; the stream folds by seq internally)
+      val expected = Seq(b1, b2).foldLeft(
+        Seq.empty[(Long, Long)].toDF("k", "v")) { (cur, b) =>
+        val latest = b.groupBy(_._1).map(_._2.maxBy(_._2)).toSeq
+          .map { case (k, _, v, op) => (k, v, op) }
+        Upsert.applyCdc(cur, latest.toDF("k", "v", "op"), Seq("k"), "op")
+      }.as[(Long, Long)].collect().toMap
+      val live = got.collect { case (k, Some(v)) => k -> v }.toMap
+      assert(live == expected)                  // live keys identical
+      assert(got(1L).isEmpty)                   // delete emitted a tombstone
+      assert(got(2L) == Some(999L))             // stale replay did not win
+    } finally q.stop()
+  }
+
   test("nullTolerantLeftJoin equals the plain left join, nulls bypass") {
     val left = Seq(
       (1L, Option(10L), "a"),
