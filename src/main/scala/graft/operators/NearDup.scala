@@ -189,13 +189,22 @@ object NearDup {
     * Verify cost is linear in candidates. Equality with [[jaccardPairs]]
     * is property-tested in NearDupSpec; the oracle is the same SQL.
     *
-    * Measured trade (sf0.1, local[32]): 8.9s vs 0.9s for the plain
-    * posting join — the prefix machinery (doc-frequency join, per-doc
-    * rank window, checkpoint) costs more than it saves on a clean small
-    * corpus. It is the variant to reach for when posting lists are
-    * boilerplate-dominated and candidate-pair volume, not scan time, is
-    * the bottleneck; [[jaccardPairs]] + maxDocFreq covers the cases where
-    * dropping hot shingles is acceptable instead of exact.
+    * Measured trade (sf0.1 documents, local[32], graft.tools.PrefixDemo;
+    * identical outputs in all four cells):
+    *
+    *   - CLEAN corpus, t=0.5: plain 4.3s, prefix 16.4s — the prefix
+    *     machinery (doc-frequency join, per-doc rank window, checkpoint)
+    *     costs more than it saves when no shingle is hot.
+    *   - BOILERPLATE corpus (a shared 60-token paragraph appended to every
+    *     document — the web-crawl norm), t=0.8: plain 107.2s, prefix
+    *     10.4s — 10x: the shared shingles put d² candidate rows through
+    *     the plain join but fall out of the prefix candidates entirely
+    *     (they are the FREQUENT ones, prefixes keep the rarest).
+    *
+    * So: [[jaccardPairs]] on curated corpora; this variant when posting
+    * lists are boilerplate-dominated and candidate-pair volume, not scan
+    * time, is the bottleneck; [[jaccardPairs]] + maxDocFreq when dropping
+    * hot shingles is acceptable instead of exact.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
@@ -219,11 +228,17 @@ object NearDup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify: expand each candidate pair by side A's full shingle set,
-    // probe side B's postings — linear in candidates x avg set size
+    // probe side B's postings — linear in candidates x avg set size.
+    // The shuffle_hash hint goes on the POSTINGS side: the hinted side is
+    // the hash-build side, and the expanded candidate relation on the left
+    // is the unbounded one (candidates x shingles-per-doc — on a
+    // boilerplate-heavy corpus it dwarfs the postings and a build over it
+    // OOMs, measured in graft.tools.PrefixDemo), while the postings table
+    // is one row per (doc, shingle): bounded and evenly keyed.
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .hint("shuffle_hash")
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")).hint("shuffle_hash"),
+        Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // per-doc counts: no broadcast hint (see jaccardPairs)

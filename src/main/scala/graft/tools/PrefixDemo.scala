@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.GraftLocalDir
+import graft.operators.NearDup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Reproducible measurement for the PPJoin/AllPairs trade-off documented
+  * on [[graft.operators.NearDup.jaccardPairsPrefix]]: on a CLEAN corpus
+  * the prefix machinery costs more than it saves (the official bench's
+  * q_jaccard_prefix measures exactly that), while on a BOILERPLATE-heavy
+  * corpus — every document sharing a header/footer paragraph, the
+  * web-crawl norm — the hot shingles explode the plain posting join's
+  * candidate set (d docs sharing a shingle -> d² candidate rows) but fall
+  * OUT of the prefix candidates entirely (prefixes keep each document's
+  * RAREST shingles). This probe times both variants on both corpora:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.PrefixDemo"
+  *
+  * The boilerplate corpus appends one shared 60-token paragraph to every
+  * document (threshold 0.8 keeps the output near-dup-sized — with a large
+  * shared block, 0.5 would pair every pair of short documents, which is a
+  * statement about the corpus, not the join).
+  */
+object PrefixDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", GraftLocalDir.path)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enableOptimizations(spark)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val boiler = (1 to 60).map(i => s"boilerplate$i").mkString(" ")
+    val boiled = docs.withColumn("text", concat(col("text"), lit(" " + boiler)))
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prefix-demo] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+
+    // warm the scan cache so the first measurement isn't charged for IO
+    docs.count(); boiled.count()
+
+    time("clean/plain t=0.5") {
+      NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("clean/prefix t=0.5") {
+      NearDup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("boilerplate/plain t=0.8") {
+      NearDup.jaccardPairs(boiled, "doc_id", "text", 3, 0.8).count()
+    }
+    time("boilerplate/prefix t=0.8") {
+      NearDup.jaccardPairsPrefix(boiled, "doc_id", "text", 3, 0.8).count()
+    }
+    spark.stop()
+  }
+}
