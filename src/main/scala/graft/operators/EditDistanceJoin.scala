@@ -155,8 +155,11 @@ object EditDistanceJoin {
         .drop("__vs")
     val l = explodeSide(left, leftId, leftKey)
     val r = explodeSide(right, rightId, rightKey)
-    l.as("a").hint("shuffle_hash")
-      .join(r.as("b"),
+    // hint on the RIGHT (dictionary) side: the hinted side is the
+    // hash-build side, and the dictionary is the bounded one — building
+    // over the corpus side inverts the plan at scale
+    l.as("a")
+      .join(r.as("b").hint("shuffle_hash"),
         col("a.__v") === col("b.__v") &&
           abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
       .filter(levenshtein(col("a.key"), col("b.key"), maxDist) >= 0)

@@ -61,8 +61,11 @@ object Skew {
       pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val expandedBuild = build.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    saltedProbe.hint("shuffle_hash")
-      .join(expandedBuild, keys :+ "__salt")
+    // hint on the BUILD side: the hinted side is the hash-build side, and
+    // this operator is sized for build << probe — building over the fact
+    // side would OOM exactly where the salting is needed
+    saltedProbe
+      .join(expandedBuild.hint("shuffle_hash"), keys :+ "__salt")
       .drop("__salt")
   }
 

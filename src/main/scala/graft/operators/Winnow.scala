@@ -127,7 +127,10 @@ object Winnow {
                               w: Int = WindowGrams): DataFrame = {
     val ft = fingerprints(train, idCol, textCol, k, w)
     val fe = fingerprints(eval, idCol, textCol, k, w)
-    ft.as("a").hint("shuffle_hash").join(fe.as("b"), col("a.fp") === col("b.fp"))
+    // hint on the EVAL side: the hinted side is the hash-build side, and
+    // eval suites are thousands of documents where train is the 100 TB
+    // side — building over train postings is a per-task OOM at scale
+    ft.as("a").join(fe.as("b").hint("shuffle_hash"), col("a.fp") === col("b.fp"))
       .groupBy(col("a.id").as("train_id"), col("b.id").as("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -179,8 +182,9 @@ object Winnow {
     val bf = fe.stat.bloomFilter("fp", nEval, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+    // build side = eval, as in crossCorpusOverlapPairs
     ft.filter(mightContain(col("fp")))
-      .as("a").hint("shuffle_hash").join(fe.as("b"), col("a.fp") === col("b.fp"))
+      .as("a").join(fe.as("b").hint("shuffle_hash"), col("a.fp") === col("b.fp"))
       .groupBy(col("a.id").as("train_id"), col("b.id").as("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -64,6 +64,21 @@ class PlanGuaranteesSpec extends SparkSpec {
     }
   }
 
+  test("asymmetric shuffle-hash joins build from the bounded side") {
+    // The hinted side of a shuffle_hash join is the HASH-BUILD side. For
+    // the asymmetric joins (train x eval contamination, fact x dim salted
+    // join) the build must be the bounded relation — a build over the
+    // corpus/fact side is a per-task OOM at scale (caught live by
+    // graft.tools.PrefixDemo for the prefix verify join).
+    for (q <- Seq("q_contamination", "q_contamination_bloom", "q_salted_join")) {
+      val shjLines = plan(q).linesIterator
+        .filter(_.contains("ShuffledHashJoin")).toSeq
+      assert(shjLines.nonEmpty, s"$q: no ShuffledHashJoin in plan")
+      shjLines.foreach(l =>
+        assert(l.contains("BuildRight"), s"$q builds the wrong side: $l"))
+    }
+  }
+
   test("per-doc count joins carry no forced broadcast hint (unbounded build at scale)") {
     // The counts side of the Jaccard family has one row PER DOCUMENT — a
     // forced broadcast() there is a driver OOM at corpus scale. Assert on
