@@ -75,12 +75,19 @@ object EditDistanceJoin {
     *
     * The equi-join is HALF-ORDERED (id_a < id_b): self- and mirror-
     * witnesses are never generated (the full join emits ~2x the rows and
-    * every reflexive pair x its whole variant set). The cheap banded
-    * threshold-levenshtein verify runs BEFORE distinct — witness
-    * multiplicity is ~2-8 per true pair, so filtering 2N rows then
-    * deduplicating the narrow (long, long) survivors beats deduplicating
-    * the full candidate set (measured 5x on sf0.1: distinct-first spent
-    * 147s hash-aggregating 65M wide rows).
+    * every reflexive pair x its whole variant set).
+    *
+    * Stage order (measured at sf0.1, d=2, LinkStageProbe): distinct runs
+    * over the NARROW (long, long) candidate pairs FIRST, then keys
+    * re-attach and the banded threshold-levenshtein verifies each UNIQUE
+    * candidate once. Witness multiplicity is ~8 per candidate here
+    * (31.7M join rows -> 4.1M unique), so verify-before-distinct paid the
+    * lev on every witness (9.6s); this order pays it once per candidate
+    * (6.3s). The one ordering that must NOT come back: distinct over
+    * candidates WITH key columns attached — hash-aggregating wide string
+    * rows measured 147s on the same input. The key re-attach joins
+    * shuffle on id (bounded, one row per input) with no broadcast hint —
+    * AQE broadcasts the key table when it is genuinely small.
     *
     * shuffle_hash hint: Catalyst can't estimate post-explode cardinality
     * (UDF-generated arrays) and mis-chooses a broadcast hash join,
@@ -98,15 +105,19 @@ object EditDistanceJoin {
       .drop("__vs")
     // Length band: lev(a,b) <= k forces |len(a)-len(b)| <= k, so the
     // cheap char_length comparison runs at hash-probe time and spares the
-    // banded-levenshtein verify (and the distinct) the candidates it can
-    // reject — pure pruning, never drops a true pair.
-    variants.as("a").hint("shuffle_hash")
+    // distinct (and the verify) the candidates it can reject — pure
+    // pruning, never drops a true pair.
+    val cand = variants.as("a").hint("shuffle_hash")
       .join(variants.as("b"),
         col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
           abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
-      .filter(levenshtein(col("a.key"), col("b.key"), maxDist) >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
+      .filter(levenshtein(col("key_a"), col("key_b"), maxDist) >= 0)
+      .select("id_a", "id_b")
   }
 
   /** Reflexive (id, id) pairs. Null keys are excluded on BOTH strategies:
