@@ -113,21 +113,15 @@ object EditDistanceJoin {
           abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // keys come out attached: every caller needs them (pairs, the
+    // aggregate) or ignores a projection (idPairs) — cheaper than each
+    // caller re-joining the key table.
     cand
       .join(base.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
       .filter(levenshtein(col("key_a"), col("key_b"), maxDist) >= 0)
-      .select("id_a", "id_b")
+      .select("id_a", "key_a", "id_b", "key_b")
   }
-
-  /** Reflexive (id, id) pairs. Null keys are excluded on BOTH strategies:
-    * Naive's `levenshtein(null, null)` predicate is null and drops the row,
-    * so the synthesized reflexive set must drop it too or the documented
-    * strategy equivalence breaks on null keys.
-    */
-  private def reflexiveIds(base: DataFrame): DataFrame =
-    base.filter(col("key").isNotNull)
-      .select(col("id").as("id_a"), col("id").as("id_b"))
 
   /** Undirected verified id pairs (id_a < id_b) with lev <= maxDist — the
     * edge-list form for graph consumers ([[ConnectedComponents]]): skips
@@ -137,6 +131,7 @@ object EditDistanceJoin {
   def idPairs(df: DataFrame, idCol: String, keyCol: String,
               maxDist: Int): DataFrame =
     halfIdPairs(df.select(col(idCol).as("id"), col(keyCol).as("key")), maxDist)
+      .select("id_a", "id_b")
 
   /** Cross-table edit-distance match: every `left` row paired with every
     * `right` (dictionary) row within lev <= maxDist — the master-data /
@@ -168,15 +163,22 @@ object EditDistanceJoin {
     val r = explodeSide(right, rightId, rightKey)
     // hint on the RIGHT (dictionary) side: the hinted side is the
     // hash-build side, and the dictionary is the bounded one — building
-    // over the corpus side inverts the plan at scale
-    l.as("a")
+    // over the corpus side inverts the plan at scale. Same verify order
+    // as halfIdPairs: distinct the narrow id pairs first, then re-attach
+    // keys and verify each unique candidate once.
+    val cand = l.as("a")
       .join(r.as("b").hint("shuffle_hash"),
         col("a.__v") === col("b.__v") &&
           abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
-      .filter(levenshtein(col("a.key"), col("b.key"), maxDist) >= 0)
-      .select(col("a.id").as("left_id"), col("a.key").as("left_key"),
-        col("b.id").as("right_id"), col("b.key").as("right_key"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
       .distinct()
+    cand
+      .join(left.select(col(leftId).as("left_id"), col(leftKey).as("left_key")),
+        "left_id")
+      .join(right.select(col(rightId).as("right_id"), col(rightKey).as("right_key")),
+        "right_id")
+      .filter(levenshtein(col("left_key"), col("right_key"), maxDist) >= 0)
+      .select(col("left_id"), col("left_key"), col("right_id"), col("right_key"))
       .withColumn("dist", levenshtein(col("left_key"), col("right_key")))
   }
 
@@ -196,15 +198,7 @@ object EditDistanceJoin {
                   col("b.id").as("id_b"), col("b.key").as("key_b"))
 
       case DeletionNeighborhood =>
-        // Re-attach keys from the un-exploded base — cheaper than hash-
-        // aggregating 4-column string rows in the distinct. No broadcast
-        // hint: base has real parquet stats, so Catalyst broadcasts it when
-        // small and falls back to a shuffle join when the corpus doesn't
-        // fit an executor.
         val half = halfIdPairs(base, maxDist)
-          .join(base.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
-          .join(base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
-          .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"))
         // Rebuild full directed semantics in ONE pass over `half` (a plain
         // `half union half.mirror` would execute the join twice — measured
         // 2x wall time): explode each undirected pair into both directions,
@@ -227,9 +221,9 @@ object EditDistanceJoin {
     * reference's raw collect_list order is partition-dependent; a CSV sink
     * also can't hold array<struct>, SURVEY §1.1).
     *
-    * The aggregate needs only (id_a, key_b): the deletion-neighborhood path
-    * therefore skips the key_a re-attach entirely — one key join on the
-    * directed pair set instead of two on the undirected set.
+    * The aggregate needs only (id_a, key_b), which the verified pair set
+    * already carries — the directed expansion projects it straight out of
+    * `half` with no further key join.
     */
   def linkedAggregate(df: DataFrame, idCol: String, keyCol: String, maxDist: Int,
                       strategy: Strategy = DeletionNeighborhood): DataFrame = {
@@ -245,12 +239,12 @@ object EditDistanceJoin {
         val base = df.select(col(idCol).as("id"), col(keyCol).as("key"))
         val directed = halfIdPairs(base, maxDist)
           .select(explode(array(
-            struct(col("id_a"), col("id_b")),
-            struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-          .union(reflexiveIds(base))
-        agg(directed.join(
-          base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b"))
+            struct(col("id_a"), col("key_b")),
+            struct(col("id_b").as("id_a"), col("key_a").as("key_b")))).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.key_b").as("key_b"))
+          .union(base.filter(col("key").isNotNull)
+            .select(col("id").as("id_a"), col("key").as("key_b")))
+        agg(directed)
     }
   }
 }
