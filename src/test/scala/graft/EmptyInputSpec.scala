@@ -73,6 +73,26 @@ class EmptyInputSpec extends SparkSpec {
       col("vec_id") % 2 === 0, 3).count() == 0)
   }
 
+  test("round-6 additions tolerate empty and degenerate input") {
+    assert(SubstringDedup.sharedSpans(noDocs, "doc_id", "text", 8).count() == 0)
+    // removeSharedSpans keeps one row per input doc even when nothing
+    // was removed; an empty corpus yields an empty result
+    assert(SubstringDedup.removeSharedSpans(noDocs, "doc_id", "text", 8).count() == 0)
+    val one = SubstringDedup.removeSharedSpans(someDocs, "doc_id", "text", 8)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(one == Seq((1L, "alpha beta gamma delta epsilon zeta", 0L)))
+    // empty-text docs survive the rewrite with empty rebuilt text
+    val blank = SubstringDedup.removeSharedSpans(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, n) => id -> ((t, n)) }.toMap
+    assert(blank(1L) == (("", 0L)) && blank(2L) == (("", 0L)))
+    assert(TextOps.corpusProfile(noDocs.withColumn("lang", lit("en")),
+      "doc_id", "text", "lang").count() == 0)
+    assert(Multimodal.decodeFeatures(
+      Multimodal.imagePayloads(noDocs, "doc_id"), "doc_id").count() == 0)
+  }
+
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
     assert(Sampling.stratifiedQuota(noDocs.withColumn("lang", lit("en")),
