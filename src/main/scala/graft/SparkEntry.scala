@@ -1848,11 +1848,13 @@ object SparkEntry {
         sqlDifflibChain + ", " +
         "mem AS (SELECT nb AS name FROM ms WHERE 200 * mtot > 80 * (la + lb) " +
         "UNION ALL SELECT kname FROM k0) " +
-        "SELECT (SELECT kname FROM k0) AS name, " +
+        // FROM k0, not a bare SELECT: an empty supplier table must yield
+        // ZERO rows (as GreedyCluster does), not one all-NULL row
+        "SELECT k0.kname AS name, " +
         "(SELECT string_agg(DISTINCT m.name, ',' ORDER BY m.name) FROM mem m) AS names, " +
         "(SELECT string_agg(DISTINCT CAST(s.s_nationkey AS VARCHAR), ',' " +
         "ORDER BY CAST(s.s_nationkey AS VARCHAR)) " +
-        "FROM supplier s JOIN mem m ON s.s_name = m.name) AS alts"),
+        "FROM supplier s JOIN mem m ON s.s_name = m.name) AS alts FROM k0"),
     "q_substring_spans" ->
       (s"WITH $sqlSpanCtes " +
         "SELECT id_a, id_b, start_a, start_b, len_tokens FROM sp"),
@@ -1876,7 +1878,7 @@ object SparkEntry {
     "q_corpus_profile" ->
       ("WITH base AS (SELECT lang, " +
         "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
-        s"CAST($sqlTokenCount AS BIGINT) AS nt FROM documents), " +
+        s"CAST(coalesce($sqlTokenCount, 0) AS BIGINT) AS nt FROM documents), " +
         "tot AS (SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp " +
         "FROM base GROUP BY lang), " +
         "cts AS (SELECT lang, nt, count(*) AS c FROM base GROUP BY lang, nt), " +
@@ -2281,13 +2283,17 @@ object SparkEntry {
     (0L +: (singles ++ doubles)).mkString(", ")
   }
 
-  /** The frozen IVF centroid set (IvfFixture) as a VALUES CTE — double
-    * literals via Double.toString round-trip bit-exactly through DuckDB's
-    * parser, so SQL-side scores match the Spark literals.
+  /** The frozen IVF centroid set (IvfFixture) as a VALUES CTE. Each
+    * component is emitted as CAST('<Double.toString>' AS DOUBLE): a BARE
+    * decimal literal with 18+ fractional digits is typed DECIMAL(19,18)
+    * by DuckDB and takes an extra scaled-integer rounding on the way to
+    * DOUBLE (measured: 163/1024 fixture values land 1 ulp off), while the
+    * string cast is a direct strtod of the shortest round-trip decimal —
+    * bit-exact against the Spark literal.
     */
   private val sqlCentsCte: String = {
     val rows = IvfFixture.centroids.map { case (cid, v) =>
-      s"($cid, [${v.mkString(", ")}])"
+      s"($cid, [${v.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")}])"
     }.mkString(", ")
     s"cents AS (SELECT t.cid, t.cv FROM (VALUES $rows) t(cid, cv))"
   }

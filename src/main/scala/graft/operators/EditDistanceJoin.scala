@@ -125,8 +125,10 @@ object EditDistanceJoin {
 
   /** Undirected verified id pairs (id_a < id_b) with lev <= maxDist — the
     * edge-list form for graph consumers ([[ConnectedComponents]]): skips
-    * the key re-attach joins and the directed/reflexive expansion that
-    * [[pairs]] performs, none of which an undirected edge list needs.
+    * the directed/reflexive expansion that [[pairs]] performs (the key
+    * re-attach runs inside the shared core, where the verify needs the
+    * keys anyway; this form just drops them). `df` must have unique
+    * values in idCol (same contract as [[pairs]]).
     */
   def idPairs(df: DataFrame, idCol: String, keyCol: String,
               maxDist: Int): DataFrame =
@@ -142,7 +144,10 @@ object EditDistanceJoin {
     * as the self-join), then the exact banded `levenshtein` verifies.
     * Output: (left_id, left_key, right_id, right_key, dist), directed —
     * one row per matching dictionary entry; downstream picks a winner
-    * (e.g. min dist, then min right_id) when it needs one.
+    * (e.g. min dist, then min right_id) when it needs one. Both inputs
+    * must have unique ids (same contract as [[pairs]]) — the candidate
+    * set deduplicates on (left_id, right_id) and re-attaches keys by id,
+    * so a duplicated id row would multiply its matches.
     *
     * Scale: linear shuffle on variant hashes for both sides; the
     * dictionary is typically the small side — its ~(len·k) variant

@@ -121,7 +121,11 @@ object Multimodal {
         }
         (w, h, bands, s.toDouble / (w.toLong * h * bands))
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: the JDK codecs throw runtime
+      // exceptions (IndexOutOfBounds/IllegalArgument/CMMException) on
+      // payloads that match a magic number but are truncated/corrupt —
+      // those must take the stub fallback, not kill the task.
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** ========= STUB: replace with a real codec (libjpeg/ffmpeg/...) =========
     * Deterministic fake decode of a NON-IMAGE payload: (width, height,

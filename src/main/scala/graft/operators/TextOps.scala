@@ -246,8 +246,11 @@ object TextOps {
   def corpusProfile(df: DataFrame, idCol: String, textCol: String,
                     strataCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null text counts as 0 tokens on BOTH engines: a null nt would sort
+    // FIRST in Spark's cumulative window but LAST (and out of min()) in
+    // DuckDB's, silently skewing the percentiles apart.
     val base = df.select(col(strataCol), fingerprint(col(textCol)).as("fp"),
-      tokenCount(col(textCol)).as("nt"))
+      coalesce(tokenCount(col(textCol)), lit(0L)).as("nt"))
     val tot = base.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("fp")).as("n_distinct_fp"))
