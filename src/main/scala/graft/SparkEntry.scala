@@ -512,6 +512,12 @@ object SparkEntry {
     "q_embed_dup_pairs" -> ((s, dir) =>
       Ann.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
 
+    // ---- Embedding-space corpus dedup composite: cosine dup pairs → CC →
+    // canonical keeper per cluster (the semantic twin of q_near_dedup).
+    // Oracled end-to-end: bucket/cosine SQL + recursive-CTE closure.
+    "q_embed_dedup" -> ((s, dir) =>
+      Ann.dedupByCosine(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
+
     // ---- Multimodal: binary payload metadata (length, sha256, chunk
     // count, stub-decoded dims). Pure codegen projection over binary.
     "q_media_meta" -> ((s, dir) =>
@@ -1770,6 +1776,21 @@ object SparkEntry {
         s"sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim " +
         "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "WHERE sim >= 0.3"),
+    "q_embed_dedup" ->
+      (s"WITH RECURSIVE bk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings), " +
+        "e AS (SELECT id_a AS u, id_b AS v FROM " +
+        "(SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${sqlDot("a.embedding", "b.embedding")} / " +
+        s"(sqrt(${sqlDot("a.embedding", "a.embedding")}) * " +
+        s"sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim " +
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE sim >= 0.3), " +
+        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+        "reach(u, v) AS (SELECT u, v FROM sym " +
+        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+        "comp AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS component " +
+        "FROM embeddings m LEFT JOIN reach r ON r.u = m.vec_id GROUP BY m.vec_id) " +
+        "SELECT vec_id, component, vec_id = component AS is_canonical FROM comp"),
     "q_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
         "scored AS (SELECT q.qid, e.vec_id, " +

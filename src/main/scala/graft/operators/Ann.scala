@@ -268,6 +268,24 @@ object Ann {
       .filter(col("sim") >= threshold)
   }
 
+  /** End-to-end embedding-space corpus dedup — the semantic twin of
+    * [[NearDup.dedupByNearDup]]: cosine near-dup pairs (hyperplane-bucket
+    * candidates, exact verify) → connected components → canonical
+    * (minimum) vec id per cluster. Every vector comes back with its
+    * cluster id and keeper flag; filter is_canonical to materialize the
+    * semantically-deduped corpus. Same scale posture as its parts: bucket
+    * equi-join candidates (never n²), large/small-star CC rounds.
+    */
+  def dedupByCosine(emb: DataFrame, idCol: String, embCol: String,
+                    threshold: Double): DataFrame = {
+    val pairs = cosineDupPairs(emb, idCol, embCol, threshold)
+    val comps = ConnectedComponents.run(
+      emb.select(col(idCol).as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    comps.select(col("id").as(idCol), col("component"),
+      (col("id") === col("component")).as("is_canonical"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's bucket or any
     * bucket within Hamming distance 2 (multi-probe), scored exactly, top-k
     * per query. Same output shape as [[cosineTopK]]; recall is measured in

@@ -107,6 +107,31 @@ class AnnSpec extends SparkSpec {
     assert(got.nonEmpty)   // threshold chosen so the fixture yields pairs
   }
 
+  test("dedupByCosine: components are the transitive closure of dup pairs, keeper is min id") {
+    val pairs = Ann.cosineDupPairs(emb, "vec_id", "embedding", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // driver-side union-find ground truth over the pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = emb.select($"vec_id").as[Long].collect()
+    val expected = ids.map(id => id -> find(id)).toMap
+    val got = Ann.dedupByCosine(emb, "vec_id", "embedding", 0.2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == ids.length)
+    got.foreach { case (id, comp, canonical) =>
+      assert(comp == expected(id), s"vec $id")
+      assert(canonical == (id == comp))
+    }
+    assert(got.exists(r => !r._3))   // threshold chosen so clusters form
+  }
+
   test("lshTopK: subset of exact sims, self retrieved, recall reported") {
     val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
