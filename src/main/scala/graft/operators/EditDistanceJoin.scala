@@ -66,12 +66,45 @@ object EditDistanceJoin {
     seen.toArray
   }
 
+  /** FNV-1a 64-bit over UTF-16 units. Only used to give each deletion
+    * variant a narrow join key, so the only property needed is
+    * determinism; a collision only ADDS a candidate pair, which the exact
+    * levenshtein verify then removes.
+    */
+  private[graft] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** The ≤k-deletion neighborhood of s as DISTINCT 64-bit hashes.
+    *
+    * Hashing inside the generator (instead of exploding variant strings
+    * and hashing per-row) keeps the explode output at 8 bytes per
+    * variant: for an 18-char key at k=2 that is ~170 longs instead of
+    * ~170 17-char strings per input row — the exploded table is the
+    * join's shuffle input, so this is the dominant byte-count lever.
+    * Dedup on the hash is exact enough: two distinct variants of the SAME
+    * row that collide would have produced identical join keys anyway, so
+    * emitting the hash once loses no candidate.
+    */
+  private[graft] def deletionVariantHashes(s: String, k: Int): Array[Long] =
+    deletionVariants(s, k).map(fnv1a64)
+
   /** Verified UNDIRECTED id pairs (id_a < id_b) with lev <= maxDist — the
     * shared core of [[pairs]] and [[linkedAggregate]].
     *
     * Join on the 64-bit hash of each deletion variant, not the variant
     * string: narrower shuffle rows, long-vs-long hash probes. A collision
     * only ADDS a candidate; the exact levenshtein verify removes it.
+    * The exploded rows carry (id, key_length, variant_hash) — the length
+    * band needs only the length, so the key string itself never rides the
+    * big shuffle.
     *
     * The equi-join is HALF-ORDERED (id_a < id_b): self- and mirror-
     * witnesses are never generated (the full join emits ~2x the rows and
@@ -97,20 +130,20 @@ object EditDistanceJoin {
     * plan.
     */
   private def halfIdPairs(base: DataFrame, maxDist: Int): DataFrame = {
-    val genVariants = udf((s: String) =>
-      if (s == null) Array.empty[String] else deletionVariants(s, maxDist))
+    val genVariantHashes = udf((s: String) =>
+      if (s == null) Array.empty[Long] else deletionVariantHashes(s, maxDist))
     val variants = base
-      .withColumn("__vs", explode(genVariants(col("key"))))
-      .withColumn("__v", xxhash64(col("__vs")))
-      .drop("__vs")
+      .withColumn("__len", length(col("key")))
+      .select(col("id"), col("__len"),
+        explode(genVariantHashes(col("key"))).as("__v"))
     // Length band: lev(a,b) <= k forces |len(a)-len(b)| <= k, so the
-    // cheap char_length comparison runs at hash-probe time and spares the
-    // distinct (and the verify) the candidates it can reject — pure
-    // pruning, never drops a true pair.
+    // cheap precomputed-length comparison runs at hash-probe time and
+    // spares the distinct (and the verify) the candidates it can reject —
+    // pure pruning, never drops a true pair.
     val cand = variants.as("a").hint("shuffle_hash")
       .join(variants.as("b"),
         col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
-          abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
+          abs(col("a.__len") - col("b.__len")) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // keys come out attached: every caller needs them (pairs, the
@@ -157,13 +190,13 @@ object EditDistanceJoin {
   def pairsAgainst(left: DataFrame, leftId: String, leftKey: String,
                    right: DataFrame, rightId: String, rightKey: String,
                    maxDist: Int): DataFrame = {
-    val genVariants = udf((s: String) =>
-      if (s == null) Array.empty[String] else deletionVariants(s, maxDist))
+    val genVariantHashes = udf((s: String) =>
+      if (s == null) Array.empty[Long] else deletionVariantHashes(s, maxDist))
     def explodeSide(df: DataFrame, id: String, key: String): DataFrame =
       df.select(col(id).as("id"), col(key).as("key"))
-        .withColumn("__vs", explode(genVariants(col("key"))))
-        .withColumn("__v", xxhash64(col("__vs")))
-        .drop("__vs")
+        .withColumn("__len", length(col("key")))
+        .select(col("id"), col("__len"),
+          explode(genVariantHashes(col("key"))).as("__v"))
     val l = explodeSide(left, leftId, leftKey)
     val r = explodeSide(right, rightId, rightKey)
     // hint on the RIGHT (dictionary) side: the hinted side is the
@@ -174,7 +207,7 @@ object EditDistanceJoin {
     val cand = l.as("a")
       .join(r.as("b").hint("shuffle_hash"),
         col("a.__v") === col("b.__v") &&
-          abs(length(col("a.key")) - length(col("b.key"))) <= maxDist)
+          abs(col("a.__len") - col("b.__len")) <= maxDist)
       .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
       .distinct()
     cand
