@@ -322,6 +322,15 @@ object SparkEntry {
     "q_rarity_score" -> ((s, dir) =>
       TextOps.rarityScore(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- Model-based quality gate: linear scorer over hashed
+    // bag-of-words features (the fastText-classifier tier). The model is
+    // ONE bounded (bucket, weight) table broadcast to every executor —
+    // inference is a map-side lookup + per-doc sum, no shuffle grows with
+    // the corpus. Integer micro-unit weights -> exact BIGINT scores,
+    // DuckDB-oracled end to end. See QualityModel.
+    "q_quality_model" -> ((s, dir) =>
+      QualityModel.score(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- Sketch-based corpus profile per language: HLL distinct
     // fingerprints + approx token quantiles — mergeable-sketch aggregates,
     // the scan-plus-KBs profiling shape at 100 TB. Estimates are
@@ -1521,6 +1530,20 @@ object SparkEntry {
         "CAST(sum(k * corpus_n) AS BIGINT) AS freq_weight, " +
         "CAST(min(corpus_n) AS BIGINT) AS rarest_freq " +
         "FROM dt JOIN c USING (token) GROUP BY doc_id"),
+    "q_quality_model" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        s"tb AS (SELECT doc_id, ${sqlHash60("token", 0)} % ${QualityModel.NumBuckets} AS bucket, " +
+        "count(*) AS k FROM t GROUP BY 1, 2), " +
+        s"w AS (SELECT i AS bucket, (${sqlHash60("'w:' || i", 0)} % ${2 * QualityModel.WeightMicro + 1}) " +
+        s"- ${QualityModel.WeightMicro} AS w_micro FROM range(0, ${QualityModel.NumBuckets}) r(i)), " +
+        "s AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(k * w_micro) AS BIGINT) AS score_micro " +
+        "FROM tb JOIN w USING (bucket) GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, " +
+        "coalesce(s.score_micro, 0) AS score_micro, " +
+        "coalesce(s.score_micro, 0) >= 0 AS keep " +
+        "FROM documents d LEFT JOIN s USING (doc_id)"),
     "q_jaccard_incremental" ->
       ("WITH toksS AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t " +
         "FROM documents WHERE length(trim(text)) > 0), " +

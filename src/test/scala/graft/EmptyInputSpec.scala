@@ -91,6 +91,7 @@ class EmptyInputSpec extends SparkSpec {
       "doc_id", "text", "lang").count() == 0)
     assert(Multimodal.decodeFeatures(
       Multimodal.imagePayloads(noDocs, "doc_id"), "doc_id").count() == 0)
+    assert(QualityModel.score(noDocs, "doc_id", "text").count() == 0)
   }
 
   test("sampling/packing/clustering tolerate empty input") {
