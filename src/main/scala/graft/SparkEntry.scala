@@ -815,6 +815,15 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice", "id")
     }),
 
+    // ---- JDBC sink roundtrip through embedded Derby: truncate-overwrite
+    // a per-status aggregate, append it again, read back over JDBC and
+    // re-aggregate — exactly two copies of every row by construction, so
+    // the relational load path (K3 append / K4 truncate) is hash-checked
+    // against pure SQL over orders instead of spec-only. See
+    // Etl.jdbcRoundTrip.
+    "q_jdbc_roundtrip" -> ((s, dir) =>
+      pipeline.Etl.jdbcRoundTrip(s, Tables.orders(s, dir))),
+
     // ---- Partitioned-layout roundtrip: write events PARTITIONED BY
     // event_type, read back filtered to one partition (the scan lists only
     // that directory — partition pruning, the difference between reading
@@ -1773,6 +1782,16 @@ object SparkEntry {
         "ded AS (SELECT o_orderkey, o_custkey, o_totalprice FROM surv WHERE rn = 1) " +
         "SELECT o_orderkey, o_custkey, o_totalprice, " +
         "CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS id FROM ded"),
+    // The Derby table holds exactly two copies of the aggregate by
+    // construction (truncate-overwrite then append), so the read-back
+    // re-aggregate equals this pure expression over orders.
+    "q_jdbc_roundtrip" ->
+      ("WITH agg AS (SELECT o_orderstatus, count(*) AS n, " +
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT o_orderstatus, CAST(2 AS BIGINT) AS n_copies, " +
+        "CAST(2 * n AS BIGINT) AS n_total, CAST(2 * cents AS BIGINT) AS cents_total " +
+        "FROM agg"),
     // Aggregate over the parquet table directly: equality proves the CSV
     // write/read roundtrip in the Spark query was lossless.
     "q_csv_roundtrip" ->

@@ -105,6 +105,37 @@ object Etl {
     out.get
   }
 
+  /** K3/K4 through a REAL database, deterministically enough for a SQL
+    * oracle: truncate-overwrite a per-status orders aggregate into
+    * embedded Derby, append the same rows again, and read the table back
+    * over JDBC. Because the overwrite truncates first, the read-back holds
+    * EXACTLY two copies of every aggregate row regardless of any prior
+    * state in the same JVM (bench reruns, earlier Verify runs), so the
+    * final re-aggregate equals a pure SQL expression over `orders` — the
+    * JDBC write path itself becomes oracle-checkable instead of
+    * spec-only. Money is summed in round-to-cents BIGINTs (the fixed-
+    * point pattern every oracled money column here uses). The database
+    * lives under the process-owned scratch dir (GraftLocalDir), never a
+    * shared /tmp.
+    */
+  def jdbcRoundTrip(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val agg = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    val dbDir = new java.io.File(graft.GraftLocalDir.path, "derby-roundtrip")
+    val url = s"jdbc:derby:${dbDir.getAbsolutePath}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val sink = new Sinks.JdbcSink(url, props)
+    sink.overwrite(agg, "t_orders_agg")   // K4: truncate + load
+    sink.append(agg, "t_orders_agg")      // K3: append accumulates
+    spark.read.jdbc(url, "t_orders_agg", props)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_copies"),
+        sum(col("n")).as("n_total"),
+        sum(col("cents")).as("cents_total"))
+  }
+
   /** Full run with per-stage retry, returning the transformed frame for
     * inspection. `retryDelayMs` defaults to the reference's 5 minutes;
     * tests pass ~0.

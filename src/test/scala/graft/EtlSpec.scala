@@ -109,6 +109,17 @@ class EtlSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("id", "name"))
   }
 
+  test("jdbcRoundTrip: exactly two copies of the aggregate, run after run") {
+    val orders = Seq(
+      (1L, "O", 10.004), (2L, "O", 20.0), (3L, "F", 5.5)
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    // twice in one JVM: the truncate-overwrite must reset prior state
+    Etl.jdbcRoundTrip(spark, orders)
+    val out = Etl.jdbcRoundTrip(spark, orders).orderBy("o_orderstatus")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("F", 2L, 2L, 1100L), ("O", 2L, 4L, 6000L)))
+  }
+
   test("ETL run (O1): a stage that fails once succeeds on retry") {
     val root = tmpDir("graft_flaky")
     val delegate = new Sinks.ParquetDirSink(root)
