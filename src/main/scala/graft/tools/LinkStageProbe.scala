@@ -6,9 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Finer-grained stage attribution for the SymSpell candidate core (dev
   * tool): explosion-only, join-only, and full, at the query setting
-  * (maxDist=1) — PerfProbe times the composed operators; this separates
+  * (maxDist=2) — PerfProbe times the composed operators; this separates
   * the variant-generation UDF cost from the join/distinct cost so
   * optimization effort lands on the real bottleneck.
+  *
+  * Mirrors the PRODUCTION shape of EditDistanceJoin.halfIdPairs: hashes
+  * are generated inside the UDF (Array[Long] explode) and the length band
+  * compares a precomputed length int, so the exploded rows never carry
+  * the key string. The string-explode + xxhash64 variant this probe
+  * originally measured was replaced after the comparison showed the
+  * narrow rows win (q_link_agg_lev 8.6s -> 6.2s at sf0.1).
   */
 object LinkStageProbe {
   def main(args: Array[String]): Unit = {
@@ -26,36 +33,25 @@ object LinkStageProbe {
     }
     val c = Tables.customer(spark, sfDir)
     val base = c.select(col("c_custkey").as("id"), col("c_name").as("key"))
-    val genVariants = udf((s: String) =>
-      if (s == null) Array.empty[String]
-      else EditDistanceJoin.deletionVariants(s, 2))
+    val genVariantHashes = udf((s: String) =>
+      if (s == null) Array.empty[Long]
+      else EditDistanceJoin.deletionVariantHashes(s, 2))
     val variants = base
-      .withColumn("__vs", explode(genVariants(col("key"))))
-      .withColumn("__v", xxhash64(col("__vs")))
-      .drop("__vs")
+      .withColumn("__len", length(col("key")))
+      .select(col("id"), col("__len"),
+        explode(genVariantHashes(col("key"))).as("__v"))
+    def candJoin = variants.as("a").hint("shuffle_hash")
+      .join(variants.as("b"),
+        col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
+          abs(col("a.__len") - col("b.__len")) <= 2)
     for (_ <- 1 to 2) {
-      time("variants(explode+hash)") { variants.count() }
+      time("variants(explode hashes)") { variants.count() }
       time("join(no distinct)") {
-        variants.as("a").hint("shuffle_hash")
-          .join(variants.as("b"),
-            col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
-              abs(length(col("a.key")) - length(col("b.key"))) <= 2)
-          .filter(levenshtein(col("a.key"), col("b.key"), 2) >= 0)
-          .count()
-      }
-      time("join(no lev, no distinct)") {
-        variants.as("a").hint("shuffle_hash")
-          .join(variants.as("b"),
-            col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
-              abs(length(col("a.key")) - length(col("b.key"))) <= 2)
-          .count()
+        candJoin.count()
       }
       time("narrow distinct then verify") {
         val keys = base.select(col("id"), col("key"))
-        val cand = variants.as("a").hint("shuffle_hash")
-          .join(variants.as("b"),
-            col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
-              abs(length(col("a.key")) - length(col("b.key"))) <= 2)
+        val cand = candJoin
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .distinct()
         cand
