@@ -358,6 +358,17 @@ object SparkEntry {
       Sampling.hashSample(Tables.documents(s, dir), "doc_id", 200)
         .select("doc_id", "lang", "source")),
 
+    // ---- Quality-weighted sampling (row-level mixing): keep probability
+    // proportional to document length (capped), in integer micro-units —
+    // pure projection + filter, deterministic, oracle-replayable. The
+    // stratum-level counterpart is q_rebalance_mix.
+    "q_sample_weighted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("w_micro",
+        least(col("n_chars").cast("long"), lit(2000L)) * lit(500L))
+      Sampling.weightedSample(d, "doc_id", "w_micro")
+        .select("doc_id", "source", "n_chars", "w_micro")
+    }),
+
     // ---- Language-mix rebalancing (data mixing): down-sample each
     // language to ~the smallest language's size via per-stratum integer
     // keep-rates + the hash-threshold filter — two scale-flat passes,
@@ -1331,6 +1342,11 @@ object SparkEntry {
     "q_sample_hash" ->
       ("SELECT doc_id, lang, source FROM documents " +
         s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000 < 200"),
+    "q_sample_weighted" ->
+      ("SELECT doc_id, source, n_chars, " +
+        "CAST(least(n_chars, 2000) * 500 AS BIGINT) AS w_micro FROM documents " +
+        s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000000 " +
+        "< least(n_chars, 2000) * 500"),
     "q_rebalance_mix" ->
       ("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
         "r AS (SELECT lang, (1000 * (SELECT min(n) FROM c)) // n AS rate FROM c) " +

@@ -74,6 +74,23 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Per-ROW-probability sample — the quality-weighted keep step of a
+    * data-mixing pipeline (keep high-quality documents with probability
+    * ~1, boilerplate with probability ~0.1, rather than one rate per
+    * stratum as in [[rebalanceMix]]). `weightMicroCol` holds the keep
+    * probability in integer micro-units [0, 1e6]: a row survives iff
+    * md5hash60(id) mod 1e6 < weight. Same properties as [[hashSample]]:
+    * pure projection + filter (no shuffle, scan-speed at 100 TB),
+    * reproducible across runs/engines, per-row expected inclusion exactly
+    * weight/1e6, decorrelatable from other stages via `seed`. Integer
+    * weights, never doubles: the threshold compare must be bit-identical
+    * in the oracle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightMicroCol: String,
+                     seed: Int = 0): DataFrame =
+    df.filter(pmod(md5hash60(col(idCol).cast("string"), seed), lit(1000000L)) <
+      col(weightMicroCol))
+
   /** Stratified EXACT-quota sample: per stratum, the `quota` rows with the
     * smallest (hash, id) — a deterministic reservoir. Needs one shuffle on
     * the stratum key plus a bounded per-stratum sort; strata counts are

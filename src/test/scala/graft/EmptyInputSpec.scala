@@ -96,6 +96,8 @@ class EmptyInputSpec extends SparkSpec {
 
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
+    assert(Sampling.weightedSample(
+      noDocs.withColumn("w", lit(500000L)), "doc_id", "w").count() == 0)
     assert(Sampling.stratifiedQuota(noDocs.withColumn("lang", lit("en")),
       "lang", "doc_id", 5).count() == 0)
     assert(Sampling.splitAssign(noDocs, "doc_id").count() == 0)

@@ -48,6 +48,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s20b != s20)
   }
 
+  test("weighted sample: weight 0 drops, 1e6 keeps, mid-weights are the hash band") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf0001).select("doc_id")
+    assert(Sampling.weightedSample(
+      d.withColumn("w", lit(0L)), "doc_id", "w").count() == 0)
+    assert(Sampling.weightedSample(
+      d.withColumn("w", lit(1000000L)), "doc_id", "w").count() == d.count())
+    // same seed => thresholds nest (a row kept at weight w survives any
+    // w' > w); rerun => identical
+    val w200 = Sampling.weightedSample(
+      d.withColumn("w", lit(200000L)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    val w500 = Sampling.weightedSample(
+      d.withColumn("w", lit(500000L)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(w200.subsetOf(w500))
+    assert(w200.size > d.count() * 0.1 && w200.size < d.count() * 0.3)
+    assert(Sampling.weightedSample(
+      d.withColumn("w", lit(200000L)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet == w200)
+  }
+
   test("stratified quota: exact per-stratum sizes, deterministic membership") {
     val d = Tables.documents(spark, sf0001)
     val out = Sampling.stratifiedQuota(d, "lang", "doc_id", 5)
