@@ -880,6 +880,22 @@ object SparkEntry {
           sum(col("c_custkey")).as("sum_keys"))
     }),
 
+    // ---- Publish: hash-sharded write + per-shard integrity manifest.
+    // shard = md5hash60(doc_id) mod 8 (stable under corpus growth), the
+    // manifest is (n_rows, bit-XOR of row hashes) per shard — order-
+    // independent, so reproducible on any cluster layout and replayable
+    // by the oracle straight off the source table: equality proves the
+    // sharded write/read was lossless AND complete. See
+    // Layout.writeSharded/shardManifest.
+    "q_shard_manifest" -> ((s, dir) => {
+      val out = s"${scratchDir("graft_shards")}/shards"
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      sources.Layout.writeSharded(d, out, "doc_id", 8)
+      sources.Layout.shardManifest(s.read.parquet(out), "shard",
+        graft.functions.md5hash60(
+          concat_ws("|", col("doc_id").cast("string"), md5(col("text")))))
+    }),
+
     // ---- ORC roundtrip: the second columnar format (predicate pushdown
     // + column pruning work the same as parquet). Write orders as ORC,
     // read back with a pushed filter, aggregate — oracle is the same
@@ -1244,6 +1260,16 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM fps c WHERE c.source <> 'src0' AND c.fp = n.fp)"),
     // Equality with the direct aggregate proves the partitioned write/read
     // roundtrip in the Spark query was lossless and the pruned scan complete.
+    // Replays the manifest straight off the source table: shard and
+    // checksum are pure md5 arithmetic, so the on-disk roundtrip must be
+    // lossless and complete for the hashes to meet.
+    "q_shard_manifest" ->
+      ("WITH h AS (SELECT " +
+        s"${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 8 AS shard, " +
+        s"${sqlHash60("CAST(doc_id AS VARCHAR) || '|' || md5(text)", 0)} AS rh " +
+        "FROM documents) " +
+        "SELECT shard, count(*) AS n_rows, bit_xor(rh) AS checksum " +
+        "FROM h GROUP BY shard"),
     "q_orc_roundtrip" ->
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, expr, lit, pmod}
 
 /** Parquet layout maintenance — the two jobs every 100 TB table needs run
   * against it periodically, independent of any query:
@@ -83,4 +83,34 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
+
+  /** Publish step: write `df` partitioned into `numShards` hash shards —
+    * shard = md5hash60(id) mod numShards, so a row's shard never changes
+    * when the corpus grows, reruns land rows identically, and any
+    * consumer can re-derive the shard of a row it holds. The directory
+    * layout (`shard=K/`) is what a downstream training loader globs one
+    * shard at a time.
+    */
+  def writeSharded(df: DataFrame, outDir: String, idCol: String,
+                   numShards: Int): Unit =
+    df.withColumn("shard",
+        pmod(graft.functions.md5hash60(col(idCol).cast("string")),
+          lit(numShards.toLong)))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+
+  /** Integrity manifest over a sharded table: per shard, the row count
+    * and an ORDER-INDEPENDENT checksum (bit-XOR of a caller-supplied
+    * per-row hash — task/partition ordering can never perturb it, so the
+    * manifest is reproducible on any cluster layout and in the DuckDB
+    * oracle). The publish-time handshake a 100 TB dataset release needs:
+    * a consumer re-aggregates the same manifest over what it received
+    * and diffs. XOR cancels DUPLICATE rows pairwise, so `rowHash` must
+    * include a unique row id (its intended shape: md5hash60 over id +
+    * content digest).
+    */
+  def shardManifest(df: DataFrame, shardCol: String,
+                    rowHash: Column): DataFrame =
+    df.withColumn("__h", rowHash)
+      .groupBy(col(shardCol).cast("long").as(shardCol))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
 }
