@@ -92,6 +92,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(
       Multimodal.imagePayloads(noDocs, "doc_id"), "doc_id").count() == 0)
     assert(QualityModel.score(noDocs, "doc_id", "text").count() == 0)
+    assert(graft.sources.Layout.shardManifest(
+      noDocs.withColumn("shard", lit(0L)), "shard",
+      graft.functions.md5hash60(col("text"))).count() == 0)
   }
 
   test("sampling/packing/clustering tolerate empty input") {
