@@ -70,6 +70,16 @@ package object functions {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   }
 
+  /** Distinct FNV-1a 64-bit hashes of a string's ≤k-deletion neighborhood
+    * — the SymSpell candidate generator as a native codegen expression
+    * (see [[DeletionVariantHashes]]); identical to
+    * `deletionVariants(s, k).map(fnv1a64)`.
+    */
+  def deletion_variant_hashes(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DeletionVariantHashes(ColumnBridge.expression(c), k))
+  }
+
   /** P7: equalName(c1, c2) (/root/reference/soulutionOne.py:13-18) — the
     * lexicographic min of two strings as the cluster representative. A
     * Python UDF in the reference; Spark's built-in codegen'd `least` here.

@@ -123,19 +123,18 @@ object EditDistanceJoin {
     * AQE broadcasts the key table when it is genuinely small.
     *
     * shuffle_hash hint: Catalyst can't estimate post-explode cardinality
-    * (UDF-generated arrays) and mis-chooses a broadcast hash join,
+    * (generator-produced arrays) and mis-chooses a broadcast hash join,
     * collecting the ~100x-exploded variant table to the driver and probing
     * one giant hash relation (measured 7x slower at sf0.1 — and an OOM at
     * 100 TB). A partitioned hash join on the variant key is the scalable
     * plan.
     */
   private def halfIdPairs(base: DataFrame, maxDist: Int): DataFrame = {
-    val genVariantHashes = udf((s: String) =>
-      if (s == null) Array.empty[Long] else deletionVariantHashes(s, maxDist))
     val variants = base
       .withColumn("__len", length(col("key")))
       .select(col("id"), col("__len"),
-        explode(genVariantHashes(col("key"))).as("__v"))
+        explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
+          .as("__v"))
     // Length band: lev(a,b) <= k forces |len(a)-len(b)| <= k, so the
     // cheap precomputed-length comparison runs at hash-probe time and
     // spares the distinct (and the verify) the candidates it can reject —
@@ -190,13 +189,12 @@ object EditDistanceJoin {
   def pairsAgainst(left: DataFrame, leftId: String, leftKey: String,
                    right: DataFrame, rightId: String, rightKey: String,
                    maxDist: Int): DataFrame = {
-    val genVariantHashes = udf((s: String) =>
-      if (s == null) Array.empty[Long] else deletionVariantHashes(s, maxDist))
     def explodeSide(df: DataFrame, id: String, key: String): DataFrame =
       df.select(col(id).as("id"), col(key).as("key"))
         .withColumn("__len", length(col("key")))
         .select(col("id"), col("__len"),
-          explode(genVariantHashes(col("key"))).as("__v"))
+          explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
+            .as("__v"))
     val l = explodeSide(left, leftId, leftKey)
     val r = explodeSide(right, rightId, rightKey)
     // hint on the RIGHT (dictionary) side: the hinted side is the

@@ -33,13 +33,11 @@ object LinkStageProbe {
     }
     val c = Tables.customer(spark, sfDir)
     val base = c.select(col("c_custkey").as("id"), col("c_name").as("key"))
-    val genVariantHashes = udf((s: String) =>
-      if (s == null) Array.empty[Long]
-      else EditDistanceJoin.deletionVariantHashes(s, 2))
     val variants = base
       .withColumn("__len", length(col("key")))
       .select(col("id"), col("__len"),
-        explode(genVariantHashes(col("key"))).as("__v"))
+        explode(graft.functions.deletion_variant_hashes(col("key"), 2))
+          .as("__v"))
     def candJoin = variants.as("a").hint("shuffle_hash")
       .join(variants.as("b"),
         col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&

@@ -17,6 +17,17 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(deletionVariants("aa", 1).toSet == Set("aa", "a"))
   }
 
+  test("codegen deletion_variant_hashes matches the Scala generator") {
+    val inputs = Seq("abc", "", "aa", "Customer#000000042", "a😀b",
+      null).toDF("s")
+    val fromExpr = inputs
+      .select(graft.functions.deletion_variant_hashes(expr("s"), 2).as("hs"))
+      .as[Option[Seq[Long]]].collect().toSeq
+    val expected = Seq("abc", "", "aa", "Customer#000000042", "a😀b")
+      .map(s => Some(EditDistanceJoin.deletionVariantHashes(s, 2).toSeq)) :+ None
+    assert(fromExpr == expected)
+  }
+
   // The correctness heart of the SymSpell join, as a property: for ANY
   // string a and ANY b produced by <= k random edits of a, the two
   // <=k-deletion neighborhoods share a variant — so the equi-join on
