@@ -53,6 +53,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize expects exactly 1 argument")
         graft.functions.NfcNormalize(args(0))
+      }),
+    (FunctionIdentifier("deletion_variant_hashes"),
+      new ExpressionInfo(classOf[graft.functions.DeletionVariantHashes].getName,
+        "deletion_variant_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "deletion_variant_hashes expects exactly 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        val k = args(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"deletion_variant_hashes: k must be an integer literal, got $other")
+        }
+        graft.functions.DeletionVariantHashes(args(0), k)
       }))
 }
 

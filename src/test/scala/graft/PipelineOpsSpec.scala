@@ -206,6 +206,9 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan.take(500))
     Graft.registerFunctions(spark)
     assert(spark.sql("SELECT z_order(5, 3)").as[Long].head() == 27L)
+    assert(spark.sql("SELECT deletion_variant_hashes('abc', 1) AS hs")
+      .as[Seq[Long]].head() ==
+      graft.operators.EditDistanceJoin.deletionVariantHashes("abc", 1).toSeq)
   }
 
   test("profiler: per-column nulls and exact distincts; empty table well-formed") {
