@@ -431,6 +431,18 @@ object SparkEntry {
         "doc_id", "text", 2)
     }),
 
+    // ---- Per-train-doc contamination fraction: of each train doc's
+    // winnow fingerprints, how many appear anywhere in the eval corpus,
+    // plus the integer-exact drop verdict at 50% — the decision metric
+    // the pair report feeds. See Winnow.contaminationScore.
+    "q_contamination_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Winnow.contaminationScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
+
     // ---- Contamination scan, bloom-pruned: identical result (and
     // oracle) to q_contamination, but train postings are filtered by a
     // distributed-built Bloom sketch of the eval fingerprints BEFORE the
@@ -1422,6 +1434,15 @@ object SparkEntry {
         "FROM wfp a JOIN wfp b ON a.fp = b.fp " +
         "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    "q_contamination_score" ->
+      (s"WITH $sqlWinnowCte, " +
+        "tr AS (SELECT doc_id, fp FROM wfp WHERE doc_id % 2 = 0), " +
+        "ev AS (SELECT DISTINCT fp FROM wfp WHERE doc_id % 2 = 1) " +
+        "SELECT tr.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_fp, " +
+        "CAST(sum(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "100 * sum(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) >= " +
+        "50 * count(*) AS contaminated " +
+        "FROM tr LEFT JOIN ev ON tr.fp = ev.fp GROUP BY 1"),
     // Bloom pruning is result-invariant (no false negatives; false
     // positives die in the exact join) — the oracle is IDENTICAL to
     // q_contamination's.

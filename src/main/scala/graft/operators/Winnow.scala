@@ -136,6 +136,37 @@ object Winnow {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-TRAIN-document contamination fraction — the decision metric the
+    * pair report ([[crossCorpusOverlapPairs]]) feeds: of a train doc's
+    * selected fingerprints, how many appear ANYWHERE in the eval corpus,
+    * and does that fraction clear the drop threshold. Output:
+    * (train_id, n_fp, n_hit, contaminated), one row per train doc with at
+    * least one fingerprint (docs shorter than the k-gram width have
+    * nothing to match on and are skipped, same as every winnow operator).
+    * The threshold compare is pure integer arithmetic
+    * (100·n_hit >= dropAtPct·n_fp) so the verdict is engine-exact.
+    *
+    * Scale shape: eval fingerprints collapse to ONE distinct-fp column
+    * (DISTINCT of a small corpus), train postings left-join it on fp —
+    * same linear posting-join as the pair scan but with the per-eval-doc
+    * dimension already folded away, so the aggregate is bounded by train
+    * rows alone. No broadcast hint: eval is typically tiny and AQE will
+    * broadcast it, but nothing breaks when it is not.
+    */
+  def contaminationScore(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, dropAtPct: Int = 50,
+                         k: Int = GramTokens, w: Int = WindowGrams): DataFrame = {
+    val ft = fingerprints(train, idCol, textCol, k, w)
+    val fe = fingerprints(eval, idCol, textCol, k, w)
+      .select(col("fp")).distinct().withColumn("__hit", lit(1L))
+    ft.join(fe, Seq("fp"), "left")
+      .groupBy(col("id").as("train_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contaminated",
+        lit(100L) * col("n_hit") >= lit(dropAtPct.toLong) * col("n_fp"))
+  }
+
   /** [[crossCorpusOverlapPairs]] with a Bloom-filter prune on the train
     * side — the asymmetry a real contamination scan has: train postings
     * are the 100 TB side, eval suites are thousands of documents. Shipping

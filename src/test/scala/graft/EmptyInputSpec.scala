@@ -37,6 +37,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Winnow.crossCorpusOverlapPairs(noDocs, someDocs, "doc_id", "text", 1).count() == 0)
     assert(Winnow.crossCorpusOverlapPairs(someDocs, noDocs, "doc_id", "text", 1).count() == 0)
     assert(Winnow.crossCorpusOverlapPairsBloomPruned(someDocs, noDocs, "doc_id", "text", 1).count() == 0)
+    assert(Winnow.contaminationScore(noDocs, someDocs, "doc_id", "text").count() == 0)
+    // empty eval: every train doc scores 0 hits, none contaminated
+    assert(Winnow.contaminationScore(someDocs, noDocs, "doc_id", "text")
+      .filter(col("n_hit") =!= 0 || col("contaminated")).count() == 0)
     assert(NearDup.crossJaccardPairs(noDocs, someDocs, "doc_id", "text", 3, 0.5).count() == 0)
     assert(Dedup.incremental(noDocs.select(col("doc_id"), md5(col("text")).as("fp")),
       someDocs.select(col("doc_id"), md5(col("text")).as("fp")), "fp").count() == 0)

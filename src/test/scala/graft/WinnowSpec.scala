@@ -58,6 +58,25 @@ class WinnowSpec extends SparkSpec {
     val hits = Winnow.crossCorpusOverlapPairs(train, eval_, "doc_id", "text", 2)
       .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"))).toSet
     assert(hits == Set((10L, 21L)))
+
+    // per-doc score: the copying doc's hit count is positive and its
+    // verdict follows the integer threshold; the clean doc scores 0 hits
+    val scores = Winnow.contaminationScore(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Long]("n_fp"), r.getAs[Long]("n_hit"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    val (nFp10, nHit10, flag10) = scores(10L)
+    assert(nHit10 > 0 && nHit10 <= nFp10)
+    assert(flag10 == (100L * nHit10 >= 50L * nFp10))
+    assert(scores(12L)._2 == 0L && !scores(12L)._3)
+    // a fully-copied doc is contaminated at any sane threshold
+    val full = Winnow.contaminationScore(
+      Seq((30L, s"exact copy here $para")).toDF("doc_id", "text"),
+      Seq((31L, s"exact copy here $para")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_fp"), r.getAs[Long]("n_hit"),
+        r.getAs[Boolean]("contaminated"))).head
+    assert(full._1 == full._2 && full._3)
   }
 
   test("bloom-pruned contamination equals the unpruned scan on real docs") {
