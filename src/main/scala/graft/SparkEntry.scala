@@ -443,6 +443,18 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- Exact 13-gram decontamination (the GPT-3 recipe): a train doc
+    // is flagged on ANY 13-gram collision with the eval corpus, over the
+    // full n-gram sets — the exhaustive complement of the winnow-sampled
+    // scans above. See Winnow.exactNgramContamination.
+    "q_decontam_13gram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Winnow.exactNgramContamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
+
     // ---- Contamination scan, bloom-pruned: identical result (and
     // oracle) to q_contamination, but train postings are filtered by a
     // distributed-built Bloom sketch of the eval fingerprints BEFORE the
@@ -1443,6 +1455,18 @@ object SparkEntry {
         "100 * sum(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) >= " +
         "50 * count(*) AS contaminated " +
         "FROM tr LEFT JOIN ev ON tr.fp = ev.fp GROUP BY 1"),
+    "q_decontam_13gram" ->
+      ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "g AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS s " +
+        "FROM tk, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13), " +
+        "tr AS (SELECT doc_id, s FROM g WHERE doc_id % 2 = 0), " +
+        "ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 2 = 1) " +
+        "SELECT tr.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated " +
+        "FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1"),
     // Bloom pruning is result-invariant (no false negatives; false
     // positives die in the exact join) — the oracle is IDENTICAL to
     // q_contamination's.

@@ -167,6 +167,36 @@ object Winnow {
         lit(100L) * col("n_hit") >= lit(dropAtPct.toLong) * col("n_fp"))
   }
 
+  /** Exact n-gram decontamination — the GPT-3/PaLM recipe: a train doc is
+    * flagged when ANY of its word n-grams (n=13 in the papers) appears
+    * anywhere in the eval corpus, over the FULL n-gram sets rather than
+    * the winnow-selected sample ([[contaminationScore]]); winnowing
+    * guarantees detection only for shared runs of >= k+w-1 tokens, so a
+    * single colliding 13-gram can slip between selected fingerprints —
+    * this operator is the exhaustive complement for when that miss rate
+    * is unacceptable. Output: (train_id, n_grams, n_hit, contaminated),
+    * one row per train doc with >= 1 n-gram; contaminated = n_hit >= 1.
+    *
+    * Scale shape: identical to [[contaminationScore]] — eval folds to one
+    * distinct n-gram column, train postings (distinct per doc) left-join
+    * it. The posting table is bigger than winnow's (every n-gram, not one
+    * per window) but the join stays linear and AQE handles the small eval
+    * side; the bloom-pruned variant's pre-filter applies here unchanged
+    * if the shuffle ever dominates.
+    */
+  def exactNgramContamination(train: DataFrame, eval: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 13): DataFrame = {
+    val gt = NearDup.shingles(train, idCol, textCol, n)
+    val ge = NearDup.shingles(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct().withColumn("__hit", lit(1L))
+    gt.join(ge, Seq("shingle"), "left")
+      .groupBy(col("id").as("train_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") >= 1)
+  }
+
   /** [[crossCorpusOverlapPairs]] with a Bloom-filter prune on the train
     * side — the asymmetry a real contamination scan has: train postings
     * are the 100 TB side, eval suites are thousands of documents. Shipping

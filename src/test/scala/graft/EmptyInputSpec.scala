@@ -38,6 +38,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Winnow.crossCorpusOverlapPairs(someDocs, noDocs, "doc_id", "text", 1).count() == 0)
     assert(Winnow.crossCorpusOverlapPairsBloomPruned(someDocs, noDocs, "doc_id", "text", 1).count() == 0)
     assert(Winnow.contaminationScore(noDocs, someDocs, "doc_id", "text").count() == 0)
+    assert(Winnow.exactNgramContamination(noDocs, someDocs, "doc_id", "text").count() == 0)
     // empty eval: every train doc scores 0 hits, none contaminated
     assert(Winnow.contaminationScore(someDocs, noDocs, "doc_id", "text")
       .filter(col("n_hit") =!= 0 || col("contaminated")).count() == 0)

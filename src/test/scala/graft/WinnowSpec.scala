@@ -79,6 +79,30 @@ class WinnowSpec extends SparkSpec {
     assert(full._1 == full._2 && full._3)
   }
 
+  test("exact 13-gram decontamination: boundary at exactly n shared tokens") {
+    // 13 distinct tokens -> exactly one 13-gram
+    val run13 = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val run12 = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"aa bb cc $run13 dd ee ff"),   // shares the full 13-run
+      (2L, s"gg hh ii $run12 jj kk ll"),   // only 12 consecutive shared
+      (3L, "mm nn oo pp qq rr ss tt uu vv ww xx yy zz")  // no overlap
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((10L, s"eval context $run13 more eval text here padd"))
+      .toDF("doc_id", "text")
+    val out = Winnow.exactNgramContamination(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(1L) == ((1L, true)))   // exactly the one shared 13-gram
+    assert(out(2L) == ((0L, false)))  // a 12-token run has no shared 13-gram
+    assert(out(3L) == ((0L, false)))
+    // n_grams bookkeeping: doc 1 has (3 + 13 + 3) - 12 = 7 distinct 13-grams
+    val n1 = Winnow.exactNgramContamination(train, eval_, "doc_id", "text")
+      .filter(col("train_id") === 1L).select("n_grams")
+      .collect().head.getLong(0)
+    assert(n1 == 7L)
+  }
+
   test("bloom-pruned contamination equals the unpruned scan on real docs") {
     val train = docs.filter(col("doc_id") % 2 === 0).limit(200)
     val eval_ = docs.filter(col("doc_id") % 2 === 1).limit(200)
