@@ -362,6 +362,14 @@ object SparkEntry {
     // proportional to document length (capped), in integer micro-units —
     // pure projection + filter, deterministic, oracle-replayable. The
     // stratum-level counterpart is q_rebalance_mix.
+    // ---- Temperature mixing (alpha = 1/2): big language strata damped
+    // by sqrt instead of flattened — rates use only division + sqrt
+    // (correctly-rounded IEEE ops, engine-identical), so the selected
+    // set hash-checks. See Sampling.temperatureRebalance.
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureRebalance(Tables.documents(s, dir), "lang", "doc_id")
+        .select("doc_id", "source", "lang")),
+
     "q_sample_weighted" -> ((s, dir) => {
       val d = Tables.documents(s, dir).withColumn("w_micro",
         least(col("n_chars").cast("long"), lit(2000L)) * lit(500L))
@@ -1392,6 +1400,12 @@ object SparkEntry {
     "q_sample_hash" ->
       ("SELECT doc_id, lang, source FROM documents " +
         s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000 < 200"),
+    "q_temperature_mix" ->
+      ("WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "r AS (SELECT lang, CAST(floor(1000 * sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) " +
+        "/ CAST(n AS DOUBLE))) AS BIGINT) AS rate FROM c) " +
+        "SELECT doc_id, source, d.lang FROM documents d JOIN r ON d.lang = r.lang " +
+        s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000 < rate"),
     "q_sample_weighted" ->
       ("SELECT doc_id, source, n_chars, " +
         "CAST(least(n_chars, 2000) * 500 AS BIGINT) AS w_micro FROM documents " +

@@ -74,6 +74,39 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Temperature-based stratum rebalance — the multilingual data-mixing
+    * recipe (sample stratum i with probability ∝ share_i^α, α < 1, so
+    * big strata are damped but not flattened; α=0 is [[rebalanceMix]]'s
+    * full equalize, α=1 is no-op proportional). This operator fixes
+    * α = 1/2: per-stratum keep-rate = floor(1000·sqrt(n_min/n_i)) per
+    * mille — the smallest stratum keeps everything, a stratum 100x larger
+    * keeps 10x the smallest's row count instead of 1x (equalize) or 100x
+    * (raw). α=1/2 specifically because the rate then needs only division
+    * and sqrt, BOTH correctly-rounded IEEE-754 operations — bit-identical
+    * in any engine, so the selected set stays oracle-checkable. A general
+    * α needs pow(), whose cross-engine rounding is NOT guaranteed; that
+    * variant belongs behind a tolerance check, not a hash gate (the
+    * documented reason it is absent).
+    *
+    * Same two scale-flat passes as [[rebalanceMix]]: stratum counts
+    * (broadcast back), then the shuffle-free hash-threshold filter.
+    */
+  def temperatureRebalance(df: DataFrame, strataCol: String, idCol: String,
+                           seed: Int = 0): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minN = min(col("__n")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy())   // global min over the tiny counts frame only
+    val rates = counts.withColumn("__min", minN)
+      .withColumn("__rate",
+        floor(lit(1000.0) * sqrt(col("__min").cast("double") /
+          col("__n").cast("double"))).cast("long"))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(pmod(md5hash60(col(idCol).cast("string"), seed), lit(1000L)) <
+        col("__rate"))
+      .drop("__rate")
+  }
+
   /** Per-ROW-probability sample — the quality-weighted keep step of a
     * data-mixing pipeline (keep high-quality documents with probability
     * ~1, boilerplate with probability ~0.1, rather than one rate per

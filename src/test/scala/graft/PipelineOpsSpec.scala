@@ -48,6 +48,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s20b != s20)
   }
 
+  test("temperature rebalance: sqrt rates, smallest stratum whole, nests equalize") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val langN = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minN = langN.values.min
+    val out = Sampling.temperatureRebalance(d, "lang", "doc_id")
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // the smallest stratum's rate is exactly 1000 per mille: all rows kept
+    val smallest = langN.minBy(_._2)._1
+    assert(kept(smallest) == minN)
+    // every kept count is reproducible from the declared rate formula
+    langN.foreach { case (lang, n) =>
+      val rate = math.floor(1000.0 * math.sqrt(minN.toDouble / n.toDouble)).toLong
+      val expect = Sampling.hashSample(
+        d.filter(col("lang") === lang), "doc_id", rate.toInt).count()
+      assert(kept.getOrElse(lang, 0L) == expect, s"stratum $lang")
+    }
+    // same seed, lower threshold: the full-equalize selection is a strict
+    // subset of the temperature selection (floor(1000x) <= floor(1000*sqrt(x)))
+    val eq = Sampling.rebalanceMix(d, "lang", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val temp = out.select("doc_id").as[Long].collect().toSet
+    assert(eq.subsetOf(temp))
+  }
+
   test("weighted sample: weight 0 drops, 1e6 keeps, mid-weights are the hash band") {
     import org.apache.spark.sql.functions._
     val d = Tables.documents(spark, sf0001).select("doc_id")
