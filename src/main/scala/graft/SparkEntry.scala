@@ -137,6 +137,26 @@ object SparkEntry {
     "q_link_ro" -> ((s, dir) =>
       Linker.pipeline(Tables.supplier(s, dir), "s_name", None, 80.0)),
 
+    // ---- The same reference pipeline driven entirely through the SQL
+    // surface: the registered ro_similarity function in a plain SQL
+    // theta-join + collect_set aggregate — proves the
+    // SparkSessionExtensions path end-to-end under the SAME difflib
+    // oracle as q_link_ro (the RoSimilarityBound optimizer rule rewrites
+    // this plan's similarity predicate when enabled; result-invariant).
+    // Same by-design O(n²) baseline as q_link_ro.
+    "q_link_ro_sql" -> ((s, dir) => {
+      Graft.registerFunctions(s)
+      Tables.supplier(s, dir).select(col("s_name"))
+        .createOrReplaceTempView("supplier_ro_sql")
+      s.sql(
+        "WITH nm AS (SELECT DISTINCT s_name AS name FROM supplier_ro_sql), " +
+        "pairs AS (SELECT least(a.name, b.name) AS uniqId, a.name AS name_a " +
+        "FROM nm a JOIN nm b ON a.name <> b.name " +
+        "AND ro_similarity(a.name, b.name) >= 80.0D) " +
+        "SELECT uniqId, concat_ws(',', sort_array(collect_set(name_a))) " +
+        "AS CollectedNames FROM pairs GROUP BY uniqId")
+    }),
+
     // ---- A4 scale mode: similarity edges (exact lev<=1 join) → distributed
     // connected components (large-star/small-star) → component per customer.
     // DuckDB oracle = recursive-CTE transitive closure.
@@ -1988,16 +2008,9 @@ object SparkEntry {
     // Recursive-CTE difflib replay (sqlDifflibChain): link on the integer
     // form of ratio*100 >= 80, then the same least-key/sorted-member-set
     // aggregation as Linker.groupCollect.
-    "q_link_ro" ->
-      ("WITH RECURSIVE nm AS (SELECT DISTINCT s_name AS name FROM supplier), " +
-        "pr AS (SELECT a.name AS na, b.name AS nb, " +
-        "length(a.name) AS la, length(b.name) AS lb " +
-        "FROM nm a JOIN nm b ON a.name <> b.name), " +
-        sqlDifflibChain + ", " +
-        "link AS (SELECT na, nb FROM ms WHERE 200 * mtot >= 80 * (la + lb)) " +
-        "SELECT least(na, nb) AS uniqId, " +
-        "string_agg(DISTINCT na, ',' ORDER BY na) AS CollectedNames " +
-        "FROM link GROUP BY least(na, nb)"),
+    "q_link_ro" -> sqlLinkRoOracle,
+    // The SQL-surface twin computes the identical result; same oracle.
+    "q_link_ro_sql" -> sqlLinkRoOracle,
     // Greedy clustering derived under the one-cluster condition (see the
     // query comment): members = first name + every name STRICTLY >80
     // difflib-similar to it (strict > — solutionTwo's quirk — is exact in
@@ -2435,6 +2448,21 @@ object SparkEntry {
       "OR (t.which = 1 AND w.alo < w.i - w.k + 1 AND w.blo < w.j - w.k + 1) " +
       "OR (t.which = 2 AND w.i + 1 < w.ahi AND w.j + 1 < w.bhi))), " +
       "ms AS (SELECT na, nb, la, lb, sum(m) AS mtot FROM seg GROUP BY na, nb, la, lb)"
+
+  /** Shared difflib-replay oracle for the Ratcliff/Obershelp link — the
+    * Column-API query (q_link_ro) and its SQL-surface twin
+    * (q_link_ro_sql) compute the identical result.
+    */
+  private lazy val sqlLinkRoOracle: String =
+    "WITH RECURSIVE nm AS (SELECT DISTINCT s_name AS name FROM supplier), " +
+      "pr AS (SELECT a.name AS na, b.name AS nb, " +
+      "length(a.name) AS la, length(b.name) AS lb " +
+      "FROM nm a JOIN nm b ON a.name <> b.name), " +
+      sqlDifflibChain + ", " +
+      "link AS (SELECT na, nb FROM ms WHERE 200 * mtot >= 80 * (la + lb)) " +
+      "SELECT least(na, nb) AS uniqId, " +
+      "string_agg(DISTINCT na, ',' ORDER BY na) AS CollectedNames " +
+      "FROM link GROUP BY least(na, nb)"
 
   /** The 37 multi-probe XOR masks of Ann.lshTopK (self + all Hamming<=2
     * bucket flips over LshBits planes), as a SQL list body.

@@ -24,7 +24,8 @@ class PlanGuaranteesSpec extends SparkSpec {
     * row; that is constant-attach, not a candidate blowup.
     */
   private val allowedBnlj =
-    Set("q_link_ro", "q_ann_cosine", "q_knn_eval", "q_rag_topk", "q_tfidf_top")
+    Set("q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
+      "q_rag_topk", "q_tfidf_top")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
