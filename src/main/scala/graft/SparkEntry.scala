@@ -220,6 +220,12 @@ object SparkEntry {
     "q_chunk_docs" -> ((s, dir) =>
       Chunker.chunk(Tables.documents(s, dir), "doc_id", "text", 400, 300)),
 
+    // ---- Token-window chunking (60-token windows, 50-token stride →
+    // 10 tokens of overlap): the context-length unit the pipeline
+    // actually budgets by. See Chunker.chunkTokens.
+    "q_chunk_tokens" -> ((s, dir) =>
+      Chunker.chunkTokens(Tables.documents(s, dir), "doc_id", "text", 60, 50)),
+
     // ---- Per-source quality-percentile filter ("keep each domain's top
     // quartile"): exact P75 per source via the sort-based percentile
     // aggregate (tiny result — one row per source), broadcast back onto
@@ -1522,6 +1528,17 @@ object SparkEntry {
         "abs(a.us - b.us) AS gap_us " +
         "FROM e a JOIN e b ON a.event_id < b.event_id " +
         "AND abs(a.us - b.us) <= 2000000"),
+    "q_chunk_tokens" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 " +
+        "THEN CAST([] AS VARCHAR[]) " +
+        "ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "idx AS (SELECT doc_id, t, " +
+        "unnest(generate_series(0, CAST(greatest((len(t)-1)//50, 0) AS BIGINT))) AS i " +
+        "FROM tk) " +
+        "SELECT doc_id, i AS chunk_idx, " +
+        "array_to_string(t[CAST(i*50+1 AS INT):CAST(i*50+60 AS INT)], ' ') AS chunk, " +
+        "CAST(len(t[CAST(i*50+1 AS INT):CAST(i*50+60 AS INT)]) AS BIGINT) AS chunk_tokens " +
+        "FROM idx"),
     "q_chunk_docs" ->
       ("WITH idx AS (SELECT doc_id, text, " +
         "unnest(generate_series(0, CAST(greatest((length(text)-1)//300, 0) AS BIGINT))) AS i " +

@@ -37,4 +37,34 @@ object Chunker {
         col(textCol).substr(col("_start") * stride + 1, lit(size)).as("chunk"))
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
+
+  /** [[chunk]] in TOKEN units — the window the training pipeline actually
+    * budgets by (context length is tokens, not characters; a char window
+    * can split a word mid-way, a token window never does). One row per
+    * (doc, chunk): doc_id, chunk_idx, chunk (space-rejoined tokens),
+    * chunk_tokens. `maxTokens > stride` overlaps consecutive chunks by
+    * maxTokens - stride tokens; every token is covered; an empty doc
+    * yields one empty chunk (same contract as [[chunk]]).
+    *
+    * Same scale shape as the char form: tokenize + `sequence` of starts +
+    * posexplode + `slice`/`concat_ws`, all codegen collection ops — no
+    * shuffle, no UDF. Rejoining on single spaces normalizes intra-chunk
+    * whitespace (documented; the token multiset is what downstream
+    * tokenization consumes).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && maxTokens >= stride,
+      s"need maxTokens >= stride > 0, got maxTokens=$maxTokens stride=$stride")
+    val toks = TextOps.tokens(col(textCol))
+    val lastIdx = greatest(
+      floor((size(toks) - 1) / stride).cast("int"), lit(0))
+    df.select(col(idCol), toks.as("_t"),
+        posexplode(sequence(lit(0), lastIdx)).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_t"), col("_start") * stride + 1, lit(maxTokens)).as("_w"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", col("_w")).as("chunk"),
+        size(col("_w")).cast("long").as("chunk_tokens"))
+  }
 }

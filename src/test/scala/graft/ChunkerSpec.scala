@@ -25,6 +25,23 @@ class ChunkerSpec extends SparkSpec {
       Seq((0L, "abcde"), (1L, "defgh"), (2L, "gh")))
   }
 
+  test("token chunking: overlap, coverage, whitespace normalization, empty doc") {
+    def tokChunks(text: String, m: Int, s: Int): Seq[(Long, String, Long)] = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      Chunker.chunkTokens(df, "doc_id", "text", m, s)
+        .select("chunk_idx", "chunk", "chunk_tokens").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+    }
+    // 7 tokens, window 4, stride 3: starts 0,3,6 -> overlap of 1 token
+    assert(tokChunks("a b c d e f g", 4, 3) ==
+      Seq((0L, "a b c d", 4L), (1L, "d e f g", 4L), (2L, "g", 1L)))
+    // runs of whitespace collapse: token multiset is what matters
+    assert(tokChunks("  a   b  ", 4, 4) == Seq((0L, "a b", 2L)))
+    assert(tokChunks("", 4, 4) == Seq((0L, "", 0L)))
+    // every token appears in some chunk (coverage), exact count at size==stride
+    assert(tokChunks((1 to 10).map("t" + _).mkString(" "), 5, 5).map(_._3).sum == 10L)
+  }
+
   test("doc shorter than one chunk yields exactly one chunk; empty doc one empty chunk") {
     assert(chunksOf("ab", 400, 300) == Seq((0L, "ab")))
     assert(chunksOf("", 400, 300) == Seq((0L, "")))
