@@ -226,6 +226,24 @@ object SparkEntry {
     "q_chunk_tokens" -> ((s, dir) =>
       Chunker.chunkTokens(Tables.documents(s, dir), "doc_id", "text", 60, 50)),
 
+    // ---- Source-priority dedup survivorship: when the same content
+    // appears in multiple feeds, keep the copy from the preferred tier
+    // (curated sources beat crawl) — the survivorship policy a real
+    // multi-feed corpus needs, as canonical-by-(tier, id) over content
+    // fingerprints. The tier table is a LOCAL Scala collection promoted
+    // to a DataFrame (the S5 surface) and broadcast: bounded by the
+    // number of feeds by construction.
+    "q_dedup_priority" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = (0 until 20).map(i => (s"src$i", if (i < 5) 0L else 1L))
+        .toDF("source", "tier")
+      val fp = Tables.documents(s, dir)
+        .join(broadcast(tiers), "source")
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      Dedup.canonical(fp, Seq("fp"), Seq(col("tier"), col("doc_id")))
+        .select("doc_id", "source", "tier", "fp")
+    }),
+
     // ---- Per-source quality-percentile filter ("keep each domain's top
     // quartile"): exact P75 per source via the sort-based percentile
     // aggregate (tiny result — one row per source), broadcast back onto
@@ -1407,6 +1425,15 @@ object SparkEntry {
       ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
         "count(*) AS n_docs, min(doc_id) AS canonical_id " +
         "FROM documents GROUP BY 1"),
+    "q_dedup_priority" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0 ELSE 1 END AS tier, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents), " +
+        "r AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY fp ORDER BY tier, doc_id) AS rn FROM t) " +
+        "SELECT doc_id, source, CAST(tier AS BIGINT) AS tier, fp " +
+        "FROM r WHERE rn = 1"),
     // Rational idf (n+1)/(df+1): every op (BIGINT->DOUBLE widen, one add,
     // one divide, one multiply) is correctly rounded IEEE on both engines,
     // so scores hash-match bit-for-bit — see TfIdf Scaladoc.

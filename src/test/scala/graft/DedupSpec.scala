@@ -35,6 +35,21 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq("1", "3", "4"))
   }
 
+  test("source-priority survivorship: preferred tier beats smaller id") {
+    // same content in a crawl feed (tier 1, smaller id) and a curated
+    // feed (tier 0, larger id): the curated copy must survive
+    val docs = Seq(
+      (1L, "shared body text", "crawl", 1L),
+      (9L, "shared  BODY   text", "curated", 0L),  // same normalized form
+      (5L, "unique content here", "crawl", 1L)
+    ).toDF("doc_id", "text", "source", "tier")
+    val fp = docs.withColumn("fp",
+      graft.operators.TextOps.fingerprint(col("text")))
+    val out = Dedup.canonical(fp, Seq("fp"), Seq(col("tier"), col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(9L, 5L))
+  }
+
   test("dedup idempotence and monotonicity (seeded property)") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { _ =>
