@@ -1076,6 +1076,23 @@ object SparkEntry {
     "q_substring_dedup" -> ((s, dir) =>
       SubstringDedup.removeSharedSpans(Tables.documents(s, dir), "doc_id", "text", 8)),
 
+    // ---- C4/RefinedWeb line-dedup tier at k-token segment granularity:
+    // the prevalence audit (which segments appear in >= 5 distinct docs)
+    // and the removal pass (drop EVERY occurrence — no keeper; the
+    // keep-one form is q_substring_dedup). One hash aggregate on segment
+    // text + one anti-join; segmentation itself is shuffle-free codegen.
+    "q_boilerplate_prevalence" -> ((s, dir) =>
+      Boilerplate.segmentPrevalence(Tables.documents(s, dir), "doc_id", "text", 3, 5)),
+    "q_boilerplate_remove" -> ((s, dir) =>
+      Boilerplate.removeBoilerplate(Tables.documents(s, dir), "doc_id", "text", 3, 5)),
+
+    // ---- Intra-document repetition removal (the Gopher duplicate-line
+    // signal as a transform): keep only the first occurrence of each
+    // distinct 2-token segment within a doc. Per-doc window keys — the
+    // shuffle is corpus-linear with no global hot key.
+    "q_intradoc_dedup" -> ((s, dir) =>
+      Boilerplate.dedupSegmentsWithinDoc(Tables.documents(s, dir), "doc_id", "text", 2)),
+
     // ---- Keyed upsert (MERGE): a correction batch (every 10th order,
     // repriced) replaces same-key rows of the standing snapshot — one
     // corpus scan + one broadcast anti-join on change keys, the
@@ -2096,6 +2113,25 @@ object SparkEntry {
         "coalesce(nrem.n_removed, 0) AS n_removed FROM documents d " +
         "LEFT JOIN reb ON reb.doc_id = d.doc_id " +
         "LEFT JOIN nrem ON nrem.doc_id = d.doc_id"),
+    "q_boilerplate_prevalence" ->
+      (s"WITH ${sqlSegCtes(3)} " +
+        "SELECT segment, count(DISTINCT doc_id) AS n_docs, " +
+        "count(*) AS n_occurrences FROM seg WHERE seg_tokens > 0 " +
+        "GROUP BY segment HAVING count(DISTINCT doc_id) >= 5"),
+    "q_boilerplate_remove" ->
+      (s"WITH ${sqlSegCtes(3)}, " +
+        "flag AS (SELECT segment FROM seg WHERE seg_tokens > 0 " +
+        "GROUP BY segment HAVING count(DISTINCT doc_id) >= 5), " +
+        "kept AS (SELECT s.doc_id, s.seg_idx, s.segment FROM seg s " +
+        "WHERE NOT EXISTS (SELECT 1 FROM flag f WHERE f.segment = s.segment)), " +
+        sqlSegRebuildTail),
+    "q_intradoc_dedup" ->
+      (s"WITH ${sqlSegCtes(2)}, " +
+        "kept AS (SELECT doc_id, seg_idx, segment FROM " +
+        "(SELECT doc_id, seg_idx, segment, row_number() OVER " +
+        "(PARTITION BY doc_id, segment ORDER BY seg_idx) AS rn FROM seg) " +
+        "WHERE rn = 1), " +
+        sqlSegRebuildTail),
     "q_corpus_profile" ->
       ("WITH base AS (SELECT lang, " +
         "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +
@@ -2357,6 +2393,31 @@ object SparkEntry {
   // ---- DuckDB oracle fragments shared by the near-dup queries. The hash is
   // md5-based on both sides (graft.functions.md5hash60) so sketches compare
   // bit-for-bit.
+
+  /** Aligned non-overlapping k-token segments (mirrors
+    * Boilerplate.segments: trim+\s+ split, empty doc -> one "" segment).
+    */
+  private def sqlSegCtes(k: Int): String =
+    "tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 " +
+      "THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+      "idx AS (SELECT doc_id, t, unnest(generate_series(0, " +
+      s"CAST(greatest((len(t)-1)//$k, 0) AS BIGINT))) AS i FROM tk), " +
+      "seg AS (SELECT doc_id, i AS seg_idx, " +
+      s"array_to_string(t[CAST(i*$k+1 AS INT):CAST(i*$k+$k AS INT)], ' ') AS segment, " +
+      s"CAST(len(t[CAST(i*$k+1 AS INT):CAST(i*$k+$k AS INT)]) AS BIGINT) AS seg_tokens " +
+      "FROM idx)"
+
+  /** Shared reassembly/accounting tail over a `kept` CTE of
+    * (doc_id, seg_idx, segment) — mirrors Boilerplate.reassemble + totals.
+    */
+  private val sqlSegRebuildTail =
+    "agg AS (SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text, " +
+      "count(*) AS n_kept FROM kept GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text, t.n_segments, " +
+      "t.n_segments - coalesce(a.n_kept, 0) AS n_dropped " +
+      "FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id"
 
   private val sqlToksCte =
     "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
