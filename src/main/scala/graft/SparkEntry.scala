@@ -1093,6 +1093,14 @@ object SparkEntry {
     "q_intradoc_dedup" -> ((s, dir) =>
       Boilerplate.dedupSegmentsWithinDoc(Tables.documents(s, dir), "doc_id", "text", 2)),
 
+    // ---- Tokenizer vocabulary coverage: per-doc OOV counts against the
+    // corpus top-20 token vocab (ranks 21+ are out-of-vocabulary here —
+    // the fit metric read before committing to a tokenizer vocab).
+    // Bounded vocab -> legitimate forced broadcast; everything else is
+    // explode + hash agg.
+    "q_oov_stats" -> ((s, dir) =>
+      TextOps.oovStats(Tables.documents(s, dir), "doc_id", "text", 20)),
+
     // ---- Keyed upsert (MERGE): a correction batch (every 10th order,
     // repriced) replaces same-key rows of the standing snapshot — one
     // corpus scan + one broadcast anti-join on change keys, the
@@ -2132,6 +2140,20 @@ object SparkEntry {
         "(PARTITION BY doc_id, segment ORDER BY seg_idx) AS rn FROM seg) " +
         "WHERE rn = 1), " +
         sqlSegRebuildTail),
+    "q_oov_stats" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "v AS (SELECT token FROM (SELECT token, count(*) AS n FROM t " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 20)), " +
+        "per AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "count(*) FILTER (WHERE token NOT IN (SELECT token FROM v)) AS n_oov " +
+        "FROM t GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, " +
+        "coalesce(p.n_oov, 0) AS n_oov, " +
+        "CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0 " +
+        "ELSE (p.n_oov * 1000) // p.n_tokens END AS oov_permille " +
+        "FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"),
     "q_corpus_profile" ->
       ("WITH base AS (SELECT lang, " +
         "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, " +

@@ -292,6 +292,41 @@ object TextOps {
         col("ux.n").as("n_x"), col("uy.n").as("n_y"))
   }
 
+  /** Tokenizer vocabulary coverage: per-document out-of-vocabulary
+    * statistics against the corpus top-`vocabSize` token vocabulary — the
+    * tokenizer-fit metric a pipeline reads before committing to a vocab
+    * (high OOV strata fragment into bytes/UNKs and train badly; the same
+    * scan decides whether a vocab transfers to a new source mix). Output:
+    * one row per document — (idCol, n_tokens, n_oov, oov_permille) with
+    * oov_permille = floor(1000 * n_oov / n_tokens) as exact integer
+    * division (0 for empty docs), so every column hash-checks.
+    *
+    * Shape: one hash aggregate builds token frequencies; top-N is
+    * TakeOrderedAndProject with the (count desc, token asc) tie-break
+    * (deterministic across engines); the vocab is bounded by CONSTRUCTION
+    * at vocabSize rows, so the membership join is a legitimate forced
+    * broadcast; per-doc accounting is one more hash aggregate. Nothing
+    * shuffles more than the (doc, token) explode.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(true).as("_in_vocab"))
+    val per = toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in_vocab").isNull, 1)).as("n_oov"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        expr("CASE WHEN n_tokens = 0 THEN 0L ELSE (n_oov * 1000) DIV n_tokens END"))
+  }
+
   /** EXACT corpus-wide heavy-hitter tokens (frequency > n_tokens/(k+1))
     * via candidates-then-verify: a Misra-Gries sketch
     * ([[graft.functions.HeavyHitters]]) reduces the corpus map-side to a

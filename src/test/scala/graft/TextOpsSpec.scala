@@ -153,4 +153,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == ((2L, 3L + 2L, 2L)))           // the(3) + cat(2); rarest = cat(2)
     assert(got(2L) == ((4L, 2L * 3L + 2L + 1L, 1L))) // 2*the(3) + cat(2) + rare(1)
   }
+
+  test("oov stats: top-N vocab membership, integer permille, empty docs") {
+    // counts: a=4, b=3, c=2, d=1 -> vocab(2) = {a, b}; c and d are OOV
+    val rows = Seq(
+      (1L, "a b a"),       // 3 tokens, 0 oov
+      (2L, "a B c d"),     // lowercased; 4 tokens, 2 oov -> 500 permille
+      (3L, "c a"),         // 2 tokens, 1 oov -> 500
+      (4L, "")             // empty -> (0, 0, 0)
+    ).toDF("doc_id", "text")
+    val got = TextOps.oovStats(rows, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 0L, 0L)),
+      2L -> ((4L, 2L, 500L)),
+      3L -> ((2L, 1L, 500L)),
+      4L -> ((0L, 0L, 0L))))
+  }
+
+  test("oov vocab tie-break is deterministic (count desc, token asc)") {
+    // b and c tie at 2; vocab(2) takes a(3) then b (alphabetical)
+    val rows = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val got = TextOps.oovStats(rows, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(got == ((7L, 2L))) // the two c's are OOV
+  }
 }
