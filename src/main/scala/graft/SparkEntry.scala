@@ -1101,6 +1101,25 @@ object SparkEntry {
     "q_oov_stats" -> ((s, dir) =>
       TextOps.oovStats(Tables.documents(s, dir), "doc_id", "text", 20)),
 
+    // ---- Gopher duplicate-3-gram fraction: within-doc repetition beyond
+    // token/bigram dominance (q_text_repetition) — all occurrences of
+    // grams seen >1x in the same doc, exact integer permille.
+    "q_dup_ngrams" -> ((s, dir) =>
+      TextOps.dupNgramStats(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    // ---- Token-budget mix assembly: per source, best-quality docs until
+    // 800 cumulative tokens (inclusive — no overflow doc). The cumsum is
+    // the grouped two-phase prefix scan, not a per-stratum window (which
+    // would cap parallelism at the source count).
+    "q_token_budget" -> ((s, dir) => {
+      val stats = TextOps.stats(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      val withSrc = stats.join(
+        Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      Sampling.tokenBudgetSelect(withSrc, "doc_id", "source",
+        "quality", "n_tokens", 800L)
+    }),
+
     // ---- Keyed upsert (MERGE): a correction batch (every 10th order,
     // repriced) replaces same-key rows of the standing snapshot — one
     // corpus scan + one broadcast anti-join on change keys, the
@@ -2153,6 +2172,35 @@ object SparkEntry {
         "coalesce(p.n_oov, 0) AS n_oov, " +
         "CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0 " +
         "ELSE (p.n_oov * 1000) // p.n_tokens END AS oov_permille " +
+        "FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"),
+    "q_token_budget" ->
+      (s"WITH s AS ($sqlTextStats), " +
+        "j AS (SELECT d.source, s.doc_id, s.quality, s.n_tokens FROM s " +
+        "JOIN documents d ON s.doc_id = d.doc_id), " +
+        "c AS (SELECT source, doc_id, quality, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY quality DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_tokens FROM j) " +
+        "SELECT doc_id, quality, n_tokens, source, cum_tokens FROM c " +
+        "WHERE cum_tokens <= 800"),
+    "q_dup_ngrams" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "string_split_regex(trim(lower(text)), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "g AS (SELECT doc_id, " +
+        "array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS gram " +
+        "FROM toks, unnest(range(1, len(t)-1)) u(i) WHERE len(t) >= 3), " +
+        "c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, " +
+        "count(*) AS n_distinct, " +
+        "CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup " +
+        "FROM c GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams, " +
+        "coalesce(p.n_distinct, 0) AS n_distinct, " +
+        "coalesce(p.n_dup, 0) AS n_dup, " +
+        "CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0 " +
+        "ELSE (p.n_dup * 1000) // p.n_grams END AS dup_permille " +
         "FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"),
     "q_corpus_profile" ->
       ("WITH base AS (SELECT lang, " +

@@ -62,4 +62,62 @@ object PrefixSum {
       .withColumn(s"cum_$valueCol", col("__local") + col("__off"))
       .drop("__pid", "__local", "__off")
   }
+
+  /** GROUPED running total: the inclusive prefix sum of `valueCol` in
+    * `orderCols` order, resetting per `groupCol` — same two-phase scan as
+    * [[runningTotal]], so a single giant group never collapses into one
+    * window task (the plain `PARTITION BY group ORDER BY k` window caps
+    * parallelism at the number of groups — 20 sources means 20 tasks no
+    * matter the cluster; range-partitioning on (group, order) keeps every
+    * core busy and a group just spans several contiguous partitions).
+    *
+    * Driver state: one (partition, group) total per group-span — bounded
+    * by numParts + distinct groups present, KBs. The per-group exclusive
+    * scan over partition ids yields each span's offset; offsets join back
+    * broadcast on (partition, group).
+    *
+    * Caller contract: (groupCol, orderCols*) is UNIQUE per row (same
+    * reasoning as [[runningTotal]] — duplicate keys make the intra-key
+    * running value nondeterministic in any engine).
+    */
+  def runningTotalBy(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                     valueCol: String, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = col(groupCol) +: orderCols.map(col)
+    val parted = df
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__local",
+      sum(col(valueCol).cast("long")).over(w))
+    val totals = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offsetRows: Seq[org.apache.spark.sql.Row] = totals
+      .groupBy(_._2).toSeq.flatMap { case (_, spans) =>
+        var acc = 0L
+        spans.sortBy(_._1).map { case (pid, g, t) =>
+          val row = org.apache.spark.sql.Row(pid, g, acc)
+          acc += t
+          row
+        }
+      }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType),
+      df.schema(groupCol).copy(name = groupCol),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    local.join(broadcast(offDf), Seq("__pid", groupCol))
+      .withColumn(s"cum_$valueCol", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
 }

@@ -138,4 +138,34 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= quota)
   }
+
+  /** Token-budget corpus selection: per stratum, take documents in
+    * (quality desc, id) order until the stratum's cumulative token count
+    * would exceed `budgetTokens` — the greedy fill that assembles a
+    * training mix against a token budget ("the best B tokens per source"),
+    * the step after scoring and before packing. Inclusive-cum semantics:
+    * a document is kept iff its own tokens still fit (no overflow doc),
+    * so the selection is exact and deterministic given the (quality, id)
+    * tie-break.
+    *
+    * Scale shape: the cumulative count uses [[PrefixSum.runningTotalBy]]'s
+    * range-partitioned two-phase scan, NOT a `PARTITION BY stratum`
+    * window — a plain per-stratum window caps parallelism at the stratum
+    * count (20 sources = 20 tasks at any cluster size) and funnels a
+    * dominant stratum into one task; the grouped prefix sum keeps every
+    * core busy and a fat stratum just spans contiguous range partitions.
+    *
+    * Input df must carry idCol, strataCol, qualityCol (numeric),
+    * tokensCol (integral). Output: input columns + cum_tokens, filtered
+    * to the selected set.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, strataCol: String,
+                        qualityCol: String, tokensCol: String,
+                        budgetTokens: Long): DataFrame = {
+    val base = df.withColumn("__negq", -col(qualityCol))
+    PrefixSum.runningTotalBy(base, strataCol, Seq("__negq", idCol), tokensCol)
+      .filter(col(s"cum_$tokensCol") <= budgetTokens)
+      .withColumnRenamed(s"cum_$tokensCol", "cum_tokens")
+      .drop("__negq")
+  }
 }

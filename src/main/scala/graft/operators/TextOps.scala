@@ -327,6 +327,40 @@ object TextOps {
         expr("CASE WHEN n_tokens = 0 THEN 0L ELSE (n_oov * 1000) DIV n_tokens END"))
   }
 
+  /** Gopher duplicate-n-gram fraction: per document, how much of the
+    * n-gram stream sits inside n-grams that occur MORE THAN ONCE within
+    * that same document — the repetition rule that catches looping
+    * machine-generated pages that per-token dominance ([[repetitionStats]])
+    * misses once the loop is longer than a token or bigram. Counts follow
+    * the Gopher convention (ALL occurrences of a duplicated gram count,
+    * including the first); dup_permille = floor(1000 * n_dup / n_grams)
+    * is exact integer division so every column hash-checks. Docs shorter
+    * than n tokens report (0, 0, 0, 0).
+    *
+    * Shape: the word_ngrams codegen kernel emits the gram stream in the
+    * scan projection; counting is two hash aggregates keyed by (doc,
+    * gram) then doc — per-document keys, corpus-linear, no global hot key
+    * (a gram repeated inside one doc is bounded by that doc's length).
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val g = df.select(col(idCol),
+      explode(graft.functions.word_ngrams(tokens(lower(col(textCol))), n))
+        .as("gram"))
+    val per = g.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_permille",
+        expr("CASE WHEN n_grams = 0 THEN 0L ELSE (n_dup * 1000) DIV n_grams END"))
+  }
+
   /** EXACT corpus-wide heavy-hitter tokens (frequency > n_tokens/(k+1))
     * via candidates-then-verify: a Misra-Gries sketch
     * ([[graft.functions.HeavyHitters]]) reduces the corpus map-side to a

@@ -74,7 +74,14 @@ object ScaleProbe {
         Winnow.fingerprints(d, "doc_id", "text").count()),
       "weighted_sample" -> (d =>
         Sampling.weightedSample(
-          d.withColumn("w", lit(300000L)), "doc_id", "w").count())
+          d.withColumn("w", lit(300000L)), "doc_id", "w").count()),
+      // Replication multiplies segment prevalence ~Rx (each copy's salt
+      // perturbs only the final segment), so the flagged set grows with R
+      // while runtime must stay hash-agg linear.
+      "boilerplate_remove" -> (d =>
+        Boilerplate.removeBoilerplate(d, "doc_id", "text", 3, 5).count()),
+      "dup_ngram_stats" -> (d =>
+        TextOps.dupNgramStats(d, "doc_id", "text", 3).count())
     )
 
     val factors = Seq(1, 4, 10)

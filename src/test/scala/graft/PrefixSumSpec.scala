@@ -36,4 +36,50 @@ class PrefixSumSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("k", "v", "cum_v"))
   }
+
+  test("grouped property: per-group cumulative sum across partition counts") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 3000).map(i =>
+      (s"g${i % 7}", i.toLong, rnd.nextInt(100).toLong))
+    val shuffled = rnd.shuffle(rows)
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(_._2)
+        .scanLeft((g, 0L, 0L)) { case ((_, _, acc), (_, k, v)) => (g, k, acc + v) }
+        .tail.map { case (_, k, c) => (g, k) -> c }
+    }
+    // parts > group count on purpose: a group MUST span partitions
+    for (parts <- Seq(1, 5, 16)) {
+      val got = PrefixSum.runningTotalBy(
+        shuffled.toDF("g", "k", "v"), "g", Seq("k"), "v", parts)
+        .select("g", "k", "cum_v").as[(String, Long, Long)]
+        .collect().map { case (g, k, c) => (g, k) -> c }.toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("grouped scan descends by a negated order column deterministically") {
+    // One group, order by -v: cum over v desc
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L))
+      .toDF("g", "k", "v").withColumn("negv", -col("v"))
+    val got = PrefixSum.runningTotalBy(df, "g", Seq("negv", "k"), "v", 4)
+      .select("k", "cum_v").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 30L, 3L -> 50L, 1L -> 60L))
+  }
+
+  test("token budget select: inclusive greedy fill per stratum") {
+    import graft.operators.Sampling
+    val df = Seq(
+      // src a: quality order d1(9) d2(8) d3(7); tokens 40, 50, 20
+      ("a", 1L, 9L, 40L), ("a", 2L, 8L, 50L), ("a", 3L, 7L, 20L),
+      // src b: one doc alone over budget
+      ("b", 4L, 5L, 200L), ("b", 5L, 4L, 60L)
+    ).toDF("source", "doc_id", "quality", "n_tokens")
+    val got = Sampling.tokenBudgetSelect(df, "doc_id", "source",
+      "quality", "n_tokens", 100L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // a: d1 (40) + d2 (90) fit; d3 would be 110 -> out.
+    // b: d4 is 200 > 100 -> out; d5 NEVER enters (inclusive cum counts
+    // d4 first: 200, then d5 at 260) -> b selects nothing.
+    assert(got == Map(1L -> 40L, 2L -> 90L))
+  }
 }

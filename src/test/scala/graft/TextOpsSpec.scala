@@ -171,6 +171,25 @@ class TextOpsSpec extends SparkSpec {
       4L -> ((0L, 0L, 0L))))
   }
 
+  test("dup n-gram stats: Gopher all-occurrences convention, short docs") {
+    val rows = Seq(
+      // 3-grams: "a b a","b a b","a b a","b a b","a b c" -> 5 grams,
+      // 3 distinct, dup grams {aba:2, bab:2} -> n_dup = 4 -> 800 permille
+      (1L, "a b a b a b c"),
+      (2L, "x y z w"),   // 2 grams, no dups
+      (3L, "p q"),       // shorter than n -> (0,0,0,0)
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupNgramStats(rows, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((5L, 3L, 4L, 800L)),
+      2L -> ((2L, 2L, 0L, 0L)),
+      3L -> ((0L, 0L, 0L, 0L)),
+      4L -> ((0L, 0L, 0L, 0L))))
+  }
+
   test("oov vocab tie-break is deterministic (count desc, token asc)") {
     // b and c tie at 2; vocab(2) takes a(3) then b (alphabetical)
     val rows = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
