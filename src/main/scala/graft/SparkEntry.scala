@@ -566,6 +566,16 @@ object SparkEntry {
     "q_near_dedup" -> ((s, dir) =>
       NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- Same composite with QUALITY survivorship: keeper = best
+    // quality in the cluster (tie-break lowest id) — the policy twin of
+    // the exact tier's best-by-score survivor.
+    "q_near_dedup_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scores = TextOps.stats(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality").as("score"))
+      NearDup.dedupByNearDupBest(d, "doc_id", "text", 3, 0.5, scores)
+    }),
+
     // ---- Near-dup: 60-bit SimHash sketch per doc.
     "q_simhash" -> ((s, dir) =>
       NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")),
@@ -1819,20 +1829,20 @@ object SparkEntry {
         "END AS recall " +
         "FROM truth t LEFT JOIN cands c ON c.cid_a = t.id_a AND c.cid_b = t.id_b"),
     "q_near_dedup" ->
-      (s"WITH RECURSIVE $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
-        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
-        s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
-        s"ON a.id < b.id AND ($sqlBandCond)), " +
-        "e AS (SELECT c.cid_a AS u, c.cid_b AS v FROM cands c " +
-        "JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
-        "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
-        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5), " +
-        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
-        "reach(u, v) AS (SELECT u, v FROM sym " +
-        "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
-        "comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component " +
-        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
+      (s"WITH RECURSIVE $sqlNearDedupCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
+    "q_near_dedup_best" ->
+      (s"WITH RECURSIVE $sqlNearDedupCtes, " +
+        s"q AS ($sqlTextStats), " +
+        "sc AS (SELECT c.doc_id, c.component, q.quality AS score FROM comp c " +
+        "JOIN q ON q.doc_id = c.doc_id), " +
+        "k AS (SELECT component, doc_id AS keeper_id FROM " +
+        "(SELECT component, doc_id, row_number() OVER " +
+        "(PARTITION BY component ORDER BY score DESC, doc_id) AS rk FROM sc) " +
+        "WHERE rk = 1) " +
+        "SELECT sc.doc_id, sc.component, sc.score, k.keeper_id, " +
+        "sc.doc_id = k.keeper_id AS is_keeper FROM sc " +
+        "JOIN k ON sc.component = k.component"),
     "q_simhash" ->
       (s"WITH $sqlTokCte, $sqlSimHashSums " +
         s"SELECT doc_id AS id, CAST($sqlSimHashValue AS BIGINT) AS simhash FROM sums"),
@@ -2524,6 +2534,25 @@ object SparkEntry {
     (0 until NearDup.NumHashes)
       .map(k => s"min((a + ${k + 1} * b) & ${NearDup.HashMask}) AS h$k")
       .mkString(", ")
+
+  /** The full MinHash-LSH -> verified-pairs -> connected-components chain
+    * ending in `comp(doc_id, component)` — shared by q_near_dedup and
+    * q_near_dedup_best (must follow a WITH RECURSIVE).
+    */
+  private lazy val sqlNearDedupCtes: String =
+    s"$sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
+      s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
+      s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
+      s"ON a.id < b.id AND ($sqlBandCond)), " +
+      "e AS (SELECT c.cid_a AS u, c.cid_b AS v FROM cands c " +
+      "JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
+      "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
+      "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5), " +
+      "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+      "reach(u, v) AS (SELECT u, v FROM sym " +
+      "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
+      "comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component " +
+      "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id)"
 
   private val sqlBandCond: String =
     (0 until NearDup.Bands).map { b =>

@@ -409,6 +409,39 @@ object NearDup {
       (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** [[dedupByNearDup]] with QUALITY survivorship: the keeper of each
+    * near-dup cluster is the member with the highest score (tie-break:
+    * lowest id), not the smallest id — the policy production dedup
+    * actually wants (keep the cleanest copy of a boilerplate-mangled
+    * family, not the one that happened to crawl first). Mirrors the
+    * exact-dedup tier's best-by-score survivor so both tiers offer the
+    * same policy pair (canonical-id / best-by-score).
+    *
+    * `scores`: (idCol, score) — one row per doc (e.g. qualityScore
+    * output). Output: (idCol, component, score, keeper_id, is_keeper).
+    *
+    * Scale shape: clustering is the banded-LSH + large/small-star CC
+    * path of [[dedupByNearDup]]; survivorship adds one equi-join with the
+    * score table and a per-component window — component keys, bounded by
+    * cluster sizes, no global hot key.
+    */
+  def dedupByNearDupBest(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double,
+                         scores: DataFrame): DataFrame = {
+    val comp = dedupByNearDup(df, idCol, textCol, n, threshold)
+      .select(col(idCol), col("component"))
+    val scored = comp.join(scores, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("score").desc, col(idCol))
+    val keep = scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("component"), col(idCol).as("keeper_id"))
+    scored.join(keep, Seq("component"))
+      .select(col(idCol), col("component"), col("score"), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).as("is_keeper"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   val SimHashBits = 60

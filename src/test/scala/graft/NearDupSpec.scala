@@ -120,6 +120,33 @@ class NearDupSpec extends SparkSpec {
     assert(ded.filter($"is_canonical").count() == 40)
   }
 
+  test("dedupByNearDupBest keeps the highest-scoring cluster member") {
+    // docs 1,2 identical text (one cluster), 3 unrelated (singleton)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val scores = Seq((1L, 10L), (2L, 99L), (3L, 5L)).toDF("doc_id", "score")
+    val out = NearDup.dedupByNearDupBest(corpus, "doc_id", "text", 3, 0.5, scores)
+      .select("doc_id", "component", "keeper_id", "is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // cluster {1,2}: component=1 (min id) but keeper=2 (best score)
+    assert(out == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 3L, 3L, true)))
+  }
+
+  test("dedupByNearDupBest tie-breaks equal scores by lowest id") {
+    val corpus = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val scores = Seq((7L, 5L), (9L, 5L)).toDF("doc_id", "score")
+    val keep = NearDup.dedupByNearDupBest(corpus, "doc_id", "text", 3, 0.5, scores)
+      .filter($"is_keeper").select("doc_id").as[Long].collect().toSeq
+    assert(keep == Seq(7L))
+  }
+
   test("minhash signature of identical docs is identical") {
     val sig = NearDup.minhashSignatures(NearDup.shingles(docs, "doc_id", "text", 3))
     val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
