@@ -80,6 +80,34 @@ class PlanGuaranteesSpec extends SparkSpec {
     }
   }
 
+  test("oov vocab join is a broadcast (construction-bounded build side)") {
+    // The vocab is LIMIT vocabSize rows by construction — the one join
+    // shape where a forced broadcast is correct at any corpus size.
+    val p = plan("q_oov_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("boilerplate flagged-set join carries no forced broadcast hint") {
+    // Flagged segments are usually few but are NOT bounded by
+    // construction (a pathological corpus can flag arbitrarily many) —
+    // same reasoning as the per-doc count joins below: let AQE decide.
+    for (q <- Seq("q_boilerplate_remove", "q_intradoc_dedup")) {
+      val analyzed =
+        SparkEntry.queries(q)(spark, sf0001).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint (strategy=broadcast)"),
+        s"$q analyzed plan carries a forced broadcast hint:\n$analyzed")
+    }
+  }
+
+  test("token-budget cumsum never plans an empty-PARTITION-BY window") {
+    // The grouped prefix scan must window by (__pid, stratum) — a global
+    // or stratum-only window is the parallelism cliff runningTotalBy
+    // exists to avoid.
+    val p = plan("q_token_budget")
+    assert(p.contains("__pid"), p)
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\], \\[.*"), p)
+  }
+
   test("per-doc count joins carry no forced broadcast hint (unbounded build at scale)") {
     // The counts side of the Jaccard family has one row PER DOCUMENT — a
     // forced broadcast() there is a driver OOM at corpus scale. Assert on
