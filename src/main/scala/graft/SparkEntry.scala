@@ -566,6 +566,13 @@ object SparkEntry {
     "q_near_dedup" -> ((s, dir) =>
       NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- Dedup audit: cluster-size distribution of the near-dup
+    // components — where the duplicate mass sits (big families vs
+    // singleton noise). Two hash aggregates over the composite.
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      ConnectedComponents.sizeHistogram(
+        NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.5))),
+
     // ---- Same composite with QUALITY survivorship: keeper = best
     // quality in the cluster (tie-break lowest id) — the policy twin of
     // the exact tier's best-by-score survivor.
@@ -1831,6 +1838,12 @@ object SparkEntry {
     "q_near_dedup" ->
       (s"WITH RECURSIVE $sqlNearDedupCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
+    "q_dedup_cluster_sizes" ->
+      (s"WITH RECURSIVE $sqlNearDedupCtes, " +
+        "cs AS (SELECT component, count(*) AS cluster_size FROM comp " +
+        "GROUP BY component) " +
+        "SELECT cluster_size, count(*) AS n_clusters FROM cs " +
+        "GROUP BY cluster_size"),
     "q_near_dedup_best" ->
       (s"WITH RECURSIVE $sqlNearDedupCtes, " +
         s"q AS ($sqlTextStats), " +

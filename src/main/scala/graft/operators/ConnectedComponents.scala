@@ -89,4 +89,17 @@ object ConnectedComponents {
       .agg(min(col("comp")).as("mc"))
       .select(col("id"), coalesce(col("mc"), col("id")).as("component"))
   }
+
+  /** Cluster-size distribution of a component assignment — the dedup
+    * audit that says where the duplicate mass sits (a corpus where 1% of
+    * clusters hold 50% of docs needs the survivorship policy reviewed; a
+    * flat histogram says dedup is mostly exact-singleton noise). One row
+    * per observed size: (cluster_size, n_clusters). Two map-side-
+    * combinable hash aggregates — component keys then size keys, both
+    * corpus-linear.
+    */
+  def sizeHistogram(comp: DataFrame,
+                    componentCol: String = "component"): DataFrame =
+    comp.groupBy(col(componentCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 }

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * worst case on purpose: true-pair output grows ~R² per replicated doc
   * (10x input -> ~1000x pairs for minhash_lsh_pairs) while a
   * posting/band-join operator's RUNTIME must still track input size, not
-  * output-pair potential. Measured (sf0.1 base, local[32]): every probe's
-  * 10x time ratio lands in 1.1-7.4 — at or below the 10x data ratio —
-  * with minhash_lsh_pairs at 6.1x while emitting ~975x the pairs.
+  * output-pair potential. Measured (sf0.1 base, local[32], run-to-run
+  * spread is real on a shared box): scan/agg-shaped probes land at 0.9-2.6
+  * for 10x data (boilerplate_remove 2.6, dup_ngram_stats 1.2,
+  * exact_dedup 1.9); the pair-emitting worst case minhash_lsh_pairs has
+  * ranged 6-14x across runs while emitting ~975x the pairs — output
+  * cardinality, not join blowup.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
