@@ -95,10 +95,25 @@ object Boilerplate {
     * in the cheap codegen stage, never re-shuffled.
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, minDocs: Int): DataFrame = {
+                        k: Int, minDocs: Int): DataFrame =
+    removeBoilerplateWith(df, idCol, textCol, k,
+      segmentPrevalence(df, idCol, textCol, k, minDocs))
+
+  /** [[removeBoilerplate]] against a STANDING flagged-segment table
+    * (any DataFrame with a `segment` column — e.g. a persisted
+    * [[segmentPrevalence]] audit). The two-phase split production wants:
+    * compute prevalence once over the full corpus, then apply the same
+    * flagged set to later batches or at stream ingest (the flagged table
+    * is the static side of a stream-static join, re-planned per
+    * micro-batch like EventOps.enrichStream) — without re-scanning the
+    * corpus that defined it.
+    */
+  def removeBoilerplateWith(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, flaggedSegments: DataFrame): DataFrame = {
     val seg = segments(df, idCol, textCol, k)
-    val flagged = segmentPrevalence(df, idCol, textCol, k, minDocs)
-      .select(col("segment"), lit(true).as("_flag"))
+    val flagged = flaggedSegments
+      .select(col("segment")).distinct()
+      .withColumn("_flag", lit(true))
     val marked = seg.join(flagged, Seq("segment"), "left")
     rebuildKept(marked, idCol, col("_flag").isNull)
   }

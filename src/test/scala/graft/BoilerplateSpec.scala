@@ -62,6 +62,19 @@ class BoilerplateSpec extends SparkSpec {
       (2L, "x y z w", 2L, 0L)))
   }
 
+  test("a standing flagged set applies to a batch that never saw the audit") {
+    val flagged = Boilerplate.segmentPrevalence(corpus, "doc_id", "text", 3, 3)
+    val newBatch = Seq(
+      (10L, "cookie banner text fresh content here"),
+      (11L, "totally novel words only")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplateWith(newBatch, "doc_id", "text", 3, flagged)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, "fresh content here", 2L, 1L),
+      (11L, "totally novel words only", 2L, 0L)))
+  }
+
   test("intra-doc dedup is idempotent and composes with removeBoilerplate") {
     val once = Boilerplate.dedupSegmentsWithinDoc(corpus, "doc_id", "text", 3)
     val twice = Boilerplate.dedupSegmentsWithinDoc(

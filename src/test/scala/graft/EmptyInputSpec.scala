@@ -102,6 +102,29 @@ class EmptyInputSpec extends SparkSpec {
       graft.functions.md5hash60(col("text"))).count() == 0)
   }
 
+  test("round-6 curation additions tolerate empty input") {
+    assert(Boilerplate.segmentPrevalence(noDocs, "doc_id", "text", 3, 2).count() == 0)
+    assert(Boilerplate.removeBoilerplate(noDocs, "doc_id", "text", 3, 2).count() == 0)
+    assert(Boilerplate.dedupSegmentsWithinDoc(noDocs, "doc_id", "text", 2).count() == 0)
+    // standing flagged set applied to a fresh batch: empty either side
+    assert(Boilerplate.removeBoilerplateWith(noDocs, "doc_id", "text", 3,
+      Seq("alpha beta gamma").toDF("segment")).count() == 0)
+    val keptAll = Boilerplate.removeBoilerplateWith(someDocs, "doc_id", "text", 3,
+      Seq.empty[String].toDF("segment"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(keptAll == Seq((1L, "alpha beta gamma delta epsilon zeta", 2L, 0L)))
+    assert(TextOps.oovStats(noDocs, "doc_id", "text", 5).count() == 0)
+    assert(TextOps.dupNgramStats(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(Sampling.tokenBudgetSelect(
+      Seq.empty[(Long, String, Long, Long)]
+        .toDF("doc_id", "source", "quality", "n_tokens"),
+      "doc_id", "source", "quality", "n_tokens", 100L).count() == 0)
+    assert(ConnectedComponents.sizeHistogram(
+      Seq.empty[(Long, Long)].toDF("id", "component")).count() == 0)
+    assert(NearDup.dedupByNearDupBest(noDocs, "doc_id", "text", 3, 0.5,
+      Seq.empty[(Long, Long)].toDF("doc_id", "score")).count() == 0)
+  }
+
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
     assert(Sampling.weightedSample(
