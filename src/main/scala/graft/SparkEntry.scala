@@ -1848,10 +1848,10 @@ object SparkEntry {
       (s"WITH RECURSIVE $sqlNearDedupCtes, " +
         s"q AS ($sqlTextStats), " +
         "sc AS (SELECT c.doc_id, c.component, q.quality AS score FROM comp c " +
-        "JOIN q ON q.doc_id = c.doc_id), " +
+        "LEFT JOIN q ON q.doc_id = c.doc_id), " +
         "k AS (SELECT component, doc_id AS keeper_id FROM " +
         "(SELECT component, doc_id, row_number() OVER " +
-        "(PARTITION BY component ORDER BY score DESC, doc_id) AS rk FROM sc) " +
+        "(PARTITION BY component ORDER BY score DESC NULLS LAST, doc_id) AS rk FROM sc) " +
         "WHERE rk = 1) " +
         "SELECT sc.doc_id, sc.component, sc.score, k.keeper_id, " +
         "sc.doc_id = k.keeper_id AS is_keeper FROM sc " +

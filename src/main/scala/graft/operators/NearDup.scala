@@ -430,10 +430,13 @@ object NearDup {
                          scores: DataFrame): DataFrame = {
     val comp = dedupByNearDup(df, idCol, textCol, n, threshold)
       .select(col(idCol), col("component"))
-    val scored = comp.join(scores, Seq(idCol))
+    // LEFT join: a doc missing from the score table must not silently
+    // vanish from a DEDUP result — it stays, ranked below every scored
+    // member (desc_nulls_last on both engines).
+    val scored = comp.join(scores, Seq(idCol), "left")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
-      .orderBy(col("score").desc, col(idCol))
+      .orderBy(col("score").desc_nulls_last, col(idCol))
     val keep = scored.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .select(col("component"), col(idCol).as("keeper_id"))

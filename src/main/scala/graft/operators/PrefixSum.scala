@@ -116,7 +116,13 @@ object PrefixSum {
         org.apache.spark.sql.types.LongType)))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows, 1), offSchema)
-    local.join(broadcast(offDf), Seq("__pid", groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    // Null-safe group match: a null group key is a legitimate group (all
+    // upstream stages — range partition, window, totals — already treat
+    // it as one), and a plain equi-join would silently DROP its rows here.
+    local.join(broadcast(offDf),
+        local("__pid") === offDf("__pid") && local(groupCol) <=> offDf("__g"))
+      .drop(offDf("__pid")).drop("__g")
       .withColumn(s"cum_$valueCol", col("__local") + col("__off"))
       .drop("__pid", "__local", "__off")
   }

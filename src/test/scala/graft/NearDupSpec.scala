@@ -147,6 +147,22 @@ class NearDupSpec extends SparkSpec {
     assert(keep == Seq(7L))
   }
 
+  test("dedupByNearDupBest keeps docs missing from the score table") {
+    // doc 2 has no score row: it must survive (null score), rank below
+    // every scored clustermate, and never be chosen keeper over one
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val scores = Seq((1L, 10L), (3L, 5L)).toDF("doc_id", "score")
+    val out = NearDup.dedupByNearDupBest(corpus, "doc_id", "text", 3, 0.5, scores)
+      .select($"doc_id", $"keeper_id", $"is_keeper", $"score".isNull.as("ns"))
+      .as[(Long, Long, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, true, false), (2L, 1L, false, true), (3L, 3L, true, false)))
+  }
+
   test("minhash signature of identical docs is identical") {
     val sig = NearDup.minhashSignatures(NearDup.shingles(docs, "doc_id", "text", 3))
     val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap

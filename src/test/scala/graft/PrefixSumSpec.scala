@@ -57,6 +57,22 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("grouped scan keeps a null group key as its own running total") {
+    // null stratum is a legitimate group: rows must neither vanish at the
+    // offsets join nor merge into a non-null group
+    val df = Seq(
+      (Option("a"), 1L, 10L), (None, 2L, 5L), (Option("a"), 3L, 20L),
+      (None, 4L, 7L), (None, 5L, 1L)
+    ).toDF("g", "k", "v")
+    for (parts <- Seq(1, 4)) {
+      val got = PrefixSum.runningTotalBy(df, "g", Seq("k"), "v", parts)
+        .select("k", "cum_v").as[(Long, Long)].collect().toMap
+      assert(got ==
+        Map(1L -> 10L, 3L -> 30L, 2L -> 5L, 4L -> 12L, 5L -> 13L),
+        s"parts=$parts")
+    }
+  }
+
   test("grouped scan descends by a negated order column deterministically") {
     // One group, order by -v: cum over v desc
     val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L))
