@@ -631,6 +631,19 @@ object SparkEntry {
     "q_embed_dedup" -> ((s, dir) =>
       Ann.dedupByCosine(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
 
+    // ---- Semantic decontamination: every TRAIN-split vector flagged if
+    // its cosine to any EVAL-split vector (the held-out benchmark stand-in,
+    // vec_id % 20 == 0) reaches 0.3 — the embedding twin of
+    // q_decontam_13gram / q_contamination, catching paraphrased leakage
+    // that n-gram overlap misses. Clean rows survive with n_hits = 0.
+    "q_semantic_contam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.semanticContamination(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", 0.3)
+    }),
+
     // ---- Multimodal: binary payload metadata (length, sha256, chunk
     // count, stub-decoded dims). Pure codegen projection over binary.
     "q_media_meta" -> ((s, dir) =>
@@ -2065,6 +2078,23 @@ object SparkEntry {
         "comp AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS component " +
         "FROM embeddings m LEFT JOIN reach r ON r.u = m.vec_id GROUP BY m.vec_id) " +
         "SELECT vec_id, component, vec_id = component AS is_canonical FROM comp"),
+    "q_semantic_contam" ->
+      (s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings), " +
+        "tr AS (SELECT * FROM bk WHERE vec_id % 20 <> 0), " +
+        "ev AS (SELECT * FROM bk WHERE vec_id % 20 = 0), " +
+        "hits AS (SELECT * FROM (SELECT t.vec_id, e.vec_id AS eval_id, " +
+        s"${sqlDot("t.embedding", "e.embedding")} / " +
+        s"(sqrt(${sqlDot("t.embedding", "t.embedding")}) * " +
+        s"sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+        "FROM tr t JOIN ev e ON t.bucket = e.bucket) WHERE sim >= 0.3), " +
+        "rk AS (SELECT vec_id, eval_id, sim, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk FROM hits), " +
+        "agg AS (SELECT vec_id, count(*) AS n_hits, max(sim) AS max_sim, " +
+        "max(CASE WHEN rk = 1 THEN eval_id END) AS top_eval_id " +
+        "FROM rk GROUP BY vec_id) " +
+        "SELECT t.vec_id, coalesce(a.n_hits, 0) AS n_hits, a.max_sim, " +
+        "a.top_eval_id, coalesce(a.n_hits, 0) > 0 AS contaminated " +
+        "FROM tr t LEFT JOIN agg a ON t.vec_id = a.vec_id"),
     "q_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
         "scored AS (SELECT q.qid, e.vec_id, " +

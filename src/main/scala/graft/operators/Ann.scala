@@ -286,6 +286,56 @@ object Ann {
       (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** Semantic (embedding-space) decontamination — the similarity twin of
+    * the exact 13-gram and winnowing contamination tiers: flag every
+    * corpus vector whose cosine to ANY eval-set vector reaches
+    * `threshold`. Paraphrased benchmark leakage survives n-gram checks
+    * (no 13-gram overlap) but not an embedding check, so production
+    * pipelines run both; this completes the pair.
+    *
+    * Output: one row per CORPUS vector — (vec_id, n_hits, max_sim,
+    * top_eval_id, contaminated). A clean vector keeps n_hits = 0 and null
+    * sim/eval id (LEFT join: decontamination must never silently drop the
+    * clean rows it exists to keep). top_eval_id is the best-matching eval
+    * vector (ties: lowest id) — the audit column a removal decision cites.
+    *
+    * Scale shape: candidates are hyperplane-bucket equi-join matches
+    * ([[bucketId]], never |corpus|×|eval| scoring), exact-verified with
+    * the codegen dot kernel; the eval side (a benchmark suite — thousands
+    * of rows, not billions) carries real stats, so Catalyst broadcasts it
+    * unhinted and the corpus side stays a linear scan. Per-vector window
+    * and aggregate share one `vec_id` shuffle. Recall at one table follows
+    * the [[cosineDupPairs]] analysis; production stacks seed-variant plane
+    * tables for recall the way MinHash stacks bands.
+    */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, embCol: String,
+                            threshold: Double): DataFrame = {
+    val c = withNorm(corpus, embCol)
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"),
+        bucketId(col("emb_d")).as("bucket"))
+    val e = withNorm(evalSet, embCol)
+      .select(col(idCol).as("eval_id"), col("emb_d").as("emb_e"),
+        col("norm").as("norm_e"), bucketId(col("emb_d")).as("bucket"))
+    val hits = c.join(e, Seq("bucket"))
+      .select(col("vec_id"), col("eval_id"),
+        (dot(col("emb_d"), col("emb_e")) /
+          (col("norm") * col("norm_e"))).as("sim"))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("eval_id"))
+    val agg = hits.withColumn("_rk", row_number().over(w))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"),
+        max(when(col("_rk") === 1, col("eval_id"))).as("top_eval_id"))
+    corpus.select(col(idCol).as("vec_id"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_sim"), col("top_eval_id"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Bucketed approximate top-k: candidates share the query's bucket or any
     * bucket within Hamming distance 2 (multi-probe), scored exactly, top-k
     * per query. Same output shape as [[cosineTopK]]; recall is measured in

@@ -107,6 +107,61 @@ class AnnSpec extends SparkSpec {
     assert(got.nonEmpty)   // threshold chosen so the fixture yields pairs
   }
 
+  test("semanticContamination flags leaked vectors, keeps clean rows, tie-breaks by eval id") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(Ann.Dim)(rnd.nextGaussian().toFloat)
+    // t1 leaked (identical to BOTH eval vectors), t2 is the exact
+    // antipode: sim -1 whatever the buckets do, so never contaminated
+    val train = Seq((1L, base), (2L, base.map(-_)))
+    val eval = Seq((100L, base), (101L, base))
+    val out = Ann.semanticContamination(
+      train.toDF("vec_id", "embedding"), eval.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0.9)
+      .select($"vec_id", $"n_hits", $"top_eval_id".cast("long"),
+        $"contaminated")
+      .as[(Long, Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, Some(100L), true), (2L, 0L, None, false)))
+  }
+
+  test("semanticContamination matches brute force restricted to shared buckets") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def bucket(v: Array[Float]): Long = {
+      val d = v.map(_.toDouble).toSeq
+      Ann.planes.zipWithIndex.map { case (pl, p) =>
+        if (dot(d, pl) >= 0) 1L << p else 0L
+      }.sum
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (da, db) = (a.map(_.toDouble).toSeq, b.map(_.toDouble).toSeq)
+      dot(da, db) / (math.sqrt(dot(da, da)) * math.sqrt(dot(db, db)))
+    }
+    val (ev, tr) = vecs.partition(_._1 % 20 == 0)
+    val expected = tr.map { case (it, vt) =>
+      val hits = ev.filter { case (_, vev) =>
+        bucket(vt) == bucket(vev) && cos(vt, vev) >= 0.2 }
+        .map { case (ie, vev) => (ie, cos(vt, vev)) }
+      it -> (hits.length.toLong,
+        hits.sortBy { case (ie, s) => (-s, ie) }.headOption.map(_._1))
+    }.toMap
+    val got = Ann.semanticContamination(
+      emb.filter($"vec_id" % 20 =!= 0), emb.filter($"vec_id" % 20 === 0),
+      "vec_id", "embedding", 0.2)
+      .select($"vec_id", $"n_hits", $"top_eval_id".cast("long"), $"contaminated")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    assert(got.length == tr.length)   // every train row survives
+    got.foreach { case (id, n, top, flag) =>
+      val (en, etop) = expected(id)
+      assert(n == en && top == etop && flag == (en > 0), s"vec $id")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4))   // both regimes present
+  }
+
   test("dedupByCosine: components are the transitive closure of dup pairs, keeper is min id") {
     val pairs = Ann.cosineDupPairs(emb, "vec_id", "embedding", 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -76,6 +76,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.labelCentroids(noEmb, "label", "embedding").count() == 0)
     assert(Ann.knnLabelEval(noEmb, "vec_id", "embedding", "label",
       col("vec_id") % 2 === 0, 3).count() == 0)
+    assert(Ann.semanticContamination(noEmb, noEmb,
+      "vec_id", "embedding", 0.3).count() == 0)
+    // a corpus screened against an EMPTY eval set comes back whole, clean
+    val someEmb = Seq((1L, Seq.fill(Ann.Dim)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val clean = Ann.semanticContamination(someEmb, noEmb,
+      "vec_id", "embedding", 0.3)
+      .select($"vec_id", $"n_hits", $"contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(clean == Seq((1L, 0L, false)))
   }
 
   test("round-6 additions tolerate empty and degenerate input") {
