@@ -625,6 +625,13 @@ object SparkEntry {
     "q_embed_dup_pairs" -> ((s, dir) =>
       Ann.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
 
+    // ---- Same pairs through THREE stacked seed-variant plane tables —
+    // the production recall configuration (1-(1-p)^3 per-pair survival);
+    // candidates are (table, bucket) postings, MinHash-band style.
+    "q_embed_dup_stacked" -> ((s, dir) =>
+      Ann.stackedDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        0.3, 3)),
+
     // ---- Embedding-space corpus dedup composite: cosine dup pairs → CC →
     // canonical keeper per cluster (the semantic twin of q_near_dedup).
     // Oracled end-to-end: bucket/cosine SQL + recursive-CTE closure.
@@ -2078,6 +2085,20 @@ object SparkEntry {
         "comp AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS component " +
         "FROM embeddings m LEFT JOIN reach r ON r.u = m.vec_id GROUP BY m.vec_id) " +
         "SELECT vec_id, component, vec_id = component AS is_canonical FROM comp"),
+    "q_embed_dup_stacked" ->
+      ("WITH tb AS (" +
+        (0 until 3).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${sqlBucketFor("embedding", t)} AS bucket FROM embeddings")
+          .mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+        "AND a.vec_id < b.vec_id) " +
+        "SELECT * FROM (SELECT c.id_a, c.id_b, " +
+        s"${sqlDot("ea.embedding", "eb.embedding")} / " +
+        s"(sqrt(${sqlDot("ea.embedding", "ea.embedding")}) * " +
+        s"sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS sim " +
+        "FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
+        "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE sim >= 0.3"),
     "q_semantic_contam" ->
       (s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings), " +
         "tr AS (SELECT * FROM bk WHERE vec_id % 20 <> 0), " +
@@ -2506,8 +2527,13 @@ object SparkEntry {
     * sequential-fold projection onto the ±1 plane literal — exact FP parity
     * with the Spark side, so bucket ids match bit-for-bit.
     */
-  private def sqlBucket(v: String): String =
-    Ann.planes.zipWithIndex.map { case (pl, p) =>
+  private def sqlBucket(v: String): String = sqlBucketFor(v, 0)
+
+  /** Bucket id under seed-variant plane table `t` (mirrors
+    * Ann.bucketIdFor) — table 0 is the original sqlBucket expression.
+    */
+  private def sqlBucketFor(v: String, t: Int): String =
+    Ann.planesFor(t).zipWithIndex.map { case (pl, p) =>
       val lst = pl.map(x => if (x > 0) "1.0" else "-1.0")
         .mkString("list_value(", ",", ")")
       s"(CASE WHEN ${sqlDot(v, lst)} >= 0 THEN ${1L << p} ELSE 0 END)"

@@ -79,14 +79,26 @@ object Ann {
   /** Deterministic ±1 hyperplanes (seeded; public knowledge: random signed
     * projections preserve cosine — Charikar'02 SimHash for vectors).
     */
-  private[graft] val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
+  private def mkPlanes(seed: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Seq.fill(LshBits, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  private[graft] val planes: Seq[Seq[Double]] = mkPlanes(42)
+
+  /** Seed-variant plane table `t` — table 0 IS [[planes]], so every
+    * single-table caller (and its oracle hash) is unchanged; tables 1+ are
+    * independent draws that [[stackedDupPairs]] unions for recall.
+    */
+  private[graft] def planesFor(t: Int): Seq[Seq[Double]] =
+    if (t == 0) planes else mkPlanes(42 + t)
+
   /** LSH bucket id: bit p = sign of the projection onto plane p. */
-  def bucketId(embD: Column): Column =
-    planes.zipWithIndex.map { case (pl, p) =>
+  def bucketId(embD: Column): Column = bucketIdFor(embD, 0)
+
+  /** Bucket id under seed-variant plane table `t`. */
+  def bucketIdFor(embD: Column, t: Int): Column =
+    planesFor(t).zipWithIndex.map { case (pl, p) =>
       val plLit = array(pl.map(lit): _*)
       when(dot(embD, plLit) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -265,6 +277,40 @@ object Ann {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.emb_d"), col("b.emb_d")) /
           (col("a.norm") * col("b.norm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** [[cosineDupPairs]] with STACKED seed-variant plane tables — the
+    * recall lever the single-table variant's Scaladoc points at: a true
+    * near-dup pair survives a table with p = (1 - θ/π)^[[LshBits]], so
+    * stacking T independent tables lifts recall to 1 - (1-p)^T exactly the
+    * way MinHash stacks bands (for cos 0.9: p ≈ 0.27 per 8-bit table,
+    * ≈ 0.61 at T = 3). Same output contract as [[cosineDupPairs]]
+    * (id_a < id_b, sim >= threshold); T = 1 is bit-identical to it.
+    *
+    * Scale shape: per-table buckets posexplode to (table, bucket) postings
+    * — the MinHash band layout — so candidates stay an equi-join, shuffle
+    * linear in T·N; `distinct` collapses multi-table hits BEFORE the two
+    * verify joins, so each surviving pair is scored once.
+    */
+  def stackedDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                      threshold: Double, nTables: Int = 3): DataFrame = {
+    val c = withNorm(emb, embCol)
+      .select(col(idCol).as("id"), col("emb_d"), col("norm"))
+    val tb = c.select(col("id"), posexplode(array(
+        (0 until nTables).map(t => bucketIdFor(col("emb_d"), t)): _*))
+      .as(Seq("tbl", "bucket")))
+    val cands = tb.as("a").join(tb.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(c.as("sa"), col("id_a") === col("sa.id"))
+      .join(c.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("sa.emb_d"), col("sb.emb_d")) /
+          (col("sa.norm") * col("sb.norm"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

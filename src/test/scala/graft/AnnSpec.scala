@@ -107,6 +107,40 @@ class AnnSpec extends SparkSpec {
     assert(got.nonEmpty)   // threshold chosen so the fixture yields pairs
   }
 
+  test("stackedDupPairs: T=1 equals cosineDupPairs; T=3 matches brute force and lifts recall") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def bucket(v: Array[Float], t: Int): Long = {
+      val d = v.map(_.toDouble).toSeq
+      Ann.planesFor(t).zipWithIndex.map { case (pl, p) =>
+        if (dot(d, pl) >= 0) 1L << p else 0L
+      }.sum
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (da, db) = (a.map(_.toDouble).toSeq, b.map(_.toDouble).toSeq)
+      dot(da, db) / (math.sqrt(dot(da, da)) * math.sqrt(dot(db, db)))
+    }
+    val one = Ann.stackedDupPairs(emb, "vec_id", "embedding", 0.2, 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = Ann.cosineDupPairs(emb, "vec_id", "embedding", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(one == single)
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && (0 until 3).exists(t => bucket(va, t) == bucket(vb, t)) &&
+        cos(va, vb) >= 0.2
+    } yield (ia, ib)).toSet
+    val stacked = Ann.stackedDupPairs(emb, "vec_id", "embedding", 0.2, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(stacked == expected)
+    // the whole point: more true pairs survive three tables than one
+    assert(single.subsetOf(stacked) && stacked.size > single.size)
+  }
+
   test("semanticContamination flags leaked vectors, keeps clean rows, tie-breaks by eval id") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(Ann.Dim)(rnd.nextGaussian().toFloat)
