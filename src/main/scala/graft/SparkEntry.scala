@@ -632,6 +632,13 @@ object SparkEntry {
       Ann.stackedDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         0.3, 3)),
 
+    // ---- Recall audit: stacked-table candidates vs exact cosine truth on
+    // a deterministic sample tier (vec_id % 5 — the explicit bound on the
+    // one deliberate n²). One audit row; q_lsh_recall's embedding twin.
+    "q_ann_recall" -> ((s, dir) =>
+      Ann.embeddingRecallEval(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") % 5 === 0, 0.3, 3)),
+
     // ---- Embedding-space corpus dedup composite: cosine dup pairs → CC →
     // canonical keeper per cluster (the semantic twin of q_near_dedup).
     // Oracled end-to-end: bucket/cosine SQL + recursive-CTE closure.
@@ -643,12 +650,14 @@ object SparkEntry {
     // vec_id % 20 == 0) reaches 0.3 — the embedding twin of
     // q_decontam_13gram / q_contamination, catching paraphrased leakage
     // that n-gram overlap misses. Clean rows survive with n_hits = 0.
+    // Runs the 3-stacked-table recall configuration: a missed leaked pair
+    // costs a benchmark, so this tier gets the high-recall setting.
     "q_semantic_contam" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.semanticContamination(
         emb.filter(col("vec_id") % 20 =!= 0),
         emb.filter(col("vec_id") % 20 === 0),
-        "vec_id", "embedding", 0.3)
+        "vec_id", "embedding", 0.3, nTables = 3)
     }),
 
     // ---- Multimodal: binary payload metadata (length, sha256, chunk
@@ -2099,15 +2108,40 @@ object SparkEntry {
         s"sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS sim " +
         "FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
         "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE sim >= 0.3"),
+    "q_ann_recall" ->
+      ("WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0), " +
+        "truth AS (SELECT id_a, id_b FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${sqlDot("a.embedding", "b.embedding")} / " +
+        s"(sqrt(${sqlDot("a.embedding", "a.embedding")}) * " +
+        s"sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim " +
+        "FROM s a JOIN s b ON a.vec_id < b.vec_id) WHERE sim >= 0.3), " +
+        "tb AS (" +
+        (0 until 3).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${sqlBucketFor("embedding", t)} AS bucket FROM s")
+          .mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS cid_a, b.vec_id AS cid_b " +
+        "FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+        "AND a.vec_id < b.vec_id) " +
+        "SELECT count(*) AS n_true, " +
+        "CAST(coalesce(sum(CASE WHEN c.cid_a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_caught, " +
+        "CASE WHEN count(*) > 0 THEN " +
+        "CAST(coalesce(sum(CASE WHEN c.cid_a IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) " +
+        "END AS recall " +
+        "FROM truth t LEFT JOIN cand c ON c.cid_a = t.id_a AND c.cid_b = t.id_b"),
     "q_semantic_contam" ->
-      (s"WITH bk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings), " +
-        "tr AS (SELECT * FROM bk WHERE vec_id % 20 <> 0), " +
-        "ev AS (SELECT * FROM bk WHERE vec_id % 20 = 0), " +
-        "hits AS (SELECT * FROM (SELECT t.vec_id, e.vec_id AS eval_id, " +
-        s"${sqlDot("t.embedding", "e.embedding")} / " +
-        s"(sqrt(${sqlDot("t.embedding", "t.embedding")}) * " +
-        s"sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
-        "FROM tr t JOIN ev e ON t.bucket = e.bucket) WHERE sim >= 0.3), " +
+      ("WITH tb AS (" +
+        (0 until 3).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${sqlBucketFor("embedding", t)} AS bucket FROM embeddings")
+          .mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS eval_id " +
+        "FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+        "WHERE a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0), " +
+        "hits AS (SELECT * FROM (SELECT c.vec_id, c.eval_id, " +
+        s"${sqlDot("et.embedding", "ee.embedding")} / " +
+        s"(sqrt(${sqlDot("et.embedding", "et.embedding")}) * " +
+        s"sqrt(${sqlDot("ee.embedding", "ee.embedding")})) AS sim " +
+        "FROM cand c JOIN embeddings et ON et.vec_id = c.vec_id " +
+        "JOIN embeddings ee ON ee.vec_id = c.eval_id) WHERE sim >= 0.3), " +
         "rk AS (SELECT vec_id, eval_id, sim, row_number() OVER " +
         "(PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk FROM hits), " +
         "agg AS (SELECT vec_id, count(*) AS n_hits, max(sim) AS max_sim, " +
@@ -2115,7 +2149,8 @@ object SparkEntry {
         "FROM rk GROUP BY vec_id) " +
         "SELECT t.vec_id, coalesce(a.n_hits, 0) AS n_hits, a.max_sim, " +
         "a.top_eval_id, coalesce(a.n_hits, 0) > 0 AS contaminated " +
-        "FROM tr t LEFT JOIN agg a ON t.vec_id = a.vec_id"),
+        "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 0) t " +
+        "LEFT JOIN agg a ON t.vec_id = a.vec_id"),
     "q_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0), " +
         "scored AS (SELECT q.qid, e.vec_id, " +

@@ -314,6 +314,45 @@ object Ann {
       .filter(col("sim") >= threshold)
   }
 
+  /** Recall audit for the stacked-table embedding candidate generator —
+    * the embedding twin of [[NearDup.lshRecallEval]]: recall of
+    * [[stackedDupPairs]]' (table, bucket) candidates against the EXACT
+    * cosine ground truth at `threshold`, reduced to one audit row
+    * (n_true, n_caught, recall). The sample-tier-then-trust workflow: the
+    * exact side is all-pairs, so `samplePred` bounds the audit to a
+    * deterministic sample (the API makes the bound explicit — this is the
+    * ONE deliberate n² in the embedding family, on the sample only); the
+    * plane-table count is tuned until recall clears the bar, then only
+    * the bucketed path runs on the full corpus.
+    */
+  def embeddingRecallEval(emb: DataFrame, idCol: String, embCol: String,
+                          samplePred: Column, threshold: Double,
+                          nTables: Int = 3): DataFrame = {
+    val c = withNorm(emb.filter(samplePred), embCol)
+      .select(col(idCol).as("id"), col("emb_d"), col("norm"))
+    val truth = c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.emb_d"), col("b.emb_d")) /
+          (col("a.norm") * col("b.norm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b")
+    val tb = c.select(col("id"), posexplode(array(
+        (0 until nTables).map(t => bucketIdFor(col("emb_d"), t)): _*))
+      .as(Seq("tbl", "bucket")))
+    val cands = tb.as("a").join(tb.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    truth.join(cands, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum("hit"), lit(0L)).as("n_caught"))
+      .select(col("n_true"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** End-to-end embedding-space corpus dedup — the semantic twin of
     * [[NearDup.dedupByNearDup]]: cosine near-dup pairs (hyperplane-bucket
     * candidates, exact verify) → connected components → canonical
@@ -345,25 +384,35 @@ object Ann {
     * clean rows it exists to keep). top_eval_id is the best-matching eval
     * vector (ties: lowest id) — the audit column a removal decision cites.
     *
-    * Scale shape: candidates are hyperplane-bucket equi-join matches
-    * ([[bucketId]], never |corpus|×|eval| scoring), exact-verified with
-    * the codegen dot kernel; the eval side (a benchmark suite — thousands
-    * of rows, not billions) carries real stats, so Catalyst broadcasts it
-    * unhinted and the corpus side stays a linear scan. Per-vector window
-    * and aggregate share one `vec_id` shuffle. Recall at one table follows
-    * the [[cosineDupPairs]] analysis; production stacks seed-variant plane
-    * tables for recall the way MinHash stacks bands.
+    * Scale shape: candidates are hyperplane-bucket equi-join matches over
+    * `nTables` stacked seed-variant tables as (table, bucket) postings
+    * ([[bucketIdFor]], never |corpus|×|eval| scoring; multi-table hits
+    * collapse via distinct before verify), exact-verified with the codegen
+    * dot kernel; the eval side (a benchmark suite — thousands of rows, not
+    * billions) carries real stats, so Catalyst broadcasts it unhinted and
+    * the corpus side stays a linear scan. Per-vector window and aggregate
+    * share one `vec_id` shuffle. Per-table recall follows the
+    * [[cosineDupPairs]] analysis; `nTables` = 3 is [[stackedDupPairs]]'s
+    * production configuration — a missed leaked pair costs a benchmark,
+    * so decontamination wants the high-recall setting even more than
+    * dedup does.
     */
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
                             idCol: String, embCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, nTables: Int = 1): DataFrame = {
     val c = withNorm(corpus, embCol)
-      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"),
-        bucketId(col("emb_d")).as("bucket"))
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
     val e = withNorm(evalSet, embCol)
       .select(col(idCol).as("eval_id"), col("emb_d").as("emb_e"),
-        col("norm").as("norm_e"), bucketId(col("emb_d")).as("bucket"))
-    val hits = c.join(e, Seq("bucket"))
+        col("norm").as("norm_e"))
+    def postings(df: DataFrame, idc: String, embc: String): DataFrame =
+      df.select(col(idc), posexplode(array(
+          (0 until nTables).map(t => bucketIdFor(col(embc), t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val cands = postings(c, "vec_id", "emb_d")
+      .join(postings(e, "eval_id", "emb_e"), Seq("tbl", "bucket"))
+      .select("vec_id", "eval_id").distinct()
+    val hits = cands.join(c, Seq("vec_id")).join(e, Seq("eval_id"))
       .select(col("vec_id"), col("eval_id"),
         (dot(col("emb_d"), col("emb_e")) /
           (col("norm") * col("norm_e"))).as("sim"))

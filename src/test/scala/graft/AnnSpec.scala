@@ -141,6 +141,47 @@ class AnnSpec extends SparkSpec {
     assert(single.subsetOf(stacked) && stacked.size > single.size)
   }
 
+  test("embeddingRecallEval matches brute force; stacking tables lifts recall") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .filter(_._1 % 5 == 0)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def bucket(v: Array[Float], t: Int): Long = {
+      val d = v.map(_.toDouble).toSeq
+      Ann.planesFor(t).zipWithIndex.map { case (pl, p) =>
+        if (dot(d, pl) >= 0) 1L << p else 0L
+      }.sum
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (da, db) = (a.map(_.toDouble).toSeq, b.map(_.toDouble).toSeq)
+      dot(da, db) / (math.sqrt(dot(da, da)) * math.sqrt(dot(db, db)))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.2
+    } yield (ia, ib)).toSet
+    def expectCaught(nT: Int): Long = truth.count { case (ia, ib) =>
+      val (va, vb) = (vecs.find(_._1 == ia).get._2, vecs.find(_._1 == ib).get._2)
+      (0 until nT).exists(t => bucket(va, t) == bucket(vb, t))
+    }.toLong
+    def run(nT: Int): (Long, Long, Double) =
+      Ann.embeddingRecallEval(emb, "vec_id", "embedding",
+        $"vec_id" % 5 === 0, 0.2, nT)
+        .as[(Long, Long, Option[Double])].collect().head match {
+          case (t, c, r) => (t, c, r.getOrElse(-1.0))
+        }
+    val (t1, c1, r1) = run(1)
+    val (t3, c3, r3) = run(3)
+    assert(t1 == truth.size.toLong && t3 == truth.size.toLong)
+    assert(c1 == expectCaught(1) && c3 == expectCaught(3))
+    assert(math.abs(r1 - c1.toDouble / t1) < 1e-15)
+    assert(r3 > r1)   // the audit demonstrates the stacking win
+    info(f"stacked-table recall at t=0.2: T=1 $r1%.2f -> T=3 $r3%.2f")
+  }
+
   test("semanticContamination flags leaked vectors, keeps clean rows, tie-breaks by eval id") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(Ann.Dim)(rnd.nextGaussian().toFloat)
@@ -158,16 +199,16 @@ class AnnSpec extends SparkSpec {
       (1L, 2L, Some(100L), true), (2L, 0L, None, false)))
   }
 
-  test("semanticContamination matches brute force restricted to shared buckets") {
+  test("semanticContamination matches brute force restricted to shared buckets (T=1 and T=3)") {
     val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
     def dot(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    def bucket(v: Array[Float]): Long = {
+    def bucket(v: Array[Float], t: Int): Long = {
       val d = v.map(_.toDouble).toSeq
-      Ann.planes.zipWithIndex.map { case (pl, p) =>
+      Ann.planesFor(t).zipWithIndex.map { case (pl, p) =>
         if (dot(d, pl) >= 0) 1L << p else 0L
       }.sum
     }
@@ -176,24 +217,32 @@ class AnnSpec extends SparkSpec {
       dot(da, db) / (math.sqrt(dot(da, da)) * math.sqrt(dot(db, db)))
     }
     val (ev, tr) = vecs.partition(_._1 % 20 == 0)
-    val expected = tr.map { case (it, vt) =>
-      val hits = ev.filter { case (_, vev) =>
-        bucket(vt) == bucket(vev) && cos(vt, vev) >= 0.2 }
-        .map { case (ie, vev) => (ie, cos(vt, vev)) }
-      it -> (hits.length.toLong,
-        hits.sortBy { case (ie, s) => (-s, ie) }.headOption.map(_._1))
-    }.toMap
-    val got = Ann.semanticContamination(
-      emb.filter($"vec_id" % 20 =!= 0), emb.filter($"vec_id" % 20 === 0),
-      "vec_id", "embedding", 0.2)
-      .select($"vec_id", $"n_hits", $"top_eval_id".cast("long"), $"contaminated")
-      .as[(Long, Long, Option[Long], Boolean)].collect()
-    assert(got.length == tr.length)   // every train row survives
-    got.foreach { case (id, n, top, flag) =>
-      val (en, etop) = expected(id)
-      assert(n == en && top == etop && flag == (en > 0), s"vec $id")
+    def runBoth(nTables: Int): Set[Long] = {
+      val expected = tr.map { case (it, vt) =>
+        val hits = ev.filter { case (_, vev) =>
+          (0 until nTables).exists(t => bucket(vt, t) == bucket(vev, t)) &&
+            cos(vt, vev) >= 0.2 }
+          .map { case (ie, vev) => (ie, cos(vt, vev)) }
+        it -> (hits.length.toLong,
+          hits.sortBy { case (ie, s) => (-s, ie) }.headOption.map(_._1))
+      }.toMap
+      val got = Ann.semanticContamination(
+        emb.filter($"vec_id" % 20 =!= 0), emb.filter($"vec_id" % 20 === 0),
+        "vec_id", "embedding", 0.2, nTables)
+        .select($"vec_id", $"n_hits", $"top_eval_id".cast("long"), $"contaminated")
+        .as[(Long, Long, Option[Long], Boolean)].collect()
+      assert(got.length == tr.length, s"T=$nTables")   // every train row survives
+      got.foreach { case (id, n, top, flag) =>
+        val (en, etop) = expected(id)
+        assert(n == en && top == etop && flag == (en > 0), s"vec $id T=$nTables")
+      }
+      assert(got.exists(_._4) && got.exists(!_._4))   // both regimes present
+      got.filter(_._4).map(_._1).toSet
     }
-    assert(got.exists(_._4) && got.exists(!_._4))   // both regimes present
+    val flagged1 = runBoth(1)
+    val flagged3 = runBoth(3)
+    // stacking tables only ADDS recall: strictly more flagged vectors here
+    assert(flagged1.subsetOf(flagged3) && flagged3.size > flagged1.size)
   }
 
   test("dedupByCosine: components are the transitive closure of dup pairs, keeper is min id") {

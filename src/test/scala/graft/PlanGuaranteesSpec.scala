@@ -21,11 +21,14 @@ class PlanGuaranteesSpec extends SparkSpec {
     * Ann.knnLabelEval Scaladoc). q_tfidf_top:
     * crossJoin(broadcast(<one-row aggregate>)) — attaching a single scalar
     * (corpus size) to every row plans as a BNLJ whose build side is ONE
-    * row; that is constant-attach, not a candidate blowup.
+    * row; that is constant-attach, not a candidate blowup. q_ann_recall:
+    * the recall audit's exact-truth side is all-pairs BY CONTRACT, bounded
+    * to a sample tier by the operator's required samplePred argument
+    * (Ann.embeddingRecallEval Scaladoc).
     */
   private val allowedBnlj =
     Set("q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
-      "q_rag_topk", "q_tfidf_top")
+      "q_rag_topk", "q_tfidf_top", "q_ann_recall")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
