@@ -295,6 +295,8 @@ object Ann {
     */
   def stackedDupPairs(emb: DataFrame, idCol: String, embCol: String,
                       threshold: Double, nTables: Int = 3): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables " +
+      "(0 tables would silently emit zero candidates)")
     val c = withNorm(emb, embCol)
       .select(col(idCol).as("id"), col("emb_d"), col("norm"))
     val tb = c.select(col("id"), posexplode(array(
@@ -328,6 +330,8 @@ object Ann {
   def embeddingRecallEval(emb: DataFrame, idCol: String, embCol: String,
                           samplePred: Column, threshold: Double,
                           nTables: Int = 3): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables " +
+      "(0 tables would silently report zero recall)")
     val c = withNorm(emb.filter(samplePred), embCol)
       .select(col(idCol).as("id"), col("emb_d"), col("norm"))
     val truth = c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
@@ -400,6 +404,8 @@ object Ann {
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
                             idCol: String, embCol: String,
                             threshold: Double, nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables " +
+      "(0 tables would silently mark every vector clean)")
     val c = withNorm(corpus, embCol)
       .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
     val e = withNorm(evalSet, embCol)

@@ -243,6 +243,10 @@ class AnnSpec extends SparkSpec {
     val flagged3 = runBoth(3)
     // stacking tables only ADDS recall: strictly more flagged vectors here
     assert(flagged1.subsetOf(flagged3) && flagged3.size > flagged1.size)
+    // zero tables is a coverage bug, not an empty result — fail fast
+    intercept[IllegalArgumentException] {
+      Ann.semanticContamination(emb, emb, "vec_id", "embedding", 0.2, 0)
+    }
   }
 
   test("dedupByCosine: components are the transitive closure of dup pairs, keeper is min id") {
