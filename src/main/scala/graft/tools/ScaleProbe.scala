@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * exact_dedup 1.9); the pair-emitting worst case minhash_lsh_pairs has
   * ranged 6-14x across runs while emitting ~975x the pairs — output
   * cardinality, not join blowup.
+  *
+  * Embedding section (same base, copies keep vectors verbatim so they are
+  * exact duplicates — candidate pairs grow ~R² per vector on purpose):
+  * semantic_contam is FLAT (0.85/0.99 at 4x/10x — the eval side is fixed,
+  * the train side is a linear posting scan), stacked_dup_pairs measured
+  * 22.8x at 10x data while emitting 209x the pairs (822 -> 172,200) —
+  * again output cardinality, not join blowup.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -103,8 +110,43 @@ object ScaleProbe {
       println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
       (name, r4, r10)
     }
+    // ---- embedding family: replicate the embeddings table the same way.
+    // Copies keep their vector VERBATIM, so every copy of a vector is an
+    // exact duplicate (cos = 1) of its siblings — the bucket-join worst
+    // case on purpose: candidate pairs grow ~R² per vector while a
+    // posting-shaped operator's runtime must still track input size.
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    def replicateEmb(r: Int): DataFrame = {
+      val copies = spark.range(r).select(col("id").as("copy"))
+      embBase.crossJoin(broadcast(copies))
+        .select((col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
+          col("embedding"))
+    }
+    val embProbes: Seq[(String, DataFrame => Long)] = Seq(
+      "stacked_dup_pairs" -> (d =>
+        Ann.stackedDupPairs(d, "vec_id", "embedding", 0.3, 3).count()),
+      "semantic_contam" -> (d =>
+        Ann.semanticContamination(
+          d.filter(col("vec_id") % 20 =!= 0), d.filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", 0.3, nTables = 3).count())
+    )
+    val embResults = embProbes.map { case (name, f) =>
+      val times = factors.map { r =>
+        val d = replicateEmb(r).localCheckpoint(true)
+        val (warm, _) = time(f(d))
+        val (t, n) = time(f(d))
+        d.unpersist()
+        println(f"[scale] $name%-22s ${r}%2dx  $t%7.2f s (warm-up $warm%6.2f)  rows=$n")
+        t
+      }
+      val r4 = times(1) / times(0)
+      val r10 = times(2) / times(0)
+      println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
+      (name, r4, r10)
+    }
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
-    results.foreach { case (n, r4, r10) =>
+    (results ++ embResults).foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()
