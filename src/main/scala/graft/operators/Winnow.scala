@@ -167,6 +167,49 @@ object Winnow {
         lit(100L) * col("n_hit") >= lit(dropAtPct.toLong) * col("n_fp"))
   }
 
+  /** Streaming twin of [[contaminationScore]] — the ONLINE benchmark gate:
+    * score each arriving document against a STATIC eval fingerprint set as
+    * it is ingested, instead of re-scanning the corpus before training.
+    * Same verdict columns per doc ((n_fp, n_hit, contaminated) under the
+    * identical integer fixed-point rule), keyed by (window_start_us, id)
+    * in append mode.
+    *
+    * Scale/state shape: the fingerprint explode and the eval join are
+    * STATELESS (stream-static left join against the folded distinct eval
+    * fp set — a benchmark suite, so Catalyst broadcasts it per batch);
+    * the only stateful operator is the per-(window, id) aggregate, whose
+    * state the watermark bounds to one ingest window per in-flight doc.
+    * Docs with fewer than k tokens carry no fingerprint and skip the gate
+    * (nothing to match — definitionally clean), mirroring the batch twin,
+    * which also emits no row for them.
+    */
+  def contaminationGateStream(docs: DataFrame, evalSet: DataFrame,
+                              idCol: String, textCol: String, tsCol: String,
+                              dropAtPct: Int = 50,
+                              windowLen: String = "1 hour",
+                              watermark: String = "2 hours",
+                              k: Int = GramTokens,
+                              w: Int = WindowGrams): DataFrame = {
+    val fe = fingerprints(evalSet, idCol, textCol, k, w)
+      .select(col("fp")).distinct().withColumn("__hit", lit(1L))
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val ft = docs.withWatermark(tsCol, watermark)
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("id"), col("__ts"),
+        explode(graft.functions.winnow_fingerprints(col("t"), k, w, Base, Mod))
+          .as("fp"))
+    ft.join(fe, Seq("fp"), "left")
+      .groupBy(window(col("__ts"), windowLen), col("id").as("train_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(
+        (col("window.start").cast("long") * 1000000L).as("window_start_us"),
+        col("train_id"), col("n_fp"), col("n_hit"),
+        (lit(100L) * col("n_hit") >= lit(dropAtPct.toLong) * col("n_fp"))
+          .as("contaminated"))
+  }
+
   /** Exact n-gram decontamination — the GPT-3/PaLM recipe: a train doc is
     * flagged when ANY of its word n-grams (n=13 in the papers) appears
     * anywhere in the eval corpus, over the FULL n-gram sets rather than

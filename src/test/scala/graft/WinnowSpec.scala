@@ -188,4 +188,50 @@ class WinnowSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(kernel == hof)
   }
+
+  test("streaming contamination gate equals the batch score; short docs skip the gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (10L, s"training text preamble $para and some unique training tail here",
+        ts("2026-01-01 10:05:00")),
+      (12L, "completely unrelated training material nothing shared at all zz",
+        ts("2026-01-01 10:10:00")),
+      (13L, "too short", ts("2026-01-01 10:15:00")))   // < k tokens: no row
+    val eval_ = Seq(
+      (21L, s"eval question setup $para answer choices follow below now"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // dropAtPct 10: the leaked paragraph is a minority of doc 10's
+    // fingerprints, so the default 50% majority rule would (correctly)
+    // pass it — the gate here is tuned to flag partial leaks
+    val q = Winnow.contaminationGateStream(
+      ms.toDS().toDF("doc_id", "text", "ts"), eval_, "doc_id", "text", "ts",
+      dropAtPct = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_gate").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      // push the watermark past the ingest window so the aggregate flushes
+      ms.addData((99L, "watermark push doc with enough tokens to pass",
+        ts("2026-01-02 06:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("contam_gate")
+        .select("train_id", "n_fp", "n_hit", "contaminated")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = Winnow.contaminationScore(
+        rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text"),
+        eval_, "doc_id", "text", dropAtPct = 10)
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert((got - 99L) == batch)          // verdict parity, doc by doc
+      assert(!batch.contains(13L) && !got.contains(13L))   // both skip short docs
+      assert(got(10L)._3 && got(10L)._2 > 0)               // leak flagged online
+      assert(got(12L)._2 == 0L && !got(12L)._3)            // clean doc passes
+    } finally q.stop()
+  }
 }
