@@ -566,6 +566,15 @@ object SparkEntry {
     "q_near_dedup" -> ((s, dir) =>
       NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- HYBRID ensemble dedup: text MinHash pairs ∪ embedding cosine
+    // pairs (3 stacked tables) → ONE connected-components pass. The
+    // production combination — n-gram overlap catches boilerplate-mangled
+    // copies, embedding cosine catches paraphrases; either signal joins
+    // the cluster. Embeddings share the doc id namespace here.
+    "q_hybrid_dedup" -> ((s, dir) =>
+      NearDup.dedupByHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        "doc_id", "text", "vec_id", "embedding", 3, 0.5, 0.3, 3)),
+
     // ---- Dedup audit: cluster-size distribution of the near-dup
     // components — where the duplicate mass sits (big families vs
     // singleton noise). Two hash aggregates over the composite.
@@ -1867,6 +1876,24 @@ object SparkEntry {
     "q_near_dedup" ->
       (s"WITH RECURSIVE $sqlNearDedupCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
+    "q_hybrid_dedup" ->
+      (s"WITH RECURSIVE $sqlNearDedupPairCtes, " +
+        "etb AS (" +
+        (0 until 3).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${sqlBucketFor("embedding", t)} AS bucket FROM embeddings")
+          .mkString(" UNION ALL ") + "), " +
+        "ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM etb a JOIN etb b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+        "AND a.vec_id < b.vec_id), " +
+        "ee AS (SELECT id_a AS u, id_b AS v FROM (SELECT c.id_a, c.id_b, " +
+        s"${sqlDot("ea.embedding", "eb.embedding")} / " +
+        s"(sqrt(${sqlDot("ea.embedding", "ea.embedding")}) * " +
+        s"sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS sim " +
+        "FROM ecand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
+        "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE sim >= 0.3), " +
+        "eh AS (SELECT u, v FROM e UNION SELECT u, v FROM ee), " +
+        s"${sqlCcClosure("eh")} " +
+        "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
     "q_dedup_cluster_sizes" ->
       (s"WITH RECURSIVE $sqlNearDedupCtes, " +
         "cs AS (SELECT component, count(*) AS cluster_size FROM comp " +
@@ -2643,7 +2670,11 @@ object SparkEntry {
     * ending in `comp(doc_id, component)` — shared by q_near_dedup and
     * q_near_dedup_best (must follow a WITH RECURSIVE).
     */
-  private lazy val sqlNearDedupCtes: String =
+  /** Near-dedup pair CTEs through `e` (the text MinHash-verified edge
+    * set) — shared by the single-signal closure below and the hybrid
+    * query, which unions `e` with embedding-cosine edges first.
+    */
+  private lazy val sqlNearDedupPairCtes: String =
     s"$sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte, $sqlAbCte, " +
       s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
       s"cands AS (SELECT a.id AS cid_a, b.id AS cid_b FROM sig a JOIN sig b " +
@@ -2651,12 +2682,21 @@ object SparkEntry {
       "e AS (SELECT c.cid_a AS u, c.cid_b AS v FROM cands c " +
       "JOIN inter i ON i.id_a = c.cid_a AND i.id_b = c.cid_b " +
       "JOIN counts ca ON ca.doc_id = c.cid_a JOIN counts cb ON cb.doc_id = c.cid_b " +
-      "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5), " +
-      "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), " +
+      "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5)"
+
+  /** Transitive-closure + per-doc component CTEs over an edge CTE named
+    * `edges` (columns u, v) — the recursive half every CC-shaped oracle
+    * shares.
+    */
+  private def sqlCcClosure(edges: String): String =
+    s"sym AS (SELECT u, v FROM $edges UNION SELECT v, u FROM $edges), " +
       "reach(u, v) AS (SELECT u, v FROM sym " +
       "UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u), " +
       "comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component " +
       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id)"
+
+  private lazy val sqlNearDedupCtes: String =
+    s"$sqlNearDedupPairCtes, ${sqlCcClosure("e")}"
 
   private val sqlBandCond: String =
     (0 until NearDup.Bands).map { b =>

@@ -409,6 +409,45 @@ object NearDup {
       (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** HYBRID ensemble dedup — text and embedding dup signals in ONE
+    * clustering pass: MinHash-LSH text near-dup pairs unioned with
+    * stacked-table embedding cosine pairs ([[Ann.stackedDupPairs]]),
+    * then a single connected-components run over the document universe.
+    * The two signals are complementary (the production combination):
+    * boilerplate-perturbed copies surface as n-gram overlap that
+    * embeddings may smooth away, while paraphrased rewrites surface as
+    * embedding cosine with near-zero n-gram overlap — a doc caught by
+    * EITHER signal joins the cluster, and transitive chains may merge
+    * across signals (text-dup of a paraphrase collapses all three).
+    *
+    * `emb` is keyed by `embIdCol` in the SAME id namespace as
+    * `docs(idCol)` (docs without an embedding row simply contribute no
+    * cosine edges). Output: (idCol, component, is_canonical) — identical
+    * contract to [[dedupByNearDup]] / [[Ann.dedupByCosine]], whose union
+    * of edge sets this is.
+    *
+    * Scale shape: both pair generators are the existing posting/bucket
+    * equi-joins; union+distinct adds one shuffle over the (sparse) edge
+    * set; CC is the shared large/small-star path. Nothing here is new at
+    * scale — the composite inherits its parts' posture.
+    */
+  def dedupByHybrid(docs: DataFrame, emb: DataFrame, idCol: String,
+                    textCol: String, embIdCol: String, embCol: String,
+                    n: Int, jaccThreshold: Double, cosThreshold: Double,
+                    nTables: Int = 3,
+                    maxDocFreq: Option[Double] = None): DataFrame = {
+    val textPairs = minhashNearDupPairs(docs, idCol, textCol, n,
+      jaccThreshold, maxDocFreq).select(col("id_a"), col("id_b"))
+    val embPairs = Ann.stackedDupPairs(emb, embIdCol, embCol,
+      cosThreshold, nTables).select(col("id_a"), col("id_b"))
+    val pairs = textPairs.union(embPairs).distinct()
+    val comps = ConnectedComponents.run(
+      docs.select(col(idCol).as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    comps.select(col("id").as(idCol), col("component"),
+      (col("id") === col("component")).as("is_canonical"))
+  }
+
   /** [[dedupByNearDup]] with QUALITY survivorship: the keeper of each
     * near-dup cluster is the member with the highest score (tie-break:
     * lowest id), not the smallest id — the policy production dedup

@@ -78,6 +78,8 @@ class EmptyInputSpec extends SparkSpec {
       col("vec_id") % 2 === 0, 3).count() == 0)
     assert(Ann.semanticContamination(noEmb, noEmb,
       "vec_id", "embedding", 0.3).count() == 0)
+    assert(NearDup.dedupByHybrid(noDocs, noEmb, "doc_id", "text",
+      "vec_id", "embedding", 3, 0.5, 0.3, 3).count() == 0)
     // a corpus screened against an EMPTY eval set comes back whole, clean
     val someEmb = Seq((1L, Seq.fill(Ann.Dim)(1.0f), 0))
       .toDF("vec_id", "embedding", "label")

@@ -147,6 +147,38 @@ class NearDupSpec extends SparkSpec {
     assert(keep == Seq(7L))
   }
 
+  test("dedupByHybrid merges clusters across the text and embedding signals") {
+    import graft.operators.Ann
+    // 1–2 are TEXT near-dups; 2–3 are EMBEDDING near-dups (identical
+    // vectors) with unrelated text; 1's vector is exactly orthogonal to
+    // theirs (cos 0 — below any threshold whatever the buckets do).
+    // Hybrid must chain 1–2–3 into ONE cluster; 4 stays a singleton.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "totally separate content with no relatives anywhere at all")
+    ).toDF("doc_id", "text")
+    val same = Array.fill(Ann.Dim)(1.0f)
+    val ortho = Array.tabulate(Ann.Dim)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val lone = Array.tabulate(Ann.Dim)(i => if (i % 3 == 0) -1.0f else 0.5f)
+    val emb = Seq((1L, ortho), (2L, same), (3L, same), (4L, lone))
+      .toDF("vec_id", "embedding")
+    val got = NearDup.dedupByHybrid(docs, emb, "doc_id", "text",
+      "vec_id", "embedding", 3, 0.5, 0.3, 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => r._1 -> r._2).toMap == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    assert(got.map(_._3) == Seq(true, false, false, true))
+    // neither single signal alone produces the 3-cluster: text links only
+    // 1–2, embeddings link only 2–3
+    val textOnly = NearDup.dedupByNearDup(docs, "doc_id", "text", 3, 0.5)
+      .filter($"is_canonical").count()
+    val embOnly = Ann.dedupByCosine(emb, "vec_id", "embedding", 0.3)
+      .filter($"is_canonical").count()
+    assert(textOnly == 3 && embOnly >= 3)
+  }
+
   test("dedupByNearDupBest keeps docs missing from the score table") {
     // doc 2 has no score row: it must survive (null score), rank below
     // every scored clustermate, and never be chosen keeper over one
