@@ -1131,6 +1131,19 @@ object SparkEntry {
     "q_substring_dedup" -> ((s, dir) =>
       SubstringDedup.removeSharedSpans(Tables.documents(s, dir), "doc_id", "text", 8)),
 
+    // ---- Decontamination by REDACTION: train docs (doc_id % 2 == 0)
+    // rewritten with every >= 8-token run shared verbatim with ANY eval
+    // doc (% 2 == 1) removed — keep the doc, cut the leak (the surgical
+    // complement of the verdict tiers q_contamination_score /
+    // q_decontam_13gram). Every train doc survives with n_removed.
+    "q_redact_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      SubstringDedup.redactEvalSpans(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 8)
+    }),
+
     // ---- C4/RefinedWeb line-dedup tier at k-token segment granularity:
     // the prevalence audit (which segments appear in >= 5 distinct docs)
     // and the removal pass (drop EVERY occurrence — no keeper; the
@@ -2274,6 +2287,35 @@ object SparkEntry {
         "nrem AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id) " +
         "SELECT d.doc_id, coalesce(reb.text_dedup, '') AS text_dedup, " +
         "coalesce(nrem.n_removed, 0) AS n_removed FROM documents d " +
+        "LEFT JOIN reb ON reb.doc_id = d.doc_id " +
+        "LEFT JOIN nrem ON nrem.doc_id = d.doc_id"),
+    "q_redact_eval" ->
+      ("WITH ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "pg AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, " +
+        s"${sqlHash60("array_to_string(t[CAST(u.i AS INT):CAST(u.i + 2 AS INT)], ' ')", 0)} AS gh " +
+        "FROM ltoks, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3), " +
+        "sp AS (SELECT tid, min(pa) AS start_t, count(*) + 2 AS len_tokens FROM " +
+        "(SELECT tid, eid, pa - pb AS diag, pa, pb, " +
+        "pa - row_number() OVER (PARTITION BY tid, eid, pa - pb ORDER BY pa) AS island " +
+        "FROM (SELECT a.doc_id AS tid, b.doc_id AS eid, a.pos AS pa, b.pos AS pb " +
+        "FROM pg a JOIN pg b ON a.gh = b.gh " +
+        "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)) " +
+        "GROUP BY tid, eid, diag, island HAVING count(*) + 2 >= 8), " +
+        "rem AS (SELECT DISTINCT tid AS doc_id, CAST(u.p AS BIGINT) AS pos " +
+        "FROM sp, unnest(range(start_t, start_t + len_tokens)) u(p)), " +
+        "otoks AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[CAST(u.i AS INT)] AS tok " +
+        "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0) ot, " +
+        "unnest(range(1, len(t) + 1)) u(i)), " +
+        "kept AS (SELECT o.doc_id, o.pos, o.tok FROM otoks o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = o.doc_id AND r.pos = o.pos)), " +
+        "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_redacted " +
+        "FROM kept GROUP BY doc_id), " +
+        "nrem AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(reb.text_redacted, '') AS text_redacted, " +
+        "coalesce(nrem.n_removed, 0) AS n_removed " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d " +
         "LEFT JOIN reb ON reb.doc_id = d.doc_id " +
         "LEFT JOIN nrem ON nrem.doc_id = d.doc_id"),
     "q_boilerplate_prevalence" ->

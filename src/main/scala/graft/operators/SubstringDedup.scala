@@ -109,6 +109,74 @@ object SubstringDedup {
       .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
   }
 
+  /** Decontamination by REDACTION — the surgical alternative to dropping
+    * a contaminated document whole ([[Winnow.contaminationScore]] /
+    * exact-n-gram flagging): locate every maximal train-side token run of
+    * at least `minTokens` tokens shared verbatim with ANY eval document,
+    * and rewrite the train doc with those runs removed. A 10k-token
+    * document carrying one leaked benchmark question keeps its other
+    * 9.9k tokens — at 100 TB the data kept by redacting instead of
+    * dropping is substantial, which is why production pipelines offer
+    * both verdict-level and span-level decontamination.
+    *
+    * Same diagonal/islands method as [[sharedSpans]] with the posting
+    * join crossed train×eval (no id ordering — the sides are different
+    * corpora); spans land on the TRAIN side only and every train doc
+    * comes back (text_redacted, n_removed), leaked or not. `maxDocFreq`
+    * prunes grams by TRAIN-side doc frequency (a gram hot on the train
+    * side dominates the join whatever the eval side holds) — same
+    * hot-key trade as [[sharedSpans]].
+    */
+  def redactEvalSpans(train: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, minTokens: Int, k: Int = GramTokens,
+                      maxDocFreq: Option[Double] = None): DataFrame = {
+    require(minTokens >= k, s"minTokens ($minTokens) must be >= k ($k)")
+    val pgT0 = positionedGrams(train, idCol, textCol, k)
+    val pgT = maxDocFreq match {
+      case None => pgT0
+      case Some(f) =>
+        val pgc = pgT0.localCheckpoint(true)
+        val nDocs = train.select(col(idCol)).distinct().count()
+        val hot = pgc.groupBy("gh")
+          .agg(count_distinct(col("id")).as("df"))
+          .filter(col("df") > f * nDocs)
+          .select("gh")
+        pgc.join(broadcast(hot), Seq("gh"), "left_anti")
+    }
+    val pgE = positionedGrams(eval, idCol, textCol, k)
+    val pairs = pgT.as("a").hint("shuffle_hash").join(pgE.as("b"),
+        col("a.gh") === col("b.gh"))
+      .select(col("a.id").as("tid"), col("b.id").as("eid"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val diag: Column = col("pa") - col("pb")
+    val w = Window.partitionBy(col("tid"), col("eid"), diag).orderBy("pa")
+    val spans = pairs.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("tid"), col("eid"), diag.as("diag"), col("island"))
+      .agg(min(col("pa")).as("start_t"),
+        (count(lit(1)) + (k - 1)).as("len_tokens"))
+      .filter(col("len_tokens") >= minTokens)
+    val rem = spans
+      .select(col("tid").as("id"),
+        explode(sequence(col("start_t"),
+          col("start_t") + col("len_tokens") - 1)).as("pos"))
+      .distinct()
+    val toks = train.select(col(idCol).as("id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p", "tok")))
+      .select(col("id"), (col("p") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(rem, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("text_redacted"))
+    val nRemoved = rem.groupBy("id").agg(count(lit(1)).as("n_removed"))
+    train.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .join(nRemoved, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_redacted"), lit("")).as("text_redacted"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** The rewrite pass: every document with the tokens covered by any
     * [[sharedSpans]] span REMOVED from the higher-id side of each pair —
     * the lower id keeps the passage (canonical-keeper convention, matching

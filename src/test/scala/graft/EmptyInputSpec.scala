@@ -80,6 +80,13 @@ class EmptyInputSpec extends SparkSpec {
       "vec_id", "embedding", 0.3).count() == 0)
     assert(NearDup.dedupByHybrid(noDocs, noEmb, "doc_id", "text",
       "vec_id", "embedding", 3, 0.5, 0.3, 3).count() == 0)
+    assert(SubstringDedup.redactEvalSpans(noDocs, someDocs,
+      "doc_id", "text", 8).count() == 0)
+    // train screened against an empty eval set comes back whole, untouched
+    val whole = SubstringDedup.redactEvalSpans(someDocs, noDocs,
+      "doc_id", "text", 8)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(whole == Seq((1L, "alpha beta gamma delta epsilon zeta", 0L)))
     // a corpus screened against an EMPTY eval set comes back whole, clean
     val someEmb = Seq((1L, Seq.fill(Ann.Dim)(1.0f), 0))
       .toDF("vec_id", "embedding", "label")

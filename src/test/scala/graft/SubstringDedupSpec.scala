@@ -80,6 +80,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(1L)._2 == 0L && out(2L)._2 == 0L)
   }
 
+  test("redactEvalSpans cuts leaked eval runs from train docs, keeps everything else") {
+    val train = Seq(
+      (10L, s"intro one two $para"),                  // leaks para (tokens 4..13)
+      (12L, "totally unrelated training content right here"),
+      (14L, s"$para $para")                           // leaks para TWICE
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (21L, s"eval question setup $para answer below"),
+      (23L, "pristine eval material no overlap")
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.redactEvalSpans(train, eval_, "doc_id", "text", 8)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == (("intro one two", 10L)))       // leak cut, context kept
+    assert(out(12L) ==
+      (("totally unrelated training content right here", 0L)))   // clean doc whole
+    assert(out(14L) == (("", 20L)))                    // both copies cut
+    assert(out.size == 3)                              // every train doc returns
+    // eval docs are never rewritten — the output is train-side only
+    assert(!out.contains(21L) && !out.contains(23L))
+  }
+
   test("spans report plans the posting join as shuffle-hash, never a cartesian") {
     val p = SubstringDedup.sharedSpans(Tables.documents(spark, sf0001),
       "doc_id", "text", 8).queryExecution.executedPlan.toString
