@@ -460,6 +460,22 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       Packing.pack(Tables.documents(s, dir), "doc_id", "text", "source", 512)),
 
+    // ---- BOUNDARY-RESPECTING packing: docs never cross a sequence
+    // boundary (instruction-tuning / per-doc loss masking model; the
+    // concat-split twin is q_pack_sequences). Greedy first-fit-in-order
+    // fold per shard — iterator-streaming mapPartitions, O(1) state.
+    "q_pack_boundaried" -> ((s, dir) =>
+      Packing.packBoundaried(Tables.documents(s, dir), "doc_id", "text",
+        "source", 512)),
+
+    // ---- The padding-waste audit over that packing: per shard sequence
+    // count, used vs padded tokens, utilization — the number that decides
+    // whether capacity fits the doc-length distribution.
+    "q_pack_efficiency" -> ((s, dir) =>
+      Packing.packingEfficiency(
+        Packing.packBoundaried(Tables.documents(s, dir), "doc_id", "text",
+          "source", 512), "source", 512)),
+
     // ---- Winnowing fingerprints (Schleimer+ SIGMOD'03): per-doc selected
     // rolling-hash minima — the local/containment complement to whole-doc
     // md5 and MinHash Jaccard. Pure codegen projection.
@@ -1612,6 +1628,24 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens " +
         "AS start_offset FROM " +
         s"(SELECT doc_id, source, $sqlTokenCount AS n_tokens FROM documents))"),
+    "q_pack_boundaried" ->
+      (s"WITH RECURSIVE $sqlPackBoundariedCtes " +
+        "SELECT doc_id, source, n_tokens, seq_index, seq_offset FROM f"),
+    "q_pack_efficiency" ->
+      (s"WITH RECURSIVE $sqlPackBoundariedCtes " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS used_tokens, " +
+        "coalesce(max(CASE WHEN n_tokens > 0 THEN " +
+        "seq_index + (seq_offset + n_tokens + 511) // 512 ELSE 0 END), 0) AS n_seqs, " +
+        "coalesce(max(CASE WHEN n_tokens > 0 THEN " +
+        "seq_index + (seq_offset + n_tokens + 511) // 512 ELSE 0 END), 0) * 512 " +
+        "- CAST(sum(n_tokens) AS BIGINT) AS padding_tokens, " +
+        "CASE WHEN coalesce(max(CASE WHEN n_tokens > 0 THEN " +
+        "seq_index + (seq_offset + n_tokens + 511) // 512 ELSE 0 END), 0) > 0 THEN " +
+        "CAST(sum(n_tokens) AS DOUBLE) / " +
+        "(coalesce(max(CASE WHEN n_tokens > 0 THEN " +
+        "seq_index + (seq_offset + n_tokens + 511) // 512 ELSE 0 END), 0) * 512) " +
+        "END AS utilization FROM f GROUP BY source"),
     "q_winnow_fp" ->
       (s"WITH $sqlWinnowCte SELECT doc_id, fp FROM wfp"),
     "q_winnow_pairs" ->
@@ -2886,6 +2920,35 @@ object SparkEntry {
     * maximal runs (g grams = g+2 tokens). Yields `sp(id_a, id_b, start_a,
     * start_b, len_tokens)`.
     */
+  /** Boundary-respecting packing fold (mirrors Packing.packBoundaried's
+    * per-shard greedy first-fit, capacity 512) as a recursive CTE over
+    * per-shard row numbers: state (seq_after, fill_after) advances doc by
+    * doc with the identical jump/overflow integer arithmetic. All BIGINT —
+    * exact on both engines.
+    */
+  private lazy val sqlPackBoundariedCtes: String = {
+    val jump =
+      "(d.n_tokens > 0 AND f.fill_after > 0 AND f.fill_after + d.n_tokens > 512)"
+    val so = s"(CASE WHEN $jump THEN 0 ELSE f.fill_after END)"
+    val whole = s"(($so + d.n_tokens - 1) // 512)"
+    "d AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+      "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM " +
+      s"(SELECT doc_id, source, $sqlTokenCount AS n_tokens FROM documents)), " +
+      "f(doc_id, source, n_tokens, rn, seq_index, seq_offset, seq_after, fill_after) AS (" +
+      "SELECT doc_id, source, n_tokens, rn, CAST(0 AS BIGINT), CAST(0 AS BIGINT), " +
+      "CAST(CASE WHEN n_tokens > 0 THEN (n_tokens - 1) // 512 ELSE 0 END AS BIGINT), " +
+      "CAST(CASE WHEN n_tokens > 0 THEN n_tokens - ((n_tokens - 1) // 512) * 512 ELSE 0 END AS BIGINT) " +
+      "FROM d WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT d.doc_id, d.source, d.n_tokens, d.rn, " +
+      s"f.seq_after + CASE WHEN $jump THEN 1 ELSE 0 END, " +
+      s"$so, " +
+      s"f.seq_after + CASE WHEN $jump THEN 1 ELSE 0 END + " +
+      s"CASE WHEN d.n_tokens > 0 THEN $whole ELSE 0 END, " +
+      s"CASE WHEN d.n_tokens > 0 THEN $so + d.n_tokens - $whole * 512 ELSE $so END " +
+      "FROM f JOIN d ON d.source = f.source AND d.rn = f.rn + 1)"
+  }
+
   private lazy val sqlSpanCtes: String =
     "ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t " +
       "FROM documents WHERE length(trim(text)) > 0), " +

@@ -151,6 +151,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.stratifiedQuota(noDocs.withColumn("lang", lit("en")),
       "lang", "doc_id", 5).count() == 0)
     assert(Sampling.splitAssign(noDocs, "doc_id").count() == 0)
+    assert(Packing.packBoundaried(noDocs.withColumn("shard", lit(0)),
+      "doc_id", "text", "shard", 16).count() == 0)
     assert(Packing.pack(noDocs.withColumn("shard", lit(0)),
       "doc_id", "text", "shard", 128).count() == 0)
     assert(ConnectedComponents.run(

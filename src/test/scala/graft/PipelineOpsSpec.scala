@@ -123,6 +123,32 @@ class PipelineOpsSpec extends SparkSpec {
       (5L, 5L, 0L, 0L)))
   }
 
+  test("boundary-respecting packing: greedy first-fit fold, oversized doc spans alone") {
+    val out = Packing.packBoundaried(docs, "doc_id", "text", "source", 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "seq_index", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, 0L),   // s1: fills seq 0 exactly
+      (2L, 3L, 1L, 0L),   //     3 would cross -> opens seq 1
+      (3L, 4L, 2L, 0L),   //     4 after fill 3 -> opens seq 2
+      (4L, 0L, 0L, 0L),   // s2: empty doc occupies nothing
+      (5L, 5L, 0L, 0L)))  //     oversized: spans seqs 0-1 alone
+    // no doc with n <= capacity crosses a boundary: offset + n <= capacity
+    out.filter(r => r._2 > 0 && r._2 <= 4).foreach { r =>
+      assert(r._4 + r._2 <= 4, s"doc ${r._1} crosses a boundary")
+    }
+    val eff = Packing.packingEfficiency(
+      Packing.packBoundaried(docs, "doc_id", "text", "source", 4), "source", 4)
+      .orderBy("source")
+      .select("source", "n_docs", "used_tokens", "n_seqs", "padding_tokens",
+        "utilization")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(eff == Seq(
+      ("s1", 3L, 11L, 3L, 1L, 11.0 / 12.0),
+      ("s2", 2L, 5L, 2L, 3L, 5.0 / 8.0)))
+  }
+
   test("pii scrub: urls, emails, digit runs replaced; counts pre-scrub") {
     val rows = Seq(
       (1L, "mail me@example.com or visit https://x.io/a?b=1 now"),
