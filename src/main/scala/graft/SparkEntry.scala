@@ -1937,7 +1937,9 @@ object SparkEntry {
         s"(sqrt(${sqlDot("ea.embedding", "ea.embedding")}) * " +
         s"sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS sim " +
         "FROM ecand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
-        "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE sim >= 0.3), " +
+        "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE sim >= 0.3 " +
+        "AND id_a IN (SELECT doc_id FROM documents) " +
+        "AND id_b IN (SELECT doc_id FROM documents)), " +
         "eh AS (SELECT u, v FROM e UNION SELECT u, v FROM ee), " +
         s"${sqlCcClosure("eh")} " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),

@@ -421,8 +421,12 @@ object NearDup {
     * across signals (text-dup of a paraphrase collapses all three).
     *
     * `emb` is keyed by `embIdCol` in the SAME id namespace as
-    * `docs(idCol)` (docs without an embedding row simply contribute no
-    * cosine edges). Output: (idCol, component, is_canonical) — identical
+    * `docs(idCol)`: docs without an embedding row contribute no cosine
+    * edges, and cosine pairs touching an id with no document row are
+    * DROPPED (semi-join on the sparse pair set) — otherwise a stray
+    * embedding id could become a cluster's min-id component and leave the
+    * cluster with no keeper, breaking the every-cluster-has-a-canonical
+    * invariant. Output: (idCol, component, is_canonical) — identical
     * contract to [[dedupByNearDup]] / [[Ann.dedupByCosine]], whose union
     * of edge sets this is.
     *
@@ -438,8 +442,11 @@ object NearDup {
                     maxDocFreq: Option[Double] = None): DataFrame = {
     val textPairs = minhashNearDupPairs(docs, idCol, textCol, n,
       jaccThreshold, maxDocFreq).select(col("id_a"), col("id_b"))
+    val docIds = docs.select(col(idCol).as("__did"))
     val embPairs = Ann.stackedDupPairs(emb, embIdCol, embCol,
       cosThreshold, nTables).select(col("id_a"), col("id_b"))
+      .join(docIds, col("id_a") === col("__did"), "left_semi")
+      .join(docIds, col("id_b") === col("__did"), "left_semi")
     val pairs = textPairs.union(embPairs).distinct()
     val comps = ConnectedComponents.run(
       docs.select(col(idCol).as("id")),

@@ -177,6 +177,14 @@ class NearDupSpec extends SparkSpec {
     val embOnly = Ann.dedupByCosine(emb, "vec_id", "embedding", 0.3)
       .filter($"is_canonical").count()
     assert(textOnly == 3 && embOnly >= 3)
+    // a stray embedding id OUTSIDE the doc universe (0 < every doc id,
+    // duplicating doc 2's vector) must not bridge, leak into the output,
+    // or steal a cluster's component id — its pairs are dropped
+    val strayEmb = emb.union(Seq((0L, same)).toDF("vec_id", "embedding"))
+    val hardened = NearDup.dedupByHybrid(docs, strayEmb, "doc_id", "text",
+      "vec_id", "embedding", 3, 0.5, 0.3, 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(hardened == got)
   }
 
   test("dedupByNearDupBest keeps docs missing from the score table") {
