@@ -591,6 +591,17 @@ object SparkEntry {
       NearDup.dedupByHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir),
         "doc_id", "text", "vec_id", "embedding", 3, 0.5, 0.3, 3)),
 
+    // ---- Hybrid clustering + QUALITY survivorship: the same best-by-
+    // score keeper rule as q_dedup_best / q_near_dedup_best, so every
+    // dedup tier offers the identical policy pair.
+    "q_hybrid_dedup_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scores = TextOps.stats(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality").as("score"))
+      NearDup.dedupByHybridBest(d, Tables.embeddings(s, dir),
+        "doc_id", "text", "vec_id", "embedding", 3, 0.5, 0.3, scores, 3)
+    }),
+
     // ---- Dedup audit: cluster-size distribution of the near-dup
     // components — where the duplicate mass sits (big families vs
     // singleton noise). Two hash aggregates over the composite.
@@ -1924,25 +1935,10 @@ object SparkEntry {
       (s"WITH RECURSIVE $sqlNearDedupCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
     "q_hybrid_dedup" ->
-      (s"WITH RECURSIVE $sqlNearDedupPairCtes, " +
-        "etb AS (" +
-        (0 until 3).map(t =>
-          s"SELECT vec_id, $t AS tbl, ${sqlBucketFor("embedding", t)} AS bucket FROM embeddings")
-          .mkString(" UNION ALL ") + "), " +
-        "ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
-        "FROM etb a JOIN etb b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
-        "AND a.vec_id < b.vec_id), " +
-        "ee AS (SELECT id_a AS u, id_b AS v FROM (SELECT c.id_a, c.id_b, " +
-        s"${sqlDot("ea.embedding", "eb.embedding")} / " +
-        s"(sqrt(${sqlDot("ea.embedding", "ea.embedding")}) * " +
-        s"sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS sim " +
-        "FROM ecand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
-        "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE sim >= 0.3 " +
-        "AND id_a IN (SELECT doc_id FROM documents) " +
-        "AND id_b IN (SELECT doc_id FROM documents)), " +
-        "eh AS (SELECT u, v FROM e UNION SELECT u, v FROM ee), " +
-        s"${sqlCcClosure("eh")} " +
+      (s"WITH RECURSIVE $sqlHybridCompCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
+    "q_hybrid_dedup_best" ->
+      (s"WITH RECURSIVE $sqlHybridCompCtes, $sqlBestSurvivorTail"),
     "q_dedup_cluster_sizes" ->
       (s"WITH RECURSIVE $sqlNearDedupCtes, " +
         "cs AS (SELECT component, count(*) AS cluster_size FROM comp " +
@@ -1950,17 +1946,7 @@ object SparkEntry {
         "SELECT cluster_size, count(*) AS n_clusters FROM cs " +
         "GROUP BY cluster_size"),
     "q_near_dedup_best" ->
-      (s"WITH RECURSIVE $sqlNearDedupCtes, " +
-        s"q AS ($sqlTextStats), " +
-        "sc AS (SELECT c.doc_id, c.component, q.quality AS score FROM comp c " +
-        "LEFT JOIN q ON q.doc_id = c.doc_id), " +
-        "k AS (SELECT component, doc_id AS keeper_id FROM " +
-        "(SELECT component, doc_id, row_number() OVER " +
-        "(PARTITION BY component ORDER BY score DESC NULLS LAST, doc_id) AS rk FROM sc) " +
-        "WHERE rk = 1) " +
-        "SELECT sc.doc_id, sc.component, sc.score, k.keeper_id, " +
-        "sc.doc_id = k.keeper_id AS is_keeper FROM sc " +
-        "JOIN k ON sc.component = k.component"),
+      (s"WITH RECURSIVE $sqlNearDedupCtes, $sqlBestSurvivorTail"),
     "q_simhash" ->
       (s"WITH $sqlTokCte, $sqlSimHashSums " +
         s"SELECT doc_id AS id, CAST($sqlSimHashValue AS BIGINT) AS simhash FROM sums"),
@@ -2775,6 +2761,47 @@ object SparkEntry {
 
   private lazy val sqlNearDedupCtes: String =
     s"$sqlNearDedupPairCtes, ${sqlCcClosure("e")}"
+
+  /** Hybrid ensemble component CTEs (mirrors NearDup.dedupByHybrid):
+    * text edges `e` unioned with doc-universe-filtered embedding cosine
+    * edges, closed over the document universe into `comp`.
+    */
+  private lazy val sqlHybridCompCtes: String =
+    s"$sqlNearDedupPairCtes, " +
+      "etb AS (" +
+      (0 until 3).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${sqlBucketFor("embedding", t)} AS bucket FROM embeddings")
+        .mkString(" UNION ALL ") + "), " +
+      "ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM etb a JOIN etb b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id), " +
+      "ee AS (SELECT id_a AS u, id_b AS v FROM (SELECT c.id_a, c.id_b, " +
+      s"${sqlDot("ea.embedding", "eb.embedding")} / " +
+      s"(sqrt(${sqlDot("ea.embedding", "ea.embedding")}) * " +
+      s"sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS sim " +
+      "FROM ecand c JOIN embeddings ea ON ea.vec_id = c.id_a " +
+      "JOIN embeddings eb ON eb.vec_id = c.id_b) WHERE sim >= 0.3 " +
+      "AND id_a IN (SELECT doc_id FROM documents) " +
+      "AND id_b IN (SELECT doc_id FROM documents)), " +
+      "eh AS (SELECT u, v FROM e UNION SELECT u, v FROM ee), " +
+      sqlCcClosure("eh")
+
+  /** Best-by-score survivor tail over a `comp` CTE (doc_id, component) —
+    * the quality LEFT join + NULLS LAST window shared by
+    * q_near_dedup_best and q_hybrid_dedup_best (mirrors
+    * NearDup.bestSurvivor; includes the final SELECT).
+    */
+  private lazy val sqlBestSurvivorTail: String =
+    s"q AS ($sqlTextStats), " +
+      "sc AS (SELECT c.doc_id, c.component, q.quality AS score FROM comp c " +
+      "LEFT JOIN q ON q.doc_id = c.doc_id), " +
+      "k AS (SELECT component, doc_id AS keeper_id FROM " +
+      "(SELECT component, doc_id, row_number() OVER " +
+      "(PARTITION BY component ORDER BY score DESC NULLS LAST, doc_id) AS rk FROM sc) " +
+      "WHERE rk = 1) " +
+      "SELECT sc.doc_id, sc.component, sc.score, k.keeper_id, " +
+      "sc.doc_id = k.keeper_id AS is_keeper FROM sc " +
+      "JOIN k ON sc.component = k.component"
 
   private val sqlBandCond: String =
     (0 until NearDup.Bands).map { b =>

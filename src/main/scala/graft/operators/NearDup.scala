@@ -473,12 +473,33 @@ object NearDup {
     */
   def dedupByNearDupBest(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double,
-                         scores: DataFrame): DataFrame = {
-    val comp = dedupByNearDup(df, idCol, textCol, n, threshold)
-      .select(col(idCol), col("component"))
-    // LEFT join: a doc missing from the score table must not silently
-    // vanish from a DEDUP result — it stays, ranked below every scored
-    // member (desc_nulls_last on both engines).
+                         scores: DataFrame): DataFrame =
+    bestSurvivor(dedupByNearDup(df, idCol, textCol, n, threshold)
+      .select(col(idCol), col("component")), idCol, scores)
+
+  /** [[dedupByHybrid]] with QUALITY survivorship — completes the policy
+    * matrix: every dedup tier (exact, text near-dup, hybrid ensemble)
+    * offers the same canonical-id / best-by-score pair, so switching
+    * tiers never changes the survivorship contract. Output and survivor
+    * rules are identical to [[dedupByNearDupBest]].
+    */
+  def dedupByHybridBest(docs: DataFrame, emb: DataFrame, idCol: String,
+                        textCol: String, embIdCol: String, embCol: String,
+                        n: Int, jaccThreshold: Double, cosThreshold: Double,
+                        scores: DataFrame, nTables: Int = 3,
+                        maxDocFreq: Option[Double] = None): DataFrame =
+    bestSurvivor(dedupByHybrid(docs, emb, idCol, textCol, embIdCol, embCol,
+      n, jaccThreshold, cosThreshold, nTables, maxDocFreq)
+      .select(col(idCol), col("component")), idCol, scores)
+
+  /** Best-by-score survivor over a (idCol, component) assignment — the
+    * tail shared by [[dedupByNearDupBest]] and [[dedupByHybridBest]].
+    * LEFT join: a doc missing from the score table must not silently
+    * vanish from a DEDUP result — it stays, ranked below every scored
+    * member (desc_nulls_last on both engines).
+    */
+  private def bestSurvivor(comp: DataFrame, idCol: String,
+                           scores: DataFrame): DataFrame = {
     val scored = comp.join(scores, Seq(idCol), "left")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))

@@ -185,6 +185,17 @@ class NearDupSpec extends SparkSpec {
       "vec_id", "embedding", 3, 0.5, 0.3, 3)
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(hardened == got)
+    // quality survivorship over the SAME clusters: keeper = best score in
+    // the cross-signal cluster {1,2,3}, not the min id
+    val scores = Seq((1L, 5L), (2L, 99L), (3L, 10L), (4L, 7L))
+      .toDF("doc_id", "score")
+    val best = NearDup.dedupByHybridBest(docs, emb, "doc_id", "text",
+      "vec_id", "embedding", 3, 0.5, 0.3, scores, 3)
+      .select("doc_id", "component", "keeper_id", "is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(best == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false), (4L, 4L, 4L, true)))
   }
 
   test("dedupByNearDupBest keeps docs missing from the score table") {
