@@ -19,6 +19,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same pin as Verify/SparkSpec: the events loader's NTZ→Timestamp
+      // normalization is exact only under UTC (Tables.normalizeEventTs).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Round-4 postmortem: the official bench died mid-run with
       // temp_shuffle files vanishing under a shared /tmp/spark-local

@@ -63,8 +63,8 @@ class EventOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = EventOps.sessionizeStream(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("ev_sess").start()
@@ -111,8 +111,8 @@ class EventOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = EventOps.dedupHourlyStream(stream)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("hr")).as("hour_us"), col("event_id"))
@@ -176,11 +176,11 @@ class EventOpsSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sf0001/events.parquet"))
-    // raw schema: ts is INT64 nanos (nanosAsLong), same conversion as Tables.events
+    // raw schema varies by fixture generation; one shared normalizer
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = EventOps.tumblingAggStream(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("ev_win")
