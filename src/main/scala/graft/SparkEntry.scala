@@ -375,14 +375,18 @@ object SparkEntry {
     "q_quality_model" -> ((s, dir) =>
       QualityModel.score(Tables.documents(s, dir), "doc_id", "text")),
 
-    // ---- Sketch-based corpus profile per language: HLL distinct
-    // fingerprints + approx token quantiles — mergeable-sketch aggregates,
-    // the scan-plus-KBs profiling shape at 100 TB. Estimates are
-    // engine-specific -> rows-only check (the ONE remaining no-oracle
-    // query); accuracy vs exact is asserted in PipelineOpsSpec, and the
-    // exact columns are hash-checked through q_corpus_profile below.
+    // ---- Sketch-based corpus profile per language, AUDITED: HLL distinct
+    // fingerprints + approx token quantiles (mergeable-sketch aggregates,
+    // the scan-plus-KBs profiling shape at 100 TB) checked against exact
+    // answers in the same job and emitted as per-sketch within-bound
+    // booleans + the exact n_docs. The estimate VALUES are engine-specific,
+    // but the CLAIM each sketch makes is checkable anywhere — the DuckDB
+    // oracle hash-checks the exact count and literal TRUE flags, so a
+    // sketch drifting out of bound fails the gate instead of hiding behind
+    // a rows-only check. Raw estimates: TextOps.corpusStats (exercised
+    // here and accuracy-asserted in PipelineOpsSpec).
     "q_corpus_stats" -> ((s, dir) =>
-      TextOps.corpusStats(Tables.documents(s, dir), "doc_id", "text", "lang")),
+      TextOps.corpusStatsAudit(Tables.documents(s, dir), "doc_id", "text", "lang")),
 
     // ---- Exact twin of q_corpus_stats (sample-tier calibration shape):
     // same per-language profile with exact distinct counts and
@@ -2416,6 +2420,12 @@ object SparkEntry {
         "FROM cum GROUP BY lang) " +
         "SELECT t.lang, t.n_docs, t.n_distinct_fp, p.p50_tokens, p.p95_tokens " +
         "FROM tot t JOIN pct p ON t.lang = p.lang"),
+    // The audit emits exact n_docs plus per-sketch within-bound booleans;
+    // the oracle asserts the exact count and that every flag is TRUE, so
+    // an out-of-bound sketch is a hash mismatch (see corpusStatsAudit).
+    "q_corpus_stats" ->
+      ("SELECT lang, count(*) AS n_docs, TRUE AS hll_ok, " +
+        "TRUE AS p50_ok, TRUE AS p95_ok FROM documents GROUP BY lang"),
     "q_containment_pairs" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
         "SELECT id_a, id_b, n_common, " +

@@ -227,6 +227,61 @@ object TextOps {
         percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
         percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"))
 
+  /** Oracle-checkable audit of [[corpusStats]]'s sketches: per stratum,
+    * the exact doc count plus one boolean per sketch column saying whether
+    * the estimate honors its published error bound against the exact
+    * answer computed in the same job.
+    *
+    *  - `hll_ok`: approx_count_distinct (rsd 0.02) within 10% (5 sigma) of
+    *    the exact distinct-fingerprint count.
+    *  - `p50_ok`/`p95_ok`: the value percentile_approx returned is a valid
+    *    q-quantile up to the sketch's rank error — its strict-below count
+    *    is at most q*n + slack and its at-or-below count at least
+    *    q*n - slack, slack = n/accuracy + 1 (the +1 absorbs discreteness;
+    *    ties make a naive "cnt_le/n ≈ q" check wrong, hence the two-sided
+    *    rank containment).
+    *
+    * This closes the one no-oracle gap the sketch estimates left: the
+    * engine-specific VALUES can't be matched by another engine, but the
+    * CLAIM each sketch makes is checkable anywhere — the DuckDB oracle
+    * asserts exact n_docs and literal TRUE per flag, so a sketch drifting
+    * out of bound is a hash mismatch, not a silent weak check. Same
+    * measure-then-trust pattern as lshRecallEval: the audit pays the exact
+    * shuffle [[corpusStats]] avoids, so it runs on the calibration sample
+    * tier, and the production corpus gets the sketch-only scan.
+    */
+  def corpusStatsAudit(df: DataFrame, idCol: String, textCol: String,
+                       strataCol: String): DataFrame = {
+    val sk = corpusStats(df, idCol, textCol, strataCol)
+    val base = df.select(col(strataCol), fingerprint(col(textCol)).as("fp"),
+      coalesce(tokenCount(col(textCol)), lit(0L)).as("nt"))
+    val exact = base.groupBy(col(strataCol))
+      .agg(count_distinct(col("fp")).as("x_fp"))
+    // rank the returned percentile values inside their stratum (sk is
+    // one row per stratum — AQE broadcasts it from measured size)
+    val ranks = base
+      .join(sk.select(col(strataCol), col("p50_tokens"), col("p95_tokens")),
+        Seq(strataCol))
+      .groupBy(col(strataCol))
+      .agg(
+        sum(when(col("nt") < col("p50_tokens"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("nt") <= col("p50_tokens"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("nt") < col("p95_tokens"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("nt") <= col("p95_tokens"), 1L).otherwise(0L)).as("le95"))
+    def qOk(q: Double, lt: String, le: String) = {
+      val n = col("n_docs").cast("double")
+      val slack = n / 10000d + lit(1d)
+      (col(lt).cast("double") <= n * q + slack) &&
+        (col(le).cast("double") >= n * q - slack)
+    }
+    sk.join(exact, Seq(strataCol)).join(ranks, Seq(strataCol))
+      .select(col(strataCol), col("n_docs"),
+        (abs(col("approx_distinct_fp").cast("double") - col("x_fp")) <=
+          col("x_fp") * 0.10).as("hll_ok"),
+        qOk(0.5, "lt50", "le50").as("p50_ok"),
+        qOk(0.95, "lt95", "le95").as("p95_ok"))
+  }
+
   /** Exact per-stratum corpus profile — the sample-tier twin of
     * [[corpusStats]]: same columns, exact values (count_distinct over
     * fingerprints; discrete percentiles of the integer token counts), so

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * today's corrections/deletions — re-expressed as plain DataFrame joins
   * so it works on any sink Spark can write.
   *
-  * Scale design: the standing corpus is the 100 TB side, the change batch
-  * is small. Both operators touch the corpus with exactly ONE left-anti
-  * join against the (broadcast) distinct change keys — the corpus is never
-  * shuffled on its own size, never windowed, and matched rows are replaced
-  * wholesale (no per-column coalesce pass). Cost = one corpus scan + a
-  * broadcast hash anti-join, which is the floor for this semantics.
+  * Scale design: the standing corpus is the 100 TB side. Both operators
+  * touch the corpus with exactly ONE left-anti join against the distinct
+  * change keys — the corpus is never shuffled on its own size, never
+  * windowed, and matched rows are replaced wholesale (no per-column
+  * coalesce pass). The change-key side carries NO forced broadcast hint:
+  * a typical CDC batch is small and AQE broadcasts it at runtime from its
+  * measured size, but a backfill batch touching a huge key range is NOT
+  * construction-bounded, and a forced hint would make it a driver-side
+  * build that OOMs — exactly the failure mode AQE's threshold check
+  * exists to avoid (it falls back to a shuffled anti-join).
   *
   * Reference anchor: the reference's pipelines rebuild their MySQL target
   * from scratch per run (`/root/reference/DAG/sample.py:71-87` truncate +
@@ -29,7 +33,7 @@ object Upsert {
     * upstream with [[Dedup.canonical]]).
     */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val changeKeys = broadcast(updates.select(keys.map(col): _*).distinct())
+    val changeKeys = updates.select(keys.map(col): _*).distinct()
     updates.unionByName(current.join(changeKeys, keys, "left_anti"))
   }
 
@@ -40,7 +44,7 @@ object Upsert {
     */
   def applyCdc(current: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String): DataFrame = {
-    val changeKeys = broadcast(changes.select(keys.map(col): _*).distinct())
+    val changeKeys = changes.select(keys.map(col): _*).distinct()
     val upserts = changes.filter(col(opCol) === "u").drop(opCol)
     upserts.unionByName(current.join(changeKeys, keys, "left_anti"))
   }

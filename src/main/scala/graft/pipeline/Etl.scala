@@ -127,7 +127,14 @@ object Etl {
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val sink = new Sinks.JdbcSink(url, props)
-    sink.overwrite(agg, "t_orders_agg")   // K4: truncate + load
+    // Pre-existing state the overwrite MUST clear: a decoy batch with
+    // poisoned sums appended first. Without it, on a fresh database
+    // "overwrite then append = 2 copies" also holds when overwrite
+    // silently appends — the decoy makes a truncate failure observable
+    // (3 copies, wrong totals → oracle hash mismatch) and exercises the
+    // truncate-on-existing-table path on every run, not just JVM reruns.
+    sink.append(agg.withColumn("cents", col("cents") + lit(1L)), "t_orders_agg")
+    sink.overwrite(agg, "t_orders_agg")   // K4: truncate + load (decoy vanishes)
     sink.append(agg, "t_orders_agg")      // K3: append accumulates
     spark.read.jdbc(url, "t_orders_agg", props)
       .groupBy("o_orderstatus")

@@ -102,6 +102,19 @@ class PlanGuaranteesSpec extends SparkSpec {
     }
   }
 
+  test("upsert/CDC change-key anti-joins carry no forced broadcast hint") {
+    // A CDC batch is usually small but NOT bounded by construction — a
+    // backfill touching a huge key range would make a forced broadcast a
+    // driver-side OOM. AQE broadcasts the genuinely-small case at runtime
+    // from measured size; the hint must stay out of the plan.
+    for (q <- Seq("q_upsert", "q_cdc_apply")) {
+      val analyzed =
+        SparkEntry.queries(q)(spark, sf0001).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint (strategy=broadcast)"),
+        s"$q analyzed plan carries a forced broadcast hint:\n$analyzed")
+    }
+  }
+
   test("token-budget cumsum never plans an empty-PARTITION-BY window") {
     // The grouped prefix scan must window by (__pid, stratum) — a global
     // or stratum-only window is the parallelism cliff runningTotalBy
