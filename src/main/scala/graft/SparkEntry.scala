@@ -492,6 +492,42 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, dir) =>
       Winnow.sharedFingerprintPairs(Tables.documents(s, dir), "doc_id", "text", 2)),
 
+    // ---- Duplicate-cluster centrality: integer PageRank (3 iterations)
+    // over the symmetrized winnowing pair graph. CC says which cluster a
+    // doc is in; the rank says who speaks for it (canonical pick) and how
+    // much rank mass one template soaks up. Integer arithmetic end to end
+    // so the iterative result is hash-comparable — see PageRank Scaladoc.
+    "q_dup_centrality" -> ((s, dir) => {
+      val pairs = Winnow.sharedFingerprintPairs(
+        Tables.documents(s, dir), "doc_id", "text", 2)
+      PageRank.ranks(PageRank.symmetrize(pairs, "id_a", "id_b"), "src", "dst", 3)
+        .select(col("id").as("doc_id"), col("outdeg"), col("r").as("rank_e12"))
+    }),
+
+    // ---- Data-quality gate: per-rule violation report over orders in ONE
+    // scan (conditional count + min-bad-key per rule, stack()'d out of a
+    // single aggregate row) plus the referential rule as a left-anti join
+    // — the pre-publish value-drift check. See DataChecks.
+    "q_dq_report" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      DataChecks.audit(o, "o_orderkey", Seq(
+        "price_positive" -> (col("o_totalprice") > 0),
+        "price_le_250k" -> (col("o_totalprice") <= 250000),
+        "status_open_or_final" -> col("o_orderstatus").isin("O", "F"),
+        "custkey_not_null" -> col("o_custkey").isNotNull))
+        .unionByName(DataChecks.fkViolations(o, "o_custkey", "o_orderkey",
+          Tables.customer(s, dir), "c_custkey", "custkey_in_customer"))
+    }),
+
+    // ---- Epoch upsampling: one row per (doc, epoch) with low-resource
+    // languages repeated (de x3, fr x4, es x2, rest x1) — the repeat side
+    // of data mixing, a pure codegen'd generator (no shuffle). See
+    // Sampling.epochRepeat.
+    "q_epoch_mix" -> ((s, dir) =>
+      Sampling.epochRepeat(Tables.documents(s, dir), "lang",
+        Map("de" -> 3, "fr" -> 4, "es" -> 2))
+        .select(col("doc_id"), col("lang"), col("epoch").cast("long"))),
+
     // ---- Contamination scan: winnowing-fingerprint overlap BETWEEN two
     // corpora (train = even doc_ids, eval = odd) — the train-test leakage
     // check; posting-list equi-join, never |train|x|eval|.
@@ -1668,6 +1704,48 @@ object SparkEntry {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
         "FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    // PageRank replayed as unrolled integer-arithmetic iterations — every
+    // step is multiply/floor-divide/sum on BIGINTs, so both engines agree
+    // bit for bit (the CAST collapses DuckDB's HUGEINT sum back to the
+    // BIGINT Spark carries).
+    "q_dup_centrality" ->
+      (s"WITH $sqlWinnowCte, " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        "r0 AS (SELECT id, outdeg, 1000000000000 // n AS r FROM deg CROSS JOIN nn), " +
+        prCte("r0", "r1") + ", " + prCte("r1", "r2") + ", " + prCte("r2", "r3") +
+        " SELECT id AS doc_id, outdeg, r AS rank_e12 FROM r3"),
+    // One branch per rule; violation = expectation false OR null (the
+    // null-hostile coalesce both engines apply identically).
+    "q_dq_report" ->
+      ("SELECT 'price_positive' AS rule, count(*) AS n_checked, " +
+        "CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, " +
+        "min(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN o_orderkey END) AS min_bad_key FROM orders " +
+        "UNION ALL SELECT 'price_le_250k', count(*), " +
+        "CAST(sum(CASE WHEN NOT coalesce(o_totalprice <= 250000, FALSE) THEN 1 ELSE 0 END) AS BIGINT), " +
+        "min(CASE WHEN NOT coalesce(o_totalprice <= 250000, FALSE) THEN o_orderkey END) FROM orders " +
+        "UNION ALL SELECT 'status_open_or_final', count(*), " +
+        "CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), FALSE) THEN 1 ELSE 0 END) AS BIGINT), " +
+        "min(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), FALSE) THEN o_orderkey END) FROM orders " +
+        "UNION ALL SELECT 'custkey_not_null', count(*), " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+        "min(CASE WHEN o_custkey IS NULL THEN o_orderkey END) FROM orders " +
+        "UNION ALL SELECT 'custkey_in_customer', (SELECT count(*) FROM orders), " +
+        "CAST(count(*) AS BIGINT), min(o_orderkey) FROM orders o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+    // Bounded epoch table (max repeat = 4) joined on epoch <= repeat(lang)
+    // — lateral-free, so it runs on any SQL engine.
+    "q_epoch_mix" ->
+      ("SELECT d.doc_id, d.lang, CAST(r.epoch AS BIGINT) AS epoch " +
+        "FROM documents d JOIN (SELECT 1 AS epoch UNION ALL SELECT 2 " +
+        "UNION ALL SELECT 3 UNION ALL SELECT 4) r " +
+        "ON r.epoch <= (CASE d.lang WHEN 'de' THEN 3 WHEN 'fr' THEN 4 " +
+        "WHEN 'es' THEN 2 ELSE 1 END)"),
     "q_contamination" ->
       (s"WITH $sqlWinnowCte " +
         "SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS n_shared " +
@@ -2830,6 +2908,17 @@ object SparkEntry {
     * the FIRST element, so a 0 is prepended to match Spark's aggregate
     * init; slices are 1-based inclusive (th[i : i+k-1] == slice(th,i,k)).
     */
+  /** One unrolled PageRank iteration for the q_dup_centrality oracle:
+    * r'(v) = floor(0.15*SCALE/n) + sum over in-edges of
+    * floor(0.85*r(u)/outdeg(u)), with 0.85x = (17x) div 20 and
+    * SCALE = 1e12 — mirrors graft.operators.PageRank.ranks exactly.
+    */
+  private def prCte(prev: String, cur: String): String =
+    s"$cur AS (SELECT e.dst AS id, min(d.outdeg) AS outdeg, " +
+      s"CAST((150000000000 // min(nn.n)) + sum((17 * $prev.r) // (20 * $prev.outdeg)) AS BIGINT) AS r " +
+      s"FROM edges e JOIN $prev ON $prev.id = e.src JOIN deg d ON d.id = e.dst CROSS JOIN nn " +
+      "GROUP BY e.dst)"
+
   private val sqlWinnowCte: String = {
     val (k, w, b, m) = (Winnow.GramTokens, Winnow.WindowGrams, Winnow.Base, Winnow.Mod)
     "wt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t " +

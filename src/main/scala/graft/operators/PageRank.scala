@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality (PageRank, Page/Brin/Motwani/Winograd 1999)
+  * in DETERMINISTIC integer arithmetic — the iterate-via-joins pattern a
+  * Spark pipeline uses where a native engine would hand-roll a graph
+  * kernel.
+  *
+  * Pipeline role: near-dup detection emits a PAIR GRAPH (MinHash bands,
+  * winnowing fingerprints, embedding buckets — see NearDup/Winnow/Ann).
+  * Centrality over that graph ranks each duplicate cluster's members by
+  * how connected they are — the high-rank node is the natural canonical
+  * survivor (the "most representative" copy), and rank mass per cluster
+  * measures how much of the corpus is one template. Connected components
+  * (ConnectedComponents.scala) says WHICH cluster; this says WHO SPEAKS
+  * FOR IT.
+  *
+  * Why integer arithmetic: FP addition is non-associative, so a
+  * double-valued rank depends on reduce order and can't be hash-compared
+  * across engines (or even across two Spark runs with different
+  * partitioning). Ranks here live in units of 1/SCALE: every step is
+  * integer multiply/floor-divide/sum — associative, overflow-safe
+  * (17 * r <= 1.7e13 << 2^63), and bit-identical on any engine, so the
+  * DuckDB oracle replays the same iterations as unrolled CTEs.
+  *
+  * One iteration = r'(v) = floor(0.15 * SCALE / n)
+  *                       + sum over in-edges u->v of floor(0.85 * r(u) / outdeg(u))
+  * with 0.85 * x written as (17 * x) div 20 (exact).
+  *
+  * Scale design: per iteration ONE equi-join of the edge list with the
+  * node-sized rank frame plus one hash aggregate on dst — linear shuffle
+  * in |E|, the textbook distributed PageRank step; no driver-side state
+  * except the single node count (one scalar, same bound as the CC
+  * convergence signature). Caller contract: `edges` must contain every
+  * node as a src at least once (true for any symmetrized/undirected pair
+  * graph — each edge appears both ways), so there are no dangling nodes
+  * and rank mass only leaks through floor rounding.
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // ranks in units of 1e-12
+
+  /** Ranks after `iters` full iterations over the directed edge list.
+    * Output: (id, outdeg, r) — r is the integer rank in units of 1/SCALE.
+    */
+  def ranks(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val deg = edges.groupBy(col(src).as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    // one scalar to the driver (node count) — bounded by construction
+    val n = deg.count()
+    // empty graph (e.g. a corpus with no near-dup pairs) → empty result,
+    // same schema — a pipeline stage, not an error
+    if (n == 0) return deg.select(col("id"), col("outdeg"), lit(0L).as("r"))
+    var r = deg.select(col("id"), col("outdeg"), lit(Scale / n).as("r"))
+    val base = (3L * Scale / 20L) / n // floor(0.15 * SCALE / n)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.withColumnRenamed("id", "__src"), col(src) === col("__src"))
+        .select(col(dst).as("id"), expr("(17 * r) div (20 * outdeg)").as("c"))
+        .groupBy("id").agg(sum("c").as("in_mass"))
+      r = deg.join(contrib, Seq("id"))
+        .select(col("id"), col("outdeg"), (lit(base) + col("in_mass")).as("r"))
+    }
+    r
+  }
+
+  /** Symmetrize an undirected pair list (id_a, id_b) into a directed edge
+    * list (src, dst) with each pair in both directions.
+    */
+  def symmetrize(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+}

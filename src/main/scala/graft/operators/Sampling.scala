@@ -139,6 +139,34 @@ object Sampling {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** Epoch upsampling — the REPEAT side of data mixing, where
+    * [[rebalanceMix]]/[[temperatureRebalance]] are the down-sample side:
+    * materialize per-stratum repeat factors (e.g. low-resource languages
+    * seen 4 epochs per training pass, the dominant one once) as one row
+    * per (document, epoch). Each row gains an `epoch` column in
+    * [1, repeats(stratum)]; unknown strata default to 1 epoch.
+    *
+    * Pure projection + generator (`explode(sequence(...))` — codegen'd,
+    * no shuffle, no state): output size is exactly sum(n_i * r_i) by
+    * construction, the scan-speed shape. The repeat map is a LITERAL
+    * (caller-side mixing config, a handful of strata), not a joined
+    * table — so there is nothing to broadcast and nothing data-dependent
+    * in the plan. Downstream packing/sharding sees epoch as an ordinary
+    * column (mix different epochs into different shards via
+    * hash(id, epoch)).
+    */
+  def epochRepeat(df: DataFrame, strataCol: String,
+                  repeats: Map[String, Int]): DataFrame = {
+    // >= 1, not 0: sequence(1, 0) infers a NEGATIVE step and yields
+    // [1, 0] — two phantom epochs. Dropping a stratum is a filter's job.
+    require(repeats.values.forall(r => r >= 1 && r <= 1000),
+      s"repeat factors must be in [1,1000]: $repeats")
+    val rep = repeats.foldLeft(lit(1)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("epoch", explode(sequence(lit(1), rep)))
+  }
+
   /** Token-budget corpus selection: per stratum, take documents in
     * (quality desc, id) order until the stratum's cumulative token count
     * would exceed `budgetTokens` — the greedy fill that assembles a

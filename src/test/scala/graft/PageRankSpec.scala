@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{PageRank, Winnow}
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def star: org.apache.spark.sql.DataFrame =
+    // hub 1 connected to 2,3,4; isolated pair 5-6
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+
+  test("symmetrize emits both directions of every pair") {
+    val e = PageRank.symmetrize(star, "id_a", "id_b")
+    assert(e.count() == 8)
+    assert(e.filter(col("src") === 2L && col("dst") === 1L).count() == 1)
+  }
+
+  test("rank mass is conserved up to floor leakage; hub outranks leaves") {
+    val e = PageRank.symmetrize(star, "id_a", "id_b")
+    val r = PageRank.ranks(e, "src", "dst", 3).as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(r.size == 6)
+    val mass = r.map(_._3).sum
+    // floor() loses at most 1 unit per (edge + base) per iteration
+    assert(mass <= PageRank.Scale && mass > PageRank.Scale - 1000L)
+    val byId = r.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) > byId(2L), s"hub must outrank a leaf: $byId")
+    // symmetric leaves tie exactly (integer arithmetic, no FP noise)
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
+    assert(byId(5L) == byId(6L))
+  }
+
+  test("zero iterations returns the uniform start vector") {
+    val e = PageRank.symmetrize(star, "id_a", "id_b")
+    val r = PageRank.ranks(e, "src", "dst", 0)
+      .select("r").as[Long].collect().toSet
+    assert(r == Set(PageRank.Scale / 6))
+  }
+
+  test("deterministic under different partitioning (integer arithmetic)") {
+    val pairs = Winnow.sharedFingerprintPairs(
+      Tables.documents(spark, sf0001), "doc_id", "text", 2)
+    val e = PageRank.symmetrize(pairs, "id_a", "id_b")
+    val a = PageRank.ranks(e, "src", "dst", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = PageRank.ranks(e.repartition(13), "src", "dst", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("empty graph yields an empty result, not an error") {
+    val e = PageRank.symmetrize(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(PageRank.ranks(e, "src", "dst", 3).count() == 0)
+  }
+
+  test("top-ranked node of a dup cluster has max degree in a clique") {
+    // 4-clique 1..4 plus pendant 9 attached to 1: node 1 has highest degree
+    val clique = for {
+      i <- 1L to 4L; j <- (i + 1) to 4L
+    } yield (i, j)
+    val e = PageRank.symmetrize(
+      (clique :+ (1L, 9L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val top = PageRank.ranks(e, "src", "dst", 5)
+      .orderBy(col("r").desc, col("id")).select("id").as[Long].head()
+    assert(top == 1L)
+  }
+}
