@@ -388,6 +388,15 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) =>
       TextOps.corpusStatsAudit(Tables.documents(s, dir), "doc_id", "text", "lang")),
 
+    // ---- Incremental distinct counting: one mergeable DataSketches HLL
+    // binary sketch per language + an __all__ row whose estimate comes
+    // ONLY from hll_union_agg of the per-stratum sketches — the
+    // persist-sketches-not-rescans profiling shape. Audited like
+    // q_corpus_stats: exact counts + within-bound flags are what the
+    // oracle hashes. See TextOps.sketchDistinctAudit.
+    "q_sketch_distinct" -> ((s, dir) =>
+      TextOps.sketchDistinctAudit(Tables.documents(s, dir), "text", "lang")),
+
     // ---- Exact twin of q_corpus_stats (sample-tier calibration shape):
     // same per-language profile with exact distinct counts and
     // deterministic integer percentiles — fully DuckDB-oracled.
@@ -2504,6 +2513,13 @@ object SparkEntry {
     "q_corpus_stats" ->
       ("SELECT lang, count(*) AS n_docs, TRUE AS hll_ok, " +
         "TRUE AS p50_ok, TRUE AS p95_ok FROM documents GROUP BY lang"),
+    "q_sketch_distinct" ->
+      ("WITH base AS (SELECT lang, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents) " +
+        "SELECT lang AS stratum, count(*) AS n_docs, " +
+        "count(DISTINCT fp) AS n_distinct, TRUE AS hll_ok FROM base GROUP BY 1 " +
+        "UNION ALL SELECT '__all__', count(*), count(DISTINCT fp), TRUE FROM base"),
     "q_containment_pairs" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
         "SELECT id_a, id_b, n_common, " +

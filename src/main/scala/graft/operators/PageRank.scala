@@ -47,8 +47,16 @@ object PageRank {
     */
   def ranks(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val deg = edges.groupBy(col(src).as("id"))
+    // The edge list is referenced once per iteration (plus the degree
+    // build) — left lazy, an expensive upstream (e.g. the winnowing
+    // fingerprint join that produced the pairs) would be recomputed for
+    // EVERY reference in the final DAG. Materialize it once; same
+    // localCheckpoint pattern as the CC rounds (ConnectedComponents).
+    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("__src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint() // node-sized; referenced every iteration
     // one scalar to the driver (node count) — bounded by construction
     val n = deg.count()
     // empty graph (e.g. a corpus with no near-dup pairs) → empty result,
@@ -56,13 +64,16 @@ object PageRank {
     if (n == 0) return deg.select(col("id"), col("outdeg"), lit(0L).as("r"))
     var r = deg.select(col("id"), col("outdeg"), lit(Scale / n).as("r"))
     val base = (3L * Scale / 20L) / n // floor(0.15 * SCALE / n)
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(r.withColumnRenamed("id", "__src"), col(src) === col("__src"))
-        .select(col(dst).as("id"), expr("(17 * r) div (20 * outdeg)").as("c"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("id", "__src"), "__src")
+        .select(col("__dst").as("id"), expr("(17 * r) div (20 * outdeg)").as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
       r = deg.join(contrib, Seq("id"))
         .select(col("id"), col("outdeg"), (lit(base) + col("in_mass")).as("r"))
+      // truncate lineage so iteration i's plan doesn't embed i-1 joins
+      // (node-sized materialization — the CC per-round pattern)
+      if (i < iters) r = r.localCheckpoint()
     }
     r
   }

@@ -227,6 +227,48 @@ object TextOps {
         percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
         percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"))
 
+  /** Incremental distinct counting via MERGEABLE DataSketches HLL — the
+    * profiling shape for a corpus that arrives in increments: build one
+    * compact binary sketch PER STRATUM (per day / per source / per
+    * partition in production), persist them, and answer "distinct across
+    * any union of increments" by merging sketches — never rescanning the
+    * 100 TB that produced them. `approx_count_distinct` cannot do this:
+    * its HLL state never leaves the aggregation, so every new question is
+    * a new full scan. `hll_sketch_agg`'s state is a first-class binary
+    * column.
+    *
+    * Output (oracle-checkable in the same audited-sketch shape as
+    * [[corpusStatsAudit]]): one row per stratum plus an `__all__` row
+    * whose estimate comes ONLY from merging the per-stratum sketches
+    * (`hll_union_agg`) — exactly what an incremental pipeline would do —
+    * each carrying the exact count and a within-10%-of-exact flag
+    * (default lgConfigK=12 → rsd ≈ 1.6%; 10% is >5 sigma). The exact
+    * counts are the audit tier's cost, paid here so the sketch path is
+    * hash-gated; production persists the sketch column and skips them.
+    */
+  def sketchDistinctAudit(df: DataFrame, textCol: String,
+                          strataCol: String): DataFrame = {
+    val base = df.select(col(strataCol).as("stratum"),
+      fingerprint(col(textCol)).as("fp"))
+    val per = base.groupBy("stratum").agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("fp")).as("n_distinct"),
+      hll_sketch_agg(col("fp")).as("sk"))
+    def ok(est: Column, exact: Column) =
+      abs(est.cast("double") - exact.cast("double")) <= exact.cast("double") * 0.10
+    val perRows = per.select(col("stratum"), col("n_docs"), col("n_distinct"),
+      ok(hll_sketch_estimate(col("sk")), col("n_distinct")).as("hll_ok"))
+    // the union row: exact global distinct from the base (audit only);
+    // the ESTIMATE strictly from merging the per-stratum sketches
+    val globalExact = base.agg(count(lit(1)).as("n_docs"),
+      count_distinct(col("fp")).as("n_distinct"))
+    val merged = per.agg(hll_union_agg(col("sk")).as("sk"))
+    val allRow = globalExact.crossJoin(merged)
+      .select(lit("__all__").as("stratum"), col("n_docs"), col("n_distinct"),
+        ok(hll_sketch_estimate(col("sk")), col("n_distinct")).as("hll_ok"))
+    perRows.unionByName(allRow)
+  }
+
   /** Oracle-checkable audit of [[corpusStats]]'s sketches: per stratum,
     * the exact doc count plus one boolean per sketch column saying whether
     * the estimate honors its published error bound against the exact

@@ -197,4 +197,26 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).head
     assert(got == ((7L, 2L))) // the two c's are OOV
   }
+
+  test("sketchDistinctAudit: merged-sketch estimate equals the single-pass estimate") {
+    val d = Tables.documents(spark, sf0001)
+    val base = d.select(col("lang"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    // HLL's defining property: union of per-stratum sketches estimates
+    // the SAME value as one sketch over everything (deterministic, not
+    // just approximately equal)
+    val direct = base.agg(hll_sketch_estimate(hll_sketch_agg(col("fp"))))
+      .head().getLong(0)
+    val merged = base.groupBy("lang").agg(hll_sketch_agg(col("fp")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    assert(direct == merged)
+    // and the audit's flags hold on the fixture, __all__ row present
+    val out = TextOps.sketchDistinctAudit(d, "text", "lang")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.exists(_._1 == "__all__"))
+    assert(out.forall(_._4), s"sketch out of bound: ${out.mkString(",")}")
+    val all = out.find(_._1 == "__all__").get
+    assert(all._2 == out.filter(_._1 != "__all__").map(_._2).sum)
+  }
 }
