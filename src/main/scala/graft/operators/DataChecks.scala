@@ -51,19 +51,22 @@ object DataChecks {
   }
 
   /** Referential-integrity companion: child keys with no matching parent
-    * key, in the same report row shape as [[audit]]. Left-anti join — the
-    * child side is the big one and shuffles once on the key; the parent
-    * side ships only its key column.
+    * key, in the same report row shape as [[audit]]. ONE left join against
+    * the distinct parent keys and one aggregate — orphan rows are the ones
+    * whose parent key came back null, so n_checked and the violation stats
+    * fall out of the same pass (an anti-join would need a second scan of
+    * the child just to count n_checked, and gluing the two single-row
+    * results back together is a nested-loop join Catalyst can't avoid).
+    * The parent ships only its distinct key column.
     */
   def fkViolations(child: DataFrame, childKey: String, reportKey: String,
                    parent: DataFrame, parentKey: String,
                    ruleName: String): DataFrame = {
-    val orphans = child.join(parent.select(col(parentKey)),
-      child(childKey) === parent(parentKey), "left_anti")
-    val n = child.agg(count(lit(1)).as("n_checked"))
-    orphans.agg(count(lit(1)).as("n_violations"),
-        min(col(reportKey)).as("min_bad_key"))
-      .crossJoin(n)
+    val pk = parent.select(col(parentKey).as("__pk")).distinct()
+    child.join(pk, child(childKey) === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_violations"),
+        min(when(col("__pk").isNull, col(reportKey))).as("min_bad_key"))
       .select(lit(ruleName).as("rule"), col("n_checked"),
         col("n_violations"), col("min_bad_key"))
   }

@@ -259,11 +259,23 @@ object TextOps {
     val perRows = per.select(col("stratum"), col("n_docs"), col("n_distinct"),
       ok(hll_sketch_estimate(col("sk")), col("n_distinct")).as("hll_ok"))
     // the union row: exact global distinct from the base (audit only);
-    // the ESTIMATE strictly from merging the per-stratum sketches
+    // the ESTIMATE strictly from merging the per-stratum sketches. The
+    // two single-row frames are combined by union + one aggregate, never
+    // a join — gluing two 1-row aggregates with a (cross)join plans as a
+    // nested loop, which the cartesian-free guarantee in
+    // PlanGuaranteesSpec bans across every query (FoldablePropagation
+    // even folds a literal-key equi-join back into a cross join).
     val globalExact = base.agg(count(lit(1)).as("n_docs"),
       count_distinct(col("fp")).as("n_distinct"))
+      .select(col("n_docs"), col("n_distinct"),
+        lit(null).cast("binary").as("sk"))
     val merged = per.agg(hll_union_agg(col("sk")).as("sk"))
-    val allRow = globalExact.crossJoin(merged)
+      .select(lit(null).cast("long").as("n_docs"),
+        lit(null).cast("long").as("n_distinct"), col("sk"))
+    val allRow = globalExact.unionByName(merged)
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("n_distinct")).as("n_distinct"),
+        first(col("sk"), ignoreNulls = true).as("sk"))
       .select(lit("__all__").as("stratum"), col("n_docs"), col("n_distinct"),
         ok(hll_sketch_estimate(col("sk")), col("n_distinct")).as("hll_ok"))
     perRows.unionByName(allRow)

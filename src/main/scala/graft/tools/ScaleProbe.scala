@@ -100,7 +100,15 @@ object ScaleProbe {
       // (same `source` values), so the per-partition streams grow Rx and
       // runtime must stay linear — the fold is O(1)-state by design
       "pack_boundaried" -> (d =>
-        Packing.packBoundaried(d, "doc_id", "text", "source", 512).count())
+        Packing.packBoundaried(d, "doc_id", "text", "source", 512).count()),
+      // copies are NOT near-dups of each other, so the pair graph grows
+      // ~Rx (R independent copies of the base graph) — the iterative
+      // edge-join + agg must track edge count, not node-pair potential
+      "dup_centrality" -> (d => {
+        val pairs = Winnow.sharedFingerprintPairs(d, "doc_id", "text", 2)
+        PageRank.ranks(
+          PageRank.symmetrize(pairs, "id_a", "id_b"), "src", "dst", 3).count()
+      })
     )
 
     val factors = Seq(1, 4, 10)

@@ -129,4 +129,43 @@ class DedupSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("streaming fingerprint gate: one survivor per normalized content, state evicted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Dedup.fingerprintDedupStream(
+      ms.toDS().toDF("ts", "doc_id", "text"), "ts", "text", "10 minutes")
+      .select("doc_id", "fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fp_gate").start()
+    try {
+      // same content in 3 normalized-equal forms + one distinct doc
+      ms.addData(
+        (ts("2026-01-01 10:00:00"), 1L, "Hello  World"),
+        (ts("2026-01-01 10:00:01"), 2L, "hello world"),
+        (ts("2026-01-01 10:00:02"), 3L, " HELLO WORLD "),
+        (ts("2026-01-01 10:00:03"), 4L, "something else"))
+      q.processAllAvailable()
+      // push the watermark past the window: fp state for 10:00 is evicted
+      ms.addData((ts("2026-01-01 11:00:00"), 5L, "later doc"))
+      q.processAllAvailable()
+      // a re-post AFTER eviction is re-admitted by design
+      ms.addData((ts("2026-01-01 11:00:01"), 6L, "hello world"))
+      q.processAllAvailable()
+      val got = spark.table("fp_gate").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 4L, 5L, 6L), s"got $got")
+      // batch parity inside one window: survivors' fp set == canonical's
+      val batch = Seq((1L, "Hello  World"), (2L, "hello world"),
+        (3L, " HELLO WORLD "), (4L, "something else"))
+        .toDF("doc_id", "text")
+        .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+      val batchFps = Dedup.canonical(batch, Seq("fp"), Seq(col("doc_id")))
+        .select("fp").as[String].collect().toSet
+      val streamFps = spark.table("fp_gate")
+        .filter(col("doc_id") <= 4L).select("fp").as[String].collect().toSet
+      assert(streamFps == batchFps)
+    } finally q.stop()
+  }
 }
