@@ -37,7 +37,9 @@ object DataChecks {
       s"rule names must be [A-Za-z0-9_]+: ${rules.map(_._1).mkString(",")}")
     val aggs = rules.flatMap { case (name, pred) =>
       val bad = coalesce(pred, lit(false)) === false
-      Seq(sum(when(bad, 1L).otherwise(0L)).as(s"__v_$name"),
+      // sum over an EMPTY table is null, and an empty corpus has zero
+      // violations, not unknown-many
+      Seq(coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"__v_$name"),
         min(when(bad, col(keyCol))).as(s"__k_$name"))
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
@@ -65,7 +67,8 @@ object DataChecks {
     val pk = parent.select(col(parentKey).as("__pk")).distinct()
     child.join(pk, child(childKey) === col("__pk"), "left")
       .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_violations"),
+        coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"),
         min(when(col("__pk").isNull, col(reportKey))).as("min_bad_key"))
       .select(lit(ruleName).as("rule"), col("n_checked"),
         col("n_violations"), col("min_bad_key"))

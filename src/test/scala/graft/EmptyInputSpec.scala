@@ -144,6 +144,37 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_id", "score")).count() == 0)
   }
 
+  test("round-7 additions tolerate empty input") {
+    // PageRank on an empty pair graph: empty result (also spec'd directly)
+    assert(PageRank.ranks(PageRank.symmetrize(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b"),
+      "src", "dst", 3).count() == 0)
+    // DQ audit over an empty table: one row per rule, 0/0, null bad key
+    val dq = DataChecks.audit(noDocs, "doc_id",
+      Seq("nonempty" -> (length(col("text")) > 0)))
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(dq == Seq(("nonempty", 0L, 0L, None)))
+    val fk = DataChecks.fkViolations(noDocs, "doc_id", "doc_id",
+      someDocs, "doc_id", "fk")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(fk == Seq(("fk", 0L, 0L, None)))
+    // every child an orphan against an empty parent
+    val orphaned = DataChecks.fkViolations(someDocs, "doc_id", "doc_id",
+      noDocs, "doc_id", "fk")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(orphaned == Seq(("fk", 1L, 1L, Some(1L))))
+    assert(Sampling.epochRepeat(noDocs.withColumn("lang", lit("en")),
+      "lang", Map("en" -> 3)).count() == 0)
+    // sketch audit on an empty corpus: just the __all__ row, 0 docs
+    val sk = TextOps.sketchDistinctAudit(
+      noDocs.withColumn("lang", lit("en")), "text", "lang")
+      .select("stratum", "n_docs", "n_distinct")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sk == Seq(("__all__", 0L, 0L)))
+    assert(TextOps.corpusStatsAudit(noDocs.withColumn("lang", lit("en")),
+      "doc_id", "text", "lang").count() == 0)
+  }
+
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
     assert(Sampling.weightedSample(
