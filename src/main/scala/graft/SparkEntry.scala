@@ -528,6 +528,14 @@ object SparkEntry {
           Tables.customer(s, dir), "c_custkey", "custkey_in_customer"))
     }),
 
+    // ---- k-anonymity suppression gate: a document ships only if >= 5
+    // docs share its (lang, source) quasi-identifier combination — the
+    // structural privacy gate next to the value-level PII scrub. Group
+    // size rides along as the audit column. See Privacy.
+    "q_kanon" -> ((s, dir) =>
+      Privacy.kSuppress(Tables.documents(s, dir), Seq("lang", "source"), 5L)
+        .select(col("doc_id"), col("lang"), col("source"), col("qi_group_n"))),
+
     // ---- Epoch upsampling: one row per (doc, epoch) with low-resource
     // languages repeated (de x3, fr x4, es x2, rest x1) — the repeat side
     // of data mixing, a pure codegen'd generator (no shuffle). See
@@ -1747,6 +1755,12 @@ object SparkEntry {
         "UNION ALL SELECT 'custkey_in_customer', (SELECT count(*) FROM orders), " +
         "CAST(count(*) AS BIGINT), min(o_orderkey) FROM orders o " +
         "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+    "q_kanon" ->
+      ("WITH g AS (SELECT lang, source, count(*) AS qi_group_n " +
+        "FROM documents GROUP BY 1, 2) " +
+        "SELECT d.doc_id, d.lang, d.source, g.qi_group_n " +
+        "FROM documents d JOIN g ON d.lang = g.lang AND d.source = g.source " +
+        "WHERE g.qi_group_n >= 5"),
     // Bounded epoch table (max repeat = 4) joined on epoch <= repeat(lang)
     // — lateral-free, so it runs on any SQL engine.
     "q_epoch_mix" ->

@@ -53,6 +53,25 @@ class DataChecksSpec extends SparkSpec {
     assert(out == (("fk_ok", 3L, 1L, Some(3L))))
   }
 
+  test("kSuppress/kSuppressed partition the corpus by QI group size") {
+    import graft.operators.Privacy
+    val df = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),   // group of 3
+      (4L, "de", "a"), (5L, "de", "a"),                    // group of 2
+      (6L, "fr", "b")                                      // singleton
+    ).toDF("doc_id", "lang", "source")
+    val kept = Privacy.kSuppress(df, Seq("lang", "source"), 3L)
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = Privacy.kSuppressed(df, Seq("lang", "source"), 3L)
+      .select("doc_id", "qi_group_n").as[(Long, Long)].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+    assert(dropped == Set((4L, 2L), (5L, 2L), (6L, 1L)))
+    // exact partition: nothing lost, nothing duplicated
+    assert(kept.size + dropped.size == 6)
+    // k=1 keeps everything
+    assert(Privacy.kSuppress(df, Seq("lang", "source"), 1L).count() == 6)
+  }
+
   test("epochRepeat materializes per-stratum repeats; unknown strata get 1") {
     val df = Seq((1L, "de"), (2L, "en"), (3L, "xx")).toDF("doc_id", "lang")
     val out = Sampling.epochRepeat(df, "lang", Map("de" -> 3, "en" -> 2))
