@@ -528,6 +528,18 @@ object SparkEntry {
           Tables.customer(s, dir), "c_custkey", "custkey_in_customer"))
     }),
 
+    // ---- Corpus drift: the 25 tokens most over-represented in each half
+    // of the corpus (even vs odd doc_ids — the same split as the
+    // contamination scans), by add-1-smoothed odds ratio. Integer products
+    // + one correctly-rounded double division keep the ratio-valued score
+    // engine-exact. See TextOps.domainShiftTokens.
+    "q_domain_shift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.domainShiftTokens(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", 25)
+    }),
+
     // ---- k-anonymity suppression gate: a document ships only if >= 5
     // docs share its (lang, source) quasi-identifier combination — the
     // structural privacy gate next to the value-level PII scrub. Group
@@ -1755,6 +1767,23 @@ object SparkEntry {
         "UNION ALL SELECT 'custkey_in_customer', (SELECT count(*) FROM orders), " +
         "CAST(count(*) AS BIGINT), min(o_orderkey) FROM orders o " +
         "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+    "q_domain_shift" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "ca AS (SELECT token, count(*) AS c_a FROM t WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "cb AS (SELECT token, count(*) AS c_b FROM t WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "j AS (SELECT coalesce(ca.token, cb.token) AS token, " +
+        "coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b " +
+        "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), " +
+        "tot AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb, count(*) AS v FROM j), " +
+        "scored AS (SELECT token, c_a, c_b, " +
+        "CAST((c_a + 1) * (tb + v) AS DOUBLE) / CAST((c_b + 1) * (ta + v) AS DOUBLE) AS ratio " +
+        "FROM j CROSS JOIN tot) " +
+        "SELECT 'a' AS direction, token, c_a, c_b, ratio FROM " +
+        "(SELECT * FROM scored ORDER BY ratio DESC, token LIMIT 25) x " +
+        "UNION ALL SELECT 'b' AS direction, token, c_a, c_b, ratio FROM " +
+        "(SELECT * FROM scored ORDER BY ratio ASC, token LIMIT 25) y"),
     "q_kanon" ->
       ("WITH g AS (SELECT lang, source, count(*) AS qi_group_n " +
         "FROM documents GROUP BY 1, 2) " +

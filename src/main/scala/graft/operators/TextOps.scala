@@ -227,6 +227,55 @@ object TextOps {
         percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
         percentile_approx(col("n_tokens"), lit(0.95), lit(10000)).as("p95_tokens"))
 
+  /** Corpus drift detector: the k tokens most over-represented in corpus
+    * A vs corpus B and vice versa, scored by the add-1-smoothed unigram
+    * odds ratio — the distribution-shift diagnostic run between two crawl
+    * snapshots, a corpus and its filtered child, or train vs incoming
+    * data, surfacing WHICH vocabulary moved (a KL number says only THAT
+    * it moved).
+    *
+    * Engine-exact determinism for a ratio-valued score: numerator
+    * (c_a+1)(T_b+V) and denominator (c_b+1)(T_a+V) are exact BIGINT
+    * products (< 2^53, so their double images are exact), and the score
+    * is ONE correctly-rounded IEEE-754 division of those two integers —
+    * bit-identical in any engine, unlike a log-space KL sum whose
+    * transcendentals and reduce order are not portable (the same argument
+    * as temperatureRebalance's sqrt). Ties broken by token.
+    *
+    * Scale shape: two token-count aggregates (map-side combinable,
+    * vocab-bounded) full-outer-joined on token, then global top-k via
+    * sort-limit (TakeOrdered — per-partition k then driver merge of
+    * numPartitions*k rows, no global sort materialization, no window).
+    * The three scalar totals come to the driver (3 longs, same bound as
+    * the CC convergence signature); the joined vocab frame is
+    * localCheckpointed so the totals action doesn't recompute it.
+    */
+  def domainShiftTokens(a: DataFrame, b: DataFrame, textCol: String,
+                        k: Int): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(tokens(lower(col(textCol)))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(out))
+    val j = counts(a, "c_a").join(counts(b, "c_b"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint()
+    val tot = j.agg(sum("c_a"), sum("c_b"), count(lit(1))).head()
+    if (tot.isNullAt(0) && tot.isNullAt(1))
+      return j.select(lit("a").as("direction"), col("token"), col("c_a"),
+        col("c_b"), lit(0.0).as("ratio")).limit(0)
+    val (ta, tb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val scored = j.withColumn("ratio",
+      ((col("c_a") + 1L) * lit(tb + v)).cast("double") /
+        ((col("c_b") + 1L) * lit(ta + v)).cast("double"))
+    scored.orderBy(col("ratio").desc, col("token")).limit(k)
+      .select(lit("a").as("direction"), col("token"), col("c_a"), col("c_b"),
+        col("ratio"))
+      .unionByName(
+        scored.orderBy(col("ratio").asc, col("token")).limit(k)
+          .select(lit("b").as("direction"), col("token"), col("c_a"),
+            col("c_b"), col("ratio")))
+  }
+
   /** Incremental distinct counting via MERGEABLE DataSketches HLL — the
     * profiling shape for a corpus that arrives in increments: build one
     * compact binary sketch PER STRATUM (per day / per source / per

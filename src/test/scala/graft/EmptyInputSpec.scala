@@ -173,6 +173,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(sk == Seq(("__all__", 0L, 0L)))
     assert(TextOps.corpusStatsAudit(noDocs.withColumn("lang", lit("en")),
       "doc_id", "text", "lang").count() == 0)
+    assert(Privacy.kSuppress(noDocs.withColumn("lang", lit("en")),
+      Seq("lang"), 2L).count() == 0)
+    // one empty corpus side: every present token is maximally shifted
+    // toward the non-empty side, none toward the empty one
+    val shift = TextOps.domainShiftTokens(someDocs, noDocs, "text", 3)
+      .select("direction", "c_b").as[(String, Long)].collect()
+    assert(shift.nonEmpty && shift.forall(_._2 == 0L))
   }
 
   test("sampling/packing/clustering tolerate empty input") {

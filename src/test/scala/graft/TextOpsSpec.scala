@@ -198,6 +198,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got == ((7L, 2L))) // the two c's are OOV
   }
 
+  test("domainShiftTokens: exclusive tokens rank first; swap flips directions") {
+    val a = Seq((1L, "alpha alpha shared common"), (2L, "alpha shared")).toDF("doc_id", "text")
+    val b = Seq((3L, "beta beta shared common"), (4L, "beta shared common")).toDF("doc_id", "text")
+    val out = TextOps.domainShiftTokens(a, b, "text", 2)
+      .as[(String, String, Long, Long, Double)].collect()
+    val dirA = out.filter(_._1 == "a").map(_._2).toSeq
+    val dirB = out.filter(_._1 == "b").map(_._2).toSeq
+    assert(dirA.head == "alpha" && dirB.head == "beta", out.mkString(","))
+    // swapping corpora flips the directions but keeps the token sets
+    val swapped = TextOps.domainShiftTokens(b, a, "text", 2)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(swapped.filter(_._1 == "a").map(_._2).toSet == dirB.toSet)
+    assert(swapped.filter(_._1 == "b").map(_._2).toSet == dirA.toSet)
+    // counts carried: alpha appears 3x in A, 0x in B
+    val alpha = out.find(_._2 == "alpha").get
+    assert(alpha._3 == 3L && alpha._4 == 0L)
+    // both-empty input: empty result, no error
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.domainShiftTokens(none, none, "text", 5).count() == 0)
+  }
+
   test("sketchDistinctAudit: merged-sketch estimate equals the single-pass estimate") {
     val d = Tables.documents(spark, sf0001)
     val base = d.select(col("lang"),
