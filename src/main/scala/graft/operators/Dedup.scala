@@ -56,29 +56,6 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Streaming document-ingest dedup gate: the first document per content
-    * fingerprint (whitespace/case-normalized md5 — [[TextOps.fingerprint]])
-    * passes, later copies within the watermark window are dropped.
-    * `dropDuplicatesWithinWatermark`, not `dropDuplicates`: the seen-set
-    * state is EVICTED once the watermark passes a fingerprint's event
-    * time, so state is bounded by the ingest rate x window instead of
-    * growing with corpus lifetime — the only viable shape for a feed that
-    * runs for months. The fingerprint is a pure projection (no shuffle
-    * before the stateful operator); exactly-once emission per fingerprint
-    * holds within the watermark, and a copy arriving later than the
-    * window re-admits content by design (the batch near-dup tiers catch
-    * it downstream — this gate exists to cheaply kill the bursty
-    * re-crawl/re-post duplicates that dominate live feeds).
-    *
-    * Batch/stream parity asserted in DedupSpec (survivor fingerprint set
-    * equals the batch [[canonical]]-on-fingerprint key set).
-    */
-  def fingerprintDedupStream(docs: DataFrame, tsCol: String, textCol: String,
-                             watermark: String = "1 hour"): DataFrame =
-    docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fp")
-
   /** D5 analog (solutionFour.py): row counts before/after dedup on keys,
     * as a one-row DataFrame. countDistinct over the key tuple is a single
     * aggregate pass — no second scan.

@@ -135,8 +135,8 @@ class DedupSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
-    val q = Dedup.fingerprintDedupStream(
-      ms.toDS().toDF("ts", "doc_id", "text"), "ts", "text", "10 minutes")
+    val q = Dedup.byFingerprintStream(
+      ms.toDS().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
       .select("doc_id", "fp")
       .writeStream.outputMode("append")
       .format("memory").queryName("fp_gate").start()
