@@ -528,6 +528,14 @@ object SparkEntry {
           Tables.customer(s, dir), "c_custkey", "custkey_in_customer"))
     }),
 
+    // ---- Deterministic epoch shuffle: dense training order 1..n in
+    // hash-of-id order — reproducible on any engine/layout/rerun, ranked
+    // by the two-phase prefix scan, never a global row_number window. See
+    // Sampling.shuffleOrder.
+    "q_shuffle_order" -> ((s, dir) =>
+      Sampling.shuffleOrder(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("shuffle_rank"))),
+
     // ---- Corpus drift: the 25 tokens most over-represented in each half
     // of the corpus (even vs odd doc_ids — the same split as the
     // contamination scans), by add-1-smoothed odds ratio. Integer products
@@ -1767,6 +1775,11 @@ object SparkEntry {
         "UNION ALL SELECT 'custkey_in_customer', (SELECT count(*) FROM orders), " +
         "CAST(count(*) AS BIGINT), min(o_orderkey) FROM orders o " +
         "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+    "q_shuffle_order" ->
+      (s"WITH k AS (SELECT doc_id, lpad(CAST(${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} " +
+        "AS VARCHAR), 19, '0') || '-' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS sk " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY sk) AS BIGINT) AS shuffle_rank FROM k"),
     "q_domain_shift" ->
       ("WITH t AS (SELECT doc_id, " +
         "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +

@@ -139,6 +139,32 @@ object Sampling {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** Deterministic global training order: every row gets a dense
+    * `shuffle_rank` (1..n) in hash-of-id order — the epoch shuffle of a
+    * training pipeline as a REPRODUCIBLE property of the data (any engine,
+    * any cluster layout, any rerun emits the identical permutation; a new
+    * seed is a fresh independent shuffle). rand()-based shuffles lose
+    * exactly this.
+    *
+    * Scale shape: ordering by the hash IS the shuffle, so the only cost is
+    * one range-partitioned sort; the dense rank comes from
+    * [[PrefixSum.runningTotal]]'s two-phase scan (per-partition ranks +
+    * numPartitions offsets through the driver), NEVER a global
+    * `row_number() OVER (ORDER BY ...)` window — that plans every row into
+    * ONE task. The sort key is the zero-padded (hash, id) string: unique
+    * by construction (ids unique — caller contract, ids non-negative), so
+    * the rank is total and the prefix-sum uniqueness contract holds.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Int = 0): DataFrame = {
+    val key = concat(
+      lpad(md5hash60(col(idCol).cast("string"), seed).cast("string"), 19, "0"),
+      lit("-"), lpad(col(idCol).cast("string"), 19, "0"))
+    PrefixSum.runningTotal(
+      df.withColumn("__sk", key).withColumn("__one", lit(1L)), "__sk", "__one")
+      .withColumnRenamed("cum___one", "shuffle_rank")
+      .drop("__sk", "__one")
+  }
+
   /** Epoch upsampling — the REPEAT side of data mixing, where
     * [[rebalanceMix]]/[[temperatureRebalance]] are the down-sample side:
     * materialize per-stratum repeat factors (e.g. low-resource languages

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.PrefixSum
+import graft.operators.{PrefixSum, Sampling}
 import org.apache.spark.sql.functions._
 
 class PrefixSumSpec extends SparkSpec {
@@ -97,5 +97,20 @@ class PrefixSumSpec extends SparkSpec {
     // b: d4 is 200 > 100 -> out; d5 NEVER enters (inclusive cum counts
     // d4 first: 200, then d5 at 260) -> b selects nothing.
     assert(got == Map(1L -> 40L, 2L -> 90L))
+  }
+
+  test("shuffleOrder: dense permutation, partitioning-invariant, seed-decorrelated") {
+    val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val r = Sampling.shuffleOrder(df, "doc_id")
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(r.map(_._2).sorted.toSeq == (1L to 200L))   // dense 1..n
+    val again = Sampling.shuffleOrder(df.repartition(7), "doc_id")
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(r.toSet == again.toSet)                     // layout-invariant
+    val seeded = Sampling.shuffleOrder(df, "doc_id", seed = 1)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(seeded.toSet != r.toSet)                    // fresh permutation
+    // not the identity order (it actually shuffles)
+    assert(r.toMap.toSeq.sortBy(_._1).map(_._2) != (1L to 200L))
   }
 }
