@@ -46,4 +46,50 @@ class StreamingRecoverySpec extends SparkSpec {
       .select("id", "doubled").as[(Long, Long)].collect().sorted.toSeq
     assert(got == (1L to 10L).map(i => (i, i * 20)).toSeq)
   }
+
+  test("stateful restart: the dedup gate's seen-set survives the checkpoint") {
+    // Stronger than the stateless case above: dropDuplicatesWithinWatermark
+    // keeps a state store, and a restart that LOST it would re-admit a
+    // duplicate arriving after the bounce — the exact corruption a
+    // long-running ingest gate cannot afford.
+    def tmp(tag: String) = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag")
+      d.toFile.deleteOnExit(); d.toString
+    }
+    val src = tmp("dsrc"); val sink = tmp("dsink"); val ckpt = tmp("dlog")
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    def start() = graft.operators.Dedup.byFingerprintStream(
+        spark.readStream.schema(schema).parquet(src), "text", "ts", "1 hour")
+      .select("doc_id", "fp")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .start()
+
+    // epoch 1: two distinct docs, then a clean stop
+    Seq((ts("2026-01-01 10:00:00"), 1L, "alpha text"),
+        (ts("2026-01-01 10:00:01"), 2L, "beta text"))
+      .toDF("ts", "doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // while "down": a re-post of doc 1's content (same fingerprint,
+    // inside the watermark window) plus a genuinely new doc
+    Seq((ts("2026-01-01 10:05:00"), 3L, "ALPHA  TEXT"),
+        (ts("2026-01-01 10:05:01"), 4L, "gamma text"))
+      .toDF("ts", "doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    // epoch 2: restart from the SAME checkpoint — restored state must
+    // suppress the re-post
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val got = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L), s"got $got")
+  }
 }
