@@ -513,6 +513,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("outdeg"), col("r").as("rank_e12"))
     }),
 
+    // ---- Weighted variant: a 10-fingerprint twin pulls 5x harder than a
+    // 2-fingerprint borderline match — mass splits by n_shared instead of
+    // evenly. Output outdeg is the weighted degree.
+    "q_dup_centrality_w" -> ((s, dir) => {
+      val pairs = Winnow.sharedFingerprintPairs(
+        Tables.documents(s, dir), "doc_id", "text", 2)
+      PageRank.ranksWeighted(PageRank.symmetrize(pairs, "id_a", "id_b"),
+          "src", "dst", "n_shared", 3)
+        .select(col("id").as("doc_id"), col("outdeg").as("wdeg"),
+          col("r").as("rank_e12"))
+    }),
+
     // ---- Data-quality gate: per-rule violation report over orders in ONE
     // scan (conditional count + min-bad-key per rule, stack()'d out of a
     // single aggregate row) plus the referential rule as a left-anti join
@@ -1757,6 +1769,19 @@ object SparkEntry {
         "r0 AS (SELECT id, outdeg, 1000000000000 // n AS r FROM deg CROSS JOIN nn), " +
         prCte("r0", "r1") + ", " + prCte("r1", "r2") + ", " + prCte("r2", "r3") +
         " SELECT id AS doc_id, outdeg, r AS rank_e12 FROM r3"),
+    "q_dup_centrality_w" ->
+      (s"WITH $sqlWinnowCte, " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS w " +
+        "FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst, w FROM pairs " +
+        "UNION ALL SELECT id_b, id_a, w FROM pairs), " +
+        "deg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS outdeg " +
+        "FROM edges GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        "r0 AS (SELECT id, outdeg, 1000000000000 // n AS r FROM deg CROSS JOIN nn), " +
+        prCteW("r0", "r1") + ", " + prCteW("r1", "r2") + ", " + prCteW("r2", "r3") +
+        " SELECT id AS doc_id, outdeg AS wdeg, r AS rank_e12 FROM r3"),
     // One branch per rule; violation = expectation false OR null (the
     // null-hostile coalesce both engines apply identically).
     "q_dq_report" ->
@@ -2988,6 +3013,15 @@ object SparkEntry {
   private def prCte(prev: String, cur: String): String =
     s"$cur AS (SELECT e.dst AS id, min(d.outdeg) AS outdeg, " +
       s"CAST((150000000000 // min(nn.n)) + sum((17 * $prev.r) // (20 * $prev.outdeg)) AS BIGINT) AS r " +
+      s"FROM edges e JOIN $prev ON $prev.id = e.src JOIN deg d ON d.id = e.dst CROSS JOIN nn " +
+      "GROUP BY e.dst)"
+
+  /** Weighted twin of [[prCte]]: contributions scale with edge weight,
+    * degree is the weighted degree — mirrors PageRank.ranksWeighted.
+    */
+  private def prCteW(prev: String, cur: String): String =
+    s"$cur AS (SELECT e.dst AS id, min(d.outdeg) AS outdeg, " +
+      s"CAST((150000000000 // min(nn.n)) + sum((17 * $prev.r * e.w) // (20 * $prev.outdeg)) AS BIGINT) AS r " +
       s"FROM edges e JOIN $prev ON $prev.id = e.src JOIN deg d ON d.id = e.dst CROSS JOIN nn " +
       "GROUP BY e.dst)"
 

@@ -44,18 +44,36 @@ object PageRank {
 
   /** Ranks after `iters` full iterations over the directed edge list.
     * Output: (id, outdeg, r) — r is the integer rank in units of 1/SCALE.
+    * Delegates to [[ranksWeighted]] with unit weights: with w = 1 the
+    * weighted degree IS the out-degree and the two formulas coincide
+    * exactly (asserted in PageRankSpec).
     */
-  def ranks(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame =
+    ranksWeighted(edges.withColumn("__unit_w", lit(1L)), src, dst, "__unit_w", iters)
+
+  /** Edge-WEIGHTED ranks: a neighbor's mass is split proportionally to
+    * edge weight — floor(0.85 * r(u) * w(u,v) / W(u)) with W(u) the sum of
+    * u's out-edge weights — the natural form for a similarity graph,
+    * where a 0.95-Jaccard twin should pull harder than a borderline
+    * match. `outdeg` in the output is the WEIGHTED degree W. Same
+    * deterministic-integer argument as the Scaladoc above; overflow needs
+    * 17 * r * w < 2^63, i.e. per-edge integer weights up to ~5*10^5 at
+    * SCALE = 1e12 (caller contract — similarity weights like shared-
+    * fingerprint counts sit far below it).
+    */
+  def ranksWeighted(edges: DataFrame, src: String, dst: String,
+                    weightCol: String, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // The edge list is referenced once per iteration (plus the degree
     // build) — left lazy, an expensive upstream (e.g. the winnowing
     // fingerprint join that produced the pairs) would be recomputed for
     // EVERY reference in the final DAG. Materialize it once; same
     // localCheckpoint pattern as the CC rounds (ConnectedComponents).
-    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
+    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"),
+        col(weightCol).cast("long").as("__w"))
       .localCheckpoint()
     val deg = e.groupBy(col("__src").as("id"))
-      .agg(count(lit(1)).as("outdeg"))
+      .agg(sum(col("__w")).as("outdeg"))
       .localCheckpoint() // node-sized; referenced every iteration
     // one scalar to the driver (node count) — bounded by construction
     val n = deg.count()
@@ -67,7 +85,8 @@ object PageRank {
     for (i <- 1 to iters) {
       val contrib = e
         .join(r.withColumnRenamed("id", "__src"), "__src")
-        .select(col("__dst").as("id"), expr("(17 * r) div (20 * outdeg)").as("c"))
+        .select(col("__dst").as("id"),
+          expr("(17 * r * __w) div (20 * outdeg)").as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
       r = deg.join(contrib, Seq("id"))
         .select(col("id"), col("outdeg"), (lit(base) + col("in_mass")).as("r"))
@@ -79,9 +98,12 @@ object PageRank {
   }
 
   /** Symmetrize an undirected pair list (id_a, id_b) into a directed edge
-    * list (src, dst) with each pair in both directions.
+    * list (src, dst) with each pair in both directions; extra columns
+    * (e.g. an edge weight) ride along.
     */
-  def symmetrize(pairs: DataFrame, a: String, b: String): DataFrame =
-    pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+  def symmetrize(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val rest = pairs.columns.filterNot(c => c == a || c == b).map(col).toSeq
+    pairs.select(col(a).as("src") +: col(b).as("dst") +: rest: _*)
+      .unionByName(pairs.select(col(b).as("src") +: col(a).as("dst") +: rest: _*))
+  }
 }

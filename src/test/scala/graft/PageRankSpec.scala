@@ -50,6 +50,25 @@ class PageRankSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("weighted ranks: scale-invariant in the weights; heavy edges pull harder") {
+    // path A-B (weight 10) and B-C (weight 1): B sends 10/11 of its mass
+    // to A — A must outrank C (unweighted would tie them)
+    val wpairs = Seq((1L, 2L, 10L), (2L, 3L, 1L)).toDF("id_a", "id_b", "w")
+    val e = PageRank.symmetrize(wpairs, "id_a", "id_b")
+    val r = PageRank.ranksWeighted(e, "src", "dst", "w", 3)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(3L), s"heavy edge must pull: $r")
+    val unw = PageRank.ranks(e.drop("w"), "src", "dst", 3)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(unw(1L) == unw(3L), s"unweighted path ends tie: $unw")
+    // multiplying every weight by a constant changes nothing: the
+    // contribution is floor of the same rational number
+    val r3 = PageRank.ranksWeighted(
+      e.withColumn("w", col("w") * 3), "src", "dst", "w", 3)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(r3 == r)
+  }
+
   test("empty graph yields an empty result, not an error") {
     val e = PageRank.symmetrize(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
