@@ -940,6 +940,14 @@ object SparkEntry {
         "ON a.event_id < b.event_id AND abs(a.us - b.us) <= 2000000")
     }),
 
+    // ---- Events: windowed conversion funnel (view -> click -> purchase,
+    // each stage within 24h of the previous) — greedy-earliest per stage,
+    // stages-many filtered min-aggregates chained on user_id, never a
+    // per-user sort or an events self-join. See EventOps.funnel.
+    "q_funnel" -> ((s, dir) =>
+      EventOps.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), 86400000000L)),
+
     // ---- Events: deterministic dedup-by-key (batch twin of the bounded-
     // state streaming dedup, dropDuplicatesWithinWatermark — key-set
     // equality asserted in EventOpsSpec).
@@ -1930,6 +1938,19 @@ object SparkEntry {
       ("SELECT user_id, event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, " +
         "min(event_id) AS first_event, count(*) AS n_events " +
         "FROM events GROUP BY 1, 2, 3"),
+    "q_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type AS t, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "s1 AS (SELECT user_id, min(us) AS t1_us FROM e WHERE t = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE t = 'click' AND us > t1_us AND us <= t1_us + 86400000000 GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE t = 'purchase' AND us > t2_us AND us <= t2_us + 86400000000 GROUP BY 1) " +
+        "SELECT s1.user_id, t1_us, t2_us, t3_us, " +
+        "CAST(1 + (CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_reached " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
+        "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
     "q_jaccard_pairs" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
         "SELECT id_a, id_b, n_common, " +

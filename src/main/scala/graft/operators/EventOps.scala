@@ -54,6 +54,49 @@ object EventOps {
         sum(col("k")).as("sum_k"),
         count(col("k")).as("n_k"))
 
+  /** Windowed funnel: per user, the earliest completion time of each
+    * stage, where stage i+1 must occur STRICTLY AFTER stage i and within
+    * `maxGapUs` of it — the conversion primitive (view → click →
+    * purchase) of event analytics. Returns one row per user who reached
+    * stage 1, with `t<i>_us` the chosen epoch-micros per stage (null once
+    * the funnel stalls) and `stage_reached`.
+    *
+    * Semantics: greedy-earliest per stage (t1 = user's first s1 event;
+    * t_{i+1} = first s_{i+1} strictly after t_i within the gap). Greedy is
+    * NOT maximal (a later s1 could enable a conversion the first one
+    * misses) — it is the standard analytics convention, deterministic,
+    * and O(stages) passes instead of a per-user alignment search.
+    *
+    * Scale shape: one filtered min-aggregate per stage, chained by
+    * equi-joins on the user key — every pass shuffles only (user, t)
+    * pairs for users still in the funnel (monotonically shrinking), never
+    * a per-user event sort or a self-join on events. `stages` is a small
+    * literal list, so the whole plan is stages-many hash aggregates.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String], maxGapUs: Long): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    val base = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("__t"), unix_micros(col(tsCol)).as("__us"))
+    var acc = base.filter(col("__t") === stages.head)
+      .groupBy("user_id").agg(min(col("__us")).as("t1_us"))
+    for (i <- 2 to stages.size) {
+      val prev = s"t${i - 1}_us"
+      val next = base.filter(col("__t") === stages(i - 1))
+        .join(acc.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("__us") > col(prev) && col("__us") <= col(prev) + maxGapUs)
+        .groupBy("user_id").agg(min(col("__us")).as(s"t${i}_us"))
+      acc = acc.join(next.select(col("user_id"), col(s"t${i}_us")),
+        Seq("user_id"), "left")
+    }
+    val reached = (2 to stages.size).foldLeft(lit(1L)) { (e, i) =>
+      e + when(col(s"t${i}_us").isNotNull, 1L).otherwise(0L)
+    }
+    // stage_reached counts the CONTIGUOUS prefix; a null at stage i forces
+    // null at i+1 by construction (the join chain), so a plain sum is it
+    acc.withColumn("stage_reached", reached)
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
     * Deterministic total order inside a user via (ts, event_id).

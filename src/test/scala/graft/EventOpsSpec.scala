@@ -92,6 +92,39 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: strict stage order, gap enforcement, greedy-earliest start") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val gap24h = 86400000000L
+    val ev = Seq(
+      // user 1 converts fully in order
+      (1L, "view", ts("2026-01-01 10:00:00")),
+      (1L, "click", ts("2026-01-01 10:30:00")),
+      (1L, "purchase", ts("2026-01-01 11:00:00")),
+      // user 2's click precedes the view -> stalls at stage 1
+      (2L, "click", ts("2026-01-01 09:00:00")),
+      (2L, "view", ts("2026-01-01 10:00:00")),
+      // user 3's click is outside the 24h gap -> stalls at stage 1
+      (3L, "view", ts("2026-01-01 10:00:00")),
+      (3L, "click", ts("2026-01-02 11:00:00")),
+      // user 4 never views -> absent from the funnel entirely
+      (4L, "click", ts("2026-01-01 10:00:00")),
+      // user 5's purchase lands BETWEEN view and click -> stage 2 only
+      (5L, "view", ts("2026-01-01 10:00:00")),
+      (5L, "purchase", ts("2026-01-01 10:05:00")),
+      (5L, "click", ts("2026-01-01 10:10:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), gap24h)
+      .select("user_id", "stage_reached").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 5L -> 2L))
+    // greedy-earliest: t1 is the FIRST view even when a later view would
+    // also admit the click
+    val t1 = EventOps.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click"), gap24h)
+      .filter(col("user_id") === 1L).select("t1_us").as[Long].head()
+    assert(t1 == ts("2026-01-01 10:00:00").getTime * 1000L)
+  }
+
   test("ro_similarity is callable from SQL after registration") {
     Graft.registerFunctions(spark)
     val r = spark.sql("SELECT ro_similarity('apple', 'appel') AS s").collect()(0).getDouble(0)
