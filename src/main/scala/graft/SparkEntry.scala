@@ -948,6 +948,12 @@ object SparkEntry {
       EventOps.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), 86400000000L)),
 
+    // ---- Events: weekly cohort retention matrix — cohort by first-event
+    // week, fraction active per week offset. Single exact-integer division
+    // for the rate. See EventOps.retention.
+    "q_retention" -> ((s, dir) =>
+      EventOps.retention(Tables.events(s, dir), "user_id", "ts", 8)),
+
     // ---- Events: deterministic dedup-by-key (batch twin of the bounded-
     // state streaming dedup, dropDuplicatesWithinWatermark — key-set
     // equality asserted in EventOpsSpec).
@@ -1938,6 +1944,19 @@ object SparkEntry {
       ("SELECT user_id, event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, " +
         "min(event_id) AS first_event, count(*) AS n_events " +
         "FROM events GROUP BY 1, 2, 3"),
+    "q_retention" ->
+      ("WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w " +
+        "FROM events), " +
+        "f AS (SELECT user_id, min(w) AS cohort_week FROM b GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, w FROM b), " +
+        "p AS (SELECT cohort_week, w - cohort_week AS week_offset, " +
+        "count(DISTINCT a.user_id) AS n_active " +
+        "FROM a JOIN f ON a.user_id = f.user_id " +
+        "WHERE w - cohort_week BETWEEN 0 AND 8 GROUP BY 1, 2), " +
+        "s AS (SELECT cohort_week, count(*) AS n_cohort FROM f GROUP BY 1) " +
+        "SELECT p.cohort_week, p.week_offset, p.n_active, s.n_cohort, " +
+        "CAST(p.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention " +
+        "FROM p JOIN s ON p.cohort_week = s.cohort_week"),
     "q_funnel" ->
       ("WITH e AS (SELECT user_id, event_type AS t, " +
         "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +

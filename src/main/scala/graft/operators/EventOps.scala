@@ -97,6 +97,46 @@ object EventOps {
     acc.withColumn("stage_reached", reached)
   }
 
+  /** Cohort retention matrix: users are cohorted by the WEEK of their
+    * first event; for each (cohort week, week offset) the fraction of the
+    * cohort active in that week — the longitudinal engagement twin of
+    * [[funnel]]'s conversion view.
+    *
+    * Weeks are integer epoch-week indexes (floor(us / week)) — no
+    * calendars, no timezones, deterministic. `retention` is ONE division
+    * of two exact integers (correctly rounded IEEE — hash-comparable;
+    * same argument as domainShiftTokens' ratio).
+    *
+    * Scale shape: a per-user min aggregate (cohort assignment), a
+    * (user, week) distinct — both map-side combinable — joined on the
+    * user key, then a (cohort, offset)-sized aggregate with a
+    * cohort-sized join for the denominators. Everything shuffles on user
+    * or on the tiny cohort grid; events are never self-joined.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                maxWeeks: Int): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    // integral `div`, never `/`: the Column API's / is double division,
+    // and the oracle floors in exact integer arithmetic
+    val base = events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .select(col(userCol).as("user_id"),
+        expr(s"__us div ${weekUs}L").as("w"))
+    val firsts = base.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+    val acts = base.distinct()
+    val per = acts.join(firsts, "user_id")
+      .withColumn("week_offset", col("w") - col("cohort_week"))
+      .filter(col("week_offset") >= 0 && col("week_offset") <= maxWeeks)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_active"))
+    val sizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    per.join(sizes, "cohort_week")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("n_cohort").cast("double"))
+      .select("cohort_week", "week_offset", "n_active", "n_cohort", "retention")
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
     * Deterministic total order inside a user via (ts, event_id).

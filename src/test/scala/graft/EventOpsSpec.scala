@@ -125,6 +125,25 @@ class EventOpsSpec extends SparkSpec {
     assert(t1 == ts("2026-01-01 10:00:00").getTime * 1000L)
   }
 
+  test("retention: week-0 is always full; later offsets count distinct actives") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two users born in the same epoch week; one returns the next week
+    // (twice — must count once), the other never does
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-08 10:00:00")),
+      (1L, ts("2026-01-09 10:00:00")),
+      (2L, ts("2026-01-02 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventOps.retention(ev, "user_id", "ts", 8)
+      .select("week_offset", "n_active", "n_cohort", "retention")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5)), got)
+    // week-0 retention is exactly 1.0 for every cohort on the fixture
+    val full = EventOps.retention(Tables.events(spark, sf0001), "user_id", "ts", 8)
+      .filter(col("week_offset") === 0 && col("retention") =!= 1.0).count()
+    assert(full == 0)
+  }
+
   test("ro_similarity is callable from SQL after registration") {
     Graft.registerFunctions(spark)
     val r = spark.sql("SELECT ro_similarity('apple', 'appel') AS s").collect()(0).getDouble(0)
