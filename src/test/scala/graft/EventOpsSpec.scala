@@ -125,6 +125,40 @@ class EventOpsSpec extends SparkSpec {
     assert(t1 == ts("2026-01-01 10:00:00").getTime * 1000L)
   }
 
+  test("funnel matches an in-memory reference on random event logs") {
+    val rnd = new scala.util.Random(7)
+    val stages = Seq("view", "click", "purchase")
+    val gapUs = 30L * 1000000L
+    for (trial <- 1 to 5) {
+      val evs = Seq.fill(40)((1L + rnd.nextInt(5),
+        stages(rnd.nextInt(3)), 1L + rnd.nextInt(90)))
+      // reference: greedy-earliest chain per user, in plain Scala
+      val byUser = evs.groupBy(_._1)
+      val ref = byUser.flatMap { case (u, es) =>
+        def minAfter(t: String, lo: Long): Option[Long] = {
+          val c = es.filter(e => e._2 == t && e._3 * 1000000L > lo &&
+            e._3 * 1000000L <= lo + gapUs).map(_._3 * 1000000L)
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val t1 = es.filter(_._2 == "view").map(_._3 * 1000000L)
+          .minOption
+        t1.map { s1 =>
+          val s2 = minAfter("click", s1)
+          val s3 = s2.flatMap(minAfter("purchase", _))
+          (u, (Some(s1): Option[Long], s2, s3,
+            1L + s2.size + s3.size))
+        }
+      }
+      val df = evs.map { case (u, t, sec) =>
+        (u, t, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)))
+      }.toDF("user_id", "event_type", "ts")
+      val got = EventOps.funnel(df, "user_id", "event_type", "ts", stages, gapUs)
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == ref, s"trial $trial events=$evs")
+    }
+  }
+
   test("retention: week-0 is always full; later offsets count distinct actives") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // two users born in the same epoch week; one returns the next week

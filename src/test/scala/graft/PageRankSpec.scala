@@ -69,6 +69,36 @@ class PageRankSpec extends SparkSpec {
     assert(r3 == r)
   }
 
+  test("matches an in-memory integer reference on random weighted graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 3 + rnd.nextInt(8)
+      val pairs = (for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextBoolean()
+      } yield (i.toLong, j.toLong, 1L + rnd.nextInt(5))).toSeq
+      if (pairs.nonEmpty) {
+        val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val nodes = wdeg.keys.toSeq.sorted
+        var ref = nodes.map(_ -> PageRank.Scale / nodes.size).toMap
+        val base = (3L * PageRank.Scale / 20L) / nodes.size
+        val inEdges = edges.groupBy(_._2)
+        for (_ <- 1 to 3) {
+          val prev = ref
+          ref = nodes.map { v =>
+            v -> (base + inEdges(v).map { case (u, _, w) =>
+              (17L * prev(u) * w) / (20L * wdeg(u))
+            }.sum)
+          }.toMap
+        }
+        val got = PageRank.ranksWeighted(
+          edges.toDF("src", "dst", "w"), "src", "dst", "w", 3)
+          .select("id", "r").as[(Long, Long)].collect().toMap
+        assert(got == ref, s"trial $trial pairs=$pairs")
+      }
+    }
+  }
+
   test("empty graph yields an empty result, not an error") {
     val e = PageRank.symmetrize(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
