@@ -81,6 +81,13 @@ object EventOps {
     var acc = base.filter(col("__t") === stages.head)
       .groupBy("user_id").agg(min(col("__us")).as("t1_us"))
     for (i <- 2 to stages.size) {
+      // acc is referenced TWICE below (next-stage build + the left join) —
+      // left lazy, each stage would double its whole subtree, i.e.
+      // 2^stages re-scans of the events source. Materialize the
+      // user-sized frame per stage (the PageRank/CC localCheckpoint
+      // pattern); each stage then scans events exactly once, with the
+      // stage's event_type filter pushed to the parquet scan.
+      acc = acc.localCheckpoint()
       val prev = s"t${i - 1}_us"
       val next = base.filter(col("__t") === stages(i - 1))
         .join(acc.select(col("user_id"), col(prev)), "user_id")
