@@ -129,7 +129,10 @@ object EventOps {
       .withColumn("__us", unix_micros(col(tsCol)))
       .select(col(userCol).as("user_id"),
         expr(s"__us div ${weekUs}L").as("w"))
+    // referenced twice (activity join + cohort sizes) — materialize the
+    // user-sized frame so the events scan behind it runs once, not twice
     val firsts = base.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+      .localCheckpoint()
     val acts = base.distinct()
     val per = acts.join(firsts, "user_id")
       .withColumn("week_offset", col("w") - col("cohort_week"))
