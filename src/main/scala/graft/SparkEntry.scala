@@ -525,6 +525,22 @@ object SparkEntry {
           col("r").as("rank_e12"))
     }),
 
+    // ---- Personalized (seeded) centrality: teleport mass returns to the
+    // graph's 5 smallest doc_ids — rank becomes graph proximity to the
+    // seed set (allowlist expansion / contamination-cluster chase). The
+    // seed collect is 5 longs to the driver (query-vector bound).
+    "q_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Winnow.sharedFingerprintPairs(
+        Tables.documents(s, dir), "doc_id", "text", 2)
+      val e = PageRank.symmetrize(pairs, "id_a", "id_b").localCheckpoint()
+      val seeds = e.select(col("src")).distinct()
+        .orderBy("src").limit(5).as[Long].collect().toSeq
+      PageRank.ranksPersonalized(e, "src", "dst", "n_shared", seeds, 3)
+        .select(col("id").as("doc_id"), col("outdeg").as("wdeg"),
+          col("r").as("rank_e12"))
+    }),
+
     // ---- Data-quality gate: per-rule violation report over orders in ONE
     // scan (conditional count + min-bad-key per rule, stack()'d out of a
     // single aggregate row) plus the referential rule as a left-anti join
@@ -1796,6 +1812,22 @@ object SparkEntry {
         "r0 AS (SELECT id, outdeg, 1000000000000 // n AS r FROM deg CROSS JOIN nn), " +
         prCteW("r0", "r1") + ", " + prCteW("r1", "r2") + ", " + prCteW("r2", "r3") +
         " SELECT id AS doc_id, outdeg AS wdeg, r AS rank_e12 FROM r3"),
+    "q_ppr" ->
+      (s"WITH $sqlWinnowCte, " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS w " +
+        "FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst, w FROM pairs " +
+        "UNION ALL SELECT id_b, id_a, w FROM pairs), " +
+        "deg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS outdeg " +
+        "FROM edges GROUP BY 1), " +
+        "sd AS (SELECT id FROM deg ORDER BY id LIMIT 5), " +
+        "ns AS (SELECT count(*) AS ns FROM sd), " +
+        "r0 AS (SELECT d.id, d.outdeg, " +
+        "CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000000000 // ns.ns ELSE 0 END AS BIGINT) AS r " +
+        "FROM deg d LEFT JOIN sd ON d.id = sd.id CROSS JOIN ns), " +
+        prCteP("r0", "r1") + ", " + prCteP("r1", "r2") + ", " + prCteP("r2", "r3") +
+        " SELECT id AS doc_id, outdeg AS wdeg, r AS rank_e12 FROM r3"),
     // One branch per rule; violation = expectation false OR null (the
     // null-hostile coalesce both engines apply identically).
     "q_dq_report" ->
@@ -3064,6 +3096,17 @@ object SparkEntry {
       s"CAST((150000000000 // min(nn.n)) + sum((17 * $prev.r * e.w) // (20 * $prev.outdeg)) AS BIGINT) AS r " +
       s"FROM edges e JOIN $prev ON $prev.id = e.src JOIN deg d ON d.id = e.dst CROSS JOIN nn " +
       "GROUP BY e.dst)"
+
+  /** Personalized twin of [[prCteW]]: restart mass only on seed nodes,
+    * absent in-mass coalesced to 0 — mirrors PageRank.ranksPersonalized.
+    */
+  private def prCteP(prev: String, cur: String): String =
+    s"$cur AS (SELECT d.id, d.outdeg, " +
+      "CAST((CASE WHEN sd.id IS NOT NULL THEN 150000000000 // ns.ns ELSE 0 END) " +
+      "+ coalesce(m.in_mass, 0) AS BIGINT) AS r " +
+      "FROM deg d LEFT JOIN sd ON d.id = sd.id CROSS JOIN ns " +
+      s"LEFT JOIN (SELECT e.dst AS id, sum((17 * $prev.r * e.w) // (20 * $prev.outdeg)) AS in_mass " +
+      s"FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY 1) m ON m.id = d.id)"
 
   private val sqlWinnowCte: String = {
     val (k, w, b, m) = (Winnow.GramTokens, Winnow.WindowGrams, Winnow.Base, Winnow.Mod)

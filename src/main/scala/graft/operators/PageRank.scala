@@ -97,6 +97,58 @@ object PageRank {
     r
   }
 
+  /** PERSONALIZED ranks: the teleport mass returns to a seed set instead
+    * of spreading uniformly — rank becomes graph PROXIMITY TO THE SEEDS
+    * (find documents similar-by-graph to these known-good/known-bad ones:
+    * expand a curated allowlist through the near-dup graph, chase a
+    * contamination cluster outward from confirmed leaks). Non-seed nodes
+    * hold rank only by being close to seeds.
+    *
+    * Same deterministic integer arithmetic and per-iteration shape as
+    * [[ranksWeighted]]; the only changes are the start vector (mass
+    * SCALE/|seeds| on each seed, 0 elsewhere) and the restart term
+    * (floor(0.15*SCALE/|seeds|) added to seeds only). `seeds` is the
+    * caller's query set — driver-side by construction, bounded like a
+    * query vector; it is broadcast-joined as a literal frame.
+    */
+  def ranksPersonalized(edges: DataFrame, src: String, dst: String,
+                        weightCol: String, seeds: Seq[Long],
+                        iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"),
+        col(weightCol).cast("long").as("__w"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("__src").as("id"))
+      .agg(sum(col("__w")).as("outdeg"))
+      .localCheckpoint()
+    if (deg.isEmpty) return deg.select(col("id"), col("outdeg"), lit(0L).as("r"))
+    val seedDf = seeds.distinct.toDF("id").withColumn("__seed", lit(true))
+    val nS = seeds.distinct.size
+    val base = (3L * Scale / 20L) / nS
+    val withSeed = deg.join(broadcast(seedDf), Seq("id"), "left")
+      .select(col("id"), col("outdeg"),
+        coalesce(col("__seed"), lit(false)).as("__is_seed"))
+      .localCheckpoint()
+    var r = withSeed.select(col("id"), col("outdeg"),
+      when(col("__is_seed"), lit(Scale / nS)).otherwise(lit(0L)).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("id", "__src"), "__src")
+        .select(col("__dst").as("id"),
+          expr("(17 * r * __w) div (20 * outdeg)").as("c"))
+        .groupBy("id").agg(sum("c").as("in_mass"))
+      r = withSeed.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (when(col("__is_seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("in_mass"), lit(0L))).as("r"))
+      if (i < iters) r = r.localCheckpoint()
+    }
+    r
+  }
+
   /** Symmetrize an undirected pair list (id_a, id_b) into a directed edge
     * list (src, dst) with each pair in both directions; extra columns
     * (e.g. an edge weight) ride along.

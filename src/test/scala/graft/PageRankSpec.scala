@@ -99,6 +99,29 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("personalized ranks: mass stays near the seeds; disconnected nodes get zero") {
+    // two components: 1-2-3 chain and 4-5 pair; seed = {1}
+    val pairs = Seq((1L, 2L, 1L), (2L, 3L, 1L), (4L, 5L, 1L))
+      .toDF("id_a", "id_b", "w")
+    val e = PageRank.symmetrize(pairs, "id_a", "id_b")
+    val r = PageRank.ranksPersonalized(e, "src", "dst", "w", Seq(1L), 4)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    // the seed's component holds all mass; the other component none
+    assert(r(4L) == 0L && r(5L) == 0L, r.toString)
+    // the seed dominates; NO claim on r(2) vs r(3) — a path graph is
+    // near-bipartite and mass oscillates between odd/even hop distances
+    // per iteration (classic power-iteration periodicity)
+    assert(r(1L) > r(2L) && r(1L) > r(3L) && r(2L) > 0L && r(3L) > 0L,
+      s"seed must dominate its component: $r")
+    // uniform-seed degenerate case: seeding EVERY node reproduces ranks()
+    val all = PageRank.ranksPersonalized(e, "src", "dst", "w",
+      Seq(1L, 2L, 3L, 4L, 5L), 3)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val unif = PageRank.ranksWeighted(e, "src", "dst", "w", 3)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(all == unif)
+  }
+
   test("empty graph yields an empty result, not an error") {
     val e = PageRank.symmetrize(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
