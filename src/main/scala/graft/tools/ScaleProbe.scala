@@ -162,8 +162,41 @@ object ScaleProbe {
       println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
       (name, r4, r10)
     }
+    // ---- event family: replicate events with per-copy user_id offsets —
+    // users grow Rx with the SAME per-user event profile, so the
+    // user-keyed operators (funnel's chained min-aggregates, retention's
+    // cohort join) must scale with user count, never with user pairs.
+    val evBase = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts")
+    def replicateEv(r: Int): DataFrame = {
+      val copies = spark.range(r).select(col("id").as("copy"))
+      evBase.crossJoin(broadcast(copies))
+        .select((col("user_id") + col("copy") * lit(10000000L)).as("user_id"),
+          col("event_type"), col("ts"))
+    }
+    val evProbes: Seq[(String, DataFrame => Long)] = Seq(
+      "funnel" -> (d =>
+        EventOps.funnel(d, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), 86400000000L).count()),
+      "retention" -> (d =>
+        EventOps.retention(d, "user_id", "ts", 8).count())
+    )
+    val evResults = evProbes.map { case (name, f) =>
+      val times = factors.map { r =>
+        val d = replicateEv(r).localCheckpoint(true)
+        val (warm, _) = time(f(d))
+        val (t, n) = time(f(d))
+        d.unpersist()
+        println(f"[scale] $name%-22s ${r}%2dx  $t%7.2f s (warm-up $warm%6.2f)  rows=$n")
+        t
+      }
+      val r4 = times(1) / times(0)
+      val r10 = times(2) / times(0)
+      println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
+      (name, r4, r10)
+    }
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
-    (results ++ embResults).foreach { case (n, r4, r10) =>
+    (results ++ embResults ++ evResults).foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()
