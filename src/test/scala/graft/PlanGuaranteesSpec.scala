@@ -115,6 +115,17 @@ class PlanGuaranteesSpec extends SparkSpec {
     }
   }
 
+  test("funnel's stage filter reaches the parquet scan") {
+    // Each stage reads only its event type's row groups — at 100 TB the
+    // difference between scanning the purchase slice and the whole log.
+    // Only the FINAL stage's scan is visible (earlier stages sit behind
+    // the per-stage localCheckpoint), which is enough to pin the shape.
+    val p = SparkEntry.queries("q_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"purchase-stage filter not pushed:\n$p")
+  }
+
   test("token-budget cumsum never plans an empty-PARTITION-BY window") {
     // The grouped prefix scan must window by (__pid, stratum) — a global
     // or stratum-only window is the parallelism cliff runningTotalBy
