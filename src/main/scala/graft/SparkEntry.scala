@@ -536,9 +536,17 @@ object SparkEntry {
       val e = PageRank.symmetrize(pairs, "id_a", "id_b").localCheckpoint()
       val seeds = e.select(col("src")).distinct()
         .orderBy("src").limit(5).as[Long].collect().toSeq
-      PageRank.ranksPersonalized(e, "src", "dst", "n_shared", seeds, 3)
-        .select(col("id").as("doc_id"), col("outdeg").as("wdeg"),
-          col("r").as("rank_e12"))
+      // Empty pair graph => empty seed set; short-circuit to an empty
+      // frame (the oracle's behavior) instead of tripping the
+      // ranksPersonalized seed guard — empty input is a pipeline stage,
+      // not an error, same as every other query here.
+      if (seeds.isEmpty)
+        s.emptyDataset[(Long, Long, Long)]
+          .toDF("doc_id", "wdeg", "rank_e12")
+      else
+        PageRank.ranksPersonalized(e, "src", "dst", "n_shared", seeds, 3)
+          .select(col("id").as("doc_id"), col("outdeg").as("wdeg"),
+            col("r").as("rank_e12"))
     }),
 
     // ---- Data-quality gate: per-rule violation report over orders in ONE
@@ -1872,7 +1880,8 @@ object SparkEntry {
       ("WITH g AS (SELECT lang, source, count(*) AS qi_group_n " +
         "FROM documents GROUP BY 1, 2) " +
         "SELECT d.doc_id, d.lang, d.source, g.qi_group_n " +
-        "FROM documents d JOIN g ON d.lang = g.lang AND d.source = g.source " +
+        "FROM documents d JOIN g ON d.lang IS NOT DISTINCT FROM g.lang " +
+        "AND d.source IS NOT DISTINCT FROM g.source " +
         "WHERE g.qi_group_n >= 5"),
     // Bounded epoch table (max repeat = 4) joined on epoch <= repeat(lang)
     // — lateral-free, so it runs on any SQL engine.

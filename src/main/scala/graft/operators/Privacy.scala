@@ -21,15 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** Corpus rows with their QI-group size attached, joined back with
+    * NULL-SAFE equality (`<=>`) so rows with a NULL quasi-identifier form
+    * a countable group like any other value instead of vanishing from
+    * both the kept and the suppressed partitions (a null QI — "language
+    * unknown" — is often the MOST identifying combination, and it must
+    * reach the review queue). The aggregate already groups nulls
+    * together; the null-safe join keeps the two sides consistent, so
+    * kept ∪ suppressed == input always holds.
+    */
+  private def withGroupN(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    val counts = qiCols.foldLeft(
+        df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("qi_group_n"))) {
+      (d, c) => d.withColumnRenamed(c, s"__qi_$c")
+    }
+    val on = qiCols.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _)
+    qiCols.foldLeft(df.join(counts, on))((d, c) => d.drop(s"__qi_$c"))
+  }
+
   /** Keep rows whose quasi-identifier group has >= k members; adds the
     * group size as `qi_group_n` (the audit column — publishing pipelines
     * log the k-distribution of what shipped).
     */
   def kSuppress(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
     require(qiCols.nonEmpty && k >= 1, s"need QI columns and k >= 1 (k=$k)")
-    val counts = df.groupBy(qiCols.map(col): _*)
-      .agg(count(lit(1)).as("qi_group_n"))
-    df.join(counts, qiCols).filter(col("qi_group_n") >= k)
+    withGroupN(df, qiCols).filter(col("qi_group_n") >= k)
   }
 
   /** The rows [[kSuppress]] would drop, with their group size — the
@@ -39,8 +55,6 @@ object Privacy {
     */
   def kSuppressed(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
     require(qiCols.nonEmpty && k >= 1, s"need QI columns and k >= 1 (k=$k)")
-    val counts = df.groupBy(qiCols.map(col): _*)
-      .agg(count(lit(1)).as("qi_group_n"))
-    df.join(counts, qiCols).filter(col("qi_group_n") < k)
+    withGroupN(df, qiCols).filter(col("qi_group_n") < k)
   }
 }

@@ -13,6 +13,7 @@ object PerfProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.local.dir", GraftLocalDir.path)
       .config("spark.ui.enabled", "false").getOrCreate()

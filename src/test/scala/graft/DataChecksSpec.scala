@@ -72,6 +72,28 @@ class DataChecksSpec extends SparkSpec {
     assert(Privacy.kSuppress(df, Seq("lang", "source"), 1L).count() == 6)
   }
 
+  test("kSuppress counts NULL quasi-identifiers as a group of their own") {
+    import graft.operators.Privacy
+    // null lang is a QI value like any other: the three (null, "a") rows
+    // form a group of 3, and the lone (null, null) row is a singleton
+    // that must land in the SUPPRESSED partition, not vanish.
+    val df = Seq(
+      (1L, Option("en"), Option("a")), (2L, Option("en"), Option("a")),
+      (3L, None: Option[String], Option("a")),
+      (4L, None: Option[String], Option("a")),
+      (5L, None: Option[String], Option("a")),
+      (6L, None: Option[String], None: Option[String])
+    ).toDF("doc_id", "lang", "source")
+    val kept = Privacy.kSuppress(df, Seq("lang", "source"), 3L)
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = Privacy.kSuppressed(df, Seq("lang", "source"), 3L)
+      .select("doc_id", "qi_group_n").as[(Long, Long)].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+    assert(dropped == Set((1L, 2L), (2L, 2L), (6L, 1L)))
+    // exact partition even with nulls: kept + suppressed == input
+    assert(kept.size + dropped.size == 6)
+  }
+
   test("epochRepeat materializes per-stratum repeats; unknown strata get 1") {
     val df = Seq((1L, "de"), (2L, "en"), (3L, "xx")).toDF("doc_id", "lang")
     val out = Sampling.epochRepeat(df, "lang", Map("de" -> 3, "en" -> 2))

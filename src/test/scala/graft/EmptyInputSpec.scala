@@ -165,12 +165,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(orphaned == Seq(("fk", 1L, 1L, Some(1L))))
     assert(Sampling.epochRepeat(noDocs.withColumn("lang", lit("en")),
       "lang", Map("en" -> 3)).count() == 0)
-    // sketch audit on an empty corpus: just the __all__ row, 0 docs
+    // sketch audit on an empty corpus: just the __all__ row, 0 docs, and
+    // the bound flag is a literal TRUE (0 distinct is trivially within
+    // bound), matching the oracle's ('__all__', 0, 0, TRUE) row — not the
+    // NULL a missing merged sketch would naively produce
     val sk = TextOps.sketchDistinctAudit(
       noDocs.withColumn("lang", lit("en")), "text", "lang")
-      .select("stratum", "n_docs", "n_distinct")
-      .as[(String, Long, Long)].collect().toSeq
-    assert(sk == Seq(("__all__", 0L, 0L)))
+      .select("stratum", "n_docs", "n_distinct", "hll_ok")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(sk == Seq(("__all__", 0L, 0L, true)))
     assert(TextOps.corpusStatsAudit(noDocs.withColumn("lang", lit("en")),
       "doc_id", "text", "lang").count() == 0)
     assert(Privacy.kSuppress(noDocs.withColumn("lang", lit("en")),
