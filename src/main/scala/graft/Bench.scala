@@ -100,7 +100,17 @@ object Bench {
     // queries the leading "value" headline scrolls out of that window.
     // Duplicate the headline fields at the very END of the object so any
     // tail capture, however short, still contains total/count/failed.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}"""
+    println(line)
+    // The driver's stdout capture tail-truncates past ~2000 chars, losing
+    // most per-query timings from the artifact (round-7 verdict: only ~45
+    // of 147 survived). Persist the full line to a file the truncation
+    // can't touch; committed per round so regressions are diffable.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_full write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

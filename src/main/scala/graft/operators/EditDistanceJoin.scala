@@ -102,11 +102,31 @@ object EditDistanceJoin {
     * Join on the 64-bit hash of each deletion variant, not the variant
     * string: narrower shuffle rows, long-vs-long hash probes. A collision
     * only ADDS a candidate; the exact levenshtein verify removes it.
-    * The exploded rows carry (id, key_length, variant_hash) — the length
+    * The exploded rows carry (gid, key_length, variant_hash) — the length
     * band needs only the length, so the key string itself never rides the
     * big shuffle.
     *
-    * The equi-join is HALF-ORDERED (id_a < id_b): self- and mirror-
+    * DUPLICATE-KEY SKEW GUARD (exactness-preserving): the variant join
+    * runs over DISTINCT keys only (one representative gid = min id per
+    * key), and id-level pairs are rebuilt afterwards by group-membership
+    * expansion. A corpus flooded with f copies of one key — dedup's
+    * common case, precisely because those rows are what linking exists to
+    * find — would otherwise push f·|variants| exploded rows into the join
+    * and f²·|variants| witness rows out of it (the O(f²)-per-hot-variant
+    * blowup NearDup guards with shinglesWithSkewGuard). Here the flood
+    * collapses BEFORE the explode: the hot key contributes one variant
+    * set, its intra-group pairs (lev = 0 by definition — no variant
+    * machinery, no verify) are enumerated by a plain equi-self-join on
+    * key, and cross-group pairs multiply out by membership only AFTER the
+    * per-distinct-key verify. Every emitted row is a true output pair, so
+    * post-guard cost is output cardinality, not join blowup. Unlike the
+    * shingle guard this changes NO semantics: a frequency-threshold drop
+    * would lose pairs that meet only at a hot variant; deduping keys
+    * cannot (equal keys have identical neighborhoods). Equivalence on a
+    * skewed fixture is pinned in EditDistanceJoinSpec; the 10^4-replicated
+    * name probe lives in ScaleProbe.
+    *
+    * The equi-join is HALF-ORDERED (gid_a < gid_b): self- and mirror-
     * witnesses are never generated (the full join emits ~2x the rows and
     * every reflexive pair x its whole variant set).
     *
@@ -119,8 +139,8 @@ object EditDistanceJoin {
     * (6.3s). The one ordering that must NOT come back: distinct over
     * candidates WITH key columns attached — hash-aggregating wide string
     * rows measured 147s on the same input. The key re-attach joins
-    * shuffle on id (bounded, one row per input) with no broadcast hint —
-    * AQE broadcasts the key table when it is genuinely small.
+    * shuffle on gid (bounded, one row per distinct key) with no broadcast
+    * hint — AQE broadcasts the key table when it is genuinely small.
     *
     * shuffle_hash hint: Catalyst can't estimate post-explode cardinality
     * (generator-produced arrays) and mis-chooses a broadcast hash join,
@@ -130,9 +150,13 @@ object EditDistanceJoin {
     * plan.
     */
   private def halfIdPairs(base: DataFrame, maxDist: Int): DataFrame = {
-    val variants = base
+    // Null keys produce no pairs (levenshtein(null, _) is null -> the
+    // verify drops them), so exclude them before grouping.
+    val keyed = base.filter(col("key").isNotNull)
+    val dk = keyed.groupBy("key").agg(min(col("id")).as("gid"))
+    val variants = dk
       .withColumn("__len", length(col("key")))
-      .select(col("id"), col("__len"),
+      .select(col("gid"), col("__len"),
         explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
           .as("__v"))
     // Length band: lev(a,b) <= k forces |len(a)-len(b)| <= k, so the
@@ -141,18 +165,42 @@ object EditDistanceJoin {
     // pure pruning, never drops a true pair.
     val cand = variants.as("a").hint("shuffle_hash")
       .join(variants.as("b"),
-        col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
+        col("a.__v") === col("b.__v") && col("a.gid") < col("b.gid") &&
           abs(col("a.__len") - col("b.__len")) <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .distinct()
-    // keys come out attached: every caller needs them (pairs, the
-    // aggregate) or ignores a projection (idPairs) — cheaper than each
-    // caller re-joining the key table.
-    cand
-      .join(base.select(col("id").as("id_a"), col("key").as("key_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("key").as("key_b")), "id_b")
+    val verified = cand
+      .join(dk.select(col("gid").as("gid_a"), col("key").as("key_a")), "gid_a")
+      .join(dk.select(col("gid").as("gid_b"), col("key").as("key_b")), "gid_b")
       .filter(levenshtein(col("key_a"), col("key_b"), maxDist) >= 0)
-      .select("id_a", "key_a", "id_b", "key_b")
+      .select("key_a", "key_b")
+    // Cross-group expansion: every member of key_a's group pairs with
+    // every member of key_b's group. gid order says nothing about member
+    // id order, so each expanded pair re-orients to id_a < id_b (keys
+    // travel with their ids).
+    val cross = verified
+      .join(keyed.select(col("id").as("__ia"), col("key").as("key_a")), "key_a")
+      .join(keyed.select(col("id").as("__ib"), col("key").as("key_b")), "key_b")
+      .select(when(col("__ia") < col("__ib"),
+          struct(col("__ia").as("id_a"), col("key_a"),
+                 col("__ib").as("id_b"), col("key_b")))
+        .otherwise(
+          struct(col("__ib").as("id_a"), col("key_b").as("key_a"),
+                 col("__ia").as("id_b"), col("key_a").as("key_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.key_a").as("key_a"),
+              col("p.id_b").as("id_b"), col("p.key_b").as("key_b"))
+    // Intra-group pairs: identical keys are lev = 0 <= maxDist by
+    // definition. The self equi-join on key emits exactly the true pair
+    // set — for a group of size f that is f(f-1)/2 rows of REQUIRED
+    // output, generated in one codegen'd probe with no distinct, no
+    // variant explosion, and no levenshtein. Singleton groups emit
+    // nothing.
+    val intra = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.key").as("key_a"),
+              col("b.id").as("id_b"), col("b.key").as("key_b"))
+    cross.unionByName(intra)
   }
 
   /** Undirected verified id pairs (id_a < id_b) with lev <= maxDist — the
@@ -189,33 +237,51 @@ object EditDistanceJoin {
   def pairsAgainst(left: DataFrame, leftId: String, leftKey: String,
                    right: DataFrame, rightId: String, rightKey: String,
                    maxDist: Int): DataFrame = {
-    def explodeSide(df: DataFrame, id: String, key: String): DataFrame =
-      df.select(col(id).as("id"), col(key).as("key"))
-        .withColumn("__len", length(col("key")))
-        .select(col("id"), col("__len"),
+    // Same duplicate-key skew guard as [[halfIdPairs]]: the variant join
+    // runs over each side's DISTINCT keys (the dirty corpus is exactly
+    // where one misspelling floods — f copies of "Mcrosoft" must cost one
+    // variant set, not f), and id-level matches are rebuilt afterwards by
+    // key-membership expansion. Equal left/right keys are a legitimate
+    // cross-table match (dist 0) and survive naturally — they share every
+    // variant and pass the verify.
+    val lk = left.select(col(leftId).as("id"), col(leftKey).as("key"))
+      .filter(col("key").isNotNull)
+    val rk = right.select(col(rightId).as("id"), col(rightKey).as("key"))
+      .filter(col("key").isNotNull)
+    def distinctKeys(df: DataFrame): DataFrame =
+      df.groupBy("key").agg(min(col("id")).as("gid"))
+    def explodeSide(dk: DataFrame): DataFrame =
+      dk.withColumn("__len", length(col("key")))
+        .select(col("gid"), col("__len"),
           explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
             .as("__v"))
-    val l = explodeSide(left, leftId, leftKey)
-    val r = explodeSide(right, rightId, rightKey)
+    val ldk = distinctKeys(lk)
+    val rdk = distinctKeys(rk)
     // hint on the RIGHT (dictionary) side: the hinted side is the
     // hash-build side, and the dictionary is the bounded one — building
     // over the corpus side inverts the plan at scale. Same verify order
-    // as halfIdPairs: distinct the narrow id pairs first, then re-attach
-    // keys and verify each unique candidate once.
-    val cand = l.as("a")
-      .join(r.as("b").hint("shuffle_hash"),
+    // as halfIdPairs: distinct the narrow gid pairs first, then re-attach
+    // keys and verify each unique candidate once; `dist` is computed at
+    // verify time (once per distinct key pair) and rides the expansion.
+    val cand = explodeSide(ldk).as("a")
+      .join(explodeSide(rdk).as("b").hint("shuffle_hash"),
         col("a.__v") === col("b.__v") &&
           abs(col("a.__len") - col("b.__len")) <= maxDist)
-      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .select(col("a.gid").as("lgid"), col("b.gid").as("rgid"))
       .distinct()
-    cand
-      .join(left.select(col(leftId).as("left_id"), col(leftKey).as("left_key")),
-        "left_id")
-      .join(right.select(col(rightId).as("right_id"), col(rightKey).as("right_key")),
-        "right_id")
+    val verified = cand
+      .join(ldk.select(col("gid").as("lgid"), col("key").as("left_key")), "lgid")
+      .join(rdk.select(col("gid").as("rgid"), col("key").as("right_key")), "rgid")
       .filter(levenshtein(col("left_key"), col("right_key"), maxDist) >= 0)
-      .select(col("left_id"), col("left_key"), col("right_id"), col("right_key"))
-      .withColumn("dist", levenshtein(col("left_key"), col("right_key")))
+      .select(col("left_key"), col("right_key"),
+        levenshtein(col("left_key"), col("right_key")).as("dist"))
+    verified
+      .join(lk.select(col("id").as("left_id"), col("key").as("left_key")),
+        "left_key")
+      .join(rk.select(col("id").as("right_id"), col("key").as("right_key")),
+        "right_key")
+      .select(col("left_id"), col("left_key"), col("right_id"),
+        col("right_key"), col("dist"))
   }
 
   /** Matched pairs (id_a, key_a, id_b, key_b) with lev(key_a, key_b) <= maxDist.

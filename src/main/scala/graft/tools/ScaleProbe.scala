@@ -196,8 +196,95 @@ object ScaleProbe {
       println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
       (name, r4, r10)
     }
+    // ---- graph family: PageRank / personalized PageRank / connected
+    // components over the winnowing shared-fingerprint graph. Copies are
+    // salted (not near-dups of each other), so the replicated graph is R
+    // INDEPENDENT copies of the base graph: edges grow Rx, component
+    // structure replicates, and the iterative edge-join + agg loops must
+    // track edge count — a quadratic regression (e.g. a lost
+    // localCheckpoint re-expanding lineage) shows as a blowup here.
+    val graphProbes: Seq[(String, DataFrame => Long)] = Seq(
+      "pagerank" -> (d => {
+        val pairs = Winnow.sharedFingerprintPairs(d, "doc_id", "text", 2)
+        PageRank.ranks(
+          PageRank.symmetrize(pairs, "id_a", "id_b"), "src", "dst", 5).count()
+      }),
+      "ppr" -> (d => {
+        val edges = PageRank.symmetrize(
+            Winnow.sharedFingerprintPairs(d, "doc_id", "text", 2),
+            "id_a", "id_b")
+          .withColumn("w", lit(1L)).localCheckpoint(true)
+        val seeds = edges.select("src").distinct().orderBy("src")
+          .limit(5).as[Long].collect().toSeq
+        if (seeds.isEmpty) 0L
+        else PageRank.ranksPersonalized(edges, "src", "dst", "w", seeds, 5).count()
+      }),
+      "connected_components" -> (d => {
+        val pairs = Winnow.sharedFingerprintPairs(d, "doc_id", "text", 2)
+        ConnectedComponents.run(
+          d.select(col("doc_id").as("id")),
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst"))).count()
+      })
+    )
+    val graphResults = graphProbes.map { case (name, f) =>
+      val times = factors.map { r =>
+        val d = replicate(r).localCheckpoint(true)
+        val (warm, _) = time(f(d))
+        val (t, n) = time(f(d))
+        d.unpersist()
+        println(f"[scale] $name%-22s ${r}%2dx  $t%7.2f s (warm-up $warm%6.2f)  rows=$n")
+        t
+      }
+      val r4 = times(1) / times(0)
+      val r10 = times(2) / times(0)
+      println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
+      (name, r4, r10)
+    }
+    // ---- duplicate-key flood (the EditDistanceJoin skew guard): the
+    // supplier corpus plus f exact copies of ONE name. The guarded join
+    // dedupes keys before the variant explode, so its variant-join stage
+    // is FLAT in f; total runtime grows only with the emitted TRUE pairs
+    // (~f²/2 intra-group rows — output cardinality, the floor for an
+    // exact pair operator). The unguarded shape (pre-round-8 plan,
+    // reconstructed inline below) pushes f·|variants| rows into the join
+    // and f²·|variants| witnesses into the distinct — ~170x the output
+    // floor — and is timed at the smallest factor only for contrast.
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").cast("long").as("id"), col("s_name").as("key"))
+      .localCheckpoint(true)
+    val hotName = sup.orderBy("id").select("key").as[String].first()
+    def flood(f: Int): DataFrame = {
+      val copies = spark.range(f)
+        .select((col("id") + 1000000L).as("id"), lit(hotName).as("key"))
+      sup.unionByName(copies).localCheckpoint(true)
+    }
+    def unguardedPairs(base: DataFrame, maxDist: Int): DataFrame = {
+      val variants = base.withColumn("__len", length(col("key")))
+        .select(col("id"), col("__len"),
+          explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
+            .as("__v"))
+      variants.as("a").hint("shuffle_hash")
+        .join(variants.as("b"),
+          col("a.__v") === col("b.__v") && col("a.id") < col("b.id") &&
+            abs(col("a.__len") - col("b.__len")) <= maxDist)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    }
+    val floodFactors = Seq(100, 1000, 10000)
+    println(f"[scale] link_skew: base suppliers=${sup.count()}%d, hot name replicated f times")
+    floodFactors.foreach { f =>
+      val d = flood(f)
+      val (t, n) = time(
+        EditDistanceJoin.idPairs(d, "id", "key", 2).count())
+      println(f"[scale] link_skew guarded   f=$f%5d  $t%7.2f s  pairs=$n (s/Mpair ${t / (n / 1e6)}%6.2f)")
+      if (f <= 1000) {
+        val (tU, nU) = time(unguardedPairs(d, 2).count())
+        println(f"[scale] link_skew unguarded f=$f%5d  $tU%7.2f s  pairs=$nU")
+      }
+      d.unpersist()
+    }
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
-    (results ++ embResults ++ evResults).foreach { case (n, r4, r10) =>
+    (results ++ embResults ++ evResults ++ graphResults).foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()

@@ -132,6 +132,54 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(row.getAs[Long]("n_linked") == 5L)
   }
 
+  // The duplicate-key skew guard (halfIdPairs Scaladoc): the variant join
+  // runs over DISTINCT keys, id pairs are rebuilt by group expansion, and
+  // intra-group (identical-key) pairs bypass the variant machinery
+  // entirely. These fixtures flood one key — dedup's common case — and
+  // pin that the guarded plan still produces EXACTLY the naive result.
+  test("duplicate-key skew guard: parity with naive on a flooded fixture") {
+    val rows = (1L to 40L).map(i => (i, "abcdef")) ++ Seq(
+      (41L, "abcdxf"), (42L, "bcdef"), (43L, "zzzz"),
+      (44L, "abcdef"),               // duplicate landing after other keys
+      (45L, null.asInstanceOf[String])) ++ // null keys pair with nothing
+      (46L to 50L).map(i => (i, "abcd"))
+    val df = rows.toDF("id", "key")
+    val naive = EditDistanceJoin.pairs(df, "id", "key", 2, Naive)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fast = EditDistanceJoin.pairs(df, "id", "key", 2, DeletionNeighborhood)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive)
+    // the flood's intra-group pairs are all present (41 copies of
+    // "abcdef" -> both directions + reflexive = 41*41 id pairs among them)
+    val flood = ((1L to 40L) :+ 44L).toSet
+    assert(fast.count { case (a, b) => flood(a) && flood(b) } == 41 * 41)
+    // and the aggregate built on the same core agrees with the naive one
+    val aggNaive = EditDistanceJoin.linkedAggregate(df, "id", "key", 2, Naive)
+      .as[(Long, Long, String)].collect().toSet
+    val aggFast = EditDistanceJoin.linkedAggregate(df, "id", "key", 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(aggFast == aggNaive)
+  }
+
+  test("duplicate-key skew guard: pairsAgainst parity on a flooded dirty side") {
+    val dirty = ((1L to 30L).map(i => (i, "Mcrosoft")) ++ Seq(
+      (31L, "Microsoft"), (32L, "Goggle"), (33L, "zzzzz"),
+      (34L, null.asInstanceOf[String]))).toDF("did", "dname")
+    val dict = Seq((10L, "Microsoft"), (11L, "Google"), (12L, "Apple"))
+      .toDF("cid", "cname")
+    val got = EditDistanceJoin.pairsAgainst(dirty, "did", "dname",
+        dict, "cid", "cname", 1)
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    val naive = dirty.as("d").join(dict.as("c"),
+        levenshtein($"d.dname", $"c.cname") <= 1)
+      .select($"d.did", $"c.cid", levenshtein($"d.dname", $"c.cname"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == naive)
+    // every flooded copy matched, and the exact hit is dist 0
+    assert(got.count(_._2 == 10L) == 31 && got.contains((31L, 10L, 0)))
+  }
+
   test("pairsAgainst equals the naive cross-table levenshtein join") {
     val dirty = Seq(
       (1L, "spark"),     // 1 del from "sparks", 1 sub from "spank": both match
