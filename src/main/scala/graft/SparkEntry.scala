@@ -1528,6 +1528,23 @@ object SparkEntry {
         .withColumn("dist", col("dist").cast("long"))
     }),
 
+    // ---- Winner policy over the dictionary match: one canonical entry
+    // per dirty row (min dist, tie -> min right_id) via a single min_by
+    // hash aggregate — the correction table a master-data pipeline
+    // actually applies. Oracle replays the policy with a row_number
+    // window over the naive join.
+    "q_dict_best" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val dirty = parts.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          concat(expr("substring(p_name, 1, CAST((p_partkey DIV 5) % length(p_name) AS INT))"),
+            expr("substring(p_name, CAST((p_partkey DIV 5) % length(p_name) AS INT) + 2)"))
+            .as("dirty_name"))
+      EditDistanceJoin.bestAgainst(dirty, "dirty_id", "dirty_name",
+          parts.select(col("p_partkey"), col("p_name")), "p_partkey", "p_name", 1)
+        .withColumn("dist", col("dist").cast("long"))
+    }),
+
     // ---- Retrieval-indexing composite (RAG shape): chunk -> embed (stub,
     // md5-derived — no model runtime here; plumbing is real) -> exact
     // top-3 per query chunk. Chunking/embedding are shuffle-free
@@ -2810,6 +2827,19 @@ object SparkEntry {
         "p.p_partkey AS right_id, p.p_name AS right_key, " +
         "CAST(levenshtein(d.dirty_name, p.p_name) AS BIGINT) AS dist " +
         "FROM dirty d JOIN part p ON levenshtein(d.dirty_name, p.p_name) <= 1"),
+    "q_dict_best" ->
+      ("WITH dirty AS (SELECT p_partkey AS dirty_id, " +
+        "substring(p_name, 1, CAST((p_partkey // 5) % length(p_name) AS INT)) || " +
+        "substring(p_name, CAST((p_partkey // 5) % length(p_name) AS INT) + 2) " +
+        "AS dirty_name FROM part WHERE p_partkey % 5 = 0), " +
+        "m AS (SELECT d.dirty_id AS left_id, d.dirty_name AS left_key, " +
+        "p.p_partkey AS right_id, p.p_name AS right_key, " +
+        "levenshtein(d.dirty_name, p.p_name) AS dist " +
+        "FROM dirty d JOIN part p ON levenshtein(d.dirty_name, p.p_name) <= 1) " +
+        "SELECT left_id, left_key, right_id, right_key, " +
+        "CAST(dist AS BIGINT) AS dist FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY left_id ORDER BY dist, right_id) AS rn " +
+        "FROM m) WHERE rn = 1"),
     "q_rag_topk" -> {
       val stubEmb = (1 to 8)
         .map(i => s"CAST(${sqlHash60("chunk", i)} AS DOUBLE) / 1152921504606846976.0")

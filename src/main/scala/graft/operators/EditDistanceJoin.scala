@@ -284,6 +284,34 @@ object EditDistanceJoin {
         col("right_key"), col("dist"))
   }
 
+  /** Winner policy over [[pairsAgainst]]: ONE canonical dictionary entry
+    * per matched left row — minimum distance, ties broken by minimum
+    * right_id, so the correction is deterministic (the master-data ending
+    * the reference's canonicalization reaches for: soulutionOne.py:13–18
+    * picks one `equalName` survivor; at dictionary scale the analogous
+    * decision is "this dirty row corrects to exactly this entry").
+    * Left rows matching nothing within maxDist emit no row — the caller's
+    * unmatched queue is a left_anti join away.
+    *
+    * The winner is picked with a single hash aggregate (min_by over a
+    * (dist, right_id) struct — lexicographic struct ordering IS the
+    * policy), not a row_number window: a window must sort every
+    * partition's candidate list, while min_by folds them in one pass with
+    * map-side partial aggregation — cheaper and shuffle-equivalent at
+    * 100 TB. Grouping carries left_key alongside left_id (functionally
+    * dependent; ids are unique by [[pairsAgainst]]'s contract).
+    */
+  def bestAgainst(left: DataFrame, leftId: String, leftKey: String,
+                  right: DataFrame, rightId: String, rightKey: String,
+                  maxDist: Int): DataFrame =
+    pairsAgainst(left, leftId, leftKey, right, rightId, rightKey, maxDist)
+      .groupBy("left_id", "left_key")
+      .agg(min_by(
+        struct(col("right_id"), col("right_key"), col("dist")),
+        struct(col("dist"), col("right_id"))).as("__w"))
+      .select(col("left_id"), col("left_key"), col("__w.right_id"),
+        col("__w.right_key"), col("__w.dist"))
+
   /** Matched pairs (id_a, key_a, id_b, key_b) with lev(key_a, key_b) <= maxDist.
     * Reflexive pairs included unless includeSelf=false (then id_a != id_b).
     * `df` must have unique values in idCol.

@@ -180,6 +180,30 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(got.count(_._2 == 10L) == 31 && got.contains((31L, 10L, 0)))
   }
 
+  test("bestAgainst picks min dist, breaks ties on min right_id, drops unmatched") {
+    val dirty = Seq(
+      (1L, "spark"),   // dist-1 ties: "sparks"(10) and "spank"(11) -> 10 wins
+      (2L, "flink"),   // exact hit (dist 0) beats "blink" at 1
+      (3L, "zzzzz")    // no match within 1 -> no row
+    ).toDF("did", "dname")
+    val dict = Seq(
+      (11L, "spank"), (10L, "sparks"), (12L, "parquet"),
+      (13L, "flink"), (14L, "blink")
+    ).toDF("cid", "cname")
+    val got = EditDistanceJoin.bestAgainst(dirty, "did", "dname",
+        dict, "cid", "cname", 1)
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1), (2L, 13L, 0)))
+    // one row per matched left id even when the dirty side is flooded
+    val flooded = dirty.unionByName(
+      (100L to 140L).map(i => (i, "spark")).toDF("did", "dname"))
+    val best = EditDistanceJoin.bestAgainst(flooded, "did", "dname",
+      dict, "cid", "cname", 1)
+    assert(best.count() == 43 &&
+      best.groupBy("left_id").count().filter($"count" > 1).isEmpty)
+  }
+
   test("pairsAgainst equals the naive cross-table levenshtein join") {
     val dirty = Seq(
       (1L, "spark"),     // 1 del from "sparks", 1 sub from "spank": both match
