@@ -34,6 +34,21 @@ import org.apache.spark.sql.functions._
   * 1.7x/2.9x at 4x/10x data — linear with amortizing fixed overhead, the
   * shape the iterator-streaming design promises.
   *
+  * Graph family (round 8; edges grow Rx — salted copies are independent
+  * subgraphs): pagerank 2.9x/8.0x and ppr 3.1x/9.5x at 4x/10x data
+  * (edge-linear: the per-iteration join+agg tracks edge count),
+  * connected_components 1.5x/4.7x (sublinear — round count stays put
+  * while per-round cost amortizes).
+  *
+  * Duplicate-key flood (round 8; the EditDistanceJoin guard): 1000
+  * suppliers + f exact copies of ONE name, f = 100/1000/10000. Guarded
+  * idPairs ran FLAT at 1.95/1.41/1.65 s while emitting 174k/913k/52.8M
+  * true pairs (0.03 s per million pairs at f=10^4 — pure output
+  * enumeration); the unguarded pre-round-8 shape's CANDIDATE stage alone
+  * (no verify) took 2.89 s at f=1000 carrying |variants|·f²/2 ≈ 8.5x10^7
+  * witness rows, i.e. ~290 s extrapolated at f=10^4 — the quadratic the
+  * distinct-keys-first design removes.
+  *
   * Embedding section (same base, copies keep vectors verbatim so they are
   * exact duplicates — candidate pairs grow ~R² per vector on purpose):
   * semantic_contam is FLAT (0.85/0.99 at 4x/10x — the eval side is fixed,
@@ -278,8 +293,9 @@ object ScaleProbe {
         EditDistanceJoin.idPairs(d, "id", "key", 2).count())
       println(f"[scale] link_skew guarded   f=$f%5d  $t%7.2f s  pairs=$n (s/Mpair ${t / (n / 1e6)}%6.2f)")
       if (f <= 1000) {
+        // candidate stage only (no verify) — already the blowup carrier
         val (tU, nU) = time(unguardedPairs(d, 2).count())
-        println(f"[scale] link_skew unguarded f=$f%5d  $tU%7.2f s  pairs=$nU")
+        println(f"[scale] link_skew unguarded f=$f%5d  $tU%7.2f s  cand=$nU (candidate stage only)")
       }
       d.unpersist()
     }

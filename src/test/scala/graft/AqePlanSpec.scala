@@ -1,0 +1,55 @@
+package graft
+
+/** AQE-runtime twins of the PlanGuaranteesSpec pins.
+  *
+  * AQE is ON by default in Spark 4, and its DynamicJoinSelection replans
+  * joins at runtime from MEASURED shuffle sizes — which is exactly the
+  * mechanism that could demote a pinned partitioned hash join back to the
+  * broadcast plan the hint exists to prevent (the deletion-variant and
+  * posting/band joins measured 7x slower under a forced broadcast at
+  * sf0.1, and OOM at corpus scale because the exploded side is unbounded).
+  * PlanGuaranteesSpec asserts the STATIC plan; these tests EXECUTE each
+  * query and assert on the FINAL adaptive plan (isFinalPlan=true) that
+  * the exploded-side join is still a ShuffledHashJoin on its posting key
+  * and that no BroadcastHashJoin took it over. Other joins in the same
+  * query (key re-attach, count attach) are free to go broadcast — that is
+  * AQE doing its job — so the assertions are keyed to the join column,
+  * not plan-wide.
+  */
+class AqePlanSpec extends SparkSpec {
+
+  /** Execute and return only the FINAL adaptive plan section (the
+    * pre-execution tree rides along after "== Initial Plan ==" and would
+    * otherwise satisfy the positive assertions vacuously).
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    // collect() drives THIS queryExecution (count() would wrap the frame
+    // in a new Dataset and finalize that plan instead, leaving this one
+    // isFinalPlan=false)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"),
+      s"$name did not produce a finalized adaptive plan:\n$full")
+    full.split("== Initial Plan ==")(0)
+  }
+
+  test("AQE keeps the exploded-side joins as partitioned hash joins at runtime") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "suite contract: AQE must be enabled for these pins to mean anything")
+    // query -> the join key that identifies its pinned exploded-side join:
+    // deletion-variant hash, shingle posting key, LSH band key.
+    for ((q, key) <- Seq("q_link_pairs_lev" -> "__v",
+                         "q_jaccard_pairs" -> "shingle",
+                         "q_minhash_pairs" -> "band")) {
+      val p = finalPlan(q)
+      val shj = p.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+      assert(shj.exists(_.contains(key)),
+        s"$q final plan lost the ShuffledHashJoin on '$key':\n$p")
+      val demoted = p.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") && l.contains(key)).toSeq
+      assert(demoted.isEmpty,
+        s"$q: AQE demoted the '$key' join to broadcast:\n${demoted.mkString("\n")}")
+    }
+  }
+}
