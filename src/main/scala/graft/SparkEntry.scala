@@ -840,6 +840,21 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
 
+    // ---- Multimodal: image-content near-dup — 60-bit dHash over the
+    // REAL decoded raster (gradient grid, Multimodal.dHash60), candidate
+    // pairs via the SAME 10-bit pigeonhole chunk join as text SimHash
+    // (NearDup.simhashPairs, reused verbatim), exact Hamming verify. The
+    // oracle recomputes every hash from the PNG generator's closed-form
+    // pixel formula and replays the Hamming join all-pairs — equivalent
+    // by the pigeonhole guarantee (hamming<=4 < 6 chunks forces a shared
+    // chunk), so the banding can't be wrong without the hash compare
+    // failing. The Spark side must actually parse PNG bytes to match.
+    "q_image_neardup" -> ((s, dir) =>
+      NearDup.simhashPairs(
+        Multimodal.imageHashes(
+          Multimodal.imagePayloads(Tables.documents(s, dir), "doc_id"),
+          "doc_id"), 4)),
+
     // ---- Events: tumbling 1h windowed aggregation (batch form; the
     // streaming form with watermark is asserted equal in EventOpsSpec).
     "q_events_window" -> ((s, dir) => EventOps.tumblingAgg(Tables.events(s, dir))),
@@ -2278,6 +2293,23 @@ object SparkEntry {
         "('0x' || substr(fhx, 1, 2))::BIGINT AS first_byte, " +
         "CAST(sb AS BIGINT) AS sum_bytes " +
         "FROM fr JOIN s ON fr.doc_id = s.doc_id AND fr.fi = s.fi"),
+    // dHash replay from the PNG generator's closed-form pixels (lossless
+    // codec => decoded sample == formula): bit gy*10+gx compares the
+    // nearest-neighbor samples at x=(gx*w)//11 vs x=((gx+1)*w)//11 on row
+    // y=(gy*h)//6. All-pairs Hamming <= 4 is EXACTLY the banded+verified
+    // Spark result by the pigeonhole guarantee (4 < 6 chunks).
+    "q_image_neardup" ->
+      ("WITH d AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h FROM documents), " +
+        "bits AS (SELECT doc_id, " +
+        "CASE WHEN ((doc_id + 31*(((gx+1)*w)//11) + 17*((gy*h)//6)) % 256) > " +
+        "((doc_id + 31*((gx*w)//11) + 17*((gy*h)//6)) % 256) " +
+        "THEN (1::BIGINT << CAST(gy*10 + gx AS INT)) ELSE 0::BIGINT END AS v " +
+        "FROM d, range(10) t1(gx), range(6) t2(gy)), " +
+        "h AS (SELECT doc_id AS id, CAST(sum(v) AS BIGINT) AS simhash FROM bits GROUP BY doc_id) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM h a JOIN h b ON a.id < b.id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 4"),
     "q_events_window" ->
       ("SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us, " +
         "event_type, count(*) AS n_events, " +

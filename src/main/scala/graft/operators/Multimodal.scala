@@ -127,6 +127,78 @@ object Multimodal {
       // those must take the stub fallback, not kill the task.
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 60-bit difference hash (dHash) over a sampled grayscale grid — the
+    * image-content analog of the text SimHash: visually-similar images
+    * land within a small Hamming distance, so candidate pairs come from
+    * [[NearDup.simhashPairs]]' 10-bit pigeonhole chunk join UNCHANGED
+    * (60 bits = 6 chunks is exactly that machinery's shape; a Hamming-k
+    * pair with k < 6 must agree on some chunk).
+    *
+    * The grid is 6 rows x 11 sample columns -> 10 horizontal-gradient
+    * bits per row (bit gy*10+gx = sample(x(gx+1), y(gy)) > sample(x(gx),
+    * y(gy))). Sampling is NEAREST-NEIGHBOR at integer coordinates
+    * (x = gx*w/11, y = gy*h/6) rather than area-averaged: deterministic
+    * for any w x h (including images smaller than the grid, which
+    * up-sample by repetition), and — because PNG decode is lossless —
+    * exactly replayable from the generator's closed-form pixel formula,
+    * which is what lets q_image_neardup carry a full DuckDB oracle over a
+    * real codec path with no frozen fixture. Gradient bits are contrast-
+    * and brightness-shift tolerant in the usual dHash sense.
+    */
+  def dHash60(sample: (Int, Int) => Int, w: Int, h: Int): Long = {
+    var hash = 0L
+    var gy = 0
+    while (gy < 6) {
+      val y = gy * h / 6
+      var gx = 0
+      while (gx < 10) {
+        val x0 = gx * w / 11
+        val x1 = (gx + 1) * w / 11
+        if (sample(x1, y) > sample(x0, y)) hash |= 1L << (gy * 10 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** [[dHash60]] of a REAL decoded image payload (JDK codecs), grayscaled
+    * as the integer mean across bands; None when the payload doesn't
+    * decode (same NonFatal contract as [[decodeImage]]).
+    */
+  def imageDHash(payload: Array[Byte]): Option[Long] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val r = img.getRaster
+        val bands = r.getNumBands
+        dHash60((x, y) => {
+          var s = 0
+          var b = 0
+          while (b < bands) { s += r.getSample(x, y, b); b += 1 }
+          s / bands
+        }, img.getWidth, img.getHeight)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (id, simhash) per decodable image payload — column names match
+    * [[NearDup.simhashPairs]]' contract so the Hamming-band pair search
+    * is shared verbatim. Non-decodable payloads are DROPPED (they have no
+    * visual content to near-dup; route them through [[decodeFeatures]]'
+    * stub path instead). Same mapPartitions batch shape as decode: bytes
+    * never leave the executor, one codec setup per partition.
+    */
+  def imageHashes(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) => imageDHash(payload).map((id, _)) }
+      }.toDF("id", "simhash")
+  }
+
   /** ========= STUB: replace with a real codec (libjpeg/ffmpeg/...) =========
     * Deterministic fake decode of a NON-IMAGE payload: (width, height,
     * channels, meanByte). Mirrors [[metadata]]'s dimension formula so the

@@ -100,6 +100,43 @@ class MultimodalSpec extends SparkSpec {
     assert(stubbed(1L) == 16 * (1 + 'h' % 32))
   }
 
+  test("imageDHash equals the closed-form replay of the generator formula") {
+    // Scala replay of the oracle's SQL: nearest-neighbor sample of the
+    // generating pixel formula at the 6x11 dHash grid.
+    def replay(id: Long): Long = {
+      val w = (1 + id % 13).toInt
+      val h = (1 + id % 7).toInt
+      Multimodal.dHash60(
+        (x, y) => ((id + 31L * x + 17L * y) % 256).toInt, w, h)
+    }
+    for (id <- Seq(0L, 1L, 7L, 12L, 13L, 91L, 97L, 23295L)) {
+      assert(Multimodal.imageDHash(Multimodal.makePng(id)) == Some(replay(id)),
+        s"id $id")
+    }
+    // non-decodable payloads hash to nothing
+    assert(Multimodal.imageDHash("not a png".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("image near-dup pairs: identical images at hamming 0, banding exact") {
+    // ids congruent mod lcm(13, 7, 256) = 23296 generate IDENTICAL images
+    val ids = Seq(3L, 5L, 40L, 3L + 23296L, 5L + 23296L)
+    val imgs = Multimodal.imagePayloads(ids.toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.imageHashes(imgs, "doc_id")
+    assert(hashes.count() == ids.size)
+    val pairs = graft.operators.NearDup.simhashPairs(hashes, 4)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 3L + 23296L, 0L)))
+    assert(pairs.contains((5L, 5L + 23296L, 0L)))
+    // banding+verify equals the brute-force Hamming join on the hashes
+    val hs = hashes.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(pairs == brute)
+  }
+
   test("decodeStub is deterministic and byte-driven") {
     val a = Multimodal.decodeStub("abc".getBytes("UTF-8"))
     assert(a == Multimodal.decodeStub("abc".getBytes("UTF-8")))
