@@ -129,11 +129,150 @@ object EventOps {
       .withColumn("__us", unix_micros(col(tsCol)))
       .select(col(userCol).as("user_id"),
         expr(s"__us div ${weekUs}L").as("w"))
-    // referenced twice (activity join + cohort sizes) — materialize the
-    // user-sized frame so the events scan behind it runs once, not twice
-    val firsts = base.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+    // matrix finisher shared with the streaming path (cells -> cohorts ->
+    // fractions), so the two forms cannot drift apart
+    retentionFromCells(base, maxWeeks)
+  }
+
+  /** Per-user buffered funnel events carried between micro-batches:
+    * (stage index, epoch micros) pairs, bounded by the user's
+    * funnel-relevant events inside the active funnel window.
+    */
+  case class FunnelBuf(events: List[(Int, Long)])
+
+  /** Emitted (finalized) funnel row: `ts_us` is the reached-stage time
+    * prefix (size == stage_reached) — the non-null prefix of the batch
+    * twin's t<i>_us columns.
+    */
+  case class FunnelOut(user_id: Long, ts_us: Seq[Long], stage_reached: Long)
+
+  /** The greedy-earliest funnel fold shared by [[funnelStream]]'s
+    * finalization and the parity specs: returns the chosen time per
+    * reached stage (empty when stage 1 never fires). Same semantics as
+    * [[funnel]]'s chained min-aggregates, in-memory.
+    */
+  private[graft] def greedyFunnel(events: Seq[(Int, Long)], nStages: Int,
+                                  maxGapUs: Long): Seq[Long] = {
+    val s0 = events.collect { case (0, us) => us }
+    if (s0.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer(s0.min)
+    var k = 1
+    var stalled = false
+    while (k < nStages && !stalled) {
+      val t = out.last
+      val cand = events.collect {
+        case (s, us) if s == k && us > t && us <= t + maxGapUs => us
+      }
+      if (cand.isEmpty) stalled = true
+      else { out += cand.min; k += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Streaming form of [[funnel]]: per-user state via
+    * flatMapGroupsWithState with an EVENT-TIME timeout. Each batch folds
+    * the user's new stage events into a buffer; the funnel FINALIZES (one
+    * appended row, then state removed) when the watermark passes
+    * t_reached + maxGap — provably the first moment the outcome is
+    * immutable: any not-yet-dropped event has ts >= watermark >
+    * t_reached + maxGap, which can neither extend the chain (gap
+    * exceeded) nor replace an earlier stage choice (every chosen t is
+    * <= t_reached < watermark, and greedy takes minima). Out-of-order
+    * arrival WITHIN the watermark is therefore handled exactly: the
+    * greedy fold reruns over the full buffer at finalization. Users who
+    * never fire stage 1 finalize to zero rows (batch parity) once their
+    * buffered events can no longer combine with any future stage-1 event
+    * (same watermark argument against max buffered time).
+    *
+    * Emits [[FunnelOut]] — the reached-time prefix — rather than the
+    * batch twin's fixed t<i>_us columns; EventOpsSpec asserts the two
+    * are the same rows on a bounded fixture.
+    */
+  def funnelStream(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String], maxGapUs: Long,
+                   watermark: String = "1 hour")
+      : org.apache.spark.sql.Dataset[FunnelOut] = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val nStages = stages.size
+
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(typeCol).isin(stages: _*))
+      // the watermarked ts column must SURVIVE into the stateful operator
+      // (the analyzer rejects event-time timeout otherwise); it rides
+      // along unused next to the extracted micros
+      .select(col(userCol).cast("long"), col(typeCol), col(tsCol),
+        unix_micros(col(tsCol)).as("us"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[FunnelBuf]) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            val times = greedyFunnel(state.get.events, nStages, maxGapUs)
+            state.remove()
+            if (times.isEmpty) Iterator.empty
+            else Iterator(FunnelOut(uid, times, times.size.toLong))
+          } else {
+            val buf = state.getOption.map(_.events).getOrElse(Nil) ++
+              rows.map(r => (stageIdx(r._2), r._4))
+            state.update(FunnelBuf(buf))
+            // finalize once nothing can change: reached-stage time (or the
+            // max buffered time while stage 1 hasn't fired) plus the gap
+            val times = greedyFunnel(buf, nStages, maxGapUs)
+            val horizonUs = (if (times.nonEmpty) times.last
+                             else buf.map(_._2).max) + maxGapUs
+            // the timeout must sit strictly beyond the current watermark
+            state.setTimeoutTimestamp(
+              math.max(horizonUs / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming half of the retention pipeline: each DISTINCT
+    * (user, epoch-week) activity cell exactly once, via per-user
+    * mapGroups state (the cell set is order-independent, so append-mode
+    * emission needs no watermark or retraction; state per user is its
+    * distinct active weeks — bounded by lifetime weeks, a few hundred for
+    * years of product history). [[retentionFromCells]] turns the emitted
+    * cells into the same matrix as the batch [[retention]] — asserted
+    * equal in EventOpsSpec.
+    */
+  def activityCellsStream(events: DataFrame, userCol: String, tsCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weekUs = 7L * 86400L * 1000000L
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        expr(s"unix_micros(ts) div ${weekUs}L").as("w"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Set[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long])
+          val fresh = rows.map(_._2).toSet -- seen
+          state.update(seen ++ fresh)
+          fresh.iterator.map(w => (uid, w))
+      }
+  }
+
+  /** Shared matrix finisher over (user_id, w) activity cells — the
+    * post-cells stages of [[retention]] (cohort = min week per user,
+    * offsets, exact-integer fractions), reused by the streaming path.
+    * Tolerates duplicate cells (distinct inside).
+    */
+  def retentionFromCells(cells: DataFrame, maxWeeks: Int): DataFrame = {
+    val firsts = cells.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
       .localCheckpoint()
-    val acts = base.distinct()
+    val acts = cells.distinct()
     val per = acts.join(firsts, "user_id")
       .withColumn("week_offset", col("w") - col("cohort_week"))
       .filter(col("week_offset") >= 0 && col("week_offset") <= maxWeeks)

@@ -256,6 +256,95 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch funnel on a bounded fixture") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val gap24h = 86400000000L
+    val stages = Seq("view", "click", "purchase")
+    // the batch suite's hand fixture, fed OUT OF ORDER within users to
+    // exercise the buffered greedy fold (user 1's click arrives before
+    // its view; user 5's purchase after its click)
+    val batch1 = Seq(
+      (1L, "click", ts("2026-01-01 10:30:00")),
+      (1L, "view", ts("2026-01-01 10:00:00")),
+      (2L, "click", ts("2026-01-01 09:00:00")),
+      (3L, "view", ts("2026-01-01 10:00:00")),
+      (4L, "click", ts("2026-01-01 10:00:00")),
+      (5L, "view", ts("2026-01-01 10:00:00")))
+    val batch2 = Seq(
+      (1L, "purchase", ts("2026-01-01 11:00:00")),
+      (2L, "view", ts("2026-01-01 10:00:00")),
+      (3L, "click", ts("2026-01-02 11:00:00")),
+      (5L, "click", ts("2026-01-01 10:10:00")),
+      (5L, "purchase", ts("2026-01-01 10:05:00")))
+    val sentinelUid = 999L
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventOps.funnelStream(
+        ms.toDS().toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", stages, gap24h,
+        "2 days") // covers the cross-batch disorder: batch 2 reaches back
+                  // ~25h behind batch 1's max event time
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_funnel").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      // two sentinel rounds: the first advances the watermark past every
+      // user's t_reached + gap, the second delivers the fired timeouts
+      ms.addData((sentinelUid, "view", ts("2026-01-20 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((sentinelUid, "view", ts("2026-01-21 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ev_funnel")
+        .as[(Long, Seq[Long], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val ev = (batch1 ++ batch2).toDF("user_id", "event_type", "ts")
+      val expected = EventOps.funnel(ev, "user_id", "event_type", "ts",
+          stages, gap24h)
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect()
+        .map(r => r._1 -> ((Seq(r._2, r._3, r._4).flatten, r._5))).toMap
+      assert(got == expected)
+      assert(got(1L)._2 == 3L && got(5L)._2 == 2L && !got.contains(4L))
+      assert(!got.contains(sentinelUid), "open sentinel funnel must not emit")
+    } finally q.stop()
+  }
+
+  test("streaming retention cells rebuild the exact batch retention matrix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(week: Long, dayOff: Long) = new java.sql.Timestamp(
+      (week * 7L + dayOff) * 86400L * 1000L)
+    // users 1-3 cohort in week 0/1; duplicate (user, week) activity across
+    // batches must emit each cell exactly once
+    val batch1 = Seq((1L, ts(0, 1)), (1L, ts(0, 3)), (2L, ts(0, 2)), (3L, ts(1, 0)))
+    val batch2 = Seq((1L, ts(1, 2)), (1L, ts(0, 5)), (2L, ts(2, 1)), (3L, ts(1, 6)))
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventOps.activityCellsStream(
+        ms.toDS().toDF("user_id", "ts"), "user_id", "ts")
+      .toDF("user_id", "w")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_cells").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val cells = spark.table("ev_cells")
+      // exactly-once per distinct cell
+      assert(cells.count() == cells.distinct().count())
+      val got = EventOps.retentionFromCells(cells, 8)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val ev = (batch1 ++ batch2).toDF("user_id", "ts")
+      val expected = EventOps.retention(ev, "user_id", "ts", 8)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals the batch result") {
     // FileStreamSource wants a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
