@@ -172,16 +172,30 @@ object SparkEntry {
 
     // ---- A4 faithful mode: solutionTwo's greedy driver-side clustering
     // (order-dependent, multi-assign, non-transitive) on supplier names,
-    // ordered by s_suppkey. Sequential semantics in general — but the
-    // DuckDB oracle derives the result under the one-cluster condition
-    // (every name strictly >80-similar to the FIRST name, true of TPC-H
-    // supplier names at every SF), recomputing those difflib sims with the
-    // same recursive CTE as q_link_ro; if the condition ever broke, Spark
-    // would emit extra cluster rows and the compare would fail loudly.
-    // CPython-parity of the sequential fold itself is in ClusterSpec.
+    // ordered by s_suppkey. The DuckDB oracle replays the FULL sequential
+    // fold (sqlGreedyFoldOracle): all-pairs difflib sims via the same
+    // recursive CTE as q_link_ro, then a second recursion carrying the
+    // key list row-by-row — fixture-independent, unlike the r2–r7
+    // one-cluster derivation. CPython-parity of the fold is in ClusterSpec.
     "q_cluster_greedy" -> ((s, dir) =>
       GreedyCluster.cluster(Tables.supplier(s, dir).withColumn("alt",
         col("s_nationkey").cast("string")), "s_name", "alt", "s_suppkey")),
+
+    // ---- A4 faithful mode on a constructed MULTI-cluster frame: a quarter
+    // of the suppliers, names prefixed with an 8-char group tag
+    // (chr(65 + suppkey%3) ×8) that drops cross-group difflib similarity
+    // below the >80 threshold while within-group stays above it — so the
+    // greedy fold must emit ≥2 clusters (3 on the TPC-H fixture; pinned in
+    // ClusterSpec). Exercises the oracle's key-creation recursion on the
+    // path the single-cluster supplier fixture never reaches.
+    "q_cluster_greedy_multi" -> ((s, dir) =>
+      GreedyCluster.cluster(
+        Tables.supplier(s, dir)
+          .filter(col("s_suppkey") % 4 === 1)
+          .withColumn("mname",
+            expr("concat(repeat(chr(65 + CAST(s_suppkey % 3 AS INT)), 8), s_name)"))
+          .withColumn("alt", col("s_nationkey").cast("string")),
+        "mname", "alt", "s_suppkey")),
 
     // ---- Text analysis (north-star): per-doc token/char/punct/stopword
     // stats + quality score. Pure codegen projection — no shuffle.
@@ -2572,27 +2586,18 @@ object SparkEntry {
     "q_link_ro" -> sqlLinkRoOracle,
     // The SQL-surface twin computes the identical result; same oracle.
     "q_link_ro_sql" -> sqlLinkRoOracle,
-    // Greedy clustering derived under the one-cluster condition (see the
-    // query comment): members = first name + every name STRICTLY >80
-    // difflib-similar to it (strict > — solutionTwo's quirk — is exact in
-    // integer form: 200*M > 80*(la+lb)). One output row by construction;
-    // if Spark ever emits more clusters the row-count check fails loudly.
-    "q_cluster_greedy" ->
-      ("WITH RECURSIVE k0 AS (SELECT s_name AS kname FROM supplier ORDER BY s_suppkey LIMIT 1), " +
-        "nm AS (SELECT DISTINCT s_name AS name FROM supplier), " +
-        "pr AS (SELECT k.kname AS na, n.name AS nb, " +
-        "length(k.kname) AS la, length(n.name) AS lb " +
-        "FROM k0 k JOIN nm n ON n.name <> k.kname), " +
-        sqlDifflibChain + ", " +
-        "mem AS (SELECT nb AS name FROM ms WHERE 200 * mtot > 80 * (la + lb) " +
-        "UNION ALL SELECT kname FROM k0) " +
-        // FROM k0, not a bare SELECT: an empty supplier table must yield
-        // ZERO rows (as GreedyCluster does), not one all-NULL row
-        "SELECT k0.kname AS name, " +
-        "(SELECT string_agg(DISTINCT m.name, ',' ORDER BY m.name) FROM mem m) AS names, " +
-        "(SELECT string_agg(DISTINCT CAST(s.s_nationkey AS VARCHAR), ',' " +
-        "ORDER BY CAST(s.s_nationkey AS VARCHAR)) " +
-        "FROM supplier s JOIN mem m ON s.s_name = m.name) AS alts FROM k0"),
+    // Full greedy-fold replay (sqlGreedyFoldOracle) — fixture-independent,
+    // replacing the r2–r7 one-cluster derivation.
+    "q_cluster_greedy" -> sqlGreedyFoldOracle(
+      "SELECT s_suppkey AS ord, s_name AS name, " +
+        "CAST(s_nationkey AS VARCHAR) AS alt FROM supplier"),
+    // Same replay over the constructed 3-group frame (see the query
+    // comment): the group-tag prefix is built with the same chr/repeat
+    // arithmetic on both sides.
+    "q_cluster_greedy_multi" -> sqlGreedyFoldOracle(
+      "SELECT s_suppkey AS ord, " +
+        "repeat(chr(CAST(65 + s_suppkey % 3 AS INT)), 8) || s_name AS name, " +
+        "CAST(s_nationkey AS VARCHAR) AS alt FROM supplier WHERE s_suppkey % 4 = 1"),
     "q_substring_spans" ->
       (s"WITH $sqlSpanCtes " +
         "SELECT id_a, id_b, start_a, start_b, len_tokens FROM sp"),
@@ -3275,6 +3280,57 @@ object SparkEntry {
       "SELECT least(na, nb) AS uniqId, " +
       "string_agg(DISTINCT na, ',' ORDER BY na) AS CollectedNames " +
       "FROM link GROUP BY least(na, nb)"
+
+  /** Full DuckDB replay of GreedyCluster's sequential fold over a source
+    * CTE `sup(ord, name, alt)` — fixture-independent, unlike the r2–r7
+    * oracle that derived the answer under the one-cluster condition.
+    *
+    * Two stacked recursions:
+    *  1. sqlDifflibChain over ALL distinct-name pairs -> exact integer
+    *     similarity test 200*M > 80*(la+lb) (solutionTwo's strict `>`);
+    *     identical names are appended as self-pairs (ratio 100).
+    *  2. `fold` carries the insertion-ordered KEY LIST as a VARCHAR[] in a
+    *     single state row per step: row i (total order = `ord`) appends
+    *     its name iff no existing key is >80-similar
+    *     (list_intersect against the row's precomputed similar-name list).
+    * Key creation times fall out of the fold trace (`kc`: the step where
+    * len(keys) grew); membership then replays multi-assign exactly — a row
+    * joins every cluster whose key existed BEFORE it and is >80-similar,
+    * plus the cluster it seeded. TreeSet semantics = string_agg(DISTINCT
+    * .. ORDER BY). An empty source yields zero rows (fold base row only).
+    */
+  private def sqlGreedyFoldOracle(supCte: String): String =
+    s"WITH RECURSIVE sup AS ($supCte), " +
+      "nm AS (SELECT DISTINCT name FROM sup), " +
+      "pr AS (SELECT a.name AS na, b.name AS nb, " +
+      "length(a.name) AS la, length(b.name) AS lb " +
+      "FROM nm a JOIN nm b ON a.name <> b.name), " +
+      sqlDifflibChain + ", " +
+      "simok AS (SELECT na, nb FROM ms WHERE 200 * mtot > 80 * (la + lb) " +
+      "UNION ALL SELECT name, name FROM nm), " +
+      "ro AS (SELECT CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS i, " +
+      "name, alt FROM sup), " +
+      "simlist AS (SELECT nb AS name, list(na) AS sims FROM simok GROUP BY nb), " +
+      "ro2 AS (SELECT r.i, r.name, r.alt, coalesce(sl.sims, []) AS sims " +
+      "FROM ro r LEFT JOIN simlist sl ON sl.name = r.name), " +
+      "fold AS (" +
+      "SELECT CAST(0 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS keys " +
+      "UNION ALL " +
+      "SELECT r.i, CASE WHEN len(list_intersect(f.keys, r.sims)) > 0 THEN f.keys " +
+      "ELSE list_append(f.keys, r.name) END " +
+      "FROM fold f JOIN ro2 r ON r.i = f.i + 1), " +
+      "kc AS (SELECT f.i AS ki, f.keys[len(f.keys)] AS kname " +
+      "FROM fold f JOIN fold fp ON fp.i = f.i - 1 " +
+      "WHERE len(f.keys) > len(fp.keys)), " +
+      "memb AS (" +
+      "SELECT k.kname, r.name, r.alt FROM kc k JOIN ro r ON r.i = k.ki " +
+      "UNION ALL " +
+      "SELECT k.kname, r.name, r.alt FROM kc k JOIN ro r ON r.i > k.ki " +
+      "JOIN simok s ON s.na = k.kname AND s.nb = r.name) " +
+      "SELECT kname AS name, " +
+      "string_agg(DISTINCT name, ',' ORDER BY name) AS names, " +
+      "string_agg(DISTINCT alt, ',' ORDER BY alt) AS alts " +
+      "FROM memb GROUP BY kname"
 
   /** The 37 multi-probe XOR masks of Ann.lshTopK (self + all Hamming<=2
     * bucket flips over LshBits planes), as a SQL list body.
