@@ -464,6 +464,27 @@ object SparkEntry {
       Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "split")),
 
+    // ---- Leakage-free split: the split bucket is keyed on the near-dup
+    // COMPONENT, not the doc — a duplicate family can never straddle
+    // train/eval, the contamination mode q_split_assign's per-doc hashing
+    // cannot prevent (near-identical docs hash independently). A pure
+    // projection on top of the q_near_dedup composite; oracle = the
+    // near-dedup closure CTEs + the same md5 arithmetic on component.
+    "q_split_leakfree" -> ((s, dir) =>
+      Sampling.leakFreeSplit(
+        NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text",
+          3, 0.5).select(col("doc_id"), col("component")),
+        "doc_id")),
+
+    // ---- Exact per-language length quantiles (p50/p90/p99 of n_chars):
+    // percentile_disc semantics from the (lang, value) HISTOGRAM — the
+    // scale-safe exact-quantile shape (hash-agg to a bounded histogram +
+    // prefix-sum window over it; never a per-group row sort). All-integer,
+    // engine-exact. Feeds packing capacity / truncation-budget planning.
+    "q_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(Tables.documents(s, dir), "lang", "n_chars",
+        Seq(50, 90, 99))),
+
     // ---- Stratified exact-quota sample: 50 docs per language, selected
     // by deterministic (md5-hash, id) order — a reproducible reservoir.
     "q_sample_stratified" -> ((s, dir) =>
@@ -807,6 +828,18 @@ object SparkEntry {
     // Oracled end-to-end: bucket/cosine SQL + recursive-CTE closure.
     "q_embed_dedup" -> ((s, dir) =>
       Ann.dedupByCosine(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
+
+    // ---- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup
+    // against the frozen IVF quantizer — the published alternative
+    // candidate generator to q_embed_dedup's hyperplane buckets. Cell
+    // argmax is the q_ann_ivf projection; within-cell upper-triangular
+    // prune ordered by centroid-sim ASC (the paper keeps the cell's
+    // least-typical member). Deterministic given the frozen centroids, so
+    // the oracle mirrors centroids + fold-order dots and hash-checks all
+    // of (vec_id, cell, cent_sim, is_kept).
+    "q_semantic_dedup" -> ((s, dir) =>
+      Ann.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        IvfFixture.model, 0.3)),
 
     // ---- Semantic decontamination: every TRAIN-split vector flagged if
     // its cosine to any EVAL-split vector (the held-out benchmark stand-in,
@@ -1786,6 +1819,25 @@ object SparkEntry {
         "WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
         s"FROM (SELECT doc_id, ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b " +
         "FROM documents)"),
+    // Near-dedup closure + the same md5 split arithmetic keyed on the
+    // component id: every member of a component gets the same bucket.
+    "q_split_leakfree" ->
+      (s"WITH RECURSIVE $sqlNearDedupCtes " +
+        "SELECT doc_id, component, CASE WHEN b < 80 THEN 'train' " +
+        "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, component, " +
+        s"${sqlHash60("CAST(component AS VARCHAR)", 0)} % 100 AS b FROM comp)"),
+    // Histogram -> cumulative counts -> smallest value reaching
+    // ceil(p*total/100) (integer form: 100*cum >= p*total).
+    "q_length_quantiles" ->
+      ("WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt " +
+        "FROM documents GROUP BY lang, n_chars), " +
+        "c AS (SELECT lang, v, " +
+        "CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total FROM h) " +
+        "SELECT lang, pct, min(v) AS value FROM c, " +
+        "(SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct) p " +
+        "WHERE cum * 100 >= pct * total GROUP BY lang, pct"),
     "q_sample_stratified" ->
       ("SELECT doc_id, lang, sample_rank FROM " +
         "(SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang " +
@@ -2472,6 +2524,26 @@ object SparkEntry {
         "comp AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS component " +
         "FROM embeddings m LEFT JOIN reach r ON r.u = m.vec_id GROUP BY m.vec_id) " +
         "SELECT vec_id, component, vec_id = component AS is_canonical FROM comp"),
+    // Mirrors Ann.semanticDedup against the frozen IvfFixture centroids:
+    // cell argmax (score DESC, cid tie-break), within-cell dominance
+    // (earlier in (cent_sim ASC, vec_id) order AND cosine >= 0.3) ->
+    // dropped; fold-order dot products keep cent_sim bit-identical.
+    "q_semantic_dedup" ->
+      (s"WITH $sqlCentsCte, " +
+        "cor AS (SELECT vec_id, embedding, " +
+        s"sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings), " +
+        "asn AS (SELECT vec_id, cell, cent_sim, embedding, nrm FROM " +
+        "(SELECT c.vec_id, ct.cid AS cell, " +
+        s"${sqlDot("c.embedding", "ct.cv")} / c.nrm AS cent_sim, " +
+        "c.embedding, c.nrm, row_number() OVER (PARTITION BY c.vec_id " +
+        s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
+        "FROM cor c, cents ct) WHERE rn = 1), " +
+        "dom AS (SELECT DISTINCT b.vec_id FROM asn a JOIN asn b ON a.cell = b.cell " +
+        "AND (a.cent_sim < b.cent_sim OR (a.cent_sim = b.cent_sim AND a.vec_id < b.vec_id)) " +
+        s"WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3) " +
+        "SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, a.cent_sim, " +
+        "d.vec_id IS NULL AS is_kept " +
+        "FROM asn a LEFT JOIN dom d ON d.vec_id = a.vec_id"),
     "q_embed_dup_stacked" ->
       ("WITH tb AS (" +
         (0 until 3).map(t =>

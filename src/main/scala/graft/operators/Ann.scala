@@ -375,6 +375,56 @@ object Ann {
       (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540)
+    * against a FROZEN quantizer — the published cluster-then-prune recipe,
+    * a different candidate generator from [[dedupByCosine]]'s hyperplane
+    * buckets: assign every vector to its spherical-k-means cell (the same
+    * argmax as [[ivfSearch]]), order each cell by similarity-to-centroid
+    * ascending (the paper keeps the LOWEST-centroid-sim member of a
+    * duplicate group) with vec_id tie-break, and drop a vector iff some
+    * EARLIER cell-mate is >= `threshold` cosine-similar — the paper's
+    * upper-triangular max-sim rule, which needs no iteration here: it is
+    * a within-cell theta-join plus a distinct/left-join marker.
+    *
+    * Scale shape: the quadratic is confined to a cell — the SemDeDup cost
+    * model (the paper runs 50k cells for 100M docs, keeping cells in the
+    * thousands; nCells grows with the corpus, so per-cell pair counts stay
+    * bounded). Cell assignment is a pure codegen projection over literal
+    * centroids (no shuffle); the pair join is an equi-join on cell.
+    *
+    * Output: one row per vector — (vec_id, cell, cent_sim, is_kept).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
+                    model: IvfModel, threshold: Double): DataFrame = {
+    val corpus = withNorm(emb, embCol)
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
+    // assignedOver's greatest-over-structs argmax, keeping the winning
+    // score: cent_sim doubles as the paper's keep-order key, so deriving
+    // it from the SAME struct as the cell keeps the two consistent by
+    // construction.
+    val scored = model.centroids.map { case (cid, v) =>
+      struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm")).as("score"),
+        lit(-cid).as("ncid"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    val asg = corpus.withColumn("__b", best)
+      .select(col("vec_id"), (-col("__b.ncid")).cast("long").as("cell"),
+        col("__b.score").as("cent_sim"), col("emb_d"), col("norm"))
+    val a = asg.select(col("vec_id").as("id_a"), col("cell"),
+      col("cent_sim").as("cs_a"), col("emb_d").as("ea"), col("norm").as("na"))
+    val b = asg.select(col("vec_id").as("id_b"), col("cell"),
+      col("cent_sim").as("cs_b"), col("emb_d").as("eb"), col("norm").as("nb"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("cs_a") < col("cs_b") ||
+        (col("cs_a") === col("cs_b") && col("id_a") < col("id_b")))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    asg.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_sim"),
+        col("__dup").isNull.as("is_kept"))
+  }
+
   /** Semantic (embedding-space) decontamination — the similarity twin of
     * the exact 13-gram and winnowing contamination tiers: flag every
     * corpus vector whose cosine to ANY eval-set vector reaches

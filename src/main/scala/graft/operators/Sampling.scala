@@ -46,6 +46,23 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-free train/val/test split: assign the split by the near-dup
+    * CLUSTER, not the document — every member of a duplicate family lands
+    * in the same split, so no near-copy of a training doc leaks into eval
+    * (the contamination mode document-level splitting cannot prevent:
+    * near-identical docs hash to independent buckets). Takes the
+    * (id, component) frame a dedup tier already produces (e.g.
+    * [[NearDup.dedupByNearDup]]) and keys [[splitAssign]]'s md5 bucket on
+    * the component id — inheriting all its properties (pure projection on
+    * top of the cluster frame, engine-reproducible, stable under corpus
+    * growth as long as components keep their canonical min-id).
+    */
+  def leakFreeSplit(clusters: DataFrame, idCol: String,
+                    componentCol: String = "component", trainPct: Int = 80,
+                    valPct: Int = 10, seed: Int = 0): DataFrame =
+    splitAssign(clusters, componentCol, trainPct, valPct, seed)
+      .select(col(idCol), col(componentCol), col("split"))
+
   /** Source-mix rebalancing — the data-mixing step of an LLM pipeline:
     * down-sample over-represented strata so every stratum contributes
     * (approximately) the size of the SMALLEST one. Two passes, both

@@ -653,4 +653,38 @@ object TextOps {
         sum(col("k") * col("corpus_n")).cast("long").as("freq_weight"),
         min(col("corpus_n")).cast("long").as("rarest_freq"))
   }
+
+  /** EXACT per-group discrete quantiles of a bounded-domain integer column
+    * (length/token-count planning: sequence-packing capacity, truncation
+    * budgets). percentile_disc semantics — the quantile is the smallest
+    * VALUE whose cumulative count reaches ceil(p·n/100), an element of the
+    * data, computed with all-integer arithmetic (engine-exact, unlike
+    * interpolating percentile_cont on doubles).
+    *
+    * The 100 TB shape for exact quantiles: never a per-group sort of rows
+    * — a hash aggregate to the (group, value) HISTOGRAM (bounded: lengths
+    * have thousands of distinct values no matter how many rows), then a
+    * window prefix-sum over that tiny frame. An approx sketch
+    * (approx_percentile) trades that exactness for mergeability on
+    * UNBOUNDED domains; for bounded domains the histogram IS the
+    * mergeable sketch, with zero error.
+    */
+  def lengthQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("v")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    cum.withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      // integer cum >= ceil(p*total/100)  <=>  100*cum >= p*total
+      .filter(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min("v").as("value"))
+  }
 }

@@ -334,6 +334,45 @@ class AnnSpec extends SparkSpec {
     expected.foreach { case (k, v) => assert(got(k) == v, s"key $k") }
   }
 
+  test("semanticDedup matches a driver-side replay of the SemDeDup rule") {
+    val got = Ann.semanticDedup(emb, "vec_id", "embedding",
+      graft.operators.IvfFixture.model, 0.3)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+    // Reference replay: argmax cell over the frozen centroids, order each
+    // cell by (cent_sim asc, id), drop iff any EARLIER cell-mate has
+    // cosine >= 0.3 (the paper's upper-triangular max-sim rule).
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.lazyZip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val cents = graft.operators.IvfFixture.centroids
+    val assigned = vecs.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v))
+      val (cell, cs) = cents.map { case (cid, cv) => (cid, dot(v, cv) / n) }
+        .maxBy { case (cid, s) => (s, -cid) }
+      (id, cell.toLong, cs, v, n)
+    }
+    val expected = assigned.groupBy(_._2).values.flatMap { cell =>
+      val ord = cell.sortBy { case (id, _, cs, _, _) => (cs, id) }
+      ord.zipWithIndex.map { case ((id, c, cs, v, n), i) =>
+        val dropped = ord.take(i).exists { case (_, _, _, v2, n2) =>
+          dot(v, v2) / (n * n2) >= 0.3
+        }
+        id -> ((c, cs, !dropped))
+      }
+    }.toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, (c, cs, kept)) =>
+      val (gc, gcs, gkept) = got(id)
+      assert(gc == c && math.abs(gcs - cs) < 1e-9 && gkept == kept,
+        s"id=$id got=${got(id)} want=($c,$cs,$kept)")
+    }
+    // Non-vacuous on the fixture: both outcomes occur.
+    assert(expected.values.exists(!_._3) && expected.values.exists(_._3))
+  }
+
   test("dimStats matches a driver-side brute force, one row per dim") {
     def scale(v: Double, f: Double): Long = new java.math.BigDecimal(v * f)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue

@@ -48,6 +48,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s20b != s20)
   }
 
+  test("leakFreeSplit: whole near-dup families share a split; non-vacuous") {
+    val comp = graft.operators.NearDup.dedupByNearDup(
+      Tables.documents(spark, sf0001), "doc_id", "text", 3, 0.5)
+      .select(col("doc_id"), col("component"))
+    val out = Sampling.leakFreeSplit(comp, "doc_id")
+      .as[(Long, Long, String)].collect()
+    // every doc assigned, all three splits present
+    assert(out.length == comp.count())
+    assert(out.map(_._3).toSet == Set("train", "val", "test"))
+    // the property the operator exists for: one split per component...
+    val byComp = out.groupBy(_._2)
+    assert(byComp.values.forall(_.map(_._3).distinct.length == 1))
+    // ...and the fixture makes it non-vacuous (multi-doc families exist
+    // whose members would straddle splits under per-doc hashing)
+    val multi = byComp.values.filter(_.length > 1)
+    assert(multi.nonEmpty)
+    val perDoc = Sampling.splitAssign(comp, "doc_id")
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(multi.exists(_.map(m => perDoc(m._1)).distinct.length > 1),
+      "per-doc hashing never split a family: the fixture can't distinguish the two operators")
+  }
+
+  test("lengthQuantiles matches sort-based percentile_disc on random groups") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 4}", rnd.nextInt(40).toLong + (if (i % 4 == 0) 100 else 0))
+    }
+    val df = rows.toDF("g", "len")
+    val pcts = Seq(25, 50, 90, 99, 100)
+    val got = TextOps.lengthQuantiles(df, "g", "len", pcts)
+      .as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, gs) =>
+      val sorted = gs.map(_._2).sorted
+      pcts.map { p =>
+        val rank = math.ceil(p * sorted.length / 100.0).toInt
+        (g, p.toLong) -> sorted(rank - 1)
+      }
+    }
+    assert(got == expected)
+  }
+
   test("temperature rebalance: sqrt rates, smallest stratum whole, nests equalize") {
     import org.apache.spark.sql.functions._
     val d = Tables.documents(spark, sf0001).select("doc_id", "lang")
