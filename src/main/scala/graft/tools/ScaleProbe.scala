@@ -124,7 +124,13 @@ object ScaleProbe {
         val pairs = Winnow.sharedFingerprintPairs(d, "doc_id", "text", 2)
         PageRank.ranks(
           PageRank.symmetrize(pairs, "id_a", "id_b"), "src", "dst", 3).count()
-      })
+      }),
+      // composite on top of the near-dup closure: runtime must track the
+      // dedup composite (the split itself is a projection)
+      "leakfree_split" -> (d =>
+        Sampling.leakFreeSplit(
+          NearDup.dedupByNearDup(d, "doc_id", "text", 3, 0.5)
+            .select(col("doc_id"), col("component")), "doc_id").count())
     )
 
     val factors = Seq(1, 4, 10)
@@ -162,7 +168,16 @@ object ScaleProbe {
       "semantic_contam" -> (d =>
         Ann.semanticContamination(
           d.filter(col("vec_id") % 20 =!= 0), d.filter(col("vec_id") % 20 === 0),
-          "vec_id", "embedding", 0.3, nTables = 3).count())
+          "vec_id", "embedding", 0.3, nTables = 3).count()),
+      // FROZEN 16-cell quantizer + exact-duplicate copies: cell occupancy
+      // grows Rx, so within-cell candidate pairs grow R² — the declared
+      // SemDeDup cost model surfaced on purpose. Runtime must track the
+      // candidate-pair count (the verify join's output floor), never worse;
+      // at production scale nCells grows with the corpus to keep occupancy
+      // (and so the per-cell quadratic) bounded.
+      "semantic_dedup" -> (d =>
+        Ann.semanticDedup(d, "vec_id", "embedding", IvfFixture.model, 0.3)
+          .count())
     )
     val embResults = embProbes.map { case (name, f) =>
       val times = factors.map { r =>
