@@ -730,6 +730,14 @@ object SparkEntry {
     "q_near_dedup" -> ((s, dir) =>
       NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- Dedup diagnostics: cross-source duplicate-mass matrix — which
+    // feed pairs share near-dup content (diagonal = within-source
+    // duplication). The survivorship-policy-picking audit ahead of a full
+    // dedup run; source-pair-count-sized output.
+    "q_dup_matrix" -> ((s, dir) =>
+      NearDup.crossSourceDupMatrix(Tables.documents(s, dir), "doc_id",
+        "text", "source", 3, 0.5)),
+
     // ---- HYBRID ensemble dedup: text MinHash pairs ∪ embedding cosine
     // pairs (3 stacked tables) → ONE connected-components pass. The
     // production combination — n-gram overlap catches boilerplate-mangled
@@ -2285,6 +2293,13 @@ object SparkEntry {
     "q_near_dedup" ->
       (s"WITH RECURSIVE $sqlNearDedupCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),
+    // Verified pair edges re-attached to sources, unordered-pair folded.
+    "q_dup_matrix" ->
+      (s"WITH $sqlNearDedupPairCtes " +
+        "SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, count(*) AS n_pairs " +
+        "FROM e JOIN documents da ON da.doc_id = e.u " +
+        "JOIN documents db ON db.doc_id = e.v GROUP BY 1, 2"),
     "q_hybrid_dedup" ->
       (s"WITH RECURSIVE $sqlHybridCompCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),

@@ -392,6 +392,31 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Cross-source duplicate-mass matrix — WHERE the near-dup mass sits
+    * between feeds: for every unordered source pair, the number of
+    * verified near-dup pairs linking them (the diagonal is within-source
+    * duplication). The audit that picks survivorship policy before paying
+    * for a full dedup — a feed whose mass is mostly off-diagonal against
+    * a curated source is a drop candidate, not a keeper tie-break. Cost on
+    * top of [[minhashNearDupPairs]]: two id-keyed joins to re-attach
+    * sources plus a hash aggregate sized by source-pair count.
+    */
+  def crossSourceDupMatrix(df: DataFrame, idCol: String, textCol: String,
+                           srcCol: String, n: Int,
+                           threshold: Double): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, n, threshold)
+      .select("id_a", "id_b")
+    val src = df.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs
+      .join(src.select(col("__id"), col("__src").as("src_a")),
+        col("id_a") === col("__id")).drop("__id")
+      .join(src.select(col("__id"), col("__src").as("src_b")),
+        col("id_b") === col("__id")).drop("__id")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** End-to-end corpus dedup: near-dup pairs (MinHash-LSH candidates,
     * exactly verified) → connected components → canonical (minimum) doc id
     * per cluster. Returns every doc with its cluster id and whether it is

@@ -185,6 +185,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(shift.nonEmpty && shift.forall(_._2 == 0L))
   }
 
+  test("round-8 additions tolerate empty input") {
+    assert(Sampling.leakFreeSplit(
+      Seq.empty[(Long, Long)].toDF("doc_id", "component"), "doc_id")
+      .count() == 0)
+    assert(TextOps.lengthQuantiles(
+      Seq.empty[(String, Long)].toDF("lang", "len"), "lang", "len",
+      Seq(50, 99)).count() == 0)
+    assert(Ann.semanticDedup(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", IvfFixture.model, 0.3).count() == 0)
+    // one row: everything is kept when nothing else shares the cell
+    val one = Ann.semanticDedup(
+      Seq((7L, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", IvfFixture.model, 0.3)
+      .select("vec_id", "is_kept").as[(Long, Boolean)].collect().toSeq
+    assert(one == Seq((7L, true)))
+  }
+
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
     assert(Sampling.weightedSample(

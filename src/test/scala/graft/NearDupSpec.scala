@@ -285,4 +285,18 @@ class NearDupSpec extends SparkSpec {
     assert(got == brute)
     assert(got.contains((1L, 2L)))
   }
+
+  test("crossSourceDupMatrix: pair mass is conserved and unordered-folded") {
+    val docs = Tables.documents(spark, sf0001)
+    val m = NearDup.crossSourceDupMatrix(docs, "doc_id", "text", "source",
+      3, 0.5).collect()
+    // every cell is canonical (source_a <= source_b) and positive
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1) && r.getLong(2) > 0, r.toString)
+    }
+    // total matrix mass == the verified pair count it folds
+    val total = m.map(_.getLong(2)).sum
+    val n = NearDup.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.5).count()
+    assert(total == n && n > 0)
+  }
 }
