@@ -738,6 +738,15 @@ object SparkEntry {
       NearDup.crossSourceDupMatrix(Tables.documents(s, dir), "doc_id",
         "text", "source", 3, 0.5)),
 
+    // ---- Dedup decision report: per-doc verdicts from all three tiers
+    // (exact fingerprint, text near-dup, embedding cosine) + conjunction
+    // + dropped_by provenance — the removal-review audit. Three id-keyed
+    // joins over the tiers' scale-safe composites.
+    "q_dedup_report" -> ((s, dir) =>
+      NearDup.dedupDecisionReport(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "text", "vec_id", "embedding",
+        3, 0.5, 0.3)),
+
     // ---- HYBRID ensemble dedup: text MinHash pairs ∪ embedding cosine
     // pairs (3 stacked tables) → ONE connected-components pass. The
     // production combination — n-gram overlap catches boilerplate-mangled
@@ -2300,6 +2309,39 @@ object SparkEntry {
         "greatest(da.source, db.source) AS source_b, count(*) AS n_pairs " +
         "FROM e JOIN documents da ON da.doc_id = e.u " +
         "JOIN documents db ON db.doc_id = e.v GROUP BY 1, 2"),
+    // All three tier verdicts in one statement: the text near-dup closure
+    // (comp, shared CTEs), the q_embed_dedup closure with e-prefixed
+    // names (two recursive closures coexist in one WITH RECURSIVE), and
+    // the per-fingerprint min-id window. concat_ws skips the NULL CASE
+    // arms in DuckDB exactly as in Spark.
+    "q_dedup_report" ->
+      (s"WITH RECURSIVE $sqlNearDedupCtes, " +
+        s"ebk AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings), " +
+        "ee2 AS (SELECT id_a AS u, id_b AS v FROM " +
+        "(SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${sqlDot("a.embedding", "b.embedding")} / " +
+        s"(sqrt(${sqlDot("a.embedding", "a.embedding")}) * " +
+        s"sqrt(${sqlDot("b.embedding", "b.embedding")})) AS sim " +
+        "FROM ebk a JOIN ebk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE sim >= 0.3), " +
+        "esym AS (SELECT u, v FROM ee2 UNION SELECT v, u FROM ee2), " +
+        "ereach(u, v) AS (SELECT u, v FROM esym " +
+        "UNION SELECT r.u, s.v FROM ereach r JOIN esym s ON r.v = s.u), " +
+        "ecomp AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS component " +
+        "FROM embeddings m LEFT JOIN ereach r ON r.u = m.vec_id GROUP BY m.vec_id), " +
+        "ex AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS exact_keep " +
+        "FROM documents), " +
+        "vb AS (SELECT ex.doc_id, ex.exact_keep, " +
+        "c.doc_id = c.component AS near_keep, " +
+        "coalesce(e.vec_id = e.component, TRUE) AS sem_keep " +
+        "FROM ex JOIN comp c ON c.doc_id = ex.doc_id " +
+        "LEFT JOIN ecomp e ON e.vec_id = ex.doc_id) " +
+        "SELECT doc_id, exact_keep, near_keep, sem_keep, " +
+        "exact_keep AND near_keep AND sem_keep AS kept, " +
+        "concat_ws(',', CASE WHEN NOT exact_keep THEN 'exact' END, " +
+        "CASE WHEN NOT near_keep THEN 'near' END, " +
+        "CASE WHEN NOT sem_keep THEN 'semantic' END) AS dropped_by FROM vb"),
     "q_hybrid_dedup" ->
       (s"WITH RECURSIVE $sqlHybridCompCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),

@@ -392,6 +392,45 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Per-document dedup DECISION REPORT — the provenance audit across the
+    * three dedup tiers: for every doc, the exact-fingerprint verdict
+    * (keeper = min id per normalized-md5 group), the text near-dup verdict
+    * ([[dedupByNearDup]]'s canonical flag), and the semantic verdict
+    * ([[Ann.dedupByCosine]]'s canonical flag over the embedding table,
+    * docs without a vector trivially kept), plus the conjunction and a
+    * `dropped_by` provenance string ("exact,near,semantic" subset in fixed
+    * order). This is the WHY next to the tiers' WHAT: reviewers audit
+    * removal decisions per tier instead of diffing three outputs.
+    *
+    * Scale: three already-scale-safe verdicts joined on the doc id — the
+    * report adds two id-keyed joins and a projection, nothing quadratic.
+    * The semantic verdict is q_embed_dedup's, restricted to doc ids (the
+    * cluster canonical may be a non-doc vector; such a doc reads
+    * sem_keep = false, exactly as the embedding tier alone would decide).
+    */
+  def dedupDecisionReport(docs: DataFrame, emb: DataFrame, idCol: String,
+                          textCol: String, embIdCol: String, embCol: String,
+                          n: Int, jaccThreshold: Double,
+                          cosThreshold: Double): DataFrame = {
+    val fp = docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    val fpKeep = fp.groupBy("fp").agg(min(col(idCol)).as("__fpk"))
+    val exact = fp.join(fpKeep, "fp")
+      .select(col(idCol), (col(idCol) === col("__fpk")).as("exact_keep"))
+    val near = dedupByNearDup(docs, idCol, textCol, n, jaccThreshold)
+      .select(col(idCol), col("is_canonical").as("near_keep"))
+    val sem = Ann.dedupByCosine(emb, embIdCol, embCol, cosThreshold)
+      .select(col(embIdCol).as(idCol), col("is_canonical").as("sem_keep"))
+    exact.join(near, Seq(idCol))
+      .join(sem, Seq(idCol), "left")
+      .withColumn("sem_keep", coalesce(col("sem_keep"), lit(true)))
+      .select(col(idCol), col("exact_keep"), col("near_keep"), col("sem_keep"),
+        (col("exact_keep") && col("near_keep") && col("sem_keep")).as("kept"),
+        concat_ws(",",
+          when(!col("exact_keep"), lit("exact")),
+          when(!col("near_keep"), lit("near")),
+          when(!col("sem_keep"), lit("semantic"))).as("dropped_by"))
+  }
+
   /** Cross-source duplicate-mass matrix — WHERE the near-dup mass sits
     * between feeds: for every unordered source pair, the number of
     * verified near-dup pairs linking them (the diagonal is within-source

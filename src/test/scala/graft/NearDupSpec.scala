@@ -286,6 +286,29 @@ class NearDupSpec extends SparkSpec {
     assert(got.contains((1L, 2L)))
   }
 
+  test("dedupDecisionReport: every tier's arm fires on a constructed frame") {
+    // doc 2 = exact copy of 1 (same vector too): all three tiers drop it.
+    // doc 3: unique text, orthogonal vector -> kept. doc 4: unique text,
+    // NO vector -> semantically trivially kept.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "lambda mu nu xi omicron")
+    ).toDF("doc_id", "text")
+    val e1 = Seq.fill(64)(0.5f)
+    val e3 = (0 until 64).map(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val emb = Seq((1L, e1), (2L, e1), (3L, e3)).toDF("vec_id", "embedding")
+    val got = NearDup.dedupDecisionReport(docs, emb, "doc_id", "text",
+      "vec_id", "embedding", 3, 0.5, 0.9)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, String)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, true, true, true, true, "")))
+    assert(got(2L) == ((2L, false, false, false, false, "exact,near,semantic")))
+    assert(got(3L) == ((3L, true, true, true, true, "")))
+    assert(got(4L) == ((4L, true, true, true, true, "")))
+  }
+
   test("crossSourceDupMatrix: pair mass is conserved and unordered-folded") {
     val docs = Tables.documents(spark, sf0001)
     val m = NearDup.crossSourceDupMatrix(docs, "doc_id", "text", "source",
