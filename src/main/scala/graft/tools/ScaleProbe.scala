@@ -55,6 +55,14 @@ import org.apache.spark.sql.functions._
   * the train side is a linear posting scan), stacked_dup_pairs measured
   * 22.8x at 10x data while emitting 209x the pairs (822 -> 172,200) —
   * again output cardinality, not join blowup.
+  *
+  * Round-8 additions (same run protocol): leakfree_split 2.65x/4.14x at
+  * 4x/10x — sublinear, the near-dedup composite's cost with a projection
+  * on top. semantic_dedup 0.94x/0.89x — flat at this size (0.1 s; fixed
+  * overhead dominates the 16-cell candidate join up to 20k vectors even
+  * though within-cell pair potential grows R²; at occupancies where the
+  * quadratic bites, production grows nCells — the Scaladoc'd SemDeDup
+  * cost model).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
