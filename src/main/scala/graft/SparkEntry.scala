@@ -904,6 +904,15 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
 
+    // ---- Multimodal: frame-level near-dup — items sharing sampled frame
+    // content (the video-dedup shape): distinct per-item frame hashes,
+    // ubiquitous-frame guard, posting equi-join, shared-frame count per
+    // pair. The oracle joins on the exact hex frame bytes, so the md5 key
+    // narrowing can only agree or fail loudly.
+    "q_frame_dedup" -> ((s, dir) =>
+      Multimodal.sharedFramePairs(
+        Multimodal.withPayload(Tables.documents(s, dir), "text"), "doc_id")),
+
     // ---- Multimodal: image-content near-dup — 60-bit dHash over the
     // REAL decoded raster (gradient grid, Multimodal.dHash60), candidate
     // pairs via the SAME 10-bit pigeonhole chunk join as text SimHash
@@ -2416,6 +2425,19 @@ object SparkEntry {
         "('0x' || substr(fhx, 1, 2))::BIGINT AS first_byte, " +
         "CAST(sb AS BIGINT) AS sum_bytes " +
         "FROM fr JOIN s ON fr.doc_id = s.doc_id AND fr.fi = s.fi"),
+    // Same hex-chunk framing as q_media_frames; join key = the exact
+    // frame hex (equality-equivalent to Spark's md5-of-bytes key).
+    "q_frame_dedup" ->
+      ("WITH ch AS (SELECT DISTINCT doc_id, " +
+        "substr(hex(encode(text)), CAST(u.fi * 512 + 1 AS BIGINT), 512) AS h " +
+        "FROM documents, LATERAL (SELECT unnest(range(0, " +
+        "CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 2)) AS fi) u " +
+        "WHERE octet_length(encode(text)) > 0), " +
+        "rare AS (SELECT h FROM ch GROUP BY h HAVING count(*) <= 50), " +
+        "kept AS (SELECT ch.doc_id, ch.h FROM ch JOIN rare USING (h)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+        "FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2"),
     // dHash replay from the PNG generator's closed-form pixels (lossless
     // codec => decoded sample == formula): bit gy*10+gx compares the
     // nearest-neighbor samples at x=(gx*w)//11 vs x=((gx+1)*w)//11 on row

@@ -246,6 +246,48 @@ object Multimodal {
           .as("sum_bytes"))
   }
 
+  /** Cross-item frame-level near-dup — the video/audio dedup shape: two
+    * payloads are candidate duplicates when they SHARE sampled frames
+    * (identical frame bytes here; a real pipeline first reduces each frame
+    * to a perceptual hash — [[dHash60]] for stills — and this join is
+    * unchanged). A posting equi-join on the frame content hash, never
+    * payload × payload; the frame set is distinct per item (set semantics)
+    * and a frequency guard drops ubiquitous frames (intros / silence /
+    * black frames — the hot-key flood every posting join must bound)
+    * before the pair join, the shinglesWithSkewGuard pattern applied to
+    * media. md5 narrows the shuffle key to 32 hex chars; the oracle joins
+    * on the exact frame bytes, so a (cosmically unlikely) md5 collision
+    * would surface as a hash mismatch rather than hide.
+    *
+    * Expects a `payload` binary column ([[withPayload]] or a real binary
+    * read); sampling matches [[sampleFrames]] (every `stride`-th
+    * [[ChunkBytes]] slice). Output: (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def sharedFramePairs(df: DataFrame, idCol: String, stride: Int = 2,
+                       minShared: Long = 1,
+                       maxDocsPerFrame: Long = 50): DataFrame = {
+    val nChunks = ceil(length(col("payload")).cast("double") / lit(ChunkBytes.toDouble))
+      .cast("int")
+    val frames = df
+      .select(col(idCol).as("__id"), col("payload"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
+      .select(col("__id"), col("payload"),
+        explode(sequence(lit(0), col("nc") - 1, lit(stride))).as("fi"))
+      .select(col("__id"),
+        md5(expr(s"substring(payload, fi * $ChunkBytes + 1, $ChunkBytes)")).as("h"))
+      .distinct()
+    val rare = frames.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocsPerFrame).select("h")
+    val kept = frames.join(rare, Seq("h"))
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id"), col("b.__id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("n_shared"))
+  }
+
   /** ========= STUB: replace with a real resampler (libswscale/PIL/...) ====
     * Deterministic fake resize to an outW x outH grid: cell c covers the
     * byte range [floor(c·n/cells), floor((c+1)·n/cells)) and contributes

@@ -143,4 +143,26 @@ class MultimodalSpec extends SparkSpec {
     assert(a._1 == 16 * (1 + 'a' % 32) && a._2 == 16 * (1 + 3 % 32) && a._3 == 3)
     assert(Multimodal.decodeStub(Array.emptyByteArray) == ((16, 16, 3, 0.0)))
   }
+
+  test("sharedFramePairs: shared sampled chunks pair up; hot frames guarded") {
+    import spark.implicits._
+    def block(c: Char) = c.toString * Multimodal.ChunkBytes
+    // A and B share chunk 0 (sampled at stride 2); C shares nothing.
+    val docs = Seq(
+      (1L, block('x') + block('y')),
+      (2L, block('x') + block('z')),
+      (3L, block('w'))
+    ).toDF("doc_id", "text")
+    val got = Multimodal.sharedFramePairs(
+      Multimodal.withPayload(docs, "text"), "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+    // a frame present in every doc is dropped by the frequency guard...
+    val hot = (10L to 15L).map(i => (i, block('h'))).toDF("doc_id", "text")
+    assert(Multimodal.sharedFramePairs(Multimodal.withPayload(hot, "text"),
+      "doc_id", maxDocsPerFrame = 3).count() == 0)
+    // ...and pairs all 6C2 = 15 items when the guard clears it
+    assert(Multimodal.sharedFramePairs(Multimodal.withPayload(hot, "text"),
+      "doc_id", maxDocsPerFrame = 6).count() == 15)
+  }
 }
