@@ -392,6 +392,74 @@ object NearDup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** One narrow band-key string per (doc, band): the band index plus that
+    * band's [[RowsPerBand]] signature values — the membership posting a
+    * standing corpus publishes for the streaming admission gate (and the
+    * string form of [[lshCandidates]]' (band, struct) join key; ":" can't
+    * occur inside the decimal hash values, so the encoding is injective).
+    */
+  def bandPostings(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sig = minhashSignatures(shingles(df, idCol, textCol, n))
+    sig.select(col("id"), explode(array(bandKeyCols(
+      k => col(s"h$k")): _*)).as("bkey"))
+  }
+
+  private def bandKeyCols(h: Int => Column): Seq[Column] =
+    (0 until Bands).map { b =>
+      concat_ws(":", lit(b).cast("string") +:
+        (0 until RowsPerBand).map(r =>
+          h(b * RowsPerBand + r).cast("string")): _*)
+    }
+
+  /** STREAMING near-dup admission gate — dedup at ingestion: every
+    * arriving doc is flagged when any of its LSH bands collides with the
+    * standing corpus's band postings ([[bandPostings]], the static side a
+    * nightly batch job publishes). The stream side computes its MinHash
+    * signature ROW-LOCALLY (array-fold minhash over the doc's own shingle
+    * array — no stateful groupBy, bit-identical to the batch
+    * explode+groupBy signature), explodes its [[Bands]] band keys
+    * statelessly, stream-static joins the postings, and folds to one
+    * verdict row per (window, doc) under the watermark — the same
+    * bounded-state shape as the winnow contamination gate. Band collision
+    * is the LSH CANDIDATE test (the recall knob the batch tiers verify
+    * exactly); an admission gate wants cheap-and-recall-heavy, and the
+    * flagged docs feed the exact batch verify downstream.
+    */
+  def nearDupGateStream(docs: DataFrame, corpus: DataFrame, idCol: String,
+                        textCol: String, tsCol: String, n: Int = 3,
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val statics = bandPostings(corpus, idCol, textCol, n)
+      .select(col("bkey")).distinct().withColumn("__hit", lit(1L))
+    val shingleArr = array_distinct(
+      graft.functions.word_ngrams(TextOps.tokens(col(textCol)), n))
+    // one md5 per shingle, halved into the affine family's (a, b) — the
+    // same split as minhashSignatures, kept in a row-local struct array
+    val withAb = docs.withWatermark(tsCol, watermark)
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"),
+        shingleArr.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__ab", transform(col("__sh"), s => {
+        val d = md5(s)
+        struct(conv(substring(d, 1, 15), 16, 10).cast("long").as("a"),
+          conv(substring(d, 16, 14), 16, 10).cast("long").as("b"))
+      }))
+    def hK(k: Int): Column = array_min(transform(col("__ab"), p =>
+      (p.getField("a") + lit((k + 1).toLong) * p.getField("b"))
+        .bitwiseAND(lit(HashMask))))
+    withAb
+      .select(col("id"), col("__ts"),
+        explode(array(bandKeyCols(hK): _*)).as("bkey"))
+      .join(statics, Seq("bkey"), "left")
+      .groupBy(window(col("__ts"), windowLen), col("id").as("doc_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit_bands"))
+      .select(
+        (col("window.start").cast("long") * 1000000L).as("window_start_us"),
+        col("doc_id"), col("n_hit_bands"),
+        (col("n_hit_bands") > 0).as("near_dup"))
+  }
+
   /** Per-document dedup DECISION REPORT — the provenance audit across the
     * three dedup tiers: for every doc, the exact-fingerprint verdict
     * (keeper = min id per normalized-md5 group), the text near-dup verdict

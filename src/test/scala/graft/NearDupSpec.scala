@@ -309,6 +309,49 @@ class NearDupSpec extends SparkSpec {
     assert(got(4L) == ((4L, true, true, true, true, "")))
   }
 
+  test("streaming near-dup gate equals the batch band-collision verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (101L, "an entirely different standing corpus document about spark jobs"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      // verbatim copy of corpus doc 100: identical signature, all bands hit
+      (1L, "the quick brown fox jumps over the lazy dog near the river",
+        ts("2026-01-01 10:05:00")),
+      (2L, "novel content sharing no shingles with anything in the corpus",
+        ts("2026-01-01 10:10:00")),
+      (3L, "too short", ts("2026-01-01 10:15:00")))    // < n tokens: no row
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = NearDup.nearDupGateStream(
+      ms.toDS().toDF("doc_id", "text", "ts"), corpus, "doc_id", "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_gate").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      ms.addData((99L, "watermark push doc with enough tokens to flush",
+        ts("2026-01-02 06:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("neardup_gate")
+        .select("doc_id", "n_hit_bands", "near_dup")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch reference: band-key collisions between the docs' postings
+      // (batch groupBy signature path) and the corpus postings
+      val docsDf = rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+      val batch = NearDup.bandPostings(docsDf, "doc_id", "text", 3)
+        .join(NearDup.bandPostings(corpus, "doc_id", "text", 3)
+          .select("bkey").distinct(), Seq("bkey"))
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      assert(got(1L) == ((batch(1L), true)) && batch(1L) == 4L)
+      assert(got(2L) == ((0L, false)) && !batch.contains(2L))
+      assert(!got.contains(3L))   // short doc never reaches the gate
+    } finally q.stop()
+  }
+
   test("crossSourceDupMatrix: pair mass is conserved and unordered-folded") {
     val docs = Tables.documents(spark, sf0001)
     val m = NearDup.crossSourceDupMatrix(docs, "doc_id", "text", "source",
