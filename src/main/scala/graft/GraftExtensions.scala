@@ -48,6 +48,14 @@ object GraftExtensions {
         import org.apache.spark.sql.types.LongType
         graft.functions.ZOrder(Cast(args(0), LongType), Cast(args(1), LongType))
       }),
+    (FunctionIdentifier("jump_hash"),
+      new ExpressionInfo(classOf[graft.functions.JumpHash].getName, "jump_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jump_hash expects exactly 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        graft.functions.JumpHash(Cast(args(0), LongType), Cast(args(1), LongType))
+      }),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => {

@@ -1522,6 +1522,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min(col("z")).as("min_z"),
           max(col("z")).as("max_z"), sum(col("z")).as("sum_z"))),
 
+    // ---- Consistent-hash shard assignment (Lamping & Veach jump hash, a
+    // native codegen expression): shard under 8 and under 9 shards per
+    // doc — growing the shard count moves ONLY the docs landing in the
+    // new shard (~1/9 here), where mod-N would reshuffle ~8/9 of 100 TB.
+    // The oracle replays the LCG+IEEE-division loop as a recursive CTE
+    // over HUGEINT state — bit-exact, the moved set hashes identically.
+    "q_shard_jump" -> ((s, dir) => {
+      val key = graft.functions.md5hash60(col("doc_id").cast("string"), 0)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.jump_hash(key, lit(8L)).as("shard8"),
+        graft.functions.jump_hash(key, lit(9L)).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+    }),
+
     // ---- Quantile bucketing for curation: per-source deciles by doc
     // length — the "keep the top-N% per source" primitive, as an exact
     // ntile window (per-source sort; sources partition the corpus, so the
@@ -3086,6 +3101,30 @@ object SparkEntry {
         "FROM lineitem) " +
         "SELECT bucket, count(*) AS n_rows, min(z) AS min_z, max(z) AS max_z, " +
         "CAST(sum(z) AS BIGINT) AS sum_z FROM z GROUP BY 1"),
+    // Jump-hash loop replayed per (doc, n) as a recursive CTE: HUGEINT
+    // state for the 64-bit wraparound LCG (k*C+1 mod 2^64), one
+    // correctly-rounded double division per step (both operands exactly
+    // representable), floor of a positive product = Java's (long) cast.
+    // Terminal rows are exactly those with j >= n.
+    "q_shard_jump" ->
+      ("WITH RECURSIVE ks AS (SELECT doc_id, " +
+        s"${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} AS k, n.n " +
+        "FROM documents, (SELECT unnest([8, 9]) AS n) n), " +
+        "st AS (" +
+        "SELECT doc_id, n, CAST(k AS HUGEINT) AS key, " +
+        "CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS j FROM ks " +
+        "UNION ALL " +
+        "SELECT doc_id, n, nk, nb, " +
+        "CAST(floor((nb + 1) * (2147483648.0 / " +
+        "CAST(nk // 8589934592 + 1 AS DOUBLE))) AS BIGINT) " +
+        "FROM (SELECT doc_id, n, " +
+        "(key * 2862933555777941757 + 1) % 18446744073709551616 AS nk, " +
+        "j AS nb FROM st WHERE j < n)) " +
+        "SELECT doc_id, " +
+        "max(CASE WHEN n = 8 THEN b END) AS shard8, " +
+        "max(CASE WHEN n = 9 THEN b END) AS shard9, " +
+        "max(CASE WHEN n = 8 THEN b END) <> max(CASE WHEN n = 9 THEN b END) AS moved " +
+        "FROM st WHERE j >= n GROUP BY doc_id"),
   )
 
   /** Morton spread of the low 32 bits of a BIGINT column into even

@@ -61,6 +61,18 @@ package object functions {
       ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
   }
 
+  /** Jump consistent hash (Lamping & Veach 2014) — the incremental-
+    * publishing shard assigner: growing n -> n+1 moves only the keys
+    * landing in the new shard (see [[JumpHash]]); feed it a well-mixed
+    * key ([[md5hash60]]), not raw sequential ids.
+    */
+  def jump_hash(key: Column, n: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(JumpHash(
+      ColumnBridge.expression(key.cast("long")),
+      ColumnBridge.expression(n.cast("long"))))
+  }
+
   /** Unicode NFC normalization (TR15 canonical composition) — byte-stable
     * fingerprints across mixed normalization forms (see [[NfcNormalize]]);
     * mirrors DuckDB's `nfc_normalize` byte-for-byte.

@@ -279,7 +279,11 @@ object Multimodal {
     val rare = frames.groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocsPerFrame).select("h")
     val kept = frames.join(rare, Seq("h"))
-    kept.as("a").join(kept.as("b"),
+    // shuffle_hash pin, as in NearDup.lshCandidates: both sides derive
+    // from an explode, whose size estimate under-reports at scale — an
+    // AQE/CBO broadcast of a corpus-sized posting table is the plan this
+    // hint exists to prevent.
+    kept.as("a").hint("shuffle_hash").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id"), col("b.__id"))
       .agg(count(lit(1)).as("n_shared"))

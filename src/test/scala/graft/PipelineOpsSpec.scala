@@ -48,6 +48,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s20b != s20)
   }
 
+  test("jump_hash matches an unsigned-BigInt reference; growth moves only to the new shard") {
+    // independent reference: the paper's uint64 loop in BigInt arithmetic
+    def ref(key0: Long, n: Long): Long = {
+      val mask = (BigInt(1) << 64) - 1
+      var key = BigInt(key0) & mask
+      var b = -1L; var j = 0L
+      while (j < n) {
+        b = j
+        key = (key * BigInt("2862933555777941757") + 1) & mask
+        j = ((b + 1) * (2147483648.0 / ((key >> 33).toLong + 1L).toDouble)).toLong
+      }
+      b
+    }
+    val rnd = new scala.util.Random(3)
+    val keys = Seq.fill(300)(rnd.nextLong())    // full signed range: the
+    val df = keys.toDF("k")                     // unsigned reinterpret path
+    for (n <- Seq(1L, 2L, 8L, 1000L)) {
+      val got = df.select(col("k"),
+        graft.functions.jump_hash(col("k"), lit(n)).as("s"))
+        .as[(Long, Long)].collect().toMap
+      keys.foreach { k =>
+        assert(got(k) == ref(k, n), s"key=$k n=$n got=${got(k)} want=${ref(k, n)}")
+        assert(got(k) >= 0 && got(k) < n)
+      }
+    }
+    // the consistent-hash contract: growing n -> n+1 moves ONLY keys that
+    // land in the new bucket, and roughly 1/(n+1) of them
+    val moved = keys.filter(k => ref(k, 8) != ref(k, 9))
+    assert(moved.nonEmpty && moved.forall(k => ref(k, 9) == 8L))
+    assert(moved.length < keys.length / 4)
+    // invalid bucket count -> null, not a crash
+    assert(df.select(graft.functions.jump_hash(col("k"), lit(0L)).as("s"))
+      .filter(col("s").isNotNull).count() == 0)
+    // SQL surface
+    Graft.registerFunctions(spark)
+    assert(spark.sql("SELECT jump_hash(42L, 8L)").first().getLong(0) == ref(42L, 8L))
+  }
+
   test("leakFreeSplit: whole near-dup families share a split; non-vacuous") {
     val comp = graft.operators.NearDup.dedupByNearDup(
       Tables.documents(spark, sf0001), "doc_id", "text", 3, 0.5)
