@@ -1522,6 +1522,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min(col("z")).as("min_z"),
           max(col("z")).as("max_z"), sum(col("z")).as("sum_z"))),
 
+    // ---- IN-ENGINE model training: fixed-point nearest-centroid
+    // (Rocchio) over hashed presence features, distilling a keyword
+    // screen (docs mentioning 'customer') into a dense hashed model. The
+    // trained weights come out of a Spark plan — closed-form, one posting
+    // join + one aggregate, all-integer, so the oracle hash-checks the
+    // MODEL itself, not just a score.
+    "q_train_centroid" -> ((s, dir) =>
+      QualityModel.trainCentroid(Tables.documents(s, dir), "doc_id",
+        "text", array_contains(TextOps.tokens(lower(col("text"))), "customer"))),
+
+    // ---- Training-accuracy audit of the in-engine model: one
+    // integer-exact row; ~890 permille vs the 790-permille majority on
+    // the fixture — the trainer demonstrably learned (spec pins both).
+    "q_centroid_eval" -> ((s, dir) =>
+      QualityModel.centroidEval(Tables.documents(s, dir), "doc_id",
+        "text", array_contains(TextOps.tokens(lower(col("text"))), "customer"))),
+
     // ---- Consistent-hash shard assignment (Lamping & Veach jump hash, a
     // native codegen expression): shard under 8 and under 9 shards per
     // doc — growing the shard count moves ONLY the docs landing in the
@@ -3101,6 +3118,22 @@ object SparkEntry {
         "FROM lineitem) " +
         "SELECT bucket, count(*) AS n_rows, min(z) AS min_z, max(z) AS max_z, " +
         "CAST(sum(z) AS BIGINT) AS sum_z FROM z GROUP BY 1"),
+    // The trained model itself, hash-checked weight by weight.
+    "q_train_centroid" ->
+      (s"WITH $sqlCentroidCtes SELECT bucket, c1, c0 FROM cents"),
+    // Nearest-centroid decision in integers: per-doc presence sum vs the
+    // squared-norm constant; (1000·n_correct) // n_docs == Spark's div.
+    "q_centroid_eval" ->
+      (s"WITH $sqlCentroidCtes, " +
+        "cc AS (SELECT CAST(sum(c1 * c1 - c0 * c0) AS BIGINT) AS cc FROM cents), " +
+        s"lh AS (SELECT p.id, CAST(sum(2 * ${QualityModel.WeightMicro} * (c.c1 - c.c0)) AS BIGINT) AS lhs " +
+        "FROM pres p JOIN cents c USING (bucket) GROUP BY p.id), " +
+        "pr AS (SELECT l.y, CASE WHEN coalesce(h.lhs, 0) >= (SELECT cc FROM cc) " +
+        "THEN 1 ELSE 0 END AS pred FROM lab l LEFT JOIN lh h USING (id)) " +
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "CAST((1000 * sum(CASE WHEN y = pred THEN 1 ELSE 0 END)) // count(*) AS BIGINT) " +
+        "AS acc_permille FROM pr"),
     // Jump-hash loop replayed per (doc, n) as a recursive CTE: HUGEINT
     // state for the 64-bit wraparound LCG (k*C+1 mod 2^64), one
     // correctly-rounded double division per step (both operands exactly
@@ -3126,6 +3159,33 @@ object SparkEntry {
         "max(CASE WHEN n = 8 THEN b END) <> max(CASE WHEN n = 9 THEN b END) AS moved " +
         "FROM st WHERE j >= n GROUP BY doc_id"),
   )
+
+  /** Nearest-centroid training CTEs (mirrors QualityModel.trainCentroid
+    * over documents with label "mentions 'customer'"): distinct presence
+    * postings, per-bucket class sums, fixed-point centroids — yields
+    * `cents(bucket, c1, c0)` over all TrainBuckets buckets, plus
+    * `pres(id, bucket)` and `lab(id, y)` for the eval tail. All-integer
+    * (// on nonnegative operands == Spark's div).
+    */
+  private def sqlCentroidCtes: String = {
+    val nb = QualityModel.TrainBuckets
+    val m = QualityModel.WeightMicro
+    "t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
+      s"pres AS (SELECT DISTINCT doc_id AS id, ${sqlHash60("token", 0)} % $nb AS bucket FROM t), " +
+      "lab AS (SELECT doc_id AS id, CASE WHEN list_contains(" +
+      "string_split_regex(trim(lower(text)), '\\s+'), 'customer') " +
+      "THEN 1 ELSE 0 END AS y FROM documents), " +
+      "ns AS (SELECT CAST(sum(y) AS BIGINT) AS n1, " +
+      "CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM lab), " +
+      "sums AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS s1, " +
+      "CAST(sum(1 - y) AS BIGINT) AS s0 " +
+      "FROM pres JOIN lab USING (id) GROUP BY bucket), " +
+      s"cents AS (SELECT r.i AS bucket, " +
+      s"CAST((coalesce(s.s1, 0) * $m) // ns.n1 AS BIGINT) AS c1, " +
+      s"CAST((coalesce(s.s0, 0) * $m) // ns.n0 AS BIGINT) AS c0 " +
+      s"FROM range(0, $nb) r(i) LEFT JOIN sums s ON s.bucket = r.i, ns)"
+  }
 
   /** Morton spread of the low 32 bits of a BIGINT column into even
     * (shift=0) or odd (shift=1) bit positions, as plain SQL bit

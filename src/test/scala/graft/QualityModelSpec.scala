@@ -53,4 +53,41 @@ class QualityModelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("trainCentroid: perfect on a separable toy; learns past majority on the fixture") {
+    // separable toy: positives all mention 'needle', negatives never do
+    val toy = ((1L to 20L).map(i => (i, s"needle common$i filler words here")) ++
+      (21L to 40L).map(i => (i, s"haystack common$i filler words here")))
+      .toDF("doc_id", "text")
+    val toyLabel = array_contains(
+      graft.operators.TextOps.tokens(lower(col("text"))), "needle")
+    val toyAcc = QualityModel.centroidEval(toy, "doc_id", "text", toyLabel)
+      .as[(Long, Long, Long)].first()
+    assert(toyAcc == ((40L, 40L, 1000L)), toyAcc)
+
+    // fixture keyword screen: must beat the majority class AND predict
+    // both classes (a constant classifier fails one of the two)
+    val fx = Tables.documents(spark, sf0001)
+    val label = array_contains(
+      graft.operators.TextOps.tokens(lower(col("text"))), "customer")
+    val n = fx.count()
+    val n1 = fx.filter(label).count()
+    val majority = math.max(n1, n - n1) * 1000L / n
+    val Array((nd, nc, acc)) = QualityModel.centroidEval(fx, "doc_id", "text", label)
+      .as[(Long, Long, Long)].collect()
+    assert(nd == n && acc > majority, s"acc=$acc majority=$majority")
+
+    // the model table itself: all buckets present, fixed-point range
+    val m = QualityModel.trainCentroid(fx, "doc_id", "text", label)
+      .as[(Long, Long, Long)].collect()
+    assert(m.length == QualityModel.TrainBuckets)
+    assert(m.forall { case (_, c1, c0) =>
+      c1 >= 0 && c1 <= QualityModel.WeightMicro &&
+        c0 >= 0 && c0 <= QualityModel.WeightMicro })
+
+    // single-class label is refused loudly, not trained into a 0-div
+    intercept[IllegalArgumentException] {
+      QualityModel.trainCentroid(fx, "doc_id", "text", lit(true))
+    }
+  }
 }
