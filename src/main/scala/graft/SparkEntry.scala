@@ -464,6 +464,18 @@ object SparkEntry {
       Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "split")),
 
+    // ---- Count-once SOFT dedup: every doc weighted by the inverse of
+    // its near-dup cluster size, then the deterministic weighted filter —
+    // each duplicate family contributes ~one expected doc instead of
+    // being collapsed to a canonical survivor. Output = the kept set with
+    // its weights (singletons always survive by construction).
+    "q_dedup_soft" -> ((s, dir) => {
+      val w = Sampling.softDedupWeights(
+        NearDup.dedupByNearDup(Tables.documents(s, dir), "doc_id", "text",
+          3, 0.5).select(col("doc_id"), col("component")), "doc_id")
+      Sampling.weightedSample(w, "doc_id", "w_micro")
+    }),
+
     // ---- Leakage-free split: the split bucket is keyed on the near-dup
     // COMPONENT, not the doc — a duplicate family can never straddle
     // train/eval, the contamination mode q_split_assign's per-doc hashing
@@ -1877,6 +1889,16 @@ object SparkEntry {
         "WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
         s"FROM (SELECT doc_id, ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b " +
         "FROM documents)"),
+    // Near-dedup closure + inverse-cluster-size weights + the same md5
+    // weighted-threshold filter as q_sample_weighted.
+    "q_dedup_soft" ->
+      (s"WITH RECURSIVE $sqlNearDedupCtes, " +
+        "cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component), " +
+        "wt AS (SELECT c.doc_id, c.component, s.cluster_size, " +
+        "CAST(1000000 // s.cluster_size AS BIGINT) AS w_micro " +
+        "FROM comp c JOIN cs s USING (component)) " +
+        "SELECT doc_id, component, cluster_size, w_micro FROM wt " +
+        s"WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 1000000 < w_micro"),
     // Near-dedup closure + the same md5 split arithmetic keyed on the
     // component id: every member of a component gets the same bucket.
     "q_split_leakfree" ->

@@ -63,6 +63,26 @@ object Sampling {
     splitAssign(clusters, componentCol, trainPct, valPct, seed)
       .select(col(idCol), col(componentCol), col("split"))
 
+  /** Count-once soft dedup: instead of DROPPING duplicates, weight every
+    * doc by the inverse of its near-dup cluster size (w_micro =
+    * 1e6 div cluster_size) so each duplicate FAMILY contributes one
+    * expected document to the sample regardless of how many copies exist
+    * — the soft alternative to canonical-survivor dedup when copies carry
+    * signal (popularity, independent provenance) that hard dedup throws
+    * away. Feed the output to [[weightedSample]]; a singleton keeps
+    * weight 1e6 and always survives, an f-way family survives with
+    * expectation f·(1/f) = 1. One count aggregate + a component-keyed
+    * join on top of the cluster frame.
+    */
+  def softDedupWeights(clusters: DataFrame, idCol: String,
+                       componentCol: String = "component"): DataFrame = {
+    val sizes = clusters.groupBy(componentCol)
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, componentCol)
+      .select(col(idCol), col(componentCol), col("cluster_size"),
+        expr("1000000 div cluster_size").as("w_micro"))
+  }
+
   /** Source-mix rebalancing — the data-mixing step of an LLM pipeline:
     * down-sample over-represented strata so every stratum contributes
     * (approximately) the size of the SMALLEST one. Two passes, both

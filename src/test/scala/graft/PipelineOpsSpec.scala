@@ -86,6 +86,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT jump_hash(42L, 8L)").first().getLong(0) == ref(42L, 8L))
   }
 
+  test("softDedupWeights: inverse-size weights, singletons always survive") {
+    // components: {1,2,3,4} (size 4), {10,11} (size 2), {20} (singleton)
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L)).toDF("doc_id", "component")
+    val w = Sampling.softDedupWeights(comp, "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(w(1L) == ((4L, 250000L)) && w(10L) == ((2L, 500000L)) &&
+      w(20L) == ((1L, 1000000L)))
+    // singleton weight 1e6 passes the md5 % 1e6 < w filter for ANY hash
+    val kept = Sampling.weightedSample(
+      Sampling.softDedupWeights(comp, "doc_id"), "doc_id", "w_micro")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(20L))
+    // a 1000-member family keeps ~1 expected doc (w = 1000 micro): bound
+    // the realized count loosely — determinism makes this a fixed number
+    val big = (1L to 1000L).map(i => (i, 0L)).toDF("doc_id", "component")
+    val nBig = Sampling.weightedSample(
+      Sampling.softDedupWeights(big, "doc_id"), "doc_id", "w_micro").count()
+    assert(nBig <= 6, s"expected ~1 survivor from a 1000-family, got $nBig")
+  }
+
   test("leakFreeSplit: whole near-dup families share a split; non-vacuous") {
     val comp = graft.operators.NearDup.dedupByNearDup(
       Tables.documents(spark, sf0001), "doc_id", "text", 3, 0.5)
