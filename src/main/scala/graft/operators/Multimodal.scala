@@ -276,9 +276,12 @@ object Multimodal {
       .select(col("__id"),
         md5(expr(s"substring(payload, fi * $ChunkBytes + 1, $ChunkBytes)")).as("h"))
       .distinct()
-    val rare = frames.groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDocsPerFrame).select("h")
-    val kept = frames.join(rare, Seq("h"))
+    // guard via the HOT set (tiny by definition) as a broadcast ANTI
+    // join — joining the complement ("rare") instead would broadcast a
+    // corpus-sized hash set (measured: AQE picks exactly that plan)
+    val hot = frames.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocsPerFrame).select("h")
+    val kept = frames.join(broadcast(hot), Seq("h"), "left_anti")
     // shuffle_hash pin, as in NearDup.lshCandidates: both sides derive
     // from an explode, whose size estimate under-reports at scale — an
     // AQE/CBO broadcast of a corpus-sized posting table is the plan this

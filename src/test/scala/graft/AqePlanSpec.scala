@@ -41,13 +41,20 @@ class AqePlanSpec extends SparkSpec {
     // deletion-variant hash, shingle posting key, LSH band key.
     for ((q, key) <- Seq("q_link_pairs_lev" -> "__v",
                          "q_jaccard_pairs" -> "shingle",
-                         "q_minhash_pairs" -> "band")) {
+                         "q_minhash_pairs" -> "band",
+                         // round-8: frame-content posting join (media
+                         // dedup) — "[h#" anchors the key list's first
+                         // attribute ("h#" alone would match e.g. hash#)
+                         "q_frame_dedup" -> "[h#")) {
       val p = finalPlan(q)
       val shj = p.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
       assert(shj.exists(_.contains(key)),
         s"$q final plan lost the ShuffledHashJoin on '$key':\n$p")
+      // LeftAnti broadcasts are the skew guards' DESIGNED plan (tiny hot
+      // set) — only an Inner demotion is the failure these pins watch for
       val demoted = p.linesIterator
-        .filter(l => l.contains("BroadcastHashJoin") && l.contains(key)).toSeq
+        .filter(l => l.contains("BroadcastHashJoin") && l.contains(key) &&
+          !l.contains("LeftAnti")).toSeq
       assert(demoted.isEmpty,
         s"$q: AQE demoted the '$key' join to broadcast:\n${demoted.mkString("\n")}")
     }
