@@ -464,6 +464,34 @@ object SparkEntry {
       Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "split")),
 
+    // ---- END-TO-END curation manifest in ONE plan: near-dedup (keep
+    // canonical survivors, carry the component) → structural gate
+    // (n_tokens >= 5) → per-language token-budget selection (best quality
+    // first, 600 tokens/lang) → leakage-free split keyed on the near-dup
+    // component. The manifest a training run consumes — and the composite
+    // proof that the stages COMPOSE as one Catalyst plan (each stage is
+    // also oracled standalone: q_near_dedup, q_text_stats,
+    // q_token_budget, q_split_leakfree).
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val surv = docs.join(
+        NearDup.dedupByNearDup(docs, "doc_id", "text", 3, 0.5)
+          .filter(col("is_canonical"))
+          .select(col("doc_id"), col("component")), Seq("doc_id"))
+      // stats are per-doc intrinsic: computing them on the survivor set
+      // equals computing on the corpus and joining — the oracle does the
+      // latter to reuse the shared stats CTE
+      val stats = TextOps.stats(surv, "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      val gated = surv.select("doc_id", "lang", "component")
+        .join(stats, Seq("doc_id")).filter(col("n_tokens") >= 5)
+      val sel = Sampling.tokenBudgetSelect(gated, "doc_id", "lang",
+        "quality", "n_tokens", 600L)
+      Sampling.splitAssign(sel, "component")
+        .select("doc_id", "lang", "component", "quality", "n_tokens",
+          "cum_tokens", "split")
+    }),
+
     // ---- Count-once SOFT dedup: every doc weighted by the inverse of
     // its near-dup cluster size, then the deterministic weighted filter —
     // each duplicate family contributes ~one expected doc instead of
@@ -1889,6 +1917,27 @@ object SparkEntry {
         "WHEN b < 90 THEN 'val' ELSE 'test' END AS split " +
         s"FROM (SELECT doc_id, ${sqlHash60("CAST(doc_id AS VARCHAR)", 0)} % 100 AS b " +
         "FROM documents)"),
+    // The whole manifest pipeline as composed CTEs: near-dedup closure →
+    // canonical survivors → shared stats CTE → per-lang budget window →
+    // component-keyed split buckets.
+    "q_pipeline_e2e" ->
+      (s"WITH RECURSIVE $sqlNearDedupCtes, " +
+        s"st AS ($sqlTextStats), " +
+        "surv AS (SELECT d.doc_id, d.lang, c.component FROM documents d " +
+        "JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component), " +
+        "g AS (SELECT surv.doc_id, surv.lang, surv.component, st.quality, " +
+        "st.n_tokens FROM surv JOIN st ON st.doc_id = surv.doc_id " +
+        "WHERE st.n_tokens >= 5), " +
+        "cum AS (SELECT g.*, CAST(sum(n_tokens) OVER (PARTITION BY lang " +
+        "ORDER BY quality DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_tokens FROM g), " +
+        "sel AS (SELECT * FROM cum WHERE cum_tokens <= 600) " +
+        "SELECT doc_id, lang, component, quality, n_tokens, cum_tokens, " +
+        "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM " +
+        "(SELECT sel.*, " +
+        s"${sqlHash60("CAST(component AS VARCHAR)", 0)} % 100 AS b FROM sel)"),
     // Near-dedup closure + inverse-cluster-size weights + the same md5
     // weighted-threshold filter as q_sample_weighted.
     "q_dedup_soft" ->

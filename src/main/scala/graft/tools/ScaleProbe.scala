@@ -138,7 +138,14 @@ object ScaleProbe {
       "leakfree_split" -> (d =>
         Sampling.leakFreeSplit(
           NearDup.dedupByNearDup(d, "doc_id", "text", 3, 0.5)
-            .select(col("doc_id"), col("component")), "doc_id").count())
+            .select(col("doc_id"), col("component")), "doc_id").count()),
+      // copies append only a salt token, so full 256-byte chunks stay
+      // aligned and shared — shared-frame pairs grow ~R² per doc (the
+      // posting worst case on purpose, like minhash_lsh_pairs); runtime
+      // must track postings + emitted pairs, never the pair potential
+      "frame_dedup" -> (d =>
+        Multimodal.sharedFramePairs(
+          Multimodal.withPayload(d, "text"), "doc_id").count())
     )
 
     val factors = Seq(1, 4, 10)
