@@ -189,6 +189,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.leakFreeSplit(
       Seq.empty[(Long, Long)].toDF("doc_id", "component"), "doc_id")
       .count() == 0)
+    assert(Sampling.softDedupWeights(
+      Seq.empty[(Long, Long)].toDF("doc_id", "component"), "doc_id")
+      .count() == 0)
+    assert(Multimodal.sharedFramePairs(
+      Multimodal.withPayload(noDocs, "text"), "doc_id").count() == 0)
+    assert(NearDup.crossSourceDupMatrix(
+      noDocs.withColumn("source", lit("s")), "doc_id", "text", "source",
+      3, 0.5).count() == 0)
+    assert(NearDup.dedupDecisionReport(noDocs,
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      "doc_id", "text", "vec_id", "embedding", 3, 0.5, 0.3).count() == 0)
     assert(TextOps.lengthQuantiles(
       Seq.empty[(String, Long)].toDF("lang", "len"), "lang", "len",
       Seq(50, 99)).count() == 0)
