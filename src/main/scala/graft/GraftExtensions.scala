@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.RoSimilarityBound)
     ext.injectOptimizerRule(_ => graft.plans.TimeRangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 
@@ -98,7 +99,8 @@ object Graft {
   }
 
   /** Add graft's optimizer rules ([[graft.plans.RoSimilarityBound]],
-    * [[graft.plans.TimeRangeJoinRewrite]]) to a live session. Idempotent.
+    * [[graft.plans.TimeRangeJoinRewrite]]) and planner strategy
+    * ([[graft.plans.TopKPerKeyStrategy]]) to a live session. Idempotent.
     */
   def enableOptimizations(spark: SparkSession): Unit = {
     val rules = Seq(graft.plans.RoSimilarityBound, graft.plans.TimeRangeJoinRewrite)
@@ -106,5 +108,8 @@ object Graft {
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ missing
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
   }
 }

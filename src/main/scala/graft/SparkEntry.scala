@@ -228,6 +228,19 @@ object SparkEntry {
         .filter(col("rk") <= 3)
     }),
 
+    // ---- The SAME grouped top-k through the custom WHOLE-OPERATOR
+    // extension (plans.TopKPerKey: LogicalPlan + SparkStrategy +
+    // partial/final SparkPlan pair): per-partition bounded heaps, k rows
+    // per group through the exchange, no window sort. Result must equal
+    // the window spelling — the oracle IS the window spelling, and
+    // TopKPerKeySpec pins the plan shape (2 heap passes, 1 exchange, no
+    // Sort/Window).
+    "q_topk_phys" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), 3)),
+
     // ---- Document chunking: fixed 400-char windows, stride 300 (100
     // overlap) — sequence + posexplode + substr, pure codegen, no
     // shuffle; the unit-of-work producer for Packing.pack.
@@ -2192,6 +2205,12 @@ object SparkEntry {
         "r AS (SELECT source, doc_id, quality, row_number() OVER " +
         "(PARTITION BY source ORDER BY quality DESC, doc_id) AS rk FROM j) " +
         "SELECT source, doc_id, quality, rk FROM r WHERE rk <= 3"),
+    // The window spelling IS the oracle for the physical operator.
+    "q_topk_phys" ->
+      ("SELECT doc_id, source, n_chars, topk_rank FROM " +
+        "(SELECT doc_id, source, n_chars, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) " +
+        "AS topk_rank FROM documents) WHERE topk_rank <= 3"),
     "q_quality_filter" ->
       (s"WITH s AS ($sqlTextStats), " +
         "j AS (SELECT d.source, s.doc_id, s.quality FROM s " +

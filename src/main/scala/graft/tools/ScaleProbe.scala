@@ -62,7 +62,9 @@ import org.apache.spark.sql.functions._
   * overhead dominates the 16-cell candidate join up to 20k vectors even
   * though within-cell pair potential grows R²; at occupancies where the
   * quadratic bites, production grows nCells — the Scaladoc'd SemDeDup
-  * cost model).
+  * cost model). frame_dedup 1.49x/2.09x at 4x/10x while the emitted
+  * shared-frame pairs grew ~300x (511 -> 152,980) — the posting shape
+  * holding under the R²-pair worst case, like minhash_lsh_pairs.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
