@@ -101,18 +101,20 @@ object QualityModel {
       .join(lab, "id")
       .groupBy("bucket")
       .agg(sum(col("y")).as("s1"), sum(lit(1L) - col("y")).as("s0"))
-    val ns = lab.agg(sum("y").as("n1"),
-      (count(lit(1)) - sum("y")).as("n0"))
-    // both classes must exist or a centroid is undefined (0-div)
-    val row = ns.first()
-    require(row.getLong(0) > 0 && row.getLong(1) > 0,
-      s"label needs both classes, got n1=${row.getLong(0)} n0=${row.getLong(1)}")
+    // class sizes come to the driver anyway for the both-classes guard
+    // (a centroid over zero rows is a 0-div) — reuse them as literals
+    // rather than cross-joining the 1-row aggregate back in (which would
+    // plan a BroadcastNestedLoopJoin; harmless at 1 row, but the repo's
+    // no-BNLJ plan gate is stricter than that)
+    val row = lab.agg(sum("y"), count(lit(1)) - sum("y")).first()
+    val (n1, n0) = (row.getLong(0), row.getLong(1))
+    require(n1 > 0 && n0 > 0,
+      s"label needs both classes, got n1=$n1 n0=$n0")
     df.sparkSession.range(numBuckets).select(col("id").as("bucket"))
       .join(sums, Seq("bucket"), "left")
-      .crossJoin(broadcast(ns))
       .select(col("bucket"),
-        expr(s"(coalesce(s1, 0) * $WeightMicro) div n1").as("c1"),
-        expr(s"(coalesce(s0, 0) * $WeightMicro) div n0").as("c0"))
+        expr(s"(coalesce(s1, 0) * $WeightMicro) div ${n1}L").as("c1"),
+        expr(s"(coalesce(s0, 0) * $WeightMicro) div ${n0}L").as("c0"))
   }
 
   /** Training-set accuracy of the [[trainCentroid]] model — one
