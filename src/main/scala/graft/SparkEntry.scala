@@ -1592,6 +1592,18 @@ object SparkEntry {
       QualityModel.centroidEval(Tables.documents(s, dir), "doc_id",
         "text", array_contains(TextOps.tokens(lower(col("text"))), "customer"))),
 
+    // ---- Exact distributed selection: the lower median of order value
+    // (integer cents) over an UNBOUNDED domain by radix-prefix refinement
+    // (Selection.kthSmallest) — four scans with 2^16-group map-side
+    // aggregates and KB driver state, never a global sort; the
+    // unbounded-domain complement of q_length_quantiles' bounded
+    // histogram. Oracle = the row_number spelling.
+    "q_exact_median" -> ((s, dir) =>
+      Selection.medianReport(
+        Tables.orders(s, dir).select(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+        "cents")),
+
     // ---- Consistent-hash shard assignment (Lamping & Veach jump hash, a
     // native codegen expression): shard under 8 and under 9 shards per
     // doc — growing the shard count moves ONLY the docs landing in the
@@ -3208,6 +3220,13 @@ object SparkEntry {
         "FROM lineitem) " +
         "SELECT bucket, count(*) AS n_rows, min(z) AS min_z, max(z) AS max_z, " +
         "CAST(sum(z) AS BIGINT) AS sum_z FROM z GROUP BY 1"),
+    // Lower median via the row_number spelling.
+    "q_exact_median" ->
+      ("WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders), " +
+        "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, " +
+        "count(*) OVER () AS n FROM t) " +
+        "SELECT CAST(n AS BIGINT) AS n_rows, CAST((n + 1) // 2 AS BIGINT) AS k, " +
+        "v AS median FROM r WHERE rn = (n + 1) // 2"),
     // The trained model itself, hash-checked weight by weight.
     "q_train_centroid" ->
       (s"WITH $sqlCentroidCtes SELECT bucket, c1, c0 FROM cents"),
