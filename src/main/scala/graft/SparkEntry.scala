@@ -1985,7 +1985,7 @@ object SparkEntry {
     // ceil(p*total/100) (integer form: 100*cum >= p*total).
     "q_length_quantiles" ->
       ("WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt " +
-        "FROM documents GROUP BY lang, n_chars), " +
+        "FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars), " +
         "c AS (SELECT lang, v, " +
         "CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum, " +
         "CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total FROM h) " +

@@ -138,7 +138,16 @@ object EventOps {
     * (stage index, epoch micros) pairs, bounded by the user's
     * funnel-relevant events inside the active funnel window.
     */
-  case class FunnelBuf(events: List[(Int, Long)])
+  /** `done` = this user already EMITTED its funnel row — kept as a
+    * tombstone so a later stage-1 event cannot re-open a second funnel
+    * (the batch twin emits exactly one row per converting user, built
+    * from the globally earliest chain). Users finalized WITHOUT a row
+    * (stage 1 never fired) are removed instead: in the batch semantics a
+    * later stage-1 event legitimately starts their funnel, and the
+    * dropped buffer is provably unusable to it (every buffered ts is
+    * below the watermark, hence below the new chain's start).
+    */
+  case class FunnelBuf(events: List[(Int, Long)], done: Boolean = false)
 
   /** Emitted (finalized) funnel row: `ts_us` is the reached-stage time
     * prefix (size == stage_reached) — the non-null prefix of the batch
@@ -172,7 +181,8 @@ object EventOps {
   /** Streaming form of [[funnel]]: per-user state via
     * flatMapGroupsWithState with an EVENT-TIME timeout. Each batch folds
     * the user's new stage events into a buffer; the funnel FINALIZES (one
-    * appended row, then state removed) when the watermark passes
+    * appended row, then a done-tombstone so the user can never emit a
+    * second row — see [[FunnelBuf]]) when the watermark passes
     * t_reached + maxGap — provably the first moment the outcome is
     * immutable: any not-yet-dropped event has ts >= watermark >
     * t_reached + maxGap, which can neither extend the chain (gap
@@ -214,9 +224,17 @@ object EventOps {
         (uid, rows, state: GroupState[FunnelBuf]) =>
           if (!rows.hasNext && state.hasTimedOut) {
             val times = greedyFunnel(state.get.events, nStages, maxGapUs)
-            state.remove()
-            if (times.isEmpty) Iterator.empty
-            else Iterator(FunnelOut(uid, times, times.size.toLong))
+            if (times.isEmpty) { state.remove(); Iterator.empty }
+            else {
+              // tombstone, not remove: a later stage-1 event must not
+              // re-open a second funnel for an already-emitted user
+              state.update(FunnelBuf(Nil, done = true))
+              Iterator(FunnelOut(uid, times, times.size.toLong))
+            }
+          } else if (state.getOption.exists(_.done)) {
+            // already emitted: drain and ignore this user's late events
+            rows.foreach(_ => ())
+            Iterator.empty
           } else {
             val buf = state.getOption.map(_.events).getOrElse(Nil) ++
               rows.map(r => (stageIdx(r._2), r._4))
@@ -250,8 +268,11 @@ object EventOps {
     import spark.implicits._
     val weekUs = 7L * 86400L * 1000000L
     events
+      // same __us-then-div shape as the batch twin — and col(tsCol), not
+      // a hard-coded column name (the round-8 review caught 'ts' baked in)
+      .withColumn("__us", unix_micros(col(tsCol)))
       .select(col(userCol).cast("long").as("user_id"),
-        expr(s"unix_micros(ts) div ${weekUs}L").as("w"))
+        expr(s"__us div ${weekUs}L").as("w"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Set[Long], (Long, Long)](

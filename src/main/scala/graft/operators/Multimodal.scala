@@ -268,6 +268,10 @@ object Multimodal {
                        maxDocsPerFrame: Long = 50): DataFrame = {
     val nChunks = ceil(length(col("payload")).cast("double") / lit(ChunkBytes.toDouble))
       .cast("int")
+    // the posting table feeds three consumers (hot-set aggregate + both
+    // sides of the pair join) — materialize the chunk+md5 transform ONCE
+    // (same localCheckpoint tradeoff as NearDup.shinglesWithSkewGuard,
+    // documented there)
     val frames = df
       .select(col(idCol).as("__id"), col("payload"), nChunks.as("nc"))
       .filter(col("nc") > 0)
@@ -276,6 +280,7 @@ object Multimodal {
       .select(col("__id"),
         md5(expr(s"substring(payload, fi * $ChunkBytes + 1, $ChunkBytes)")).as("h"))
       .distinct()
+      .localCheckpoint(true)
     // guard via the HOT set (tiny by definition) as a broadcast ANTI
     // join — joining the complement ("rare") instead would broadcast a
     // corpus-sized hash set (measured: AQE picks exactly that plan)

@@ -430,8 +430,14 @@ object NearDup {
                         textCol: String, tsCol: String, n: Int = 3,
                         windowLen: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame = {
+    // materialize the corpus postings ONCE: the static side of a
+    // stream-static join is re-planned every micro-batch, and without
+    // the checkpoint each batch would re-run the full-corpus
+    // shingle+signature aggregation (per-batch cost = corpus-sized, not
+    // batch-sized — the round-8 review caught exactly that)
     val statics = bandPostings(corpus, idCol, textCol, n)
       .select(col("bkey")).distinct().withColumn("__hit", lit(1L))
+      .localCheckpoint(true)
     val shingleArr = array_distinct(
       graft.functions.word_ngrams(TextOps.tokens(col(textCol)), n))
     // one md5 per shingle, halved into the affine family's (a, b) — the

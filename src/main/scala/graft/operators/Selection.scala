@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
 object Selection {
 
   /** The k-th smallest (1-based) value of `valueCol` (long). */
-  def kthSmallest(df: DataFrame, valueCol: String, k: Long): Long = {
-    val n = df.filter(col(valueCol).isNotNull).count()
+  def kthSmallest(df: DataFrame, valueCol: String, k: Long): Long =
+    kthSmallestOf(df, valueCol, k,
+      df.filter(col(valueCol).isNotNull).count())
+
+  /** [[kthSmallest]] with the non-null count supplied — callers that
+    * already paid the counting scan ([[medianReport]]) skip the repeat.
+    */
+  private def kthSmallestOf(df: DataFrame, valueCol: String, k: Long,
+                            n: Long): Long = {
     require(k >= 1 && k <= n, s"k=$k out of range [1, $n]")
     // order-preserving unsigned view: u = v XOR MinValue
     val u = col(valueCol).cast("long").bitwiseXOR(lit(Long.MinValue))
@@ -64,7 +71,7 @@ object Selection {
     if (n == 0) Seq.empty[(Long, Long, Long)].toDF("n_rows", "k", "median")
     else {
       val k = (n + 1) / 2
-      Seq((n, k, kthSmallest(df, valueCol, k)))
+      Seq((n, k, kthSmallestOf(df, valueCol, k, n)))
         .toDF("n_rows", "k", "median")
     }
   }

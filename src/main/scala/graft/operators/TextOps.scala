@@ -673,7 +673,11 @@ object TextOps {
                       pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $pcts")
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+    // percentile_disc is defined over the NON-NULL values: an unfiltered
+    // null bucket would both inflate the group total and (nulls-first
+    // window order) every value's cumulative count, dragging quantiles low
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy("v")

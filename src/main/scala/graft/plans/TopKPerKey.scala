@@ -122,8 +122,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // max-heap under ord: head = the WORST retained row, evicted first
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyGen(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with keyGen's REUSED buffer; copy the key only when a new
+        // group is inserted — a per-row copy would be allocation churn on
+        // exactly the hot path this operator exists for
+        val probe = keyGen(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < kk) heap += row.copy()
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap += row.copy()

@@ -313,6 +313,43 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: an emitted user never re-opens on later stage-1 events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val gap24h = 86400000000L
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventOps.funnelStream(
+        ms.toDS().toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click"), gap24h, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_funnel_once").start()
+    try {
+      // user 7 converts; sentinels push the watermark so it finalizes
+      ms.addData((7L, "view", ts("2026-01-01 10:00:00")),
+        (7L, "click", ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, "view", ts("2026-01-05 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, "view", ts("2026-01-06 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ev_funnel_once")
+        .filter(col("user_id") === 7L).count() == 1)
+      // a fresh stage-1 event for the EMITTED user, plus enough watermark
+      // movement to finalize any re-opened state...
+      ms.addData((7L, "view", ts("2026-01-10 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, "view", ts("2026-01-15 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, "view", ts("2026-01-16 00:00:00")))
+      q.processAllAvailable()
+      // ...must NOT yield a second row: batch semantics emit exactly one
+      // funnel per converting user (the globally earliest chain)
+      assert(spark.table("ev_funnel_once")
+        .filter(col("user_id") === 7L).count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming retention cells rebuild the exact batch retention matrix") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -323,8 +360,10 @@ class EventOpsSpec extends SparkSpec {
     val batch1 = Seq((1L, ts(0, 1)), (1L, ts(0, 3)), (2L, ts(0, 2)), (3L, ts(1, 0)))
     val batch2 = Seq((1L, ts(1, 2)), (1L, ts(0, 5)), (2L, ts(2, 1)), (3L, ts(1, 6)))
     val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    // deliberately NOT named "ts": round-8 review caught the week
+    // expression hard-coding the column name
     val q = EventOps.activityCellsStream(
-        ms.toDS().toDF("user_id", "ts"), "user_id", "ts")
+        ms.toDS().toDF("user_id", "event_ts"), "user_id", "event_ts")
       .toDF("user_id", "w")
       .writeStream.outputMode("append")
       .format("memory").queryName("ev_cells").start()

@@ -148,6 +148,16 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
     assert(got == expected)
+
+    // nulls are OUTSIDE percentile_disc's domain: a null flood must not
+    // drag quantiles low (round-8 review: unfiltered nulls inflated both
+    // the group total and, nulls-first, every cumulative count)
+    val withNulls = (Seq.fill(97)(("g", None: Option[Long])) ++
+      Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L))))
+      .toDF("g", "len")
+    val nq = TextOps.lengthQuantiles(withNulls, "g", "len", Seq(50, 99))
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(nq == Map(50L -> 2L, 99L -> 3L), nq)
   }
 
   test("temperature rebalance: sqrt rates, smallest stratum whole, nests equalize") {
