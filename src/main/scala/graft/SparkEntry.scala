@@ -1762,6 +1762,26 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), percent_rank().over(w).as("pr"))
     }),
+
+    // ---- Bigram LM self-likelihood: every document scored under the
+    // add-one bigram model trained on the whole corpus — the
+    // perplexity-style "does this read like the rest" filter statistic,
+    // frozen to e12 fixed point per the repo FP contract.
+    "q_lm_score" -> ((s, dir) =>
+      LanguageModel.likelihood(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- CCNet-style domain contrast: in-domain (lang = 'en') vs
+    // out-domain bigram models; delta_e12 > 0 reads as target-domain.
+    "q_lm_contrast" -> ((s, dir) =>
+      LanguageModel.contrast(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en")),
+
+    // ---- BM25 lexical retrieval: top-10 documents for a 3-term query —
+    // rational idf, exactly-representable k1/b, per-term scores in e12
+    // fixed point (see Retrieval.bm25TopK's parity Scaladoc).
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "dup"), 10)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3267,6 +3287,52 @@ object SparkEntry {
         "max(CASE WHEN n = 9 THEN b END) AS shard9, " +
         "max(CASE WHEN n = 8 THEN b END) <> max(CASE WHEN n = 9 THEN b END) AS moved " +
         "FROM st WHERE j >= n GROUP BY doc_id"),
+    // Add-one bigram LM replay: same smoothed division frozen at e12,
+    // integer sums per doc (order-independent both engines).
+    "q_lm_score" ->
+      (s"WITH $sqlLmToksCte, $sqlLmBgCte, " +
+        "cxy AS (SELECT bigram, count(*) AS c_xy FROM bgl GROUP BY 1), " +
+        "cx AS (SELECT ctx, count(*) AS c_x FROM bgl GROUP BY 1), " +
+        "vv AS (SELECT count(DISTINCT tok) AS v FROM " +
+        "(SELECT unnest(t) AS tok FROM toksl)), " +
+        s"p AS (SELECT s.doc_id, ${sqlLmP("c.c_xy", "x.c_x", "vv.v")} AS p_e12 " +
+        "FROM bgl s LEFT JOIN cxy c ON s.bigram = c.bigram " +
+        "LEFT JOIN cx x ON s.ctx = x.ctx CROSS JOIN vv WHERE vv.v > 0) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(p_e12) AS BIGINT) AS sum_p_e12, " +
+        "CAST(sum(p_e12) // count(*) AS BIGINT) AS avg_p_e12 " +
+        "FROM p GROUP BY doc_id"),
+    // Two models (lang = 'en' in-domain vs rest), both scoring EVERY doc;
+    // vocab/counts restricted per model, scores joined per doc.
+    "q_lm_contrast" ->
+      (s"WITH $sqlLmToksCte, $sqlLmBgCte, " +
+        sqlLmModelCtes("i", "lang = 'en'") + ", " +
+        sqlLmModelCtes("o", "NOT (lang = 'en')") + " " +
+        "SELECT si.doc_id, si.n_bigrams, si.avg_e12 AS avg_in_e12, " +
+        "so.avg_e12 AS avg_out_e12, si.avg_e12 - so.avg_e12 AS delta_e12 " +
+        "FROM si JOIN so ON si.doc_id = so.doc_id"),
+    // BM25 with rational idf and exactly-representable k1 = 1.25,
+    // b = 0.75 — identical expression tree, per-term e12 fixed point.
+    "q_bm25" ->
+      (s"WITH $sqlLmToksCte, " +
+        "dll AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toksl " +
+        "WHERE len(t) > 0), " +
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dll), " +
+        "tfq AS (SELECT doc_id, term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS term FROM toksl) " +
+        "WHERE term IN ('spark', 'vector', 'dup') GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) AS dfreq FROM tfq GROUP BY 1), " +
+        "sc AS (SELECT tfq.doc_id, dll.dl, " +
+        "CAST(round(1000000000000.0 * (" +
+        "((CAST(st.n_docs - dfq.dfreq AS DOUBLE) + 0.5) / (CAST(dfq.dfreq AS DOUBLE) + 0.5)) * " +
+        "((CAST(tfq.tf AS DOUBLE) * 2.25) / (CAST(tfq.tf AS DOUBLE) + 1.25 * " +
+        "(0.25 + 0.75 * (CAST(dll.dl AS DOUBLE) / " +
+        "(CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))) AS BIGINT) AS s_e12 " +
+        "FROM tfq JOIN dfq ON tfq.term = dfq.term " +
+        "JOIN dll ON tfq.doc_id = dll.doc_id CROSS JOIN st) " +
+        "SELECT doc_id, max(dl) AS dl, count(*) AS n_terms, " +
+        "CAST(sum(s_e12) AS BIGINT) AS score_e12 FROM sc GROUP BY doc_id " +
+        "ORDER BY score_e12 DESC, doc_id LIMIT 10"),
   )
 
   /** Nearest-centroid training CTEs (mirrors QualityModel.trainCentroid
@@ -3389,6 +3455,47 @@ object SparkEntry {
   private val sqlToksCte =
     "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
       "FROM documents WHERE length(trim(text)) > 0)"
+
+  /** Lowercased whitespace tokens + lang (mirrors
+    * LanguageModel/Retrieval's tokens(lower(text))).
+    */
+  private val sqlLmToksCte =
+    "toksl AS (SELECT doc_id, lang, " +
+      "string_split_regex(trim(lower(text)), '\\s+') AS t " +
+      "FROM documents WHERE length(trim(text)) > 0)"
+
+  /** Adjacent-token bigrams with multiplicity and their context token
+    * (mirrors LanguageModel.bigramRows).
+    */
+  private val sqlLmBgCte =
+    "bgl AS (SELECT doc_id, lang, " +
+      "array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS bigram, " +
+      "t[CAST(i AS INT)] AS ctx " +
+      "FROM toksl, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2)"
+
+  /** The add-one smoothed transition probability at e12 fixed point
+    * (mirrors LanguageModel.scoreAgainst's p_e12 expression tree
+    * op-for-op).
+    */
+  private def sqlLmP(cxy: String, cx: String, v: String): String =
+    s"CAST(round(1000000000000.0 * (CAST(coalesce($cxy, 0) + 1 AS DOUBLE) / " +
+      s"CAST(coalesce($cx, 0) + $v AS DOUBLE))) AS BIGINT)"
+
+  /** One bigram model (counts + vocab restricted to `pred` docs) scoring
+    * ALL bgl rows → per-doc CTE `s$sfx(doc_id, n_bigrams, avg_e12)` —
+    * the contrast query instantiates this twice.
+    */
+  private def sqlLmModelCtes(sfx: String, pred: String): String =
+    s"cxy$sfx AS (SELECT bigram, count(*) AS c_xy FROM bgl WHERE $pred GROUP BY 1), " +
+      s"cx$sfx AS (SELECT ctx, count(*) AS c_x FROM bgl WHERE $pred GROUP BY 1), " +
+      s"vv$sfx AS (SELECT count(DISTINCT tok) AS v FROM " +
+      s"(SELECT unnest(t) AS tok FROM toksl WHERE $pred)), " +
+      s"p$sfx AS (SELECT s.doc_id, " +
+      s"${sqlLmP(s"c.c_xy", s"x.c_x", s"vv$sfx.v")} AS p_e12 " +
+      s"FROM bgl s LEFT JOIN cxy$sfx c ON s.bigram = c.bigram " +
+      s"LEFT JOIN cx$sfx x ON s.ctx = x.ctx CROSS JOIN vv$sfx WHERE vv$sfx.v > 0), " +
+      s"s$sfx AS (SELECT doc_id, count(*) AS n_bigrams, " +
+      s"CAST(sum(p_e12) // count(*) AS BIGINT) AS avg_e12 FROM p$sfx GROUP BY doc_id)"
 
   /** 3-gram shingles (mirrors NearDup.shingles with n=3). */
   private val sqlShCte =

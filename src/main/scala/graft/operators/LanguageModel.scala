@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language-model scoring — the perplexity-style
+  * quality filter of a training-data pipeline (CCNet/C4 keep documents
+  * whose token transitions look like the target domain; the reference has
+  * no text scoring at all, north-star scope).
+  *
+  * The model is add-one-smoothed bigram MLE over lowercased whitespace
+  * tokens: p(y|x) = (c(x,y) + 1) / (c(x,·) + V), with c(x,·) the count of
+  * x as a bigram CONTEXT (token occurrences that have a successor) and V
+  * the training vocabulary size. A document's score is the mean
+  * transition likelihood over its adjacent-token bigrams.
+  *
+  * FP parity (the repo-wide contract — see TfIdf's Scaladoc): the
+  * textbook form is mean LOG-likelihood, but libm `ln` differs in the
+  * last ulp between the JVM and DuckDB, so each bigram's probability is
+  * instead frozen to fixed point — p_e12 = round(1e12 · p) as BIGINT,
+  * where p is ONE correctly-rounded IEEE division and the 1e12 scaling
+  * ONE correctly-rounded multiply, bit-identical across engines — and
+  * documents aggregate p_e12 with exact integer sums (order-independent,
+  * unlike a double sum). The mean-probability score ranks "familiar
+  * transitions" the same direction as perplexity for filtering purposes
+  * and keeps every emitted column hash-checkable.
+  *
+  * Scale shape, 100 TB posture: bigram extraction is the word_ngrams
+  * codegen kernel (scan-speed projection); model counts are two hash
+  * aggregates over (x,y) and x; scoring re-attaches counts by equi-join
+  * on the bigram/context (the model side has one row per DISTINCT bigram
+  * — a hot stopword transition skews partition volume, which AQE
+  * rebalances, but never fans out rows); V and the guard are a one-row
+  * broadcast. No all-pairs, no window over the corpus, no driver loop.
+  */
+object LanguageModel {
+
+  private def toks(textCol: String): Column =
+    TextOps.tokens(lower(col(textCol)))
+
+  /** (id, bigram) rows with multiplicity — one row per adjacent token
+    * pair occurrence; docs with < 2 tokens emit nothing.
+    */
+  private def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.word_ngrams(toks(textCol), 2)).as("bigram"))
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
+
+  /** Score `score`'s documents under the bigram model trained on `train`.
+    * Output: one row per scored document that has >= 1 bigram —
+    * (idCol, n_bigrams, sum_p_e12, avg_p_e12), avg as exact integer
+    * division sum/n. Bigrams unseen in training back off through the same
+    * smoothed formula (c(x,y) and c(x,·) coalesce to 0 → p = 1/V ...
+    * (1+0)/(0+V)). An EMPTY training corpus has V = 0 and no defined
+    * model: the guard `V > 0` makes every score row vanish instead of
+    * emitting a division artifact — mirrored verbatim in the oracle.
+    */
+  def scoreAgainst(train: DataFrame, score: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val tbg = bigramRows(train, idCol, textCol)
+    val cxy = tbg.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    val cx = tbg.groupBy("ctx").agg(count(lit(1)).as("c_x"))
+    val vocab = train
+      .select(explode(toks(textCol)).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val sbg = bigramRows(score, idCol, textCol)
+    val p = sbg
+      .join(cxy, Seq("bigram"), "left")
+      .join(cx, Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .filter(col("v") > 0)
+      .withColumn("p_e12",
+        round(lit(1.0e12) *
+          ((coalesce(col("c_xy"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c_x"), lit(0L)) + col("v")).cast("double")))
+          .cast("long"))
+    p.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_e12")).as("sum_p_e12"))
+      .withColumn("avg_p_e12", expr("sum_p_e12 div n_bigrams"))
+  }
+
+  /** Self-likelihood: every document scored under the model trained on
+    * the whole corpus — the single-corpus "does this document look like
+    * the rest" filter statistic.
+    */
+  def likelihood(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreAgainst(df, df, idCol, textCol)
+
+  /** CCNet-style domain contrast: every document scored under TWO models
+    * — one trained on the in-domain slice (`inDomain` true), one on the
+    * out-domain rest — and ranked by the difference. A document whose
+    * transitions are likelier under the in-domain model than the
+    * out-domain one reads like the target domain; delta_e12 > 0 is the
+    * keep signal. Output: (idCol, n_bigrams, avg_in_e12, avg_out_e12,
+    * delta_e12), one row per document scored by BOTH models (an empty
+    * slice on either side voids that model and, with it, the contrast —
+    * same V > 0 guard as [[scoreAgainst]]).
+    */
+  def contrast(df: DataFrame, idCol: String, textCol: String,
+               inDomain: Column): DataFrame = {
+    val inScore = scoreAgainst(df.filter(inDomain), df, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"), col("avg_p_e12").as("avg_in_e12"))
+    val outScore = scoreAgainst(df.filter(!inDomain), df, idCol, textCol)
+      .select(col(idCol), col("avg_p_e12").as("avg_out_e12"))
+    inScore.join(outScore, idCol)
+      .withColumn("delta_e12", col("avg_in_e12") - col("avg_out_e12"))
+  }
+}

@@ -41,6 +41,78 @@ object Retrieval {
     */
   val ChunkIdFactor = 1000L
 
+  /** BM25 ranking of documents against a bag of query terms — the lexical
+    * retrieval half of a RAG / retrieval-augmented curation pipeline
+    * (dense ANN lives in [[Ann]]; this is its sparse complement, and the
+    * standard first-stage ranker before any reranking).
+    *
+    * Formula per (doc, term): idf_r(term) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)), summed over matched query terms. Two deliberate
+    * divergences from the textbook constants, both for engine parity (the
+    * repo-wide FP contract — see TfIdf/LanguageModel):
+    *
+    *  - idf_r = (N − df + 0.5) / (df + 0.5) is the RATIONAL inside of the
+    *    usual ln — a single correctly-rounded division instead of a libm
+    *    call that differs in the last ulp across engines. Monotone in df,
+    *    so per-term ordering is preserved; the cross-term mix differs
+    *    from Robertson idf but remains a fixed, documented scoring
+    *    function.
+    *  - defaults k1 = 1.25, b = 0.75: the exactly-representable doubles
+    *    nearest the textbook 1.2/0.75, so k1+1 and 1−b are EXACT and the
+    *    whole expression tree is reproducible literal-for-literal in SQL.
+    *
+    * Each (doc, term) score freezes to fixed point (round(1e12·s) as
+    * BIGINT — every op correctly rounded, same tree both engines) and
+    * documents aggregate with exact integer sums, order-independent.
+    *
+    * Scale shape: dl/avgdl is one hash aggregate plus a one-row broadcast;
+    * tf touches only rows whose token is in the query set (predicate on
+    * the exploded stream — scan-speed, codegen); the final top-k is
+    * TakeOrderedAndProject (bounded heap), never a global sort. No
+    * all-pairs, no window over the corpus.
+    *
+    * Output: top `k` docs by (score_e12 DESC, id ASC) —
+    * (idCol, dl, n_terms, score_e12). Caller contract: `terms` non-empty,
+    * lowercase, distinct.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be non-empty and distinct")
+    val tok = docs.select(col(idCol).as("id"),
+      TextOps.tokens(lower(col(textCol))).as("t"))
+    val dl = tok.filter(size(col("t")) > 0)
+      .select(col("id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = tok.select(col("id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf_r",
+        ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
+          (col("dfreq").cast("double") + lit(0.5)))
+      .withColumn("s_e12",
+        round(lit(1.0e12) * (col("idf_r") *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) *
+                (col("dl").cast("double") / col("avgdl")))))))
+          .cast("long"))
+    scored.groupBy(col("id").as(idCol))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        sum(col("s_e12")).as("score_e12"))
+      .orderBy(col("score_e12").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The composite: top-k most similar chunks (self included, rank 1) for
     * every chunk whose id matches `queryMod` — (query_id, rank, vec_id,
     * sim) over chunk ids.
