@@ -1782,6 +1782,18 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "vector", "dup"), 10)),
+
+    // ---- Content-defined chunking (FastCDC family, token granularity):
+    // boundary when md5hash60(token) % 4 == 0 — duplicated spans chunk
+    // identically at any offset. Oracle replays boundary flags, running
+    // chunk ids, and the ordered rebuild row for row.
+    "q_cdc_chunks" -> ((s, dir) =>
+      Chunker.contentDefinedChunks(Tables.documents(s, dir), "doc_id", "text", 4)),
+
+    // ---- CDC storage-dedup report: per distinct chunk content, copies /
+    // docs / reclaimable token mass.
+    "q_cdc_dedup" -> ((s, dir) =>
+      Chunker.cdcDedupReport(Tables.documents(s, dir), "doc_id", "text", 4)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3333,6 +3345,17 @@ object SparkEntry {
         "SELECT doc_id, max(dl) AS dl, count(*) AS n_terms, " +
         "CAST(sum(s_e12) AS BIGINT) AS score_e12 FROM sc GROUP BY doc_id " +
         "ORDER BY score_e12 DESC, doc_id LIMIT 10"),
+    // CDC replay: positioned tokens -> boundary flags -> running chunk
+    // ids -> ordered chunk rebuild + md5.
+    "q_cdc_chunks" ->
+      (s"WITH $sqlToksCte, $sqlCdcChunkCtes " +
+        "SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM ch"),
+    "q_cdc_dedup" ->
+      (s"WITH $sqlToksCte, $sqlCdcChunkCtes " +
+        "SELECT chunk_hash, max(n_tokens) AS n_tokens, " +
+        "count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, " +
+        "CAST((count(*) - 1) * max(n_tokens) AS BIGINT) AS dup_tokens, " +
+        "count(*) > 1 AS is_dup FROM ch GROUP BY 1"),
   )
 
   /** Nearest-centroid training CTEs (mirrors QualityModel.trainCentroid
@@ -3496,6 +3519,23 @@ object SparkEntry {
       s"LEFT JOIN cx$sfx x ON s.ctx = x.ctx CROSS JOIN vv$sfx WHERE vv$sfx.v > 0), " +
       s"s$sfx AS (SELECT doc_id, count(*) AS n_bigrams, " +
       s"CAST(sum(p_e12) // count(*) AS BIGINT) AS avg_e12 FROM p$sfx GROUP BY doc_id)"
+
+  /** Content-defined chunk CTEs over `toks` → `ch(doc_id, chunk_idx,
+    * n_tokens, chunk_hash)` (mirrors Chunker.contentDefinedChunks with
+    * maskMod = 4: boundary = 60-bit md5 of the token ≡ 0 mod 4, chunk id
+    * = running inclusive boundary count, hash over the space-rejoined
+    * in-order tokens).
+    */
+  private lazy val sqlCdcChunkCtes =
+    "tokp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
+      "t[CAST(i AS INT)] AS tok FROM toks, unnest(range(1, len(t) + 1)) AS u(i)), " +
+      s"flg AS (SELECT doc_id, pos, tok, CASE WHEN ${sqlHash60("tok", 0)} % 4 = 0 " +
+      "THEN 1 ELSE 0 END AS b FROM tokp), " +
+      "cid AS (SELECT doc_id, pos, tok, CAST(sum(b) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx FROM flg), " +
+      "ch AS (SELECT doc_id, chunk_idx, count(*) AS n_tokens, " +
+      "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash " +
+      "FROM cid GROUP BY 1, 2)"
 
   /** 3-gram shingles (mirrors NearDup.shingles with n=3). */
   private val sqlShCte =

@@ -118,4 +118,62 @@ class ChunkerSpec extends SparkSpec {
     // the unrelated doc's chunk ranks strictly below
     assert(q.find(_._2 == 3L).get._4 < 1.0 - 1e-9)
   }
+
+  test("CDC chunks cover every token exactly once, in order") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val ch = Chunker.contentDefinedChunks(docs, "doc_id", "text", 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens").as[(Long, Long)].collect()
+    assert(ch.map(_._2).sum == 8L)                      // all tokens, once
+    assert(ch.map(_._1).toSeq == ch.map(_._1).toSeq.distinct) // one row per chunk
+    // chunk ids are the running boundary count: consecutive, step <= 1
+    val ids = ch.map(_._1)
+    assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 })
+  }
+
+  test("CDC is offset-resilient: an inserted token leaves later chunks intact") {
+    // Fixed-width chunking would shift everything after the insertion;
+    // content-defined boundaries re-synchronize at the next boundary
+    // token, so the duplicated tail produces identical chunk hashes.
+    val tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, s"prefix $tail"), (2L, s"prefix inserted $tail"))
+      .toDF("doc_id", "text")
+    val ch = Chunker.contentDefinedChunks(docs, "doc_id", "text", 2)
+      .select("doc_id", "chunk_hash").as[(Long, String)].collect()
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    val shared = h1.intersect(h2)
+    // all chunks strictly after the first boundary past the insertion
+    // match; only the head chunk(s) differ
+    assert(shared.size >= h1.size - 2,
+      s"expected near-total overlap, got ${shared.size} of ${h1.size}")
+    // and an identical pair of docs chunks identically
+    val dup = Seq((1L, tail), (2L, tail)).toDF("doc_id", "text")
+    val dh = Chunker.contentDefinedChunks(dup, "doc_id", "text", 2)
+      .select("doc_id", "chunk_hash").as[(Long, String)].collect()
+    assert(dh.filter(_._1 == 1L).map(_._2).toSet ==
+      dh.filter(_._1 == 2L).map(_._2).toSet)
+  }
+
+  test("CDC dedup report counts copies and reclaimable mass") {
+    val docs = Seq((1L, "x x x"), (2L, "x x x"), (3L, "y y")).toDF("doc_id", "text")
+    // "x x x" chunks identically in docs 1 and 2 (cross-doc dup); "y y"
+    // may also self-dup WITHIN doc 3 if "y" is a boundary token — both
+    // are legitimate CDC duplicates, so assert the invariants, not a
+    // hand-picked layout.
+    val rep = Chunker.cdcDedupReport(docs, "doc_id", "text", 4)
+      .select("n_tokens", "n_copies", "n_docs", "dup_tokens", "is_dup")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val dups = rep.filter(_._5)
+    assert(dups.forall(r => r._4 == (r._2 - 1) * r._1 && r._2 > 1))
+    // the identical docs 1 and 2 must share every chunk: some row spans 2 docs
+    assert(dups.exists(r => r._3 == 2L && r._2 == 2L))
+    assert(rep.filter(!_._5).forall(r => r._2 == 1L && r._4 == 0L))
+    // empty corpus -> empty report
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Chunker.contentDefinedChunks(empty, "doc_id", "text", 4).count() == 0)
+    assert(Chunker.cdcDedupReport(empty, "doc_id", "text", 4).count() == 0)
+  }
 }

@@ -21,14 +21,17 @@ class PlanGuaranteesSpec extends SparkSpec {
     * Ann.knnLabelEval Scaladoc). q_tfidf_top:
     * crossJoin(broadcast(<one-row aggregate>)) — attaching a single scalar
     * (corpus size) to every row plans as a BNLJ whose build side is ONE
-    * row; that is constant-attach, not a candidate blowup. q_ann_recall:
+    * row; that is constant-attach, not a candidate blowup (same shape in
+    * q_lm_score / q_lm_contrast — the vocab-size scalar — and q_bm25 —
+    * the (n_docs, sum_dl) pair). q_ann_recall:
     * the recall audit's exact-truth side is all-pairs BY CONTRACT, bounded
     * to a sample tier by the operator's required samplePred argument
     * (Ann.embeddingRecallEval Scaladoc).
     */
   private val allowedBnlj =
     Set("q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
-      "q_rag_topk", "q_tfidf_top", "q_ann_recall")
+      "q_rag_topk", "q_tfidf_top", "q_ann_recall",
+      "q_lm_score", "q_lm_contrast", "q_bm25")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -147,5 +150,14 @@ class PlanGuaranteesSpec extends SparkSpec {
       assert(!analyzed.contains("ResolvedHint (strategy=broadcast)"),
         s"$q analyzed plan carries a forced broadcast hint:\n$analyzed")
     }
+  }
+
+  test("CDC chunk rebuild reuses the window's doc_id partitioning — one data shuffle") {
+    // The running-boundary-count window shuffles on doc_id once; the
+    // (doc_id, chunk_idx) rebuild aggregate must SATISFY that clustering
+    // (partition keys ⊆ grouping keys), not re-shuffle. A second exchange
+    // here doubles the operator's data movement at 100 TB.
+    val p = plan("q_cdc_chunks")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 }
