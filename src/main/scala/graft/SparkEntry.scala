@@ -1794,6 +1794,15 @@ object SparkEntry {
     // docs / reclaimable token mass.
     "q_cdc_dedup" -> ((s, dir) =>
       Chunker.cdcDedupReport(Tables.documents(s, dir), "doc_id", "text", 4)),
+
+    // ---- DSIR importance weights: every document weighted by hashed-
+    // bigram target/raw probability ratios (target = lang 'en'), e6
+    // fixed point — the importance-resampling selection signal.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LanguageModel.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", 256)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3356,6 +3365,24 @@ object SparkEntry {
         "count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, " +
         "CAST((count(*) - 1) * max(n_tokens) AS BIGINT) AS dup_tokens, " +
         "count(*) > 1 AS is_dup FROM ch GROUP BY 1"),
+    // DSIR replay: hashed-bigram buckets, add-one smoothed target/raw
+    // ratio at e6, exact integer sums per doc.
+    "q_dsir_weights" ->
+      (s"WITH $sqlLmToksCte, $sqlLmBgCte, " +
+        s"fr AS (SELECT doc_id, ${sqlHash60("bigram", 0)} % 256 AS bucket FROM bgl), " +
+        s"ft AS (SELECT doc_id, ${sqlHash60("bigram", 0)} % 256 AS bucket FROM bgl " +
+        "WHERE lang = 'en'), " +
+        "tc AS (SELECT bucket, count(*) AS t_b FROM ft GROUP BY 1), " +
+        "rc AS (SELECT bucket, count(*) AS r_b FROM fr GROUP BY 1), " +
+        "tots AS (SELECT (SELECT count(*) FROM ft) AS t_tot, " +
+        "(SELECT count(*) FROM fr) AS r_tot), " +
+        "sc AS (SELECT fr.doc_id, CAST(round(1000000.0 * (" +
+        "(CAST(coalesce(tc.t_b, 0) + 1 AS DOUBLE) / CAST(t_tot + 256 AS DOUBLE)) / " +
+        "(CAST(rc.r_b + 1 AS DOUBLE) / CAST(r_tot + 256 AS DOUBLE)))) AS BIGINT) AS r_e6 " +
+        "FROM fr LEFT JOIN tc ON fr.bucket = tc.bucket " +
+        "JOIN rc ON fr.bucket = rc.bucket CROSS JOIN tots WHERE t_tot > 0) " +
+        "SELECT doc_id, count(*) AS n_feats, CAST(sum(r_e6) AS BIGINT) AS sum_r_e6, " +
+        "CAST(sum(r_e6) // count(*) AS BIGINT) AS avg_r_e6 FROM sc GROUP BY 1"),
   )
 
   /** Nearest-centroid training CTEs (mirrors QualityModel.trainCentroid

@@ -87,6 +87,66 @@ object LanguageModel {
   def likelihood(df: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainst(df, df, idCol, textCol)
 
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public): every raw document weighted
+    * by how much its hashed-bigram features look drawn from the TARGET
+    * distribution rather than the raw one. Features are bigrams hashed
+    * into `nBuckets` buckets (vocab-free — the hashing is what makes the
+    * method run at web scale without a vocabulary build); both
+    * distributions are add-one smoothed over the bucket space, and each
+    * feature occurrence contributes the ratio
+    *
+    *   r_b = ((t_b + 1) / (tTot + B)) / ((r_b + 1) / (rTot + B))
+    *
+    * — target probability over raw probability of its bucket. The paper
+    * sums LOG ratios; per the repo FP contract each ratio is instead
+    * frozen at e6 fixed point (three correctly-rounded IEEE divisions +
+    * one multiply, identical tree both engines; e6 not e12 because r_b
+    * is unbounded above by rTot + B, and the headroom keeps per-doc
+    * BIGINT sums safe at web scale) and documents aggregate exact
+    * integer sums. avg_r_e6 > 1e6 reads as "more target-like than raw".
+    *
+    * Output: one row per raw doc with >= 1 bigram — (idCol, n_feats,
+    * sum_r_e6, avg_r_e6). Empty TARGET voids the weighting (tTot-row
+    * guard, same convention as [[scoreAgainst]]'s V > 0); an empty raw
+    * corpus yields no rows naturally.
+    *
+    * Scale shape: two bucket-sized hash aggregates (bounded by nBuckets)
+    * + one equi-join of the raw feature stream against the bucket table
+    * + one-row broadcast totals. No vocabulary, no all-pairs, no window.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
+    def feats(df: DataFrame): DataFrame =
+      bigramRows(df, idCol, textCol)
+        .select(col("id"),
+          (graft.functions.md5hash60(col("bigram")) % nBuckets).as("bucket"))
+    val tf = feats(target)
+    val rf = feats(raw)
+    val tc = tf.groupBy("bucket").agg(count(lit(1)).as("t_b"))
+    val rc = rf.groupBy("bucket").agg(count(lit(1)).as("r_b"))
+    val tots = tf.agg(count(lit(1)).as("t_tot"))
+      .crossJoin(rf.agg(count(lit(1)).as("r_tot")))
+    val scored = rf
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"))  // own bucket always present
+      .crossJoin(broadcast(tots))
+      .filter(col("t_tot") > 0)
+      .withColumn("r_e6",
+        round(lit(1.0e6) *
+          (((coalesce(col("t_b"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_tot") + lit(nBuckets.toLong)).cast("double")) /
+            ((col("r_b") + lit(1L)).cast("double") /
+              (col("r_tot") + lit(nBuckets.toLong)).cast("double"))))
+          .cast("long"))
+    scored.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("r_e6")).as("sum_r_e6"))
+      .withColumn("avg_r_e6", expr("sum_r_e6 div n_feats"))
+  }
+
   /** CCNet-style domain contrast: every document scored under TWO models
     * — one trained on the in-domain slice (`inDomain` true), one on the
     * out-domain rest — and ranked by the difference. A document whose

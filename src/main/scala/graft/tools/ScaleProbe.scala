@@ -147,7 +147,20 @@ object ScaleProbe {
       // must track postings + emitted pairs, never the pair potential
       "frame_dedup" -> (d =>
         Multimodal.sharedFramePairs(
-          Multimodal.withPayload(d, "text"), "doc_id").count())
+          Multimodal.withPayload(d, "text"), "doc_id").count()),
+      // model counts are bigram-distinct-sized hash aggs; scoring is an
+      // equi-join on the bigram — runtime must track corpus token count
+      "lm_likelihood" -> (d =>
+        LanguageModel.likelihood(d, "doc_id", "text").count()),
+      // dl/avgdl one agg + one-row broadcast; tf touches only query-term
+      // tokens — scan-linear with a bounded-heap top-k
+      "bm25_topk" -> (d =>
+        Retrieval.bm25TopK(d, "doc_id", "text",
+          Seq("spark", "vector", "dup"), 10).count()),
+      // one doc_id shuffle (window) + same-partitioning rebuild agg;
+      // replication adds whole docs so chunk count grows Rx
+      "cdc_dedup" -> (d =>
+        Chunker.cdcDedupReport(d, "doc_id", "text", 4).count())
     )
 
     val factors = Seq(1, 4, 10)

@@ -58,6 +58,33 @@ class LanguageModelSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("dsir weights: single-bucket case is exactly neutral") {
+    // nBuckets = 1 collapses all features: both distributions are the
+    // same point mass, every ratio is exactly 1.0 -> 1e6.
+    val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val target = Seq((1L, "a b")).toDF("doc_id", "text")
+    val out = LanguageModel.importanceWeights(raw, target, "doc_id", "text", 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(out === Array((1L, 1L, 1000000L, 1000000L),
+      (2L, 1L, 1000000L, 1000000L)))
+  }
+
+  test("dsir weights separate target-like from non-target docs") {
+    val raw = Seq((1L, "x y"), (2L, "z w")).toDF("doc_id", "text")
+    val target = Seq((9L, "x y")).toDF("doc_id", "text")
+    val out = LanguageModel
+      .importanceWeights(raw, target, "doc_id", "text", 1 << 20)
+      .orderBy("doc_id").select("doc_id", "avg_r_e6")
+      .as[(Long, Long)].collect().toMap
+    // the target bigram's bucket is upweighted past neutral; the unseen
+    // one downweighted below it
+    assert(out(1L) > 1000000L && out(2L) < 1000000L, out)
+    // empty target voids the weighting
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LanguageModel.importanceWeights(raw, none, "doc_id", "text", 16)
+      .count() == 0)
+  }
+
   test("bm25 ranks the doc dense in a rare term first") {
     // "z" appears only in doc 3 (df=1, rare); "a" is everywhere.
     val corpus = Seq(
