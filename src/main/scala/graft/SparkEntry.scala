@@ -1795,6 +1795,14 @@ object SparkEntry {
     "q_cdc_dedup" -> ((s, dir) =>
       Chunker.cdcDedupReport(Tables.documents(s, dir), "doc_id", "text", 4)),
 
+    // ---- Sorted-neighborhood linkage (SNM): levenshtein-verified pairs
+    // among the 10 sort-successors of each customer name — the classic
+    // n·w-budget blocking family; positions from the distributed
+    // densePositions scan, pairing via position-bucket equi-join.
+    "q_link_snm" -> ((s, dir) =>
+      Linker.sortedNeighborhood(Tables.customer(s, dir), "c_custkey",
+        "c_name", 10, 2)),
+
     // ---- DSIR importance weights: every document weighted by hashed-
     // bigram target/raw probability ratios (target = lang 'en'), e6
     // fixed point — the importance-resampling selection signal.
@@ -3365,6 +3373,18 @@ object SparkEntry {
         "count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, " +
         "CAST((count(*) - 1) * max(n_tokens) AS BIGINT) AS dup_tokens, " +
         "count(*) > 1 AS is_dup FROM ch GROUP BY 1"),
+    // SNM replay: row_number over the total (key, id) order, pairs within
+    // 10 positions, banded levenshtein verify.
+    "q_link_snm" ->
+      ("WITH base AS (SELECT c_custkey AS id, c_name AS key FROM customer " +
+        "WHERE c_name IS NOT NULL), " +
+        "p AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS pos " +
+        "FROM base) " +
+        "SELECT a.id AS id_a, a.key AS key_a, b.id AS id_b, b.key AS key_b, " +
+        "CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist, " +
+        "b.pos - a.pos AS gap " +
+        "FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 10 " +
+        "WHERE levenshtein(a.key, b.key) <= 2"),
     // DSIR replay: hashed-bigram buckets, add-one smoothed target/raw
     // ratio at e6, exact integer sums per doc.
     "q_dsir_weights" ->

@@ -87,6 +87,65 @@ object Linker {
           concat_ws(",", sort_array(collect_set(col(src)))).as(dst)
         }: _*)
 
+  /** Sorted-neighborhood method (SNM — Hernández & Stolfo's classic
+    * record-linkage blocking): sort the corpus by the key, compare each
+    * row only against the `windowSize` rows that FOLLOW it in sort order,
+    * verify with a banded levenshtein. The third candidate-generation
+    * family next to the deletion-neighborhood equi-join (exact) and
+    * MinHash/SimHash banding (similarity): recall-limited BY DESIGN — a
+    * typo in the first character sorts far away — but cost is exactly
+    * n·windowSize comparisons, the predictable budget master-data teams
+    * size by. Output: (id_a, key_a, id_b, key_b, dist, gap) for verified
+    * pairs within the window, gap = position distance (1..windowSize).
+    *
+    * Scale shape: the global sort positions come from
+    * [[PrefixSum.densePositions]] (range partition + per-partition
+    * row_number + driver offset scan — NEVER the single-task
+    * `row_number() OVER (ORDER BY key)` window), and the window pairing
+    * is an equi-join on position BUCKETS (pos div windowSize; each left
+    * row probes its own and the next bucket), so candidates materialize
+    * as two copies of the corpus joined on a skew-free integer key —
+    * no self-cross-join, no single-task stage anywhere. shuffle_hash pin
+    * (build = the single-copy b side) for the same post-explode-opacity
+    * reason as EditDistanceJoin: Catalyst cannot size the exploded side
+    * and may otherwise broadcast it.
+    *
+    * Caller contract: unique ids. Determinism: sort order is
+    * (key, id) — total, so positions and therefore the emitted pair set
+    * are unique; ties in key cannot reorder across runs.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         windowSize: Int, maxDist: Int): DataFrame = {
+    require(windowSize > 0, s"need windowSize > 0, got $windowSize")
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+      .filter(col("key").isNotNull)
+    val posed = PrefixSum.densePositions(base, Seq("key", "id"))
+      .select("pos", "id", "key")
+    val wl = windowSize.toLong
+    // b's bucket is pos div w; an a-row's successors within w positions
+    // live in a's bucket or the next one — replicate a into both and meet
+    // on the bucket (each true pair meets exactly once: b has one bucket,
+    // a's two copies land in different buckets).
+    val a = posed.select(col("pos").as("pos_a"), col("id").as("id_a"),
+        col("key").as("key_a"))
+      .withColumn("__bkt", explode(array(
+        expr(s"pos_a div $wl"), expr(s"pos_a div $wl + 1"))))
+    val b = posed.select(expr(s"pos div $wl").as("__bkt"),
+      col("pos").as("pos_b"), col("id").as("id_b"), col("key").as("key_b"))
+    // ONE banded levenshtein per candidate: the 3-arg form returns the
+    // distance when <= maxDist (else -1), so the filter's O(maxDist·len)
+    // computation doubles as the dist column — never a second unbanded
+    // O(len²) pass per emitted pair (measured 1.8x on the 10x ScaleProbe
+    // worst case, where emitted pairs dominate).
+    a.join(b.hint("shuffle_hash"), "__bkt")
+      .filter(col("pos_b") > col("pos_a") && col("pos_b") <= col("pos_a") + wl)
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"),
+        col("dist"), (col("pos_b") - col("pos_a")).as("gap"))
+  }
+
   /** Full Task-1 + Task-2 pipeline shape on a generic (name, alt) table:
     * exact dedup, then link, then cluster member sets.
     */

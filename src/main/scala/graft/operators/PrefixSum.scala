@@ -63,6 +63,43 @@ object PrefixSum {
       .drop("__pid", "__local", "__off")
   }
 
+  /** Adds `pos`: each row's 1-based GLOBAL position in `orderCols` order —
+    * the distributed form of `row_number() OVER (ORDER BY ...)`, which in
+    * plain Spark is the same single-task window cliff as the unpartitioned
+    * running sum (class doc). Same two-phase scan: range-partition on the
+    * order key, per-partition row_number (parallel), per-partition COUNTS
+    * to the driver (numPartitions longs), exclusive-scan into offsets,
+    * broadcast back. Caller contract: the `orderCols` combination is
+    * UNIQUE per row (append a tie-breaker id — otherwise positions within
+    * a duplicate key are nondeterministic in any engine).
+    */
+  def densePositions(df: DataFrame, orderCols: Seq[String],
+                     numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = orderCols.map(col)
+    val parted = df
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    val local = parted.withColumn("__local",
+      row_number().over(w).cast("long"))
+    val totals = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    local.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("pos", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
   /** GROUPED running total: the inclusive prefix sum of `valueCol` in
     * `orderCols` order, resetting per `groupCol` — same two-phase scan as
     * [[runningTotal]], so a single giant group never collapses into one

@@ -65,6 +65,21 @@ import org.apache.spark.sql.functions._
   * cost model). frame_dedup 1.49x/2.09x at 4x/10x while the emitted
   * shared-frame pairs grew ~300x (511 -> 152,980) — the posting shape
   * holding under the R²-pair worst case, like minhash_lsh_pairs.
+  *
+  * Text-scoring / CDC family (round 8, same protocol): lm_likelihood
+  * 1.20x/2.42x and bm25_topk 1.55x/3.59x at 4x/10x (sublinear — fixed
+  * overhead dominates the agg+join chains), cdc_dedup 1.88x/4.91x
+  * (linear: one doc_id shuffle + reused-partitioning rebuild),
+  * dsir_weights 3.21x/8.22x (linear in the feature stream — the bucket
+  * tables are nBuckets-bounded, only the raw-side join input grows).
+  * link_snm on name-length (24-char) keys 1.29x/2.51x while emitted
+  * pairs grew 517x (475 -> 245,790 — replication saturates every sort
+  * window with near-identical copies on purpose); snm_positions (the
+  * densePositions half alone) is FLAT at 0.66x. Probing with the full
+  * ~250-char document text as the key instead measured 6.8x/27.9x —
+  * pure banded-levenshtein arithmetic (n·w candidates x O(len·d) each),
+  * not join shape; SNM's domain is short sort keys, and the probe pins
+  * that contract.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -160,12 +175,39 @@ object ScaleProbe {
       // one doc_id shuffle (window) + same-partitioning rebuild agg;
       // replication adds whole docs so chunk count grows Rx
       "cdc_dedup" -> (d =>
-        Chunker.cdcDedupReport(d, "doc_id", "text", 4).count())
+        Chunker.cdcDedupReport(d, "doc_id", "text", 4).count()),
+      // bucket-bounded aggs + one feature-stream equi-join — must track
+      // bigram count; the en-slice target replicates with the corpus
+      "dsir_weights" -> (d =>
+        LanguageModel.importanceWeights(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", 256).count()),
+      // n·w candidate budget: positions via the two-phase scan, pairing
+      // on position buckets — runtime must track corpus size, never n².
+      // Key = a name-length prefix (SNM sorts on short keys — names,
+      // normalized addresses; the banded verify is O(w·len·d) per row, so
+      // a document-length key would measure lev cost, not join shape).
+      "link_snm" -> (d =>
+        Linker.sortedNeighborhood(
+          d.withColumn("k", substring(col("text"), 1, 24)),
+          "doc_id", "k", 10, 5).count()),
+      // the position-assignment half alone (range shuffle + per-partition
+      // row_number + offset broadcast) — isolates sort cost from the
+      // pairing/verify stages of link_snm
+      "snm_positions" -> (d =>
+        PrefixSum.densePositions(
+          d.select(col("doc_id").as("id"), col("text").as("key")),
+          Seq("key", "id")).count())
     )
+
+    // Optional probe-name args: run only those (local iteration — the
+    // full sweep is ~15 min; a targeted probe is one).
+    val only = args.toSet
+    def keep(ps: Seq[(String, DataFrame => Long)]): Seq[(String, DataFrame => Long)] =
+      if (only.isEmpty) ps else ps.filter(p => only(p._1))
 
     val factors = Seq(1, 4, 10)
     println(f"[scale] base corpus: $nBase rows ($sfDir)")
-    val results = probes.map { case (name, f) =>
+    val results = keep(probes).map { case (name, f) =>
       val times = factors.map { r =>
         val d = replicate(r).localCheckpoint(true) // materialize the input
         val (warm, _) = time(f(d))                 // warm the JIT/codegen path
@@ -209,7 +251,7 @@ object ScaleProbe {
         Ann.semanticDedup(d, "vec_id", "embedding", IvfFixture.model, 0.3)
           .count())
     )
-    val embResults = embProbes.map { case (name, f) =>
+    val embResults = keep(embProbes).map { case (name, f) =>
       val times = factors.map { r =>
         val d = replicateEmb(r).localCheckpoint(true)
         val (warm, _) = time(f(d))
@@ -242,7 +284,7 @@ object ScaleProbe {
       "retention" -> (d =>
         EventOps.retention(d, "user_id", "ts", 8).count())
     )
-    val evResults = evProbes.map { case (name, f) =>
+    val evResults = keep(evProbes).map { case (name, f) =>
       val times = factors.map { r =>
         val d = replicateEv(r).localCheckpoint(true)
         val (warm, _) = time(f(d))
@@ -286,7 +328,7 @@ object ScaleProbe {
           pairs.select(col("id_a").as("src"), col("id_b").as("dst"))).count()
       })
     )
-    val graphResults = graphProbes.map { case (name, f) =>
+    val graphResults = keep(graphProbes).map { case (name, f) =>
       val times = factors.map { r =>
         val d = replicate(r).localCheckpoint(true)
         val (warm, _) = time(f(d))

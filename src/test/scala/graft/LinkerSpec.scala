@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Linker
+import org.apache.spark.sql.functions.col
 
 class LinkerSpec extends SparkSpec {
   import spark.implicits._
@@ -72,5 +73,47 @@ class LinkerSpec extends SparkSpec {
     val out = Linker.windowCollect(pairs, "uniqId", Seq("name_a" -> "CollectedNames"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("k1" -> "a,b", "k2" -> "z"))
+  }
+
+  test("sortedNeighborhood matches the single-node replay on suppliers") {
+    val supplier = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val w = 5
+    val got = Linker.sortedNeighborhood(supplier, "s_suppkey", "s_name", w, 2)
+      .select("id_a", "id_b", "dist", "gap")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // replay: sort by (name, id), pair within w positions, lev <= 2
+    val rows = supplier.select(col("s_suppkey"), col("s_name"))
+      .as[(Long, String)].collect().sortBy(r => (r._2, r._1))
+    val expected = (for {
+      i <- rows.indices
+      j <- (i + 1) to math.min(i + w, rows.length - 1)
+      d = levDist(rows(i)._2, rows(j)._2)
+      if d <= 2
+    } yield (rows(i)._1, rows(j)._1, d.toLong, (j - i).toLong)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // every gap honors the window and positions pair each (a, b) once
+    assert(got.forall(p => p._4 >= 1 && p._4 <= w))
+    assert(got.size == got.map(p => (p._1, p._2)).size)
+  }
+
+  test("sortedNeighborhood: null keys drop, empty input is empty") {
+    val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String]), (3L, "abd"))
+      .toDF("id", "key")
+    val got = Linker.sortedNeighborhood(df, "id", "key", 3, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)))
+    val empty = Seq.empty[(Long, String)].toDF("id", "key")
+    assert(Linker.sortedNeighborhood(empty, "id", "key", 3, 2).count() == 0)
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
   }
 }
