@@ -1803,6 +1803,24 @@ object SparkEntry {
       Linker.sortedNeighborhood(Tables.customer(s, dir), "c_custkey",
         "c_name", 10, 2)),
 
+    // ---- In-engine BPE tokenizer training: 6 merges learned over the
+    // corpus (pair-count hash agg + argmax + codegen fold per round, all
+    // on the vocabulary-bounded distinct-word table). Oracle replays
+    // every round as unrolled CTEs with positional merge semantics.
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.train(Tables.documents(s, dir), "text", 6)),
+
+    // ---- Encode with the trained merges: per-doc word/subword counts —
+    // the token-budget readout of a candidate tokenizer. Train's collect
+    // is the model artifact (K6 driver materialization by semantics).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = Bpe.train(docs, "text", 6).orderBy("merge_rank")
+        .select("x", "y").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Bpe.encode(docs, "doc_id", "text", m)
+    }),
+
     // ---- DSIR importance weights: every document weighted by hashed-
     // bigram target/raw probability ratios (target = lang 'en'), e6
     // fixed point — the importance-resampling selection signal.
@@ -3373,6 +3391,16 @@ object SparkEntry {
         "count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, " +
         "CAST((count(*) - 1) * max(n_tokens) AS BIGINT) AS dup_tokens, " +
         "count(*) > 1 AS is_dup FROM ch GROUP BY 1"),
+    // BPE replay: 6 unrolled merge rounds over the distinct-word table,
+    // positional left-to-right merge semantics (see sqlBpeCtes).
+    "q_bpe_train" ->
+      (s"WITH $sqlLmToksCte, ${sqlBpeCtes(6)} ${sqlBpeMergeSelect(6)}"),
+    "q_bpe_encode" ->
+      (s"WITH $sqlLmToksCte, ${sqlBpeCtes(6)}, " +
+        "occ AS (SELECT doc_id, unnest(t) AS word FROM toksl) " +
+        "SELECT occ.doc_id, count(*) AS n_words, " +
+        "CAST(sum(len(w6.s)) AS BIGINT) AS n_subwords " +
+        "FROM occ JOIN w6 ON occ.word = w6.word GROUP BY 1"),
     // SNM replay: row_number over the total (key, id) order, pairs within
     // 10 positions, banded levenshtein verify.
     "q_link_snm" ->
@@ -3566,6 +3594,58 @@ object SparkEntry {
       s"LEFT JOIN cx$sfx x ON s.ctx = x.ctx CROSS JOIN vv$sfx WHERE vv$sfx.v > 0), " +
       s"s$sfx AS (SELECT doc_id, count(*) AS n_bigrams, " +
       s"CAST(sum(p_e12) // count(*) AS BIGINT) AS avg_e12 FROM p$sfx GROUP BY doc_id)"
+
+  /** BPE training replay over `toksl` (lowercased tokens): k unrolled
+    * merge rounds. Round i reads w{i-1}(word, f, s) and emits
+    * b{i}(x, y, c) — the argmax pair — and w{i} with that pair merged
+    * left-to-right non-overlapping, expressed POSITIONALLY: match starts
+    * h{i}, grouped into consecutive runs, odd-within-run active (a{i}),
+    * then a per-position rebuild. Equivalent to the engine's fold
+    * (Bpe.scala Scaladoc: a merged symbol is strictly longer than its
+    * left part, so it can never immediately re-merge — both forms are
+    * the textbook scan; BpeSpec pins it).
+    */
+  private def sqlBpeCtes(k: Int): String = {
+    // MATERIALIZED on every multiply-referenced round CTE: DuckDB
+    // default-inlines CTEs per reference, and w{i} is read three times
+    // by round i+1 — un-materialized, the 6-round chain re-expands
+    // 3^6-fold and the oracle never returns.
+    val w0 = "wf AS (SELECT word, count(*) AS f FROM " +
+      "(SELECT unnest(t) AS word FROM toksl) GROUP BY 1), " +
+      "w0 AS MATERIALIZED (SELECT word, f, " +
+      "list_transform(range(1, length(word) + 1), " +
+      "i -> substr(word, CAST(i AS INT), 1)) AS s FROM wf)"
+    val iters = (1 to k).map { i =>
+      val p = i - 1
+      s"pc$i AS (SELECT s[CAST(j AS INT)] AS x, s[CAST(j + 1 AS INT)] AS y, " +
+        s"sum(f) AS c FROM w$p, unnest(range(1, len(s))) AS u(j) GROUP BY 1, 2), " +
+        s"b$i AS MATERIALIZED (SELECT x, y, c FROM pc$i ORDER BY c DESC, x, y LIMIT 1), " +
+        s"h$i AS (SELECT w.word, u.j FROM w$p w, " +
+        s"unnest(range(1, len(w.s))) AS u(j), b$i b " +
+        s"WHERE w.s[CAST(u.j AS INT)] = b.x AND w.s[CAST(u.j + 1 AS INT)] = b.y), " +
+        s"a$i AS MATERIALIZED (SELECT word, j, " +
+        s"(row_number() OVER (PARTITION BY word, grp ORDER BY j)) % 2 = 1 AS act " +
+        s"FROM (SELECT word, j, j - row_number() OVER " +
+        s"(PARTITION BY word ORDER BY j) AS grp FROM h$i)), " +
+        s"e$i AS (SELECT q.word, q.f, q.j, " +
+        s"CASE WHEN coalesce(a1.act, FALSE) THEN " +
+        s"q.s[CAST(q.j AS INT)] || q.s[CAST(q.j + 1 AS INT)] " +
+        s"WHEN coalesce(a0.act, FALSE) THEN NULL " +
+        s"ELSE q.s[CAST(q.j AS INT)] END AS tok " +
+        s"FROM (SELECT w.word, w.f, w.s, u.j FROM w$p w, " +
+        s"unnest(range(1, len(w.s) + 1)) AS u(j)) q " +
+        s"LEFT JOIN a$i a1 ON a1.word = q.word AND a1.j = q.j " +
+        s"LEFT JOIN a$i a0 ON a0.word = q.word AND a0.j = q.j - 1), " +
+        s"w$i AS MATERIALIZED (SELECT word, f, list(tok ORDER BY j) AS s FROM e$i " +
+        s"WHERE tok IS NOT NULL GROUP BY word, f)"
+    }
+    (w0 +: iters).mkString(", ")
+  }
+
+  /** The q_bpe_train final select over [[sqlBpeCtes]]'s b{i} rows. */
+  private def sqlBpeMergeSelect(k: Int): String =
+    (1 to k).map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, x, y, " +
+      s"CAST(c AS BIGINT) AS pair_count FROM b$i").mkString(" UNION ALL ")
 
   /** Content-defined chunk CTEs over `toks` → `ch(doc_id, chunk_idx,
     * n_tokens, chunk_hash)` (mirrors Chunker.contentDefinedChunks with

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine BPE tokenizer training (Sennrich et al. 2016's byte-pair
+  * encoding over words — the merge-table learning step every LLM
+  * pipeline runs before tokenization; the reference has no tokenizer at
+  * all, north-star scope).
+  *
+  * Classic word-level BPE: words start as character sequences; each
+  * round counts adjacent symbol pairs across the corpus (weighted by
+  * word frequency), merges the most frequent pair everywhere
+  * (left-to-right, non-overlapping), and records it. The learned
+  * artifact is the ranked merge list.
+  *
+  * Scale shape — the part that matters at 100 TB: the ONLY corpus-sized
+  * stage is the initial word-frequency hash aggregate. The merge loop
+  * runs over the DISTINCT-WORD table (vocabulary-bounded — tens of
+  * millions of rows at web scale, not trillions), one pair-count hash
+  * aggregate + one bounded-heap argmax + one codegen'd fold per round,
+  * with a localCheckpoint per round so lineage stays flat (the PageRank
+  * iteration pattern). Driver state: ONE (x, y, count) row per round.
+  *
+  * Determinism: argmax tie-break is (count DESC, x ASC, y ASC) over
+  * binary string order — identical in Spark and DuckDB — and the
+  * left-to-right merge fold is order-defined, so the merge table is
+  * bit-stable across runs and engines.
+  *
+  * The merge fold's non-overlap falls out of the algebra: the fold
+  * merges when the accumulator's LAST symbol is x and the incoming one
+  * is y; a just-merged symbol is x||y, which is strictly longer than x
+  * and therefore never equal to it, so a freshly merged token can never
+  * immediately re-merge as the left side — exactly the textbook
+  * left-to-right non-overlapping scan. (For x == y runs like "aaaa"
+  * this yields every other start: aa|aa.) The DuckDB oracle replays the
+  * same semantics POSITIONALLY — match starts grouped into consecutive
+  * runs, odd positions within each run active — and the two
+  * formulations are asserted equal in BpeSpec.
+  */
+object Bpe {
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** The character-split expression over a `word` column. */
+  private[graft] val CharSplit =
+    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+
+  /** One left-to-right (x, y) -> x||y merge pass over the symbol-array
+    * expression `src`, as a codegen'd `aggregate` fold (no UDF).
+    */
+  private[graft] def mergeExpr(src: String, x: String, y: String): String = {
+    val (lx, ly) = (sqlLit(x), sqlLit(y))
+    s"aggregate($src, CAST(array() AS array<string>), (acc, e) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$lx' AND e = '$ly' " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array('$lx' || '$ly')) " +
+      s"ELSE concat(acc, array(e)) END)"
+  }
+
+  /** Distinct lowercased whitespace words with corpus frequencies and
+    * their initial character-symbol arrays.
+    */
+  private def initialSymbols(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(col("word"), col("f"), expr(CharSplit).as("s"))
+
+  /** Train `numMerges` BPE merges. Output: (merge_rank, x, y,
+    * pair_count) — merge_rank 1-based in learned order; fewer rows when
+    * the corpus runs out of mergeable pairs early (single-char
+    * vocabulary). An empty corpus yields an empty merge table.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"need numMerges > 0, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = initialSymbols(df, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val best = cur
+        .select(col("f"), explode(expr(
+          "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
+            "(a, b) -> struct(a AS x, b AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (x, y, c) = best(0)
+        merges += ((i + 1, x, y, c))
+        cur = cur.withColumn("s", expr(mergeExpr("s", x, y))).localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "x", "y", "pair_count")
+      .select(col("merge_rank").cast("long").as("merge_rank"), col("x"),
+        col("y"), col("pair_count"))
+  }
+
+  /** ENCODE with a trained merge list: per word, replay every merge in
+    * rank order; per document, count resulting subword tokens. Output:
+    * (idCol, n_words, n_subwords) — the before/after token-budget
+    * numbers a pipeline reads off a candidate tokenizer.
+    *
+    * Scale shape: the fold chain (k nested codegen aggregates, merge
+    * literals baked in — no join against the merge table, no UDF) runs
+    * once per DISTINCT word; documents re-attach by an equi-join on the
+    * word (hot stopwords skew partition volume, AQE rebalances) and
+    * aggregate counts. Never a per-occurrence fold.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val folded = merges.foldLeft(CharSplit) { case (acc, (x, y)) =>
+      mergeExpr(acc, x, y)
+    }
+    val occ = df.select(col(idCol),
+      explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+    val sub = occ.select("word").distinct()
+      .withColumn("n_sub", expr(s"size($folded)").cast("long"))
+    occ.join(sub, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+}

@@ -79,7 +79,9 @@ import org.apache.spark.sql.functions._
   * ~250-char document text as the key instead measured 6.8x/27.9x —
   * pure banded-levenshtein arithmetic (n·w candidates x O(len·d) each),
   * not join shape; SNM's domain is short sort keys, and the probe pins
-  * that contract.
+  * that contract. bpe_train (3 merges) is FLAT at 0.95x/1.17x — the only
+  * corpus-sized stage is the word-frequency aggregate; the merge loop
+  * rides the vocabulary-bounded distinct-word table.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -196,7 +198,11 @@ object ScaleProbe {
       "snm_positions" -> (d =>
         PrefixSum.densePositions(
           d.select(col("doc_id").as("id"), col("text").as("key")),
-          Seq("key", "id")).count())
+          Seq("key", "id")).count()),
+      // only the word-frequency agg is corpus-sized; the merge loop runs
+      // on the distinct-word table (vocab-bounded — near-flat here, the
+      // copysalt suffixes add R new words per base word)
+      "bpe_train" -> (d => Bpe.train(d, "text", 3).count())
     )
 
     // Optional probe-name args: run only those (local iteration — the

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Hand-computed BPE fixtures: merge order, weighted pair counts, the
+  * x == y run semantics (every-other-start), and encode round-trips.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns merges in weighted frequency order with ties broken lexically") {
+    // words: "aaab" f=2, "ab" f=1.
+    // round 1: (a,a) = 2 positions x f2 = 4 beats (a,b) = 2 + 1 = 3.
+    // round 2: after aaab -> [aa, a, b]: (a,b) = 2+1=3 beats (aa,a) = 2.
+    // round 3: aaab -> [aa, ab], ab -> [ab]: (aa, ab) = 2.
+    val docs = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", 3)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, Long)].collect()
+    assert(got === Array(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+  }
+
+  test("x == y runs merge every other start (left-to-right non-overlap)") {
+    // "aaaa": (a,a) appears at 3 positions -> count 3; merging yields
+    // [aa, aa], then (aa, aa) -> count 1 -> "aaaa" as one symbol.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", 3)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, Long)].collect()
+    assert(got === Array((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+    // only 2 merges possible -> early stop, 2 rows not 3
+  }
+
+  test("encode applies the merge list and counts subwords per doc") {
+    val docs = Seq((1L, "aaab ab"), (2L, "zz")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"))
+    // doc1: aaab -> [aa, ab] (2), ab -> [ab] (1) => 2 words, 3 subwords
+    // doc2: zz -> [z, z] untouched => 1 word, 2 subwords
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 2L, 3L), (2L, 1L, 2L)))
+    // no merges = character count
+    val raw = Bpe.encode(docs, "doc_id", "text", Nil)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(raw === Array((1L, 2L, 6L), (2L, 1L, 2L)))
+  }
+
+  test("empty corpus and single-char vocab stop cleanly") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(empty, "text", 3).count() == 0)
+    val single = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(Bpe.train(single, "text", 3).count() == 0) // no adjacent pairs
+    assert(Bpe.encode(empty, "doc_id", "text", Seq(("a", "b"))).count() == 0)
+  }
+
+  test("train is deterministic across repartitioned input") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Bpe.train(docs, "text", 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val b = Bpe.train(docs.repartition(7), "text", 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(a === b)
+    assert(a.length == 4)
+  }
+}
