@@ -1803,6 +1803,19 @@ object SparkEntry {
       Linker.sortedNeighborhood(Tables.customer(s, dir), "c_custkey",
         "c_name", 10, 2)),
 
+    // ---- Product quantization encode: every vector as 8 per-subspace
+    // code ids against the frozen PqFixture codebooks — the compressed
+    // representation a 100 TB ANN stores instead of raw floats.
+    "q_pq_encode" -> ((s, dir) =>
+      Ann.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PqFixture.model)),
+
+    // ---- PQ asymmetric-distance search: per-query LUT (e12 fixed
+    // point), corpus scanned as codes, integer distance sums, top-5.
+    "q_pq_search" -> ((s, dir) =>
+      Ann.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5)),
+
     // ---- In-engine BPE tokenizer training: 6 merges learned over the
     // corpus (pair-count hash agg + argmax + codegen fold per round, all
     // on the vocabulary-bounded distinct-word table). Oracle replays
@@ -3391,6 +3404,29 @@ object SparkEntry {
         "count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, " +
         "CAST((count(*) - 1) * max(n_tokens) AS BIGINT) AS dup_tokens, " +
         "count(*) > 1 AS is_dup FROM ch GROUP BY 1"),
+    // PQ replay against the frozen codebook literals: per-(vector,
+    // subspace) argmin assignment, pivoted to code columns.
+    "q_pq_encode" ->
+      (s"WITH $sqlPqCbCte, $sqlPqAsnCte " +
+        "SELECT vec_id, " +
+        (0 until 8).map(j =>
+          s"CAST(max(CASE WHEN j = $j THEN cid END) AS BIGINT) AS c$j")
+          .mkString(", ") +
+        " FROM asnp GROUP BY vec_id"),
+    // ADC: per-query subspace LUT at e12, integer sums over the 8 code
+    // lookups, (distance ASC, vec_id) top-5.
+    "q_pq_search" ->
+      (s"WITH $sqlPqCbCte, $sqlPqAsnCte, " +
+        "lut AS (SELECT c.vec_id AS query_id, p.j, p.cid, " +
+        s"CAST(round(1000000000000.0 * ${sqlPqD2("c.embedding", "p.j", "p.cv")}) AS BIGINT) AS d " +
+        "FROM embeddings c, pcb p WHERE c.vec_id % 50 = 0), " +
+        "sc AS (SELECT l.query_id, a.vec_id, sum(l.d) AS ad2 " +
+        "FROM asnp a JOIN lut l ON l.j = a.j AND l.cid = a.cid GROUP BY 1, 2) " +
+        "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
+        "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
     // BPE replay: 6 unrolled merge rounds over the distinct-word table,
     // positional left-to-right merge semantics (see sqlBpeCtes).
     "q_bpe_train" ->
@@ -3975,6 +4011,42 @@ object SparkEntry {
     } yield (1L << i) | (1L << j)
     (0L +: (singles ++ doubles)).mkString(", ")
   }
+
+  /** The frozen PQ codebooks (PqFixture) as a VALUES CTE — same
+    * CAST('<Double.toString>' AS DOUBLE) literal rule as [[sqlCentsCte]].
+    */
+  private lazy val sqlPqCbCte: String = {
+    val rows = for {
+      (cb, j) <- PqFixture.codebooks.zipWithIndex
+      (cid, v) <- cb
+    } yield s"($j, $cid, [${v.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")}])"
+    s"pcb AS (SELECT t.j, t.cid, t.cv FROM (VALUES ${rows.mkString(", ")}) t(j, cid, cv))"
+  }
+
+  /** Squared L2 between embedding subspace `j` of `vec` and codeword
+    * `cv` — elementwise diff then left-fold sum, mirroring
+    * Ann.d2Lit/DotProduct op for op (the diff is recomputed in the
+    * square's second factor; identical expression → identical rounded
+    * value).
+    */
+  private def sqlPqD2(vec: String, j: String, cv: String): String = {
+    val sd = PqFixture.model.subDim
+    def el(i: String) =
+      s"$vec[CAST($sd * $j + $i AS INT)]::DOUBLE - $cv[CAST($i AS INT)]"
+    s"list_reduce(list_transform(range(1, $sd + 1), i -> " +
+      s"(${el("i")}) * (${el("i")})), (acc, x) -> acc + x)"
+  }
+
+  /** Per-(vector, subspace) PQ code assignment CTE `asnp(vec_id, j,
+    * cid)`: argmin squared L2, ties to the lower code id (Spark's
+    * least-over-structs).
+    */
+  private lazy val sqlPqAsnCte: String =
+    "asnp AS MATERIALIZED (SELECT vec_id, j, cid FROM " +
+      "(SELECT c.vec_id, p.j, p.cid, row_number() OVER " +
+      "(PARTITION BY c.vec_id, p.j " +
+      s"ORDER BY ${sqlPqD2("c.embedding", "p.j", "p.cv")} ASC, p.cid) AS rn " +
+      "FROM embeddings c, pcb p) WHERE rn = 1)"
 
   /** The frozen IVF centroid set (IvfFixture) as a VALUES CTE. Each
     * component is emitted as CAST('<Double.toString>' AS DOUBLE): a BARE

@@ -596,4 +596,151 @@ object Ann {
           .as("sumsq_scaled"),
         min(expr("CAST(round(x * 1000000) AS BIGINT)")).as("min_scaled"),
         max(expr("CAST(round(x * 1000000) AS BIGINT)")).as("max_scaled"))
+
+  // ---- Product quantization (Jégou et al. 2011 — the compressed-domain
+  // ANN layout at 100 TB: vectors live as m small code ids, queries scan
+  // codes with a per-query lookup table instead of touching raw floats).
+
+  /** Trained PQ codebooks: `codebooks(j)` is the (code, codeword) set for
+    * subspace j over dims [j·subDim, (j+1)·subDim). Like [[IvfModel]]:
+    * train once per corpus snapshot ([[trainPq]] / FreezePq), serve many
+    * encode/search batches — tiny serializable driver state
+    * (m · ks · subDim doubles).
+    */
+  final case class PqModel(subDim: Int, codebooks: Array[Array[(Int, Seq[Double])]]) {
+    def m: Int = codebooks.length
+  }
+
+  /** Squared L2 between a sub-vector column and a literal codeword, as
+    * the elementwise diff (one rounding per component) self-folded
+    * through the sequential [[dot]] kernel — engine-exact against the
+    * DuckDB list_reduce mirror (same left-fold order, same IEEE ops).
+    */
+  private def d2Lit(sub: Column, v: Seq[Double]): Column = {
+    val diff = zip_with(sub, array(v.map(lit): _*), (x, y) => x - y)
+    dot(diff, diff)
+  }
+
+  private def subSlice(j: Int, subDim: Int): Column =
+    slice(col("emb_d"), j * subDim + 1, subDim)
+
+  /** Per-subspace code assignment columns c0..c{m-1}: argmin squared L2
+    * over the (small, literal) codebook — `least` over (d2, code)
+    * structs, ties to the lower code id; a pure codegen projection, zero
+    * exchanges (the [[assignedOver]] reasoning).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
+               model: PqModel): DataFrame = {
+    val corpus = emb
+      .withColumn("emb_d", toDouble(col(embCol)))
+      .select(col(idCol).as("vec_id"), col("emb_d"))
+    model.codebooks.zipWithIndex.foldLeft(corpus) { case (df, (cb, j)) =>
+      val scored = cb.map { case (cid, v) =>
+        struct(d2Lit(subSlice(j, model.subDim), v).as("d"),
+          lit(cid.toLong).as("cid"))
+      }
+      val best = if (scored.length == 1) scored.head else least(scored: _*)
+      df.withColumn(s"c$j", best.getField("cid"))
+    }.drop("emb_d")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * its m·ks lookup table of subspace distances to every codeword (e12
+    * fixed point — BIGINT sums are order-independent, the repo FP
+    * contract), then every corpus vector's approximate distance is the
+    * integer sum of m table lookups joined on (subspace, code).
+    *
+    * Scale shape: the corpus side is the (vec_id, j, code) long-format
+    * code table — m small ints per vector, the compression PQ exists
+    * for; the LUT is queries · m · ks rows, broadcast (bounded query
+    * batches by contract, same as the other ANN searches); the join is a
+    * broadcast hash probe (no shuffle despite only m·ks distinct join
+    * keys — key skew never materializes as exchange skew), and the
+    * grouped sum is map-side combinable. Output: (query_id, rank,
+    * vec_id, ad2_e12) — rank by (ad2_e12 ASC, vec_id).
+    */
+  def pqSearch(emb: DataFrame, idCol: String, embCol: String,
+               model: PqModel, queryPred: Column, k: Int): DataFrame = {
+    val codes = pqEncode(emb, idCol, embCol, model)
+    val codeLong = codes.select(col("vec_id"),
+      posexplode(array((0 until model.m).map(j => col(s"c$j")): _*))
+        .as(Seq("j", "c")))
+    val queries = emb
+      .withColumn("emb_d", toDouble(col(embCol)))
+      .filter(queryPred)
+      .select(col(idCol).as("query_id"), col("emb_d"))
+    val lutEntries = for {
+      j <- 0 until model.m
+      (cid, v) <- model.codebooks(j)
+    } yield struct(lit(j).as("j"), lit(cid.toLong).as("c"),
+      round(lit(1.0e12) * d2Lit(subSlice(j, model.subDim), v))
+        .cast("long").as("d"))
+    val lut = queries
+      .select(col("query_id"), explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("e.j").as("j"), col("e.c").as("c"),
+        col("e.d").as("d2_e12"))
+    val scored = codeLong.join(broadcast(lut), Seq("j", "c"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d2_e12")).as("ad2_e12"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ad2_e12").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "ad2_e12")
+  }
+
+  /** Per-subspace Lloyd training (plain L2 — PQ quantizes raw
+    * coordinates, unlike the spherical coarse quantizer). Deterministic:
+    * id-ordered seed pool, farthest-point init, fixed iterations —
+    * the [[trainIvf]] recipe applied independently per subspace. Train
+    * once per corpus snapshot (graft.tools.FreezePq), serve via the
+    * frozen [[PqModel]].
+    */
+  def trainPq(emb: DataFrame, idCol: String, embCol: String,
+              m: Int = 8, ks: Int = 8, iters: Int = 5): PqModel = {
+    require(Dim % m == 0, s"Dim $Dim not divisible by m $m")
+    val subDim = Dim / m
+    val corpus = emb
+      .withColumn("emb_d", toDouble(col(embCol)))
+      .select(col(idCol).as("vec_id"), col("emb_d"))
+      .cache()
+    val pool: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(ks * 8)
+      .select(col("emb_d")).collect().map(_.getSeq[Double](0))
+    def dist2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val codebooks = (0 until m).map { j =>
+      val subPool = pool.map(_.slice(j * subDim, (j + 1) * subDim))
+      val seeds = scala.collection.mutable.ArrayBuffer(subPool(0))
+      while (seeds.length < math.min(ks, subPool.length)) {
+        seeds += subPool.maxBy(v => seeds.map(s => dist2(v, s)).min)
+      }
+      var cents: Array[(Int, Seq[Double])] =
+        seeds.zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      for (_ <- 1 to iters) {
+        val scored = cents.map { case (cid, v) =>
+          struct(d2Lit(subSlice(j, subDim), v).as("d"), lit(cid).as("cid"))
+        }
+        val best = if (scored.length == 1) scored.head else least(scored: _*)
+        val means = corpus.withColumn("cell", best.getField("cid"))
+          .select(col("cell"),
+            posexplode(subSlice(j, subDim)).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg("x").as("mv"))
+          .groupBy("cell").agg(map_from_arrays(
+            collect_list(col("pos")), collect_list(col("mv"))).as("mm"))
+          .collect()
+        val updated = means.map { r =>
+          val mm = r.getMap[Int, Double](1)
+          (r.getInt(0), (0 until subDim).map(i => mm.getOrElse(i, 0.0)))
+        }.toMap
+        cents = cents.map { case (cid, v) => (cid, updated.getOrElse(cid, v)) }
+      }
+      cents
+    }.toArray
+    corpus.unpersist()
+    PqModel(subDim, codebooks)
+  }
 }

@@ -81,7 +81,10 @@ import org.apache.spark.sql.functions._
   * not join shape; SNM's domain is short sort keys, and the probe pins
   * that contract. bpe_train (3 merges) is FLAT at 0.95x/1.17x — the only
   * corpus-sized stage is the word-frequency aggregate; the merge loop
-  * rides the vocabulary-bounded distinct-word table.
+  * rides the vocabulary-bounded distinct-word table. pq_search with the
+  * query batch pinned to the base copy is 0.96x/1.98x at 4x/10x
+  * (corpus-linear ADC over the code table; see the probe comment for why
+  * the unpinned form's 35.7x is the scan-search R², not a plan flaw).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -255,7 +258,17 @@ object ScaleProbe {
       // (and so the per-cell quadratic) bounded.
       "semantic_dedup" -> (d =>
         Ann.semanticDedup(d, "vec_id", "embedding", IvfFixture.model, 0.3)
-          .count())
+          .count()),
+      // codes are a pure projection; the ADC join is a broadcast LUT
+      // probe + map-side-combinable sum. ADC is O(queries x corpus) BY
+      // DESIGN (a compressed full scan — IVF is the sublinear
+      // complement), so the probe pins the query set to the base copy
+      // (ids < the replication offset): runtime must then track corpus
+      // size. An unpinned %-predicate here measured 35.7x at 10x — both
+      // sides growing R is the R² any scan-search has, not a plan flaw.
+      "pq_search" -> (d =>
+        Ann.pqSearch(d, "vec_id", "embedding", PqFixture.model,
+          col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5).count())
     )
     val embResults = keep(embProbes).map { case (name, f) =>
       val times = factors.map { r =>

@@ -392,4 +392,70 @@ class AnnSpec extends SparkSpec {
       .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
     assert(got == expected)
   }
+
+  test("pqEncode is exact on codeword-aligned vectors; ADC distance 0 for them") {
+    import graft.operators.{Ann, PqFixture}
+    val model = PqFixture.model
+    // build two vectors that ARE concatenations of codewords: codes
+    // (0,0,...,0) and (1,1,...,1) of the frozen books
+    def concatCodes(c: Int): Seq[Double] =
+      model.codebooks.flatMap(cb => cb(c)._2).toSeq
+    val df = Seq(
+      (1L, concatCodes(0).map(_.toFloat)),
+      (2L, concatCodes(1).map(_.toFloat))).toDF("vec_id", "embedding")
+    val codes = Ann.pqEncode(df, "vec_id", "embedding", model)
+      .orderBy("vec_id").collect()
+    // float->double round-trips the codeword inexactly (fixture doubles
+    // get truncated to float in the test input), so allow the argmin to
+    // land on the intended code by a margin test instead of exactness:
+    // the intended code's d2 is ~1e-15 (float error), others O(1e-2).
+    (0 until model.m).foreach { j =>
+      assert(codes(0).getLong(codes(0).fieldIndex(s"c$j")) == 0L)
+      assert(codes(1).getLong(codes(1).fieldIndex(s"c$j")) == 1L)
+    }
+    // search: vector 1 queries; its ADC distance to itself is the (tiny)
+    // float-truncation quantization error -> rank 1 at near-zero e12
+    val got = Ann.pqSearch(df, "vec_id", "embedding", model,
+        col("vec_id") === 1, 2)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).toSeq == Seq(1L, 2L))
+    assert(got(0)._4 < 1000L)       // ~0 at e12 scale
+    assert(got(1)._4 > 1000000L)    // a real distance
+  }
+
+  test("pqSearch agrees with a driver-side ADC replay on the fixture") {
+    import graft.operators.{Ann, PqFixture}
+    val model = PqFixture.model
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def sub(v: Seq[Double], j: Int) =
+      v.slice(j * model.subDim, (j + 1) * model.subDim)
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def enc(v: Seq[Double]): Seq[Int] =
+      (0 until model.m).map { j =>
+        model.codebooks(j).minBy { case (cid, cw) => (d2(sub(v, j), cw), cid) }._1
+      }
+    val codes = vecs.map { case (id, v) => id -> enc(v.map(_.toDouble)) }
+    val queries = vecs.keys.filter(_ % 50 == 0)
+    val expected = queries.flatMap { q =>
+      val qv = vecs(q).map(_.toDouble)
+      val lut = (0 until model.m).map { j =>
+        model.codebooks(j).map { case (cid, cw) =>
+          cid -> math.round(1.0e12 * d2(sub(qv, j), cw)) }.toMap
+      }
+      vecs.keys.toSeq.map { id =>
+        val ad2 = (0 until model.m).map(j => lut(j)(codes(id)(j))).sum
+        (q, id, ad2)
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((qq, id, d), r) => (qq, (r + 1).toLong, id, d) }
+    }.toSet
+    val got = Ann.pqSearch(emb, "vec_id", "embedding", model,
+        col("vec_id") % 50 === 0, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }
