@@ -1816,6 +1816,12 @@ object SparkEntry {
       Ann.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
         PqFixture.model, col("vec_id") % 50 === 0, 5)),
 
+    // ---- PQ recall audit vs the exact L2 top-5 (query-bounded exact
+    // scan, the sample-tier contract): one hash-checked audit row.
+    "q_pq_recall" -> ((s, dir) =>
+      Ann.pqRecallEval(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5)),
+
     // ---- In-engine BPE tokenizer training: 6 merges learned over the
     // corpus (pair-count hash agg + argmax + codegen fold per round, all
     // on the vocabulary-bounded distinct-word table). Oracle replays
@@ -3427,6 +3433,29 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY query_id " +
         "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
         "WHERE rank <= 5"),
+    // PQ recall audit: exact L2 top-5 (query-bounded scan) left-joined
+    // with the ADC top-5, reduced to one counts row.
+    "q_pq_recall" ->
+      (s"WITH $sqlPqCbCte, $sqlPqAsnCte, " +
+        "lut AS (SELECT c.vec_id AS query_id, p.j, p.cid, " +
+        s"CAST(round(1000000000000.0 * ${sqlPqD2("c.embedding", "p.j", "p.cv")}) AS BIGINT) AS d " +
+        "FROM embeddings c, pcb p WHERE c.vec_id % 50 = 0), " +
+        "sc AS (SELECT l.query_id, a.vec_id, sum(l.d) AS ad2 " +
+        "FROM asnp a JOIN lut l ON l.j = a.j AND l.cid = a.cid GROUP BY 1, 2), " +
+        "ap AS (SELECT query_id, vec_id FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS rn FROM sc) WHERE rn <= 5), " +
+        "ex AS (SELECT query_id, vec_id FROM " +
+        "(SELECT q.vec_id AS query_id, c.vec_id, row_number() OVER " +
+        s"(PARTITION BY q.vec_id ORDER BY ${sqlL2("q.embedding", "c.embedding")} ASC, " +
+        "c.vec_id) AS rn FROM embeddings q, embeddings c " +
+        "WHERE q.vec_id % 50 = 0) WHERE rn <= 5) " +
+        "SELECT count(*) AS n_true, " +
+        "CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_caught, " +
+        "CASE WHEN count(*) > 0 THEN CAST(coalesce(sum(hit), 0) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) END AS recall FROM " +
+        "(SELECT e.query_id, e.vec_id, CASE WHEN a.vec_id IS NOT NULL THEN 1 END AS hit " +
+        "FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.vec_id = e.vec_id)"),
     // BPE replay: 6 unrolled merge rounds over the distinct-word table,
     // positional left-to-right merge semantics (see sqlBpeCtes).
     "q_bpe_train" ->
@@ -4034,6 +4063,16 @@ object SparkEntry {
     def el(i: String) =
       s"$vec[CAST($sd * $j + $i AS INT)]::DOUBLE - $cv[CAST($i AS INT)]"
     s"list_reduce(list_transform(range(1, $sd + 1), i -> " +
+      s"(${el("i")}) * (${el("i")})), (acc, x) -> acc + x)"
+  }
+
+  /** Full-dimension squared L2 (mirrors pqRecallEval's zip_with diff +
+    * DotProduct self-fold — diff recomputed per factor, identical
+    * rounded value).
+    */
+  private def sqlL2(a: String, b: String): String = {
+    def el(i: String) = s"$a[CAST($i AS INT)]::DOUBLE - $b[CAST($i AS INT)]::DOUBLE"
+    s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       s"(${el("i")}) * (${el("i")})), (acc, x) -> acc + x)"
   }
 

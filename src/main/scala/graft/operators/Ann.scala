@@ -689,6 +689,38 @@ object Ann {
       .select("query_id", "rank", "vec_id", "ad2_e12")
   }
 
+  /** Recall audit for [[pqSearch]] against the EXACT squared-L2 top-k
+    * (PQ approximates L2, so L2 — not cosine — is the right ground
+    * truth). One audit row: (n_true, n_caught, recall). The exact side
+    * is the declared query×corpus scan, bounded by the query predicate
+    * (the [[embeddingRecallEval]] sample-tier-then-trust contract);
+    * production tunes m/ks until recall clears the bar, then serves only
+    * the compressed path.
+    */
+  def pqRecallEval(emb: DataFrame, idCol: String, embCol: String,
+                   model: PqModel, queryPred: Column, k: Int): DataFrame = {
+    val corpus = emb.withColumn("emb_d", toDouble(col(embCol)))
+      .select(col(idCol).as("vec_id"), col("emb_d"))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
+    val diff = zip_with(col("q_emb"), col("emb_d"), (x, y) => x - y)
+    val scored = broadcast(queries).crossJoin(corpus)
+      .withColumn("d2", dot(diff, diff))
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id"))
+    val exact = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+    val approx = pqSearch(emb, idCol, embCol, model, queryPred, k)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum("hit"), lit(0L)).as("n_caught"))
+      .select(col("n_true"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** Per-subspace Lloyd training (plain L2 — PQ quantizes raw
     * coordinates, unlike the spherical coarse quantizer). Deterministic:
     * id-ordered seed pool, farthest-point init, fixed iterations —

@@ -24,7 +24,8 @@ class PlanGuaranteesSpec extends SparkSpec {
     * row; that is constant-attach, not a candidate blowup (same shape in
     * q_lm_score / q_lm_contrast — the vocab-size scalar — and q_bm25 —
     * the (n_docs, sum_dl) pair, and q_dsir_weights — the feature
-    * totals). q_ann_recall:
+    * totals). q_pq_recall's exact-L2 side is query-bounded by contract
+    * (the pqRecallEval Scaladoc), like q_ann_recall:
     * the recall audit's exact-truth side is all-pairs BY CONTRACT, bounded
     * to a sample tier by the operator's required samplePred argument
     * (Ann.embeddingRecallEval Scaladoc).
@@ -32,7 +33,8 @@ class PlanGuaranteesSpec extends SparkSpec {
   private val allowedBnlj =
     Set("q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
       "q_rag_topk", "q_tfidf_top", "q_ann_recall",
-      "q_lm_score", "q_lm_contrast", "q_bm25", "q_dsir_weights")
+      "q_lm_score", "q_lm_contrast", "q_bm25", "q_dsir_weights",
+      "q_pq_recall")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
