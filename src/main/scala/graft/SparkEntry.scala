@@ -1816,6 +1816,13 @@ object SparkEntry {
       Ann.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
         PqFixture.model, col("vec_id") % 50 === 0, 5)),
 
+    // ---- Hard-negative mining: per query, top-5 bucket-mates in the
+    // [0.05, 0.3) similarity band — informative contrastive negatives
+    // below the dup bar (0.3 = the embedding family's dup threshold).
+    "q_hard_negatives" -> ((s, dir) =>
+      Ann.hardNegatives(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, 0.05, 0.3)),
+
     // ---- PQ recall audit vs the exact L2 top-5 (query-bounded exact
     // scan, the sample-tier contract): one hash-checked audit row.
     "q_pq_recall" -> ((s, dir) =>
@@ -3433,6 +3440,27 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY query_id " +
         "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
         "WHERE rank <= 5"),
+    // Hard negatives: stacked-bucket candidates for the query sample,
+    // exact cosine, [0.05, 0.3) band, (sim DESC, vec_id) top-5.
+    "q_hard_negatives" ->
+      ("WITH tb AS (" +
+        (0 until 3).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${sqlBucketFor("embedding", t)} AS bucket FROM embeddings")
+          .mkString(" UNION ALL ") + "), " +
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS vec_id " +
+        "FROM tb q JOIN tb b ON q.tbl = b.tbl AND q.bucket = b.bucket " +
+        "AND q.vec_id <> b.vec_id WHERE q.vec_id % 50 = 0), " +
+        "f AS (SELECT * FROM (SELECT c.query_id, c.vec_id, " +
+        s"${sqlDot("eq.embedding", "eb.embedding")} / " +
+        s"(sqrt(${sqlDot("eq.embedding", "eq.embedding")}) * " +
+        s"sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS sim " +
+        "FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id " +
+        "JOIN embeddings eb ON eb.vec_id = c.vec_id) " +
+        "WHERE sim >= 0.05 AND sim < 0.3) " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank " +
+        "FROM f) WHERE rank <= 5"),
     // PQ recall audit: exact L2 top-5 (query-bounded scan) left-joined
     // with the ADC top-5, reduced to one counts row.
     "q_pq_recall" ->

@@ -316,6 +316,53 @@ object Ann {
       .filter(col("sim") >= threshold)
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * per query vector, the top-k corpus vectors in the similarity band
+    * [simLo, simHi) — close enough to be informative negatives, below
+    * the near-duplicate bar so they are not accidental positives (the
+    * standard "hard negatives, dedup-filtered" recipe; simHi should
+    * match the corpus's dedup threshold so anything above it is handled
+    * by the dedup pipeline, not the training pairs).
+    *
+    * Scale shape: candidates come from the same stacked hyperplane
+    * (table, bucket) equi-join as [[stackedDupPairs]] — query side
+    * filtered first, so the join is queries x bucket-mates, never
+    * corpus x corpus; exact cosine verifies only candidates; top-k is a
+    * bounded per-query window. Recall caveat inherited from the LSH
+    * family: sign-bit buckets are tuned for NEAR vectors, so band
+    * recall decays toward simLo — raise nTables (or probe distance) the
+    * same way the recall audits measure-then-trust the dup path.
+    *
+    * Output: (query_id, rank, vec_id, sim), rank by (sim DESC, vec_id).
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, embCol: String,
+                    queryPred: Column, k: Int, simLo: Double, simHi: Double,
+                    nTables: Int = 3): DataFrame = {
+    require(simLo < simHi, s"need simLo < simHi, got [$simLo, $simHi)")
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    val c = withNorm(emb, embCol)
+      .select(col(idCol).as("id"), col("emb_d"), col("norm"))
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("id"), col("emb_d"), col("norm"), posexplode(array(
+          (0 until nTables).map(t => bucketIdFor(col("emb_d"), t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val qb = buckets(c.filter(queryPred))
+      .select(col("id").as("query_id"), col("emb_d").as("q_emb"),
+        col("norm").as("q_norm"), col("tbl"), col("bucket"))
+    val cand = broadcast(qb).join(buckets(c), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("id").as("vec_id"), col("emb_d"), col("norm"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("sim",
+        dot(col("q_emb"), col("emb_d")) / (col("q_norm") * col("norm")))
+      .filter(col("sim") >= simLo && col("sim") < simHi)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
   /** Recall audit for the stacked-table embedding candidate generator —
     * the embedding twin of [[NearDup.lshRecallEval]]: recall of
     * [[stackedDupPairs]]' (table, bucket) candidates against the EXACT

@@ -458,4 +458,24 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("hardNegatives stays in the band, excludes self, ranks by sim desc") {
+    import graft.operators.Ann
+    val got = Ann.hardNegatives(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, 0.05, 0.3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._4 >= 0.05 && r._4 < 0.3))
+    assert(got.forall(r => r._1 != r._3))
+    val byQ = got.groupBy(_._1)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      assert(sorted.map(-_._4).toSeq == sorted.map(-_._4).toSeq.sorted)
+      assert(rs.length <= 5)
+    }
+    // no candidate ever reaches the dup band: negatives and the dedup
+    // pipeline partition the similarity axis at 0.3
+    assert(got.forall(_._4 < 0.3))
+  }
 }
