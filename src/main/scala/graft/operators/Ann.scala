@@ -150,6 +150,8 @@ object Ann {
     val pool: Array[Seq[Double]] = corpus
       .orderBy("vec_id").limit(nCells * 8)
       .select(col("emb_d")).collect().map(_.getSeq[Double](0))
+    require(pool.nonEmpty,
+      "trainIvf needs a non-empty corpus (no vectors to seed centroids from)")
     def dist2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -786,6 +788,8 @@ object Ann {
     val pool: Array[Seq[Double]] = corpus
       .orderBy("vec_id").limit(ks * 8)
       .select(col("emb_d")).collect().map(_.getSeq[Double](0))
+    require(pool.nonEmpty,
+      "trainPq needs a non-empty corpus (no vectors to seed codebooks from)")
     def dist2(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

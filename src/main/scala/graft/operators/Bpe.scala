@@ -40,7 +40,13 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private def sqlLit(s: String): String = s.replace("'", "''")
+  /** Escape a symbol for embedding in a Spark SQL string literal:
+    * backslash FIRST (Spark's non-ANSI literals treat it as an escape —
+    * a corpus token containing one would otherwise corrupt the fold
+    * expression), then quote doubling.
+    */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** The character-split expression over a `word` column. */
   private[graft] val CharSplit =

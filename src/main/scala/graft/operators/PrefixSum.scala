@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,48 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** Adds `cum_<valueCol>`: the inclusive running total of `valueCol` in
-    * `orderCol` order. `valueCol` must be integral (LongType result).
+  /** The shared two-phase core (steps 1–4 of the class doc): inclusive
+    * running sum of `value` in `orderCols` order, emitted as `outCol`.
+    * The eager localCheckpoint is load-bearing — steps 2 and 3 must see
+    * the SAME sampled range boundaries (class doc).
     */
-  def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                   numParts: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numParts > 0) numParts
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
-      .repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("__local",
-      sum(col(valueCol).cast("long")).over(w))
-    val totals = parted.groupBy(col("__pid"))
-      .agg(sum(col(valueCol).cast("long")).as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (pid, t) =>
-      val o = (pid, acc); acc += t; o
-    }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
-    local.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(s"cum_$valueCol", col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
-  }
-
-  /** Adds `pos`: each row's 1-based GLOBAL position in `orderCols` order —
-    * the distributed form of `row_number() OVER (ORDER BY ...)`, which in
-    * plain Spark is the same single-task window cliff as the unpartitioned
-    * running sum (class doc). Same two-phase scan: range-partition on the
-    * order key, per-partition row_number (parallel), per-partition COUNTS
-    * to the driver (numPartitions longs), exclusive-scan into offsets,
-    * broadcast back. Caller contract: the `orderCols` combination is
-    * UNIQUE per row (append a tie-breaker id — otherwise positions within
-    * a duplicate key are nondeterministic in any engine).
-    */
-  def densePositions(df: DataFrame, orderCols: Seq[String],
-                     numParts: Int = 0): DataFrame = {
+  private def twoPhase(df: DataFrame, orderCols: Seq[String], value: Column,
+                       outCol: String, numParts: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -85,10 +50,10 @@ object PrefixSum {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-    val local = parted.withColumn("__local",
-      row_number().over(w).cast("long"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__local", sum(value).over(w))
     val totals = parted.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__t"))
+      .agg(sum(value).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (pid, t) =>
@@ -96,9 +61,30 @@ object PrefixSum {
     }
     val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
     local.join(broadcast(offDf), Seq("__pid"))
-      .withColumn("pos", col("__local") + col("__off"))
+      .withColumn(outCol, col("__local") + col("__off"))
       .drop("__pid", "__local", "__off")
   }
+
+  /** Adds `cum_<valueCol>`: the inclusive running total of `valueCol` in
+    * `orderCol` order. `valueCol` must be integral (LongType result).
+    */
+  def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
+                   numParts: Int = 0): DataFrame =
+    twoPhase(df, Seq(orderCol), col(valueCol).cast("long"),
+      s"cum_$valueCol", numParts)
+
+  /** Adds `pos`: each row's 1-based GLOBAL position in `orderCols` order —
+    * the distributed form of `row_number() OVER (ORDER BY ...)`, which in
+    * plain Spark is the same single-task window cliff as the unpartitioned
+    * running sum (class doc); here it is [[twoPhase]] with value 1 (a
+    * rows-frame running count of ones IS row_number). Caller contract:
+    * the `orderCols` combination is UNIQUE per row (append a tie-breaker
+    * id — otherwise positions within a duplicate key are
+    * nondeterministic in any engine).
+    */
+  def densePositions(df: DataFrame, orderCols: Seq[String],
+                     numParts: Int = 0): DataFrame =
+    twoPhase(df, orderCols, lit(1L), "pos", numParts)
 
   /** GROUPED running total: the inclusive prefix sum of `valueCol` in
     * `orderCols` order, resetting per `groupCol` — same two-phase scan as

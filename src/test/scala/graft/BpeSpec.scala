@@ -63,4 +63,18 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
     assert(a.length == 4)
   }
+
+  test("merge literals survive quotes and backslashes in tokens") {
+    val docs = Seq((1L, "a'b a'b x\\y x\\y")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", 2)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, Long)].collect()
+    assert(got.length == 2)
+    // both words contribute pairs; encoding with the learned merges must
+    // not throw and must shrink the subword count
+    val merges = got.map(r => (r._2, r._3)).toSeq
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect()
+    assert(enc.head._2 == 4L && enc.head._3 < 12L)
+  }
 }

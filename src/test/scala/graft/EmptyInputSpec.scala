@@ -80,6 +80,15 @@ class EmptyInputSpec extends SparkSpec {
       "vec_id", "embedding", 0.3).count() == 0)
     assert(NearDup.dedupByHybrid(noDocs, noEmb, "doc_id", "text",
       "vec_id", "embedding", 3, 0.5, 0.3, 3).count() == 0)
+    assert(Ann.pqEncode(noEmb, "vec_id", "embedding",
+      PqFixture.model).count() == 0)
+    assert(Ann.pqSearch(noEmb, "vec_id", "embedding",
+      PqFixture.model, col("vec_id") % 2 === 0, 3).count() == 0)
+    assert(Ann.pqRecallEval(noEmb, "vec_id", "embedding",
+      PqFixture.model, col("vec_id") % 2 === 0, 3)
+      .filter(col("n_true") =!= 0).count() == 0)
+    assert(Ann.hardNegatives(noEmb, "vec_id", "embedding",
+      col("vec_id") % 2 === 0, 3, 0.05, 0.3).count() == 0)
     assert(SubstringDedup.redactEvalSpans(noDocs, someDocs,
       "doc_id", "text", 8).count() == 0)
     // train screened against an empty eval set comes back whole, untouched
