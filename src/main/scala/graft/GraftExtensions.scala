@@ -49,6 +49,14 @@ object GraftExtensions {
         import org.apache.spark.sql.types.LongType
         graft.functions.ZOrder(Cast(args(0), LongType), Cast(args(1), LongType))
       }),
+    (FunctionIdentifier("hilbert_order"),
+      new ExpressionInfo(classOf[graft.functions.HilbertOrder].getName, "hilbert_order"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hilbert_order expects exactly 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        graft.functions.HilbertOrder(Cast(args(0), LongType), Cast(args(1), LongType))
+      }),
     (FunctionIdentifier("jump_hash"),
       new ExpressionInfo(classOf[graft.functions.JumpHash].getName, "jump_hash"),
       (args: Seq[Expression]) => {

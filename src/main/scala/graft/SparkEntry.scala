@@ -1575,6 +1575,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min(col("z")).as("min_z"),
           max(col("z")).as("max_z"), sum(col("z")).as("sum_z"))),
 
+    // ---- Hilbert layout key (q_zorder's locality-better sibling —
+    // consecutive indices are Manhattan-adjacent cells, LayoutSpec):
+    // same bucket-envelope audit over the codegen hilbert_order key.
+    // Oracle replays the 16 quadrant levels as unrolled CTE stages.
+    "q_hilbert" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select((col("l_partkey") % 16).as("bucket"),
+          graft.functions.hilbert_order(col("l_partkey"), col("l_suppkey")).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"), sum(col("h")).as("sum_h"))),
+
     // ---- IN-ENGINE model training: fixed-point nearest-centroid
     // (Rocchio) over hashed presence features, distilling a keyword
     // screen (docs mentioning 'customer') into a dense hashed model. The
@@ -3313,6 +3325,11 @@ object SparkEntry {
         "FROM lineitem) " +
         "SELECT bucket, count(*) AS n_rows, min(z) AS min_z, max(z) AS max_z, " +
         "CAST(sum(z) AS BIGINT) AS sum_z FROM z GROUP BY 1"),
+    "q_hilbert" ->
+      (s"WITH $sqlHilbertCtes " +
+        "SELECT bucket, count(*) AS n_rows, min(d) AS min_h, " +
+        "max(d) AS max_h, CAST(sum(d) AS BIGINT) AS sum_h " +
+        "FROM hh16 GROUP BY 1"),
     // Lower median via the row_number spelling.
     "q_exact_median" ->
       ("WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders), " +
@@ -3560,6 +3577,28 @@ object SparkEntry {
     * >= 2^32, which the Spark side masks off; the mirror skips them (a
     * `1 << 63` would overflow DuckDB's signed BIGINT check).
     */
+  /** Hilbert xy2d replay (mirrors functions.HilbertOrder): 16 unrolled
+    * quadrant levels over per-row (x, y, d) state — level i uses
+    * s = 2^(16-i), adds s²·xor(3·rx, ry), and rotates/reflects the frame
+    * exactly as the codegen loop does.
+    */
+  private lazy val sqlHilbertCtes: String = {
+    val init = "hh0 AS (SELECT l_partkey % 16 AS bucket, " +
+      "l_partkey & 65535 AS x, l_suppkey & 65535 AS y, " +
+      "CAST(0 AS BIGINT) AS d FROM lineitem)"
+    val stages = (1 to 16).map { i =>
+      val s = 1L << (16 - i)
+      s"hh$i AS (SELECT bucket, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y, " +
+        s"d + ${s * s} * xor(3 * rx, ry) AS d " +
+        s"FROM (SELECT bucket, x, y, d, " +
+        s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx, " +
+        s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM hh${i - 1}))"
+    }
+    (init +: stages).mkString(", ")
+  }
+
   private def sqlBitSpread(colName: String, shift: Int): String =
     (0 until 32).filter(i => 2 * i + shift <= 62)
       .map(i => s"(((($colName >> $i) & 1)) << ${2 * i + shift})")

@@ -61,6 +61,16 @@ package object functions {
       ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
   }
 
+  /** 2-D Hilbert-curve index over the low 16 bits of each input — the
+    * locality-better layout key next to [[z_order]] (see
+    * [[HilbertOrder]]).
+    */
+  def hilbert_order(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HilbertOrder(
+      ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
+  }
+
   /** Jump consistent hash (Lamping & Veach 2014) — the incremental-
     * publishing shard assigner: growing n -> n+1 moves only the keys
     * landing in the new shard (see [[JumpHash]]); feed it a well-mixed

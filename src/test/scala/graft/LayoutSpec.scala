@@ -4,6 +4,7 @@ import graft.sources.Layout
 import org.apache.spark.sql.functions._
 
 class LayoutSpec extends SparkSpec {
+  import spark.implicits._
 
   private def parquetFiles(dir: String): Seq[java.io.File] =
     new java.io.File(dir).listFiles()
@@ -108,5 +109,39 @@ class LayoutSpec extends SparkSpec {
     val lexEnv = envelopes(lexDir)
     val lexAvgY = lexEnv.map(e => e._4 - e._3).sum.toDouble / lexEnv.size
     assert(lexAvgY > 0.9 * 255, s"expected full y spans under lex sort: $lexEnv")
+  }
+
+  test("hilbert_order walks the full grid with every step Manhattan-adjacent") {
+    // The curve's defining property: sorting a complete 32x32 grid by
+    // the index visits every cell exactly once and every consecutive
+    // pair of cells differs by exactly one step in exactly one dimension
+    // (Morton order fails this at quadrant boundaries — the long
+    // diagonal jumps are what Hilbert's tighter file envelopes remove).
+    val n = 32
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toSeq.toDF("x", "y")
+    val walked = grid
+      .select(col("x"), col("y"),
+        graft.functions.hilbert_order(col("x"), col("y")).as("h"))
+      .orderBy("h")
+      .as[(Long, Long, Long)].collect()
+    assert(walked.length == n * n)
+    assert(walked.map(_._3).toSeq == (0L until (n * n).toLong)) // bijective prefix
+    walked.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+        s"non-adjacent step $a -> $b")
+    }
+    // SQL surface parity
+    Graft.registerFunctions(spark)
+    grid.createOrReplaceTempView("hgrid")
+    val viaSql = spark.sql(
+      "SELECT sum(hilbert_order(x, y)) FROM hgrid").as[Long].head()
+    assert(viaSql == (0L until (n * n).toLong).sum)
+    // low-16-bit masking: values >= 2^16 fold onto their low bits
+    val m = grid.sparkSession.range(1).select(
+      graft.functions.hilbert_order(lit(65536L + 3L), lit(5L)).as("a"),
+      graft.functions.hilbert_order(lit(3L), lit(5L)).as("b"))
+      .as[(Long, Long)].head()
+    assert(m._1 == m._2)
   }
 }
