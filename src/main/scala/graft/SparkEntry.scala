@@ -1828,6 +1828,17 @@ object SparkEntry {
       Ann.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
         PqFixture.model, col("vec_id") % 50 === 0, 5)),
 
+    // ---- BATCH BM25: two queries scored in ONE corpus pass (broadcast
+    // query-vocab prune → shared postings → per-query fan-out), top-5
+    // each — the production retrieval shape next to q_bm25's single set.
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark vector dup"), (2L, "merge order hash"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25Batch(Tables.documents(s, dir), "doc_id", "text",
+        qs, "query_id", "qtext", 5)
+    }),
+
     // ---- Hard-negative mining: per query, top-5 bucket-mates in the
     // [0.05, 0.3) similarity band — informative contrastive negatives
     // below the dup bar (0.3 = the embedding family's dup threshold).
@@ -3456,6 +3467,35 @@ object SparkEntry {
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
         "CAST(row_number() OVER (PARTITION BY query_id " +
         "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // Batch BM25: same scorer as q_bm25, query terms from a VALUES
+    // table, per-query window top-5.
+    "q_bm25_batch" ->
+      (s"WITH $sqlLmToksCte, " +
+        "qt AS (SELECT DISTINCT query_id, unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS term " +
+        "FROM (VALUES (1, 'spark vector dup'), (2, 'merge order hash')) q(query_id, qtext)), " +
+        "dll AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toksl " +
+        "WHERE len(t) > 0), " +
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dll), " +
+        "tfq AS (SELECT doc_id, term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS term FROM toksl) " +
+        "WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) AS dfreq FROM tfq GROUP BY 1), " +
+        "sc AS (SELECT qt.query_id, tfq.doc_id, dll.dl, " +
+        "CAST(round(1000000000000.0 * (" +
+        "((CAST(st.n_docs - dfq.dfreq AS DOUBLE) + 0.5) / (CAST(dfq.dfreq AS DOUBLE) + 0.5)) * " +
+        "((CAST(tfq.tf AS DOUBLE) * 2.25) / (CAST(tfq.tf AS DOUBLE) + 1.25 * " +
+        "(0.25 + 0.75 * (CAST(dll.dl AS DOUBLE) / " +
+        "(CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))) AS BIGINT) AS s_e12 " +
+        "FROM tfq JOIN dfq ON tfq.term = dfq.term " +
+        "JOIN dll ON tfq.doc_id = dll.doc_id " +
+        "JOIN qt ON qt.term = tfq.term CROSS JOIN st), " +
+        "ag AS (SELECT query_id, doc_id, max(dl) AS dl, count(*) AS n_terms, " +
+        "CAST(sum(s_e12) AS BIGINT) AS score_e12 FROM sc GROUP BY 1, 2) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, dl, n_terms, score_e12 FROM " +
+        "(SELECT query_id, doc_id, dl, n_terms, score_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score_e12 DESC, doc_id) AS BIGINT) AS rank FROM ag) " +
         "WHERE rank <= 5"),
     // Hard negatives: stacked-bucket candidates for the query sample,
     // exact cosine, [0.05, 0.3) band, (sim DESC, vec_id) top-5.

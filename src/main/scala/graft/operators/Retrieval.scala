@@ -93,24 +93,78 @@ object Retrieval {
       .join(dfreq, "term")
       .join(dl, "id")
       .crossJoin(broadcast(stats))
-      .withColumn("avgdl",
-        col("sum_dl").cast("double") / col("n_docs").cast("double"))
-      .withColumn("idf_r",
-        ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
-          (col("dfreq").cast("double") + lit(0.5)))
-      .withColumn("s_e12",
-        round(lit(1.0e12) * (col("idf_r") *
-          ((col("tf").cast("double") * lit(k1 + 1.0)) /
-            (col("tf").cast("double") + lit(k1) *
-              (lit(1.0 - b) + lit(b) *
-                (col("dl").cast("double") / col("avgdl")))))))
-          .cast("long"))
+      .withColumn("s_e12", bm25ScoreE12(k1, b))
     scored.groupBy(col("id").as(idCol))
       .agg(max(col("dl")).as("dl"),
         count(lit(1)).as("n_terms"),
         sum(col("s_e12")).as("score_e12"))
       .orderBy(col("score_e12").desc, col(idCol))
       .limit(k)
+  }
+
+  /** The per-(doc, term) BM25 score at e12 over columns (tf, dfreq, dl,
+    * n_docs, sum_dl) — ONE expression tree shared by the single-query and
+    * batch forms so the SQL mirror stays literal-for-literal.
+    */
+  private def bm25ScoreE12(k1: Double, b: Double): Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idfR = ((col("n_docs") - col("dfreq")).cast("double") + lit(0.5)) /
+      (col("dfreq").cast("double") + lit(0.5))
+    round(lit(1.0e12) * (idfR *
+      ((col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) *
+            (col("dl").cast("double") / avgdl)))))).cast("long")
+  }
+
+  /** BATCH BM25 — the production retrieval shape: one pass scores EVERY
+    * query in a (small) query table against the corpus, instead of one
+    * corpus scan per query. Output: top `k` docs per query —
+    * (qIdCol, rank, idCol, dl, n_terms, score_e12), rank by
+    * (score_e12 DESC, id).
+    *
+    * Scale shape: the corpus token stream is pruned by a broadcast
+    * semi-join on the DISTINCT query vocabulary (bounded by the query
+    * batch, not the corpus) before any aggregation, so tf/df cost is
+    * proportional to query-relevant tokens only; the per-query fan-out
+    * joins the (id, term, tf) postings to the broadcast (query, term)
+    * table — output is bounded by matching postings × queries sharing
+    * the term; top-k is a per-query bounded window. Same scorer, same
+    * FP contract as [[bm25TopK]].
+    */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qIdCol: String, qTextCol: String,
+                k: Int, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val qterm = queries.select(col(qIdCol).as("query_id"),
+        explode(TextOps.tokens(lower(col(qTextCol)))).as("term"))
+      .distinct()
+    val tok = docs.select(col(idCol).as("id"),
+      TextOps.tokens(lower(col(textCol))).as("t"))
+    val dl = tok.filter(size(col("t")) > 0)
+      .select(col("id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val vocab = qterm.select("term").distinct()
+    val tf = tok.select(col("id"), explode(col("t")).as("term"))
+      .join(broadcast(vocab), "term")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_e12", bm25ScoreE12(k1, b))
+      .join(broadcast(qterm), "term")
+    val agg = scored.groupBy(col("query_id"), col("id").as(idCol))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        sum(col("s_e12")).as("score_e12"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_e12").desc, col(idCol))
+    agg.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as(qIdCol), col("rank"), col(idCol),
+        col("dl"), col("n_terms"), col("score_e12"))
   }
 
   /** The composite: top-k most similar chunks (self included, rank 1) for

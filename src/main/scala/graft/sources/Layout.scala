@@ -84,6 +84,23 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** [[writeZOrdered]] with the Hilbert key ([[graft.functions
+    * .hilbert_order]] — consecutive curve steps are Manhattan-adjacent,
+    * so file envelopes come out tighter than Morton's for the same file
+    * count; LayoutSpec measures both on the same grid). Same caveat:
+    * low 16 bits per dimension — bucket or rank wider domains first.
+    */
+  def writeHilbertOrdered(df: DataFrame, outDir: String, numFiles: Int,
+                          colA: String, colB: String): Unit = {
+    val h = graft.functions.hilbert_order(
+      col(colA).cast("long"), col(colB).cast("long"))
+    df.withColumn("__h", h)
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** Publish step: write `df` partitioned into `numShards` hash shards —
     * shard = md5hash60(id) mod numShards, so a row's shard never changes
     * when the corpus grows, reruns land rows identically, and any

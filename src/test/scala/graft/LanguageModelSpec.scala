@@ -105,4 +105,28 @@ class LanguageModelSpec extends SparkSpec {
     assert(Retrieval.bm25TopK(noDocs, "doc_id", "text", Seq("a"), 5)
       .count() == 0)
   }
+
+  test("bm25Batch agrees with per-query bm25TopK and shares one scan") {
+    val corpus = Seq(
+      (1L, "a a a a"), (2L, "a b b b"), (3L, "z z a b"), (4L, "c c z"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "z b"), (20L, "c")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25Batch(corpus, "doc_id", "text",
+        qs, "query_id", "qtext", 3)
+      .select("query_id", "rank", "doc_id", "score_e12")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+      .toMap
+    // per-query replay through the single-set form
+    def single(terms: Seq[String]) =
+      Retrieval.bm25TopK(corpus, "doc_id", "text", terms, 3)
+        .select("doc_id", "score_e12").as[(Long, Long)].collect().toSeq
+    assert(got(10L) == single(Seq("z", "b")))
+    assert(got(20L) == single(Seq("c")))
+    // duplicate query terms collapse (distinct semantics)
+    val dup = Retrieval.bm25Batch(corpus, "doc_id", "text",
+        Seq((30L, "z z b")).toDF("query_id", "qtext"), "query_id", "qtext", 3)
+      .select("doc_id", "score_e12").as[(Long, Long)].collect().toSeq
+    assert(dup == single(Seq("z", "b")))
+  }
 }

@@ -144,4 +144,32 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(m._1 == m._2)
   }
+
+  test("writeHilbertOrdered envelopes are at least as tight as Z-order's") {
+    val grid = spark.range(65536L)
+      .selectExpr("id % 256 AS x", "id DIV 256 AS y")
+    def envelopes(dir: String): Seq[(Long, Long, Long, Long)] =
+      parquetFiles(dir).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("x"), max("x"), min("y"), max("y")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    def avgArea(env: Seq[(Long, Long, Long, Long)]): Double =
+      env.map(e => (e._2 - e._1 + 1).toDouble * (e._4 - e._3 + 1)).sum / env.size
+    val hDir = tmpDir("hilbert")
+    Layout.writeHilbertOrdered(grid, hDir, 16, "x", "y")
+    assert(spark.read.parquet(hDir).count() == 65536L)
+    val hEnv = envelopes(hDir)
+    val zDir = tmpDir("zorder2")
+    Layout.writeZOrdered(grid, zDir, 16, "x", "y")
+    val zEnv = envelopes(zDir)
+    // Hilbert's adjacency keeps each file's bounding box no looser than
+    // Morton's on the same grid/file count (strictly tighter when range
+    // boundaries fall inside quadrants — the diagonal-jump case)
+    assert(avgArea(hEnv) <= avgArea(zEnv) * 1.01,
+      s"hilbert ${avgArea(hEnv)} vs zorder ${avgArea(zEnv)}")
+    // and both dimensions stay narrowed
+    assert(hEnv.map(e => e._2 - e._1).sum.toDouble / hEnv.size < 0.5 * 255)
+    assert(hEnv.map(e => e._4 - e._3).sum.toDouble / hEnv.size < 0.5 * 255)
+  }
 }
