@@ -33,8 +33,8 @@ class PlanGuaranteesSpec extends SparkSpec {
   private val allowedBnlj =
     Set("q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
       "q_rag_topk", "q_tfidf_top", "q_ann_recall",
-      "q_lm_score", "q_lm_contrast", "q_bm25", "q_dsir_weights",
-      "q_pq_recall")
+      "q_lm_score", "q_lm_contrast", "q_bm25", "q_bm25_batch",
+      "q_dsir_weights", "q_pq_recall")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
