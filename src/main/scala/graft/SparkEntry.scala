@@ -313,6 +313,12 @@ object SparkEntry {
       TextOps.languageScores(
         Tables.documents(s, dir).select("doc_id", "text"), "text").drop("text")),
 
+    // ---- Code-switch detection: per-20-token-window language ID →
+    // per-doc switch counts + modal language (the per-language routing
+    // signal; mixed docs mis-score under every monolingual filter).
+    "q_code_switch" -> ((s, dir) =>
+      TextOps.codeSwitchStats(Tables.documents(s, dir), "doc_id", "text", 20)),
+
     // ---- Content fingerprint groups: md5-of-normalized-text dedup.
     "q_fingerprint_groups" -> ((s, dir) =>
       TextOps.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -1994,6 +2000,40 @@ object SparkEntry {
         s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
         s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
         "FROM documents))"),
+    // Code-switch replay: 20-token windows, per-window stopword-hit
+    // language argmax, lag-based switch count, modal-language min_by
+    // (row_number spelling).
+    "q_code_switch" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 " +
+        "THEN CAST([] AS VARCHAR[]) " +
+        "ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "idx AS (SELECT doc_id, t, " +
+        "unnest(generate_series(0, CAST(greatest((len(t)-1)//20, 0) AS BIGINT))) AS i " +
+        "FROM tk), " +
+        "chx AS (SELECT doc_id, i AS chunk_idx, " +
+        "array_to_string(t[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)], ' ') AS chunk " +
+        "FROM idx), " +
+        "lp AS (SELECT doc_id, chunk_idx, " +
+        "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
+        "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
+        "ELSE 'xx' END AS lang_pred FROM " +
+        "(SELECT doc_id, chunk_idx, s_de, s_en, s_es, s_fr, " +
+        "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, chunk_idx, " +
+        s"${sqlStopHitsOn("chunk", TextOps.stopwords("de"))} AS s_de, " +
+        s"${sqlStopHitsOn("chunk", TextOps.stopwords("en"))} AS s_en, " +
+        s"${sqlStopHitsOn("chunk", TextOps.stopwords("es"))} AS s_es, " +
+        s"${sqlStopHitsOn("chunk", TextOps.stopwords("fr"))} AS s_fr FROM chx))), " +
+        "sw AS (SELECT doc_id, count(*) AS n_chunks, " +
+        "count(DISTINCT lang_pred) AS n_langs, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_switches " +
+        "FROM (SELECT doc_id, lang_pred, lag(lang_pred) OVER " +
+        "(PARTITION BY doc_id ORDER BY chunk_idx) AS prev FROM lp) GROUP BY 1), " +
+        "dc AS (SELECT doc_id, lang_pred, count(*) AS c FROM lp GROUP BY 1, 2), " +
+        "dom AS (SELECT doc_id, lang_pred AS dominant_lang FROM " +
+        "(SELECT doc_id, lang_pred, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY c DESC, lang_pred) AS rn FROM dc) WHERE rn = 1) " +
+        "SELECT sw.doc_id, n_chunks, n_langs, n_switches, dominant_lang " +
+        "FROM sw JOIN dom ON sw.doc_id = dom.doc_id"),
     "q_text_repetition" ->
       ("WITH toks AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
         "ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
@@ -4263,9 +4303,15 @@ object SparkEntry {
     "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 
   /** DuckDB fragment mirroring TextOps.stopwordHits on column `text`. */
-  private def sqlStopHits(words: Seq[String]): String = {
+  private def sqlStopHits(words: Seq[String]): String =
+    sqlStopHitsOn("text", words)
+
+  /** [[sqlStopHits]] over an arbitrary column/expression (mirrors
+    * TextOps.stopwordHits on that column).
+    */
+  private def sqlStopHitsOn(c: String, words: Seq[String]): String = {
     val inList = words.map(w => s"'$w'").mkString(", ")
-    "CASE WHEN length(trim(lower(text))) = 0 THEN 0 ELSE " +
-      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ($inList))) END"
+    s"CASE WHEN length(trim(lower($c))) = 0 THEN 0 ELSE " +
+      s"len(list_filter(string_split_regex(trim(lower($c)), '\\s+'), x -> x IN ($inList))) END"
   }
 }

@@ -92,6 +92,46 @@ object TextOps {
   /** Per-language hit scores + argmax prediction with deterministic
     * alphabetical tie-break ('xx' when no language scores at all).
     */
+  /** Code-switch detection: language-ID every fixed `windowTokens`-token
+    * window of a document ([[Chunker.chunkTokens]] → [[languageScores]]),
+    * then summarize per doc — (idCol, n_chunks, n_langs, n_switches,
+    * dominant_lang). n_switches counts ADJACENT windows that disagree;
+    * dominant_lang is the modal window language (ties → alphabetical
+    * min, via one min_by over (-count, lang) — the
+    * EditDistanceJoin.bestAgainst aggregate-not-window policy). Mixed-
+    * language documents (high n_switches / n_langs) are the ones a
+    * monolingual pipeline mis-scores everywhere downstream — LM
+    * likelihood, stopword quality, tokenizer fit — so this is the
+    * routing signal that decides per-language processing.
+    *
+    * Scale shape: chunking and per-window scoring are shuffle-free
+    * codegen projections; the lag window and both aggregates are keyed
+    * by document (per-doc-sized partitions, the standard caveat); the
+    * dominant join is doc-keyed. Empty docs yield one empty window →
+    * 'xx'.
+    */
+  def codeSwitchStats(df: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = Chunker.chunkTokens(df, idCol, textCol, windowTokens, windowTokens)
+    val langd = languageScores(
+        ch.select(col(idCol), col("chunk_idx"), col("chunk")), "chunk")
+      .select(col(idCol), col("chunk_idx"), col("lang_pred"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("chunk_idx"))
+    val sw = langd.withColumn("prev", lag(col("lang_pred"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(col("lang_pred")).as("n_langs"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("lang_pred"),
+          lit(1L)).otherwise(lit(0L))).as("n_switches"))
+    val dom = langd.groupBy(col(idCol), col("lang_pred"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("lang_pred"), struct(-col("c"), col("lang_pred")))
+        .as("dominant_lang"))
+    sw.join(dom, idCol)
+  }
+
   def languageScores(df: DataFrame, textCol: String): DataFrame = {
     val langs = stopwords.keys.toSeq.sorted
     val scored = langs.foldLeft(df) { (d, l) =>

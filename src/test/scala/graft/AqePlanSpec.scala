@@ -45,7 +45,10 @@ class AqePlanSpec extends SparkSpec {
                          // round-8: frame-content posting join (media
                          // dedup) — "[h#" anchors the key list's first
                          // attribute ("h#" alone would match e.g. hash#)
-                         "q_frame_dedup" -> "[h#")) {
+                         "q_frame_dedup" -> "[h#",
+                         // round-8: SNM position-bucket join — the a side
+                         // is the 2x-exploded one; build must stay on b
+                         "q_link_snm" -> "__bkt")) {
       val p = finalPlan(q)
       val shj = p.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
       assert(shj.exists(_.contains(key)),

@@ -240,4 +240,25 @@ class TextOpsSpec extends SparkSpec {
     val all = out.find(_._1 == "__all__").get
     assert(all._2 == out.filter(_._1 != "__all__").map(_._2).sum)
   }
+
+  test("codeSwitchStats counts window-level language switches") {
+    // 20-token windows: doc 1 = EN window then DE window then EN window
+    // (2 switches, 2 langs, dominant en by count); doc 2 = one EN window.
+    val en = Seq.fill(20)("the").mkString(" ")
+    val de = Seq.fill(20)("der").mkString(" ")
+    val docs = Seq(
+      (1L, s"$en $de $en"),
+      (2L, "the and of")).toDF("doc_id", "text")
+    val got = TextOps.codeSwitchStats(docs, "doc_id", "text", 20)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got === Array(
+      (1L, 3L, 2L, 2L, "en"),
+      (2L, 1L, 1L, 0L, "en")))
+    // modal tie (one window each) breaks to the alphabetical minimum
+    val tie = Seq((3L, s"$en $de")).toDF("doc_id", "text")
+    val t3 = TextOps.codeSwitchStats(tie, "doc_id", "text", 20)
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(t3 == ((3L, 2L, 2L, 1L, "de")))
+  }
 }
