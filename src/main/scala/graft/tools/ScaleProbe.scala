@@ -84,7 +84,10 @@ import org.apache.spark.sql.functions._
   * rides the vocabulary-bounded distinct-word table. pq_search with the
   * query batch pinned to the base copy is 0.96x/1.98x at 4x/10x
   * (corpus-linear ADC over the code table; see the probe comment for why
-  * the unpinned form's 35.7x is the scan-search R², not a plan flaw).
+  * the unpinned form's 35.7x is the scan-search R², not a plan flaw);
+  * hard_negatives (same pinned-query protocol) is FLAT at 0.86x/0.99x —
+  * the query-side bucket join touches only the fixed batch's bucket
+  * mates.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -259,6 +262,12 @@ object ScaleProbe {
       "semantic_dedup" -> (d =>
         Ann.semanticDedup(d, "vec_id", "embedding", IvfFixture.model, 0.3)
           .count()),
+      // bucket join with the query side pinned to the base copy (same
+      // reasoning as pq_search below) — runtime must track corpus size
+      "hard_negatives" -> (d =>
+        Ann.hardNegatives(d, "vec_id", "embedding",
+          col("vec_id") % 20 === 0 && col("vec_id") < 10000000L,
+          5, 0.05, 0.3).count()),
       // codes are a pure projection; the ADC join is a broadcast LUT
       // probe + map-side-combinable sum. ADC is O(queries x corpus) BY
       // DESIGN (a compressed full scan — IVF is the sublinear

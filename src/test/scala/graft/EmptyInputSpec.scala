@@ -89,6 +89,7 @@ class EmptyInputSpec extends SparkSpec {
       .filter(col("n_true") =!= 0).count() == 0)
     assert(Ann.hardNegatives(noEmb, "vec_id", "embedding",
       col("vec_id") % 2 === 0, 3, 0.05, 0.3).count() == 0)
+    assert(TextOps.codeSwitchStats(noDocs, "doc_id", "text", 20).count() == 0)
     assert(SubstringDedup.redactEvalSpans(noDocs, someDocs,
       "doc_id", "text", 8).count() == 0)
     // train screened against an empty eval set comes back whole, untouched
