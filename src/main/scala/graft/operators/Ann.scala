@@ -39,6 +39,25 @@ object Ann {
     */
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
+  private def dist2(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic farthest-point seed selection over an (id-ordered)
+    * pool — the k-means++-style init both trainers share ([[trainIvf]]
+    * applies a unit-normalize `prep`, [[trainPq]] the identity).
+    */
+  private def farthestPointSeeds(pool: Array[Seq[Double]], k: Int,
+      prep: Seq[Double] => Seq[Double]): Array[Seq[Double]] = {
+    val seeds = scala.collection.mutable.ArrayBuffer(prep(pool(0)))
+    while (seeds.length < math.min(k, pool.length)) {
+      seeds += prep(pool.maxBy(v => seeds.map(s => dist2(prep(v), s)).min))
+    }
+    seeds.toArray
+  }
+
   /** Sequential-fold dot product — a native codegen kernel
     * ([[graft.functions.DotProduct]]), bit-identical to the
     * `aggregate(zip_with(...))` fold it replaces (same left-fold order,
@@ -152,11 +171,6 @@ object Ann {
       .select(col("emb_d")).collect().map(_.getSeq[Double](0))
     require(pool.nonEmpty,
       "trainIvf needs a non-empty corpus (no vectors to seed centroids from)")
-    def dist2(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     // Spherical k-means: centroids live on the unit sphere, so the argmax
     // of plain dot(v, c) IS the cosine argmax — without this, assignment
     // is biased toward long centroids and cell quality (=> recall) drops.
@@ -164,12 +178,9 @@ object Ann {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
-    val seeds = scala.collection.mutable.ArrayBuffer(unit(pool(0)))
-    while (seeds.length < math.min(nCells, pool.length)) {
-      seeds += unit(pool.maxBy(v => seeds.map(s => dist2(unit(v), s)).min))
-    }
     var centroids: Array[(Int, Seq[Double])] =
-      seeds.zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      farthestPointSeeds(pool, nCells, unit)
+        .zipWithIndex.map { case (v, i) => (i, v) }.toArray
 
     // ---- train: Lloyd's on normalized vectors (cosine ~ dot on unit-ish)
 
@@ -790,19 +801,11 @@ object Ann {
       .select(col("emb_d")).collect().map(_.getSeq[Double](0))
     require(pool.nonEmpty,
       "trainPq needs a non-empty corpus (no vectors to seed codebooks from)")
-    def dist2(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     val codebooks = (0 until m).map { j =>
       val subPool = pool.map(_.slice(j * subDim, (j + 1) * subDim))
-      val seeds = scala.collection.mutable.ArrayBuffer(subPool(0))
-      while (seeds.length < math.min(ks, subPool.length)) {
-        seeds += subPool.maxBy(v => seeds.map(s => dist2(v, s)).min)
-      }
       var cents: Array[(Int, Seq[Double])] =
-        seeds.zipWithIndex.map { case (v, i) => (i, v) }.toArray
+        farthestPointSeeds(subPool, ks, identity)
+          .zipWithIndex.map { case (v, i) => (i, v) }.toArray
       for (_ <- 1 to iters) {
         val scored = cents.map { case (cid, v) =>
           struct(d2Lit(subSlice(j, subDim), v).as("d"), lit(cid).as("cid"))

@@ -156,14 +156,51 @@ object LanguageModel {
     * delta_e12), one row per document scored by BOTH models (an empty
     * slice on either side voids that model and, with it, the contrast —
     * same V > 0 guard as [[scoreAgainst]]).
+    *
+    * ONE pass over the corpus bigram stream: both models' counts attach
+    * to the same scored rows (four left joins on bigram/ctx), both
+    * fixed-point probabilities compute per row, and one hash aggregate
+    * emits both sums — instead of running [[scoreAgainst]] twice, which
+    * would scan and shuffle the corpus-sized score side once per model.
+    * The per-row p_e12 expressions are identical to [[scoreAgainst]]'s,
+    * so the result (and the oracle) is unchanged.
     */
   def contrast(df: DataFrame, idCol: String, textCol: String,
                inDomain: Column): DataFrame = {
-    val inScore = scoreAgainst(df.filter(inDomain), df, idCol, textCol)
-      .select(col(idCol), col("n_bigrams"), col("avg_p_e12").as("avg_in_e12"))
-    val outScore = scoreAgainst(df.filter(!inDomain), df, idCol, textCol)
-      .select(col(idCol), col("avg_p_e12").as("avg_out_e12"))
-    inScore.join(outScore, idCol)
+    val base = df.withColumn("__in", inDomain)
+    // the flag rides the explode projection — never a corpus-sized join
+    val bg = base.select(col(idCol).as("id"), col("__in"),
+        explode(graft.functions.word_ngrams(toks(textCol), 2)).as("bigram"))
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
+    def counts(pred: Column, cxyName: String, cxName: String) = (
+      bg.filter(pred).groupBy("bigram").agg(count(lit(1)).as(cxyName)),
+      bg.filter(pred).groupBy("ctx").agg(count(lit(1)).as(cxName)))
+    val (cxyIn, cxIn) = counts(col("__in"), "c_xy_i", "c_x_i")
+    val (cxyOut, cxOut) = counts(!col("__in"), "c_xy_o", "c_x_o")
+    def vocab(pred: Column, name: String) = base.filter(pred)
+      .select(explode(toks(textCol)).as("tok"))
+      .agg(count_distinct(col("tok")).as(name))
+    val vs = vocab(col("__in"), "v_i").crossJoin(vocab(!col("__in"), "v_o"))
+    def pE12(cxy: String, cx: String, v: String): Column =
+      round(lit(1.0e12) *
+        ((coalesce(col(cxy), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col(cx), lit(0L)) + col(v)).cast("double"))).cast("long")
+    bg
+      .join(cxyIn, Seq("bigram"), "left")
+      .join(cxIn, Seq("ctx"), "left")
+      .join(cxyOut, Seq("bigram"), "left")
+      .join(cxOut, Seq("ctx"), "left")
+      .crossJoin(broadcast(vs))
+      .filter(col("v_i") > 0 && col("v_o") > 0)
+      .withColumn("p_i", pE12("c_xy_i", "c_x_i", "v_i"))
+      .withColumn("p_o", pE12("c_xy_o", "c_x_o", "v_o"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_i")).as("__si"), sum(col("p_o")).as("__so"))
+      .withColumn("avg_in_e12", expr("__si div n_bigrams"))
+      .withColumn("avg_out_e12", expr("__so div n_bigrams"))
       .withColumn("delta_e12", col("avg_in_e12") - col("avg_out_e12"))
+      .select(col(idCol), col("n_bigrams"), col("avg_in_e12"),
+        col("avg_out_e12"), col("delta_e12"))
   }
 }

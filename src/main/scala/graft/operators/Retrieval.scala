@@ -80,11 +80,7 @@ object Retrieval {
                k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "terms must be non-empty and distinct")
-    val tok = docs.select(col(idCol).as("id"),
-      TextOps.tokens(lower(col(textCol))).as("t"))
-    val dl = tok.filter(size(col("t")) > 0)
-      .select(col("id"), size(col("t")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val (tok, dl, stats) = bm25Corpus(docs, idCol, textCol)
     val tf = tok.select(col("id"), explode(col("t")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
@@ -100,6 +96,19 @@ object Retrieval {
         sum(col("s_e12")).as("score_e12"))
       .orderBy(col("score_e12").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Tokenized corpus, per-doc lengths, and the one-row (n_docs, sum_dl)
+    * stats — shared by the single-query and batch BM25 forms.
+    */
+  private def bm25Corpus(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val tok = docs.select(col(idCol).as("id"),
+      TextOps.tokens(lower(col(textCol))).as("t"))
+    val dl = tok.filter(size(col("t")) > 0)
+      .select(col("id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (tok, dl, stats)
   }
 
   /** The per-(doc, term) BM25 score at e12 over columns (tf, dfreq, dl,
@@ -138,11 +147,7 @@ object Retrieval {
     val qterm = queries.select(col(qIdCol).as("query_id"),
         explode(TextOps.tokens(lower(col(qTextCol)))).as("term"))
       .distinct()
-    val tok = docs.select(col(idCol).as("id"),
-      TextOps.tokens(lower(col(textCol))).as("t"))
-    val dl = tok.filter(size(col("t")) > 0)
-      .select(col("id"), size(col("t")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val (tok, dl, stats) = bm25Corpus(docs, idCol, textCol)
     val vocab = qterm.select("term").distinct()
     val tf = tok.select(col("id"), explode(col("t")).as("term"))
       .join(broadcast(vocab), "term")
