@@ -1876,6 +1876,13 @@ object SparkEntry {
       Bpe.encode(docs, "doc_id", "text", m)
     }),
 
+    // ---- SNM recall audit: the window-10 neighborhood's catch rate
+    // against the exact lev<=2 pair set — the number that prices the
+    // n·w budget (same measure-then-trust contract as the LSH/PQ audits).
+    "q_link_snm_recall" -> ((s, dir) =>
+      Linker.sortedNeighborhoodRecall(Tables.customer(s, dir), "c_custkey",
+        "c_name", 10, 2)),
+
     // ---- DSIR importance weights: every document weighted by hashed-
     // bigram target/raw probability ratios (target = lang 'en'), e6
     // fixed point — the importance-resampling selection signal.
@@ -3603,6 +3610,25 @@ object SparkEntry {
         "b.pos - a.pos AS gap " +
         "FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 10 " +
         "WHERE levenshtein(a.key, b.key) <= 2"),
+    // SNM recall replay: naive lev truth left-joined with the
+    // normalized window pairs, one counts row.
+    "q_link_snm_recall" ->
+      ("WITH base AS (SELECT c_custkey AS id, c_name AS key FROM customer " +
+        "WHERE c_name IS NOT NULL), " +
+        "p AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS pos " +
+        "FROM base), " +
+        "snm AS (SELECT DISTINCT least(a.id, b.id) AS id_a, " +
+        "greatest(a.id, b.id) AS id_b " +
+        "FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 10 " +
+        "WHERE levenshtein(a.key, b.key) <= 2), " +
+        "truth AS (SELECT a.id AS id_a, b.id AS id_b FROM base a JOIN base b " +
+        "ON a.id < b.id AND levenshtein(a.key, b.key) <= 2) " +
+        "SELECT count(*) AS n_true, " +
+        "CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_caught, " +
+        "CASE WHEN count(*) > 0 THEN CAST(coalesce(sum(hit), 0) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) END AS recall FROM " +
+        "(SELECT t.id_a, t.id_b, CASE WHEN s.id_a IS NOT NULL THEN 1 END AS hit " +
+        "FROM truth t LEFT JOIN snm s ON s.id_a = t.id_a AND s.id_b = t.id_b)"),
     // DSIR replay: hashed-bigram buckets, add-one smoothed target/raw
     // ratio at e6, exact integer sums per doc.
     "q_dsir_weights" ->

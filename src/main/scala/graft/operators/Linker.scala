@@ -146,6 +146,32 @@ object Linker {
         col("dist"), (col("pos_b") - col("pos_a")).as("gap"))
   }
 
+  /** Recall audit for [[sortedNeighborhood]] against the EXACT lev ≤
+    * maxDist pair set (from [[EditDistanceJoin.idPairs]]'s
+    * deletion-neighborhood join — exact-equivalent to the naive theta
+    * join, so the truth side is cheap). One audit row: (n_true,
+    * n_caught, recall). SNM is recall-limited BY DESIGN (a first-letter
+    * typo sorts far away); this is the measure-then-trust number that
+    * decides whether the n·w budget is acceptable or the exact join is
+    * required — the same audit contract as lshRecallEval /
+    * embeddingRecallEval / pqRecallEval.
+    */
+  def sortedNeighborhoodRecall(df: DataFrame, idCol: String, keyCol: String,
+                               windowSize: Int, maxDist: Int): DataFrame = {
+    val truth = EditDistanceJoin.idPairs(df, idCol, keyCol, maxDist)
+    val caught = sortedNeighborhood(df, idCol, keyCol, windowSize, maxDist)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    truth.join(caught, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum("hit"), lit(0L)).as("n_caught"))
+      .select(col("n_true"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** Full Task-1 + Task-2 pipeline shape on a generic (name, alt) table:
     * exact dedup, then link, then cluster member sets.
     */

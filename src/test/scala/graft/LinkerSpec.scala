@@ -97,6 +97,23 @@ class LinkerSpec extends SparkSpec {
     assert(got.size == got.map(p => (p._1, p._2)).size)
   }
 
+  test("sortedNeighborhoodRecall: perfect when dups sort together, partial on prefix typos") {
+    // exact-duplicate keys are sort-adjacent -> every true pair inside
+    // the window -> recall exactly 1
+    val adjacent = Seq((1L, "acme corp"), (2L, "acme corp"), (3L, "zzz ltd"))
+      .toDF("id", "key")
+    val full = Linker.sortedNeighborhoodRecall(adjacent, "id", "key", 3, 2)
+      .as[(Long, Long, Double)].head()
+    assert(full == ((1L, 1L, 1.0)))
+    // a FIRST-character typo sorts far away: with enough rows between,
+    // the window misses it — the recall limitation the audit exists for
+    val spread = (Seq((1L, "aaaa"), (100L, "baaa")) ++
+      (2L to 40L).map(i => (i, f"m$i%038d"))).toDF("id", "key")
+    val r = Linker.sortedNeighborhoodRecall(spread, "id", "key", 3, 2)
+      .as[(Long, Long, Double)].head()
+    assert(r._1 >= 1L && r._2 < r._1, r) // the aaaa~baaa pair is missed
+  }
+
   test("sortedNeighborhood: null keys drop, empty input is empty") {
     val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String]), (3L, "abd"))
       .toDF("id", "key")
