@@ -1878,10 +1878,14 @@ object SparkEntry {
 
     // ---- SNM recall audit: the window-10 neighborhood's catch rate
     // against the exact lev<=2 pair set — the number that prices the
-    // n·w budget (same measure-then-trust contract as the LSH/PQ audits).
+    // n·w budget (same measure-then-trust contract as the LSH/PQ
+    // audits, and like them run on a deterministic sample tier: the
+    // truth side re-runs the exact deletion join, which is the cost the
+    // audited operator exists to avoid paying corpus-wide).
     "q_link_snm_recall" -> ((s, dir) =>
-      Linker.sortedNeighborhoodRecall(Tables.customer(s, dir), "c_custkey",
-        "c_name", 10, 2)),
+      Linker.sortedNeighborhoodRecall(
+        Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "c_name", 10, 2)),
 
     // ---- DSIR importance weights: every document weighted by hashed-
     // bigram target/raw probability ratios (target = lang 'en'), e6
@@ -3614,7 +3618,7 @@ object SparkEntry {
     // normalized window pairs, one counts row.
     "q_link_snm_recall" ->
       ("WITH base AS (SELECT c_custkey AS id, c_name AS key FROM customer " +
-        "WHERE c_name IS NOT NULL), " +
+        "WHERE c_custkey % 3 = 0 AND c_name IS NOT NULL), " +
         "p AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS pos " +
         "FROM base), " +
         "snm AS (SELECT DISTINCT least(a.id, b.id) AS id_a, " +
