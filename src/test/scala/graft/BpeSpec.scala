@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Bpe
+import org.apache.spark.sql.functions.expr
 
 /** Hand-computed BPE fixtures: merge order, weighted pair counts, the
   * x == y run semantics (every-other-start), and encode round-trips.
@@ -62,6 +63,52 @@ class BpeSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().sortBy(_._1)
     assert(a === b)
     assert(a.length == 4)
+  }
+
+  test("fold merge equals the oracle's positional replay (exhaustive, len <= 10)") {
+    // The DuckDB oracle replays merges POSITIONALLY: match starts grouped
+    // into consecutive runs, every other start active. The engine uses a
+    // left fold. Exhaustively check equivalence over every {a,b} string
+    // up to length 10 for the three structurally distinct pairs.
+    def positional(s: Vector[String], x: String, y: String): Vector[String] = {
+      val hits = (0 until s.length - 1).filter(j => s(j) == x && s(j + 1) == y)
+      val active = scala.collection.mutable.Set.empty[Int]
+      var run = List.empty[Int]
+      def flush(): Unit = {
+        run.reverse.zipWithIndex.foreach { case (j, i) =>
+          if (i % 2 == 0) active += j
+        }
+        run = Nil
+      }
+      hits.foreach { j =>
+        if (run.nonEmpty && run.head != j - 1) flush()
+        run = j :: run
+      }
+      flush()
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (active(j)) { out += (x + y); j += 2 }
+        else { out += s(j); j += 1 }
+      }
+      out.result()
+    }
+    val words = (1 to 10).flatMap { n =>
+      (0 until (1 << n)).map { bits =>
+        (0 until n).map(i => if ((bits >> i & 1) == 1) "b" else "a").mkString
+      }
+    }
+    val df = words.toDF("word")
+      .withColumn("s", expr(graft.operators.Bpe.CharSplit))
+    for ((x, y) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val got = df.withColumn("m",
+          expr(graft.operators.Bpe.mergeExpr("s", x, y)))
+        .select("word", "m").as[(String, Seq[String])].collect().toMap
+      words.foreach { w =>
+        val ref = positional(w.map(_.toString).toVector, x, y)
+        assert(got(w) == ref, s"word=$w pair=($x,$y): ${got(w)} vs $ref")
+      }
+    }
   }
 
   test("merge literals survive quotes and backslashes in tokens") {

@@ -113,4 +113,27 @@ class PrefixSumSpec extends SparkSpec {
     // not the identity order (it actually shuffles)
     assert(r.toMap.toSeq.sortBy(_._1).map(_._2) != (1L to 200L))
   }
+
+  test("densePositions equals row_number over the total order at any layout") {
+    import graft.operators.PrefixSum
+    // duplicate keys broken by id — the (key, id) combination is total
+    val rows = (1L to 500L).map(i => (i, s"k${i % 37}"))
+    val df = rows.toDF("id", "key")
+    val expected = rows.sortBy { case (i, k) => (k, i) }
+      .zipWithIndex.map { case ((i, _), p) => i -> (p + 1).toLong }.toMap
+    for (parts <- Seq(1, 3, 32)) {
+      val got = PrefixSum.densePositions(df.repartition(parts),
+          Seq("key", "id"))
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"layout $parts diverged")
+    }
+    // positions are a dense 1..n permutation
+    val ps = PrefixSum.densePositions(df, Seq("key", "id"))
+      .select("pos").as[Long].collect().sorted.toSeq
+    assert(ps == (1L to 500L))
+    // empty input yields no rows, not an error
+    assert(PrefixSum.densePositions(
+      Seq.empty[(Long, String)].toDF("id", "key"), Seq("key", "id"))
+      .count() == 0)
+  }
 }
