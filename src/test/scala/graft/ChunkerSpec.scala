@@ -157,6 +157,46 @@ class ChunkerSpec extends SparkSpec {
       dh.filter(_._1 == 2L).map(_._2).toSet)
   }
 
+  test("CDC chunking equals a driver-side reference replay on random docs") {
+    // reference: boundary when md5-60(token) % m == 0; chunk idx is the
+    // inclusive running boundary count; hash = md5 of space-joined chunk
+    def h60(s: String): BigInt =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    def reference(text: String, m: Int): Seq[(Long, Long, String)] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) return Nil
+      var idx = 0L
+      val groups = scala.collection.mutable.LinkedHashMap.empty[Long, Vector[String]]
+      toks.foreach { t =>
+        if (h60(t) % m == 0) idx += 1
+        groups(idx) = groups.getOrElse(idx, Vector.empty) :+ t
+      }
+      groups.toSeq.map { case (ci, ts) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(ts.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (ci, ts.length.toLong, md)
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    val vocabW = Vector("ga", "bo", "tu", "mi", "ra", "ke", "zu", "lo")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))(vocabW(rnd.nextInt(vocabW.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Chunker.contentDefinedChunks(df, "doc_id", "text", 3)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_hash")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .map(r => (r._2, r._3, r._4)).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == reference(text, 3), s"doc $id diverged")
+    }
+  }
+
   test("CDC dedup report counts copies and reclaimable mass") {
     val docs = Seq((1L, "x x x"), (2L, "x x x"), (3L, "y y")).toDF("doc_id", "text")
     // "x x x" chunks identically in docs 1 and 2 (cross-doc dup); "y y"
