@@ -106,6 +106,36 @@ class LanguageModelSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("likelihood matches a driver-side replay on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def tokensOf(t: String): Seq[String] = {
+      val s = t.toLowerCase.trim
+      if (s.isEmpty) Nil else s.split("\\s+").toSeq
+    }
+    val bigrams = docs.map { case (id, t) =>
+      id -> tokensOf(t).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq
+    }.toMap
+    val all = bigrams.values.flatten.toSeq
+    val cxy = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cx = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = docs.flatMap(d => tokensOf(d._2)).distinct.size.toLong
+    def pE12(b: (String, String)): Long =
+      new java.math.BigDecimal(
+        1.0e12 * ((cxy(b) + 1L).toDouble / (cx(b._1) + v).toDouble))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val expected = bigrams.collect { case (id, bs) if bs.nonEmpty =>
+      val sums = bs.map(pE12)
+      (id, bs.size.toLong, sums.sum, sums.sum / bs.size)
+    }.toSet
+    val got = LanguageModel.likelihood(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("bm25Batch agrees with per-query bm25TopK and shares one scan") {
     val corpus = Seq(
       (1L, "a a a a"), (2L, "a b b b"), (3L, "z z a b"), (4L, "c c z"))
