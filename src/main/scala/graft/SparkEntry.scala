@@ -760,6 +760,22 @@ object SparkEntry {
         "doc_id", "text", 3, 0.3)
     }),
 
+    // ---- Incremental near-dedup against a PERSISTED standing LSH index
+    // (write-once/serve-many — the IvfFixture pattern for text): the
+    // standing corpus's band postings + verify shingle sets are
+    // published to bkey-/id-clustered parquet and today's batch (src0)
+    // joins the FROZEN index, so the corpus contributes a scan per
+    // batch, never recompute. The oracle replays the full LSH+verify
+    // recompute; hash equality proves the persisted path lossless.
+    "q_near_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = scratchDir("graft_lsh_idx").toString
+      NearDup.writeBandIndex(docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", 3, tmp)
+      NearDup.incrementalNearDupPairs(docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3, 0.5, tmp)
+    }),
+
     // ---- Near-dup: MinHash signatures (16 md5-based hashes, shared with
     // the oracle bit-for-bit).
     "q_minhash_sig" -> ((s, dir) =>
@@ -1821,18 +1837,23 @@ object SparkEntry {
       Linker.sortedNeighborhood(Tables.customer(s, dir), "c_custkey",
         "c_name", 10, 2)),
 
-    // ---- Product quantization encode: every vector as 8 per-subspace
-    // code ids against the frozen PqFixture codebooks — the compressed
-    // representation a 100 TB ANN stores instead of raw floats.
+    // ---- IVFPQ encode: every vector as its coarse IVF cell + 32
+    // per-subspace RESIDUAL code ids against the frozen PqFixture
+    // codebooks (trained on v − centroid(cell) residuals, the FAISS
+    // IVFPQ layout; m=32 × ks=64 chosen by the PqTune recall sweep) —
+    // the compressed representation a 100 TB ANN stores instead of raw
+    // floats.
     "q_pq_encode" -> ((s, dir) =>
       Ann.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
-        PqFixture.model)),
+        PqFixture.model, Some(IvfFixture.model))),
 
-    // ---- PQ asymmetric-distance search: per-query LUT (e12 fixed
-    // point), corpus scanned as codes, integer distance sums, top-5.
+    // ---- IVFPQ asymmetric-distance search: per-(query, cell) residual
+    // LUT (e12 fixed point), corpus scanned as (cell, codes), integer
+    // distance sums joined on (cell, subspace, code), top-5.
     "q_pq_search" -> ((s, dir) =>
       Ann.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
-        PqFixture.model, col("vec_id") % 50 === 0, 5)),
+        PqFixture.model, col("vec_id") % 50 === 0, 5,
+        Some(IvfFixture.model))),
 
     // ---- BATCH BM25: two queries scored in ONE corpus pass (broadcast
     // query-vocab prune → shared postings → per-query fan-out), top-5
@@ -1852,11 +1873,12 @@ object SparkEntry {
       Ann.hardNegatives(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") % 50 === 0, 5, 0.05, 0.3)),
 
-    // ---- PQ recall audit vs the exact L2 top-5 (query-bounded exact
+    // ---- IVFPQ recall audit vs the exact L2 top-5 (query-bounded exact
     // scan, the sample-tier contract): one hash-checked audit row.
     "q_pq_recall" -> ((s, dir) =>
       Ann.pqRecallEval(Tables.embeddings(s, dir), "vec_id", "embedding",
-        PqFixture.model, col("vec_id") % 50 === 0, 5)),
+        PqFixture.model, col("vec_id") % 50 === 0, 5,
+        Some(IvfFixture.model))),
 
     // ---- In-engine BPE tokenizer training: 6 merges learned over the
     // corpus (pair-count hash agg + argmax + codegen fold per round, all
@@ -1886,6 +1908,21 @@ object SparkEntry {
       Linker.sortedNeighborhoodRecall(
         Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0),
         "c_custkey", "c_name", 10, 2)),
+
+    // ---- MULTI-PASS SNM recall audit (Hernández–Stolfo's published fix
+    // for single-pass SNM's recall ceiling): one audit row per sort-key
+    // pass — forward / reversed / sorted-chars — plus their union, vs
+    // the exact lev<=2 truth on the same fixture as q_link_snm_recall.
+    // Misses of independent keys multiply, so the union row beats every
+    // single key's; the verify always compares the REAL name.
+    "q_link_snm_multi_recall" -> ((s, dir) =>
+      Linker.sortedNeighborhoodMultiRecall(
+        Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "c_name",
+        Seq("forward" -> col("c_name"),
+          "reversed" -> reverse(col("c_name")),
+          "sorted_chars" -> concat_ws("", sort_array(split(col("c_name"), "")))),
+        10, 2)),
 
     // ---- DSIR importance weights: every document weighted by hashed-
     // bigram target/raw probability ratios (target = lang 'en'), e6
@@ -2570,6 +2607,32 @@ object SparkEntry {
         "FROM inter JOIN cb ON cb.doc_id = batch_id " +
         "JOIN cc ON cc.doc_id = corpus_id " +
         "WHERE CAST(n_common AS DOUBLE) / (cb.n + cc.n - n_common) >= 0.3"),
+    // Persisted-index incremental replay: the RECOMPUTE form of the
+    // same LSH-candidates + exact-verify math, batch (src0) x corpus
+    // sides split by a documents join — hash equality against the
+    // Spark side proves the parquet write/read of postings + verify
+    // sets is lossless and the frozen-index join complete.
+    "q_near_dedup_incremental" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlAbCte, " +
+        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
+        "cands AS (SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id " +
+        "FROM (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.id " +
+        "WHERE d.source = 'src0') a " +
+        "JOIN (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.id " +
+        s"WHERE d.source <> 'src0') b ON ($sqlBandCond)), " +
+        "interx AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, " +
+        "count(*) AS n_common FROM sh a " +
+        "JOIN documents da ON da.doc_id = a.doc_id AND da.source = 'src0' " +
+        "JOIN sh b ON a.s = b.s " +
+        "JOIN documents db ON db.doc_id = b.doc_id AND db.source <> 'src0' " +
+        "GROUP BY 1, 2) " +
+        "SELECT c.batch_id, c.corpus_id, i.n_common, " +
+        "CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jacc " +
+        "FROM cands c JOIN interx i ON i.batch_id = c.batch_id " +
+        "AND i.corpus_id = c.corpus_id " +
+        "JOIN counts ca ON ca.doc_id = c.batch_id " +
+        "JOIN counts cb ON cb.doc_id = c.corpus_id " +
+        "WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5"),
     "q_minhash_sig" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlAbCte " +
         s"SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id"),
@@ -3496,24 +3559,21 @@ object SparkEntry {
         "count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, " +
         "CAST((count(*) - 1) * max(n_tokens) AS BIGINT) AS dup_tokens, " +
         "count(*) > 1 AS is_dup FROM ch GROUP BY 1"),
-    // PQ replay against the frozen codebook literals: per-(vector,
-    // subspace) argmin assignment, pivoted to code columns.
+    // IVFPQ replay against the frozen centroid + codebook literals:
+    // coarse-cell argmax, residual per-(vector, subspace) argmin,
+    // pivoted to (cell, code columns).
     "q_pq_encode" ->
-      (s"WITH $sqlPqCbCte, $sqlPqAsnCte " +
-        "SELECT vec_id, " +
-        (0 until 8).map(j =>
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte " +
+        "SELECT vec_id, CAST(max(cell) AS BIGINT) AS cell, " +
+        (0 until PqFixture.model.m).map(j =>
           s"CAST(max(CASE WHEN j = $j THEN cid END) AS BIGINT) AS c$j")
           .mkString(", ") +
         " FROM asnp GROUP BY vec_id"),
-    // ADC: per-query subspace LUT at e12, integer sums over the 8 code
-    // lookups, (distance ASC, vec_id) top-5.
+    // IVFPQ ADC: per-(query, cell) residual LUT at e12, integer sums
+    // over the per-subspace code lookups joined on (cell, subspace,
+    // code), (distance ASC, vec_id) top-5.
     "q_pq_search" ->
-      (s"WITH $sqlPqCbCte, $sqlPqAsnCte, " +
-        "lut AS (SELECT c.vec_id AS query_id, p.j, p.cid, " +
-        s"CAST(round(1000000000000.0 * ${sqlPqD2("c.embedding", "p.j", "p.cv")}) AS BIGINT) AS d " +
-        "FROM embeddings c, pcb p WHERE c.vec_id % 50 = 0), " +
-        "sc AS (SELECT l.query_id, a.vec_id, sum(l.d) AS ad2 " +
-        "FROM asnp a JOIN lut l ON l.j = a.j AND l.cid = a.cid GROUP BY 1, 2) " +
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, $sqlPqLutCtes " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
         "CAST(row_number() OVER (PARTITION BY query_id " +
@@ -3569,15 +3629,11 @@ object SparkEntry {
         "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank " +
         "FROM f) WHERE rank <= 5"),
-    // PQ recall audit: exact L2 top-5 (query-bounded scan) left-joined
-    // with the ADC top-5, reduced to one counts row.
+    // IVFPQ recall audit: exact L2 top-5 (query-bounded scan)
+    // left-joined with the residual-ADC top-5, reduced to one counts
+    // row.
     "q_pq_recall" ->
-      (s"WITH $sqlPqCbCte, $sqlPqAsnCte, " +
-        "lut AS (SELECT c.vec_id AS query_id, p.j, p.cid, " +
-        s"CAST(round(1000000000000.0 * ${sqlPqD2("c.embedding", "p.j", "p.cv")}) AS BIGINT) AS d " +
-        "FROM embeddings c, pcb p WHERE c.vec_id % 50 = 0), " +
-        "sc AS (SELECT l.query_id, a.vec_id, sum(l.d) AS ad2 " +
-        "FROM asnp a JOIN lut l ON l.j = a.j AND l.cid = a.cid GROUP BY 1, 2), " +
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, $sqlPqLutCtes, " +
         "ap AS (SELECT query_id, vec_id FROM " +
         "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY ad2 ASC, vec_id) AS rn FROM sc) WHERE rn <= 5), " +
@@ -3633,6 +3689,10 @@ object SparkEntry {
         "CAST(count(*) AS DOUBLE) END AS recall FROM " +
         "(SELECT t.id_a, t.id_b, CASE WHEN s.id_a IS NOT NULL THEN 1 END AS hit " +
         "FROM truth t LEFT JOIN snm s ON s.id_a = t.id_a AND s.id_b = t.id_b)"),
+    // Multi-pass SNM replay: one sorted-window pass per key expression
+    // (forward / reversed / sorted-chars), normalized pair sets, the
+    // union row, all left-joined against the exact lev truth.
+    "q_link_snm_multi_recall" -> sqlSnmMultiRecallOracle,
     // DSIR replay: hashed-bigram buckets, add-one smoothed target/raw
     // ratio at e6, exact integer sums per doc.
     "q_dsir_weights" ->
@@ -3652,6 +3712,56 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_feats, CAST(sum(r_e6) AS BIGINT) AS sum_r_e6, " +
         "CAST(sum(r_e6) // count(*) AS BIGINT) AS avg_r_e6 FROM sc GROUP BY 1"),
   )
+
+  /** Multi-pass SNM recall oracle (mirrors
+    * Linker.sortedNeighborhoodMultiRecall on the q_link_snm_recall
+    * fixture): per pass, a row_number sort on the pass's key expression,
+    * the w=10 successor window, banded-lev<=2 verify on the REAL name,
+    * least/greatest pair normalization; the union row is the SQL UNION
+    * of the three pass pair sets; every labeled truth pair left-joins
+    * the caught set. The sorted-chars signature is
+    * array_to_string(list_sort(string_split(key, '')), '') — verified
+    * char-for-char against Spark's concat_ws(sort_array(split)) on the
+    * ASCII fixture names.
+    */
+  private lazy val sqlSnmMultiRecallOracle: String = {
+    val passes = Seq(
+      "forward" -> "key",
+      "reversed" -> "reverse(key)",
+      "sorted_chars" -> "array_to_string(list_sort(string_split(key, '')), '')")
+    val passCtes = passes.map { case (nm, ex) =>
+      s"p_$nm AS (SELECT id, key, row_number() OVER (ORDER BY $ex, id) AS pos " +
+        "FROM base), " +
+        s"c_$nm AS (SELECT DISTINCT least(a.id, b.id) AS id_a, " +
+        "greatest(a.id, b.id) AS id_b " +
+        s"FROM p_$nm a JOIN p_$nm b ON b.pos > a.pos AND b.pos <= a.pos + 10 " +
+        "WHERE levenshtein(a.key, b.key) <= 2)"
+    }.mkString(", ")
+    val caughtUnion = passes.map { case (nm, _) =>
+      s"SELECT id_a, id_b, '$nm' AS pass FROM c_$nm"
+    }.mkString(" UNION ALL ") +
+      " UNION ALL SELECT id_a, id_b, 'union' AS pass FROM (" +
+      passes.map { case (nm, _) => s"SELECT id_a, id_b FROM c_$nm" }
+        .mkString(" UNION ") + ")"
+    val labels = (passes.map(_._1) :+ "union")
+      .map(n => s"'$n'").mkString(", ")
+    "WITH base AS (SELECT c_custkey AS id, c_name AS key FROM customer " +
+      "WHERE c_custkey % 3 = 0 AND c_name IS NOT NULL), " +
+      s"$passCtes, " +
+      s"caught AS ($caughtUnion), " +
+      "truth AS (SELECT a.id AS id_a, b.id AS id_b FROM base a JOIN base b " +
+      "ON a.id < b.id AND levenshtein(a.key, b.key) <= 2), " +
+      s"lab AS (SELECT unnest([$labels]) AS pass) " +
+      "SELECT pass, count(*) AS n_true, " +
+      "CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_caught, " +
+      "CASE WHEN count(*) > 0 THEN CAST(coalesce(sum(hit), 0) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE) END AS recall FROM " +
+      "(SELECT t.id_a, t.id_b, t.pass, " +
+      "CASE WHEN c.id_a IS NOT NULL THEN 1 END AS hit " +
+      "FROM (SELECT tr.id_a, tr.id_b, l.pass FROM truth tr, lab l) t " +
+      "LEFT JOIN caught c ON c.id_a = t.id_a AND c.id_b = t.id_b " +
+      "AND c.pass = t.pass) GROUP BY pass"
+  }
 
   /** Nearest-centroid training CTEs (mirrors QualityModel.trainCentroid
     * over documents with label "mentions 'customer'"): distinct presence
@@ -4253,16 +4363,50 @@ object SparkEntry {
       s"(${el("i")}) * (${el("i")})), (acc, x) -> acc + x)"
   }
 
-  /** Per-(vector, subspace) PQ code assignment CTE `asnp(vec_id, j,
-    * cid)`: argmin squared L2, ties to the lower code id (Spark's
+  /** IVFPQ assignment CTE chain (requires `cents` + `pcb` in scope):
+    * `corq` (vec_id, embedding, nrm) → `asnc` coarse-cell argmax
+    * carrying the winning centroid (score DESC, cid — Spark's
+    * greatest-over-structs) → `resid` the elementwise residual
+    * v − centroid (each element one rounded subtraction, mirroring
+    * zip_with) → `asnp(vec_id, cell, j, cid)` per-subspace residual
+    * code argmin, ties to the lower code id (Spark's
     * least-over-structs).
     */
   private lazy val sqlPqAsnCte: String =
-    "asnp AS MATERIALIZED (SELECT vec_id, j, cid FROM " +
-      "(SELECT c.vec_id, p.j, p.cid, row_number() OVER " +
-      "(PARTITION BY c.vec_id, p.j " +
-      s"ORDER BY ${sqlPqD2("c.embedding", "p.j", "p.cv")} ASC, p.cid) AS rn " +
-      "FROM embeddings c, pcb p) WHERE rn = 1)"
+    "corq AS (SELECT vec_id, embedding, " +
+      s"sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "asnc AS (SELECT vec_id, cell, cv FROM " +
+      "(SELECT c.vec_id, ct.cid AS cell, ct.cv, row_number() OVER " +
+      "(PARTITION BY c.vec_id " +
+      s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
+      "FROM corq c, cents ct) WHERE rn = 1), " +
+      "resid AS MATERIALIZED (SELECT c.vec_id, a.cell, " +
+      s"list_transform(range(1, ${Ann.Dim + 1}), i -> " +
+      "c.embedding[CAST(i AS INT)]::DOUBLE - a.cv[CAST(i AS INT)]) AS res " +
+      "FROM corq c JOIN asnc a ON a.vec_id = c.vec_id), " +
+      "asnp AS MATERIALIZED (SELECT vec_id, cell, j, cid FROM " +
+      "(SELECT r.vec_id, r.cell, p.j, p.cid, row_number() OVER " +
+      "(PARTITION BY r.vec_id, p.j " +
+      s"ORDER BY ${sqlPqD2("r.res", "p.j", "p.cv")} ASC, p.cid) AS rn " +
+      "FROM resid r, pcb p) WHERE rn = 1)"
+
+  /** Per-(query, cell) residual LUT CTE `lut(query_id, cell, j, cid,
+    * d)` at e12 fixed point — every query subtracts each probed cell's
+    * centroid before building that cell's subspace distance table
+    * (requires `corq`/`cents`/`pcb`; the q_pq queries probe every
+    * cell).
+    */
+  private lazy val sqlPqLutCtes: String =
+    "qres AS (SELECT c.vec_id AS query_id, ct.cid AS cell, " +
+      s"list_transform(range(1, ${Ann.Dim + 1}), i -> " +
+      "c.embedding[CAST(i AS INT)]::DOUBLE - ct.cv[CAST(i AS INT)]) AS res " +
+      "FROM corq c, cents ct WHERE c.vec_id % 50 = 0), " +
+      "lut AS (SELECT q.query_id, q.cell, p.j, p.cid, " +
+      s"CAST(round(1000000000000.0 * ${sqlPqD2("q.res", "p.j", "p.cv")}) AS BIGINT) AS d " +
+      "FROM qres q, pcb p), " +
+      "sc AS (SELECT l.query_id, a.vec_id, sum(l.d) AS ad2 " +
+      "FROM asnp a JOIN lut l ON l.cell = a.cell AND l.j = a.j " +
+      "AND l.cid = a.cid GROUP BY 1, 2)"
 
   /** The frozen IVF centroid set (IvfFixture) as a VALUES CTE. Each
     * component is emitted as CAST('<Double.toString>' AS DOUBLE): a BARE

@@ -75,9 +75,29 @@ object Bpe {
     * pair_count) — merge_rank 1-based in learned order; fewer rows when
     * the corpus runs out of mergeable pairs early (single-char
     * vocabulary). An empty corpus yields an empty merge table.
+    *
+    * `batchM` batches merge rounds per corpus pass — the lever that
+    * makes a 50k-merge vocabulary feasible (sequential BPE is one Spark
+    * job per merge; 50k merges = 50k sequential jobs over the
+    * vocabulary table). Each pass counts pairs ONCE, then greedily
+    * accepts up to batchM candidates in (count DESC, x, y) order that
+    * are SYMBOL-DISJOINT from every already-accepted pair in the pass
+    * ({x,y} sets don't intersect), applies them as one fused fold
+    * chain, and checkpoints once. batchM = 1 (the default) is
+    * bit-exact classic BPE. For batchM > 1, disjointness guarantees
+    * each accepted pair's own count is what a sequential recount would
+    * have shown — but a merge can CREATE a new pair (a, xy) whose count
+    * overtakes a later candidate's, which sequential BPE would have
+    * picked first; batching trades that reordering (rare on natural
+    * vocabularies, bounded to within a pass) for a passes/batchM
+    * speedup, the standard batched-BPE engineering compromise. BpeSpec
+    * pins M>1 == M=1 on a disjoint-top-pairs corpus; the bpe_batch
+    * ScaleProbe measures the wall-clock trade.
     */
-  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            batchM: Int = 1): DataFrame = {
     require(numMerges > 0, s"need numMerges > 0, got $numMerges")
+    require(batchM >= 1, s"need batchM >= 1, got $batchM")
     val spark = df.sparkSession
     import spark.implicits._
     var cur = initialSymbols(df, textCol).localCheckpoint(true)
@@ -85,20 +105,35 @@ object Bpe {
     var i = 0
     var done = false
     while (i < numMerges && !done) {
-      val best = cur
+      val want = math.min(batchM, numMerges - i)
+      // Candidate pool: top 4·want pairs is enough to find `want`
+      // disjoint ones on real vocabularies; if not, the pass accepts
+      // fewer and the next pass recounts. Bounded driver state either
+      // way (≤ 4·batchM rows per pass).
+      val cands = cur
         .select(col("f"), explode(expr(
           "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
             "(a, b) -> struct(a AS x, b AS y))")).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("f")).as("c"))
-        .orderBy(col("c").desc, col("x"), col("y")).limit(1)
+        .orderBy(col("c").desc, col("x"), col("y")).limit(4 * want)
         .as[(String, String, Long)].collect()
-      if (best.isEmpty) done = true
+      if (cands.isEmpty) done = true
       else {
-        val (x, y, c) = best(0)
-        merges += ((i + 1, x, y, c))
-        cur = cur.withColumn("s", expr(mergeExpr("s", x, y))).localCheckpoint(true)
-        i += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        cands.foreach { case cand @ (x, y, _) =>
+          if (chosen.size < want && !used(x) && !used(y)) {
+            chosen += cand; used += x; used += y
+          }
+        }
+        chosen.foreach { case (x, y, c) =>
+          merges += ((i + 1, x, y, c)); i += 1
+        }
+        val folded = chosen.foldLeft("s") { case (acc, (x, y, _)) =>
+          mergeExpr(acc, x, y)
+        }
+        cur = cur.withColumn("s", expr(folded)).localCheckpoint(true)
       }
     }
     merges.toSeq.toDF("merge_rank", "x", "y", "pair_count")

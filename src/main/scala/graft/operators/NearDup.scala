@@ -208,21 +208,39 @@ object NearDup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // consumed three times (doc-frequency agg, prefix build, verify) —
     // same localCheckpoint lifecycle reasoning as shinglesWithSkewGuard
     val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
-    val ranked = sh.join(dfreq, "shingle")
-      .withColumn("rn", row_number().over(wDoc))
-      // same (partition, order) spec as rn with an unbounded frame ->
-      // both window functions share ONE WindowExec sort pass
-      .withColumn("sz", count(lit(1)).over(wDoc.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
-    val prefix = ranked
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "shingle")
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // Prefix = each doc's klim = |x| - ceil(t·|x|) + 1 RAREST shingles
+    // under the global (df, shingle) order. Built with the engine's own
+    // grouped top-k physical operator (plans.TopKPerKey: bounded heap
+    // partial → exchange → bounded heap final) instead of a row_number
+    // window — the window spelling SORTS every doc's full shingle list
+    // and shuffles all of it; the heap pass keeps k rows per doc per
+    // partition and shuffles only those. klim varies per doc, so the
+    // operator runs at the corpus-wide cap (one-row aggregate — bounded
+    // driver state) and a filter trims each doc to its own klim; the cap
+    // is ≤ (1-t)·max-doc-shingles + 1, so per-group heap memory stays
+    // proportional to the largest document, not the corpus.
+    val withLim = sh.join(dfreq, "shingle").join(counts, "id")
+      .withColumn("klim", (col("n") - ceil(lit(threshold) * col("n")) + 1L)
+        .cast("long"))
+    val maxK = withLim.agg(max(col("klim"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L            // empty corpus
+      case r => r.getLong(0)
+    }
+    if (maxK > Int.MaxValue) throw new IllegalArgumentException(
+      s"prefix cap $maxK exceeds Int.MaxValue — threshold $threshold is " +
+        "too low for this corpus's largest document")
+    graft.Graft.enableOptimizations(df.sparkSession)
+    val prefix =
+      if (maxK == 0L) withLim.filter(lit(false)).select("id", "shingle")
+      else graft.plans.TopKPerKey.topKPerKey(withLim, Seq("id"),
+          Seq(("df", true), ("shingle", true)), maxK.toInt, "rn")
+        .filter(col("rn") <= col("klim"))
+        .select("id", "shingle")
     val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -240,7 +258,6 @@ object NearDup {
       .join(sh.select(col("id").as("id_b"), col("shingle")).hint("shuffle_hash"),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // per-doc counts: no broadcast hint (see jaccardPairs)
     common
       .join(counts.as("ca"), col("id_a") === col("ca.id"))
@@ -311,6 +328,76 @@ object NearDup {
       .select(col("batch_id"), col("corpus_id"), col("n_common"),
         (col("n_common").cast("double") /
           (col("ca.n") + col("cb.n") - col("n_common"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** Publish a STANDING LSH index for a corpus snapshot — the
+    * train-once/serve-many pattern (IvfFixture/PqFixture) applied to
+    * text near-dedup: instead of recomputing the standing corpus's
+    * shingles + signatures on every incremental batch (what a naive
+    * [[crossJaccardPairs]] against the full corpus does — corpus-sized
+    * work per batch), a nightly job writes the two relations every
+    * batch needs and the per-batch cost drops to batch-sized compute
+    * plus an equi-join against the index:
+    *
+    *   - `$dir/postings` — (id, bkey) MinHash band postings (the
+    *     [[bandPostings]] keys), range-clustered by bkey so a probe
+    *     with few distinct band keys prunes parquet row groups;
+    *   - `$dir/sets` — (id, ss) sorted distinct shingle sets,
+    *     id-clustered, for the exact verify step.
+    *
+    * The corpus shingle scan runs ONCE and feeds both files. At 100 TB
+    * the upgrade path is bucketed tables on the join keys (bkey / id)
+    * so the serve-side join needs no index-side shuffle at all; the
+    * clustered-parquet layout here is the catalog-free equivalent.
+    */
+  def writeBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     n: Int, dir: String, numFiles: Int = 8): Unit = {
+    val sh = shingles(corpus, idCol, textCol, n).localCheckpoint(true)
+    val post = minhashSignatures(sh)
+      .select(col("id"), explode(array(bandKeyCols(
+        k => col(s"h$k")): _*)).as("bkey"))
+    graft.sources.Layout.writeClustered(post, s"$dir/postings", numFiles, "bkey")
+    graft.sources.Layout.writeClustered(
+      sh.groupBy("id").agg(sort_array(collect_set(col("shingle"))).as("ss")),
+      s"$dir/sets", numFiles, "id")
+  }
+
+  /** Incremental near-dup pairs of a new batch against a PERSISTED
+    * standing index ([[writeBandIndex]]) — candidates from the batch's
+    * band keys equi-joined with the frozen postings (shuffle_hash build
+    * on the bounded batch side), exact Jaccard verified against the
+    * frozen shingle sets. Result-identical to recomputing LSH+verify
+    * over batch x corpus (the oracle replays exactly that recompute),
+    * but the standing corpus contributes only an index SCAN per batch.
+    * Output: (batch_id, corpus_id, n_common, jacc), jacc >= threshold.
+    */
+  def incrementalNearDupPairs(batch: DataFrame, idCol: String,
+                              textCol: String, n: Int, threshold: Double,
+                              indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .select(col("id").as("corpus_id"), col("bkey"))
+    val sets = spark.read.parquet(s"$indexDir/sets")
+      .select(col("id").as("corpus_id"), col("ss").as("ss_c"))
+    // batch scan shared by its postings and its verify sets
+    val shB = shingles(batch, idCol, textCol, n).localCheckpoint(true)
+    val postB = minhashSignatures(shB)
+      .select(col("id").as("batch_id"), explode(array(bandKeyCols(
+        k => col(s"h$k")): _*)).as("bkey"))
+    val cands = postB.hint("shuffle_hash").join(post, "bkey")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val setsB = shB.groupBy("id")
+      .agg(sort_array(collect_set(col("shingle"))).as("ss_b"))
+      .select(col("id").as("batch_id"), col("ss_b"))
+    cands
+      .join(setsB, "batch_id")
+      .join(sets, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("ss_b"), col("ss_c"))).cast("long").as("n_common"),
+        (size(array_intersect(col("ss_b"), col("ss_c"))).cast("double") /
+          (size(col("ss_b")) + size(col("ss_c")) -
+            size(array_intersect(col("ss_b"), col("ss_c"))))).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 

@@ -208,7 +208,29 @@ object ScaleProbe {
       // only the word-frequency agg is corpus-sized; the merge loop runs
       // on the distinct-word table (vocab-bounded — near-flat here, the
       // copysalt suffixes add R new words per base word)
-      "bpe_train" -> (d => Bpe.train(d, "text", 3).count())
+      "bpe_train" -> (d => Bpe.train(d, "text", 3).count()),
+      // round-10 grouped-top-k prefix build (no window sort): doc-freq
+      // join + bounded-heap prefix + posting join on the rare prefix.
+      // Salted copies share all but their trailing shingles, so TRUE
+      // pairs grow ~R² per doc (the minhash_lsh_pairs worst case on
+      // purpose) — runtime must track postings + emitted pairs, never
+      // per-doc sort cost or the full pair potential
+      "jaccard_prefix" -> (d =>
+        NearDup.jaccardPairsPrefix(d, "doc_id", "text", 3, 0.5).count()),
+      // two queries in ONE corpus pass: postings pruned to the query
+      // vocabulary before any shuffle — must track corpus token count
+      // like bm25_topk, not queries x corpus
+      "bm25_batch" -> (d =>
+        Retrieval.bm25Batch(d, "doc_id", "text",
+          Seq((1L, "spark vector dup"), (2L, "merge order hash"))
+            .toDF("query_id", "qtext"),
+          "query_id", "qtext", 5).count()),
+      // positioned k-gram postings + diagonal gaps-and-islands: aligned
+      // copies share full-document runs, so position-pair rows grow ~R²
+      // per doc — runtime must track the posting-join output, never the
+      // doc-pair potential
+      "substring_spans" -> (d =>
+        SubstringDedup.sharedSpans(d, "doc_id", "text", 8, 3).count())
     )
 
     // Optional probe-name args: run only those (local iteration — the
@@ -277,7 +299,8 @@ object ScaleProbe {
       // sides growing R is the R² any scan-search has, not a plan flaw.
       "pq_search" -> (d =>
         Ann.pqSearch(d, "vec_id", "embedding", PqFixture.model,
-          col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5).count())
+          col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5,
+          Some(IvfFixture.model)).count())
     )
     val embResults = keep(embProbes).map { case (name, f) =>
       val times = factors.map { r =>

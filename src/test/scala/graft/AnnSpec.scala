@@ -459,6 +459,74 @@ class AnnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pqSearch with coarse agrees with a driver-side IVFPQ replay") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val model = PqFixture.model
+    val cents = IvfFixture.centroids
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def dotd(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def sub(v: Seq[Double], j: Int) =
+      v.slice(j * model.subDim, (j + 1) * model.subDim)
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // cell argmax mirrors pqCorpus/assignedOver: (score DESC, cid ASC)
+    // via max over (score, -cid); residual is the elementwise subtraction
+    def resid(v: Seq[Double]): (Long, Seq[Double]) = {
+      val n = math.sqrt(dotd(v, v))
+      val (_, nc) = cents.map { case (cid, cv) => (dotd(v, cv) / n, -cid) }.max
+      val cv = cents.find(_._1 == -nc).get._2
+      ((-nc).toLong, v.zip(cv).map { case (x, y) => x - y })
+    }
+    val rc = vecs.map { case (id, v) => id -> resid(v.map(_.toDouble)) }
+    def enc(r: Seq[Double]): Seq[Int] =
+      (0 until model.m).map { j =>
+        model.codebooks(j).minBy { case (cid, cw) => (d2(sub(r, j), cw), cid) }._1
+      }
+    val codes = rc.map { case (id, (c, r)) => id -> ((c, enc(r))) }
+    val queries = vecs.keys.filter(_ % 50 == 0)
+    val expected = queries.flatMap { q =>
+      val qv = vecs(q).map(_.toDouble)
+      // per-cell LUT: the query's residual against EACH cell's centroid
+      val lut = cents.map { case (cid, cv) =>
+        val qr = qv.zip(cv).map { case (x, y) => x - y }
+        cid.toLong -> (0 until model.m).map { j =>
+          model.codebooks(j).map { case (code, cw) =>
+            code -> math.round(1.0e12 * d2(sub(qr, j), cw)) }.toMap
+        }
+      }.toMap
+      vecs.keys.toSeq.map { id =>
+        val (cell, cs) = codes(id)
+        val ad2 = (0 until model.m).map(j => lut(cell)(j)(cs(j))).sum
+        (q, id, ad2)
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((qq, id, d), r) => (qq, (r + 1).toLong, id, d) }
+    }.toSet
+    val got = Ann.pqSearch(emb, "vec_id", "embedding", model,
+        col("vec_id") % 50 === 0, 3, Some(IvfFixture.model))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("IVFPQ recall@5 on the fixture corpus clears 0.8") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    // the corpus the fixtures were trained on (FreezeIvf/FreezePq): the
+    // audit bar guards the SERVED configuration, not the tiny spec corpus
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val r = Ann.pqRecallEval(emb01, "vec_id", "embedding", PqFixture.model,
+      col("vec_id") % 50 === 0, 5, Some(IvfFixture.model)).collect()(0)
+    val recall = r.getDouble(2)
+    info(f"IVFPQ recall@5 vs exact L2: $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below the audit bar")
+  }
+
   test("hardNegatives stays in the band, excludes self, ranks by sim desc") {
     import graft.operators.Ann
     val got = Ann.hardNegatives(emb, "vec_id", "embedding",

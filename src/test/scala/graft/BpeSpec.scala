@@ -55,6 +55,38 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encode(empty, "doc_id", "text", Seq(("a", "b"))).count() == 0)
   }
 
+  test("batched training: M>1 equals M=1 when the chosen pairs are disjoint") {
+    // top pairs per pass are symbol-disjoint by construction: four
+    // unrelated frequent bigrams with distinct characters and strictly
+    // ordered counts — sequential and batched training pick the same
+    // merges in the same order with the same counts.
+    val docs = Seq((1L, ("ab " * 9) + ("cd " * 7) + ("ef " * 5) + ("gh " * 3)))
+      .toDF("doc_id", "text")
+    val seqRes = Bpe.train(docs, "text", 4)
+      .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
+    for (m <- Seq(2, 4)) {
+      val bat = Bpe.train(docs, "text", 4, batchM = m)
+        .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
+      assert(bat == seqRes, s"batchM=$m")
+    }
+    assert(seqRes.map(t => (t._2, t._3)) ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+  }
+
+  test("batched training skips conflicting candidates within a pass") {
+    // "aaab ab aaab" (the rank-order fixture): round-1 winner (a,a)
+    // uses both symbols of runner-up (a,b), so a batched pass must NOT
+    // take (a,b) at its stale pre-merge count — it defers to the next
+    // pass, reproducing the sequential merge list exactly here because
+    // every later winner depends on the earlier merge's output symbols.
+    val docs = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
+    val seqRes = Bpe.train(docs, "text", 3)
+      .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
+    val bat = Bpe.train(docs, "text", 3, batchM = 3)
+      .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(bat == seqRes)
+  }
+
   test("train is deterministic across repartitioned input") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Bpe.train(docs, "text", 4)

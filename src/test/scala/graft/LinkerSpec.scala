@@ -114,6 +114,42 @@ class LinkerSpec extends SparkSpec {
     assert(r._1 >= 1L && r._2 < r._1, r) // the aaaa~baaa pair is missed
   }
 
+  test("sortedNeighborhoodMulti: reversed pass catches the first-char typo, union beats single passes") {
+    import org.apache.spark.sql.functions.{col, reverse}
+    // aaaa ~ zaaa (dist 1) sort 39 rows apart FORWARD (every m-key sits
+    // between) but adjacent REVERSED (m-keys reversed start with a
+    // digit, sorting before both) — the canonical Hernández–Stolfo
+    // multi-pass case.
+    val spread = (Seq((1L, "aaaa"), (100L, "zaaa")) ++
+      (2L to 40L).map(i => (i, f"m$i%038d"))).toDF("id", "key")
+    val passes = Seq("forward" -> col("key"), "reversed" -> reverse(col("key")))
+    val audit = Linker.sortedNeighborhoodMultiRecall(spread, "id", "key",
+        passes, 3, 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(audit.keySet == Set("forward", "reversed", "union"))
+    // union strictly beats forward (it adds at least the typo pair) and
+    // is never below any single pass
+    assert(audit("union")._3 > audit("forward")._3, audit)
+    assert(audit("union")._3 >= audit("reversed")._3, audit)
+    // the typo pair itself: dist 1, caught by exactly one pass
+    val pairs = Linker.sortedNeighborhoodMulti(spread, "id", "key",
+        passes.map(_._2), 3, 2)
+      .as[(Long, String, Long, String, Long, Long)].collect()
+    val typo = pairs.find(t => t._1 == 1L && t._3 == 100L)
+    assert(typo.nonEmpty, pairs.mkString(", "))
+    assert(typo.get._5 == 1L && typo.get._6 == 1L, typo)
+    // single-pass multi with the identity key reproduces plain SNM's
+    // pair set (normalized)
+    val single = Linker.sortedNeighborhoodMulti(spread, "id", "key",
+        Seq(col("key")), 3, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val plain = Linker.sortedNeighborhood(spread, "id", "key", 3, 2)
+      .selectExpr("least(id_a, id_b)", "greatest(id_a, id_b)")
+      .as[(Long, Long)].collect().toSet
+    assert(single == plain)
+  }
+
   test("sortedNeighborhood: null keys drop, empty input is empty") {
     val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String]), (3L, "abd"))
       .toDF("id", "key")

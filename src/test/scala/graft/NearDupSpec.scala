@@ -48,6 +48,20 @@ class NearDupSpec extends SparkSpec {
     assert(all.nonEmpty)   // fixture has near-dups: the equality is not vacuous
   }
 
+  test("jaccardPairsPrefix plans the rarity prefix as grouped top-k, never a window sort") {
+    val df = NearDup.jaccardPairsPrefix(
+      Tables.documents(spark, sf0001), "doc_id", "text", 3, 0.5)
+    df.collect()
+    // final adaptive section only (TopKPerKeySpec reasoning); the prefix
+    // build must ride the bounded-heap physical operator — the
+    // row_number-over-full-sort spelling this replaced sorts and
+    // shuffles every doc's complete shingle list
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
   test("containmentPairs: subset duplication both directions, Jaccard blind spot") {
     val corpus = Seq(
       (1L, "a b c d e f"),                       // 4 3-grams, all inside doc 2
