@@ -1855,6 +1855,15 @@ object SparkEntry {
         PqFixture.model, col("vec_id") % 50 === 0, 5,
         Some(IvfFixture.model))),
 
+    // ---- IVFPQ search with the PRODUCTION probe bound (nProbe=4 of 16
+    // cells): LUTs built only for each query's best coarse cells, so
+    // unprobed vectors never enter the distance sum — the sublinear
+    // serving form next to q_pq_search's exhaustive compressed scan.
+    "q_pq_probe" -> ((s, dir) =>
+      Ann.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5,
+        Some(IvfFixture.model), nProbe = 4)),
+
     // ---- BATCH BM25: two queries scored in ONE corpus pass (broadcast
     // query-vocab prune → shared postings → per-query fan-out), top-5
     // each — the production retrieval shape next to q_bm25's single set.
@@ -3573,7 +3582,19 @@ object SparkEntry {
     // over the per-subspace code lookups joined on (cell, subspace,
     // code), (distance ASC, vec_id) top-5.
     "q_pq_search" ->
-      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, $sqlPqLutCtes " +
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(None)} " +
+        "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
+        "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // IVFPQ ADC with the PRODUCTION probe bound: each query builds LUTs
+    // only for its nProbe=4 best coarse cells (q_ann_ivf's probe
+    // ranking), so unprobed cells' vectors never enter the distance sum
+    // — the sublinear serving form next to q_pq_search's exhaustive
+    // scan.
+    "q_pq_probe" ->
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(4))} " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
         "CAST(row_number() OVER (PARTITION BY query_id " +
@@ -3633,7 +3654,7 @@ object SparkEntry {
     // left-joined with the residual-ADC top-5, reduced to one counts
     // row.
     "q_pq_recall" ->
-      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, $sqlPqLutCtes, " +
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(None)}, " +
         "ap AS (SELECT query_id, vec_id FROM " +
         "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY ad2 ASC, vec_id) AS rn FROM sc) WHERE rn <= 5), " +
@@ -4393,20 +4414,35 @@ object SparkEntry {
   /** Per-(query, cell) residual LUT CTE `lut(query_id, cell, j, cid,
     * d)` at e12 fixed point — every query subtracts each probed cell's
     * centroid before building that cell's subspace distance table
-    * (requires `corq`/`cents`/`pcb`; the q_pq queries probe every
-    * cell).
+    * (requires `corq`/`cents`/`pcb`). `probe = None` covers every cell
+    * (the q_pq_search/recall exhaustive form); `Some(p)` keeps each
+    * query's p best cells by the q_ann_ivf probe ranking (score DESC,
+    * cid) — mirroring pqSearch's nProbe window.
     */
-  private lazy val sqlPqLutCtes: String =
-    "qres AS (SELECT c.vec_id AS query_id, ct.cid AS cell, " +
-      s"list_transform(range(1, ${Ann.Dim + 1}), i -> " +
-      "c.embedding[CAST(i AS INT)]::DOUBLE - ct.cv[CAST(i AS INT)]) AS res " +
-      "FROM corq c, cents ct WHERE c.vec_id % 50 = 0), " +
+  private def sqlPqLutCtes(probe: Option[Int]): String = {
+    val qres = probe match {
+      case None =>
+        "qres AS (SELECT c.vec_id AS query_id, ct.cid AS cell, " +
+          s"list_transform(range(1, ${Ann.Dim + 1}), i -> " +
+          "c.embedding[CAST(i AS INT)]::DOUBLE - ct.cv[CAST(i AS INT)]) AS res " +
+          "FROM corq c, cents ct WHERE c.vec_id % 50 = 0)"
+      case Some(p) =>
+        "qres AS (SELECT query_id, cell, res FROM " +
+          "(SELECT c.vec_id AS query_id, ct.cid AS cell, " +
+          s"list_transform(range(1, ${Ann.Dim + 1}), i -> " +
+          "c.embedding[CAST(i AS INT)]::DOUBLE - ct.cv[CAST(i AS INT)]) AS res, " +
+          "row_number() OVER (PARTITION BY c.vec_id " +
+          s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
+          s"FROM corq c, cents ct WHERE c.vec_id % 50 = 0) WHERE rn <= $p)"
+    }
+    s"$qres, " +
       "lut AS (SELECT q.query_id, q.cell, p.j, p.cid, " +
       s"CAST(round(1000000000000.0 * ${sqlPqD2("q.res", "p.j", "p.cv")}) AS BIGINT) AS d " +
       "FROM qres q, pcb p), " +
       "sc AS (SELECT l.query_id, a.vec_id, sum(l.d) AS ad2 " +
       "FROM asnp a JOIN lut l ON l.cell = a.cell AND l.j = a.j " +
       "AND l.cid = a.cid GROUP BY 1, 2)"
+  }
 
   /** The frozen IVF centroid set (IvfFixture) as a VALUES CTE. Each
     * component is emitted as CAST('<Double.toString>' AS DOUBLE): a BARE

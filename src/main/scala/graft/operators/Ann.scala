@@ -676,14 +676,30 @@ object Ann {
   }
 
   /** Squared L2 between a sub-vector column and a literal codeword, as
-    * the elementwise diff (one rounding per component) self-folded
-    * through the sequential [[dot]] kernel — engine-exact against the
-    * DuckDB list_reduce mirror (same left-fold order, same IEEE ops).
+    * the left-fold sum of per-component squared diffs — bit-identical
+    * to the zip_with-diff + sequential-[[dot]] spelling it replaces
+    * (same per-element subtraction, same left-to-right addition order;
+    * 0 + x == x exactly, and recomputing a diff inside its own square
+    * reproduces the identical rounded value), hence engine-exact
+    * against the DuckDB list_reduce mirror. Spelled with element_at and
+    * plain arithmetic instead of HOFs because zip_with/aggregate are
+    * CodegenFallback — the interpreted form measured ~10x slower on the
+    * m·ks-wide encode/LUT projections.
     */
-  private def d2Lit(sub: Column, v: Seq[Double]): Column = {
-    val diff = zip_with(sub, array(v.map(lit): _*), (x, y) => x - y)
-    dot(diff, diff)
-  }
+  private def d2Lit(sub: Column, v: Seq[Double]): Column =
+    v.indices.map { i =>
+      val e = element_at(sub, i + 1) - lit(v(i))
+      e * e
+    }.reduce(_ + _)
+
+  /** [[d2Lit]] with the codeword as a COLUMN (the broadcast codeword
+    * meta-table form of the ADC LUT build) — same FP sequence.
+    */
+  private def d2Col(sub: Column, w: Column, subDim: Int): Column =
+    (1 to subDim).map { i =>
+      val e = element_at(sub, i) - element_at(w, i)
+      e * e
+    }.reduce(_ + _)
 
   private def subSlice(j: Int, subDim: Int): Column =
     slice(col("emb_d"), j * subDim + 1, subDim)
@@ -721,25 +737,66 @@ object Ann {
           zip_with(col("emb_d"), col("__b.cv"), (x, y) => x - y).as("emb_d"))
   }
 
-  /** Per-subspace code assignment columns c0..c{m-1}: argmin squared L2
-    * over the (small, literal) codebook — `least` over (d2, code)
-    * structs, ties to the lower code id; a pure codegen projection, zero
-    * exchanges (the [[assignedOver]] reasoning). With `coarse` set the
-    * codes quantize the IVF-cell residual (see [[pqCorpus]]) and the
-    * output carries the coarse `cell` — the (cell, codes) pair IS the
-    * compressed IVFPQ corpus representation.
+  /** The (j, c, w) codeword meta table — m·ks driver rows, the
+    * broadcast side of both the code-assignment join and the ADC LUT
+    * build.
+    */
+  private def codeMeta(spark: org.apache.spark.sql.SparkSession,
+                       model: PqModel): DataFrame = {
+    val rows = for {
+      j <- 0 until model.m
+      (cid, w) <- model.codebooks(j)
+    } yield (j, cid.toLong, w)
+    spark.createDataFrame(rows).toDF("j", "c", "w")
+  }
+
+  /** Long-form PQ codes — (vec_id[, cell], j, c), one row per (vector,
+    * subspace): argmin squared L2 over the codebook, ties to the lower
+    * code id. Shaped as corpus × broadcast codeword meta join +
+    * map-side-combinable `min(struct(d2, c))` aggregate rather than a
+    * single least-over-m·ks-structs projection: the giant expression
+    * blows the JVM's 64 KB generated-method limit at ks ≥ 64, and every
+    * (re)plan then pays a seconds-long Janino compile-and-fail before
+    * the interpreted fallback (measured: it dominated the PQ bench
+    * rows). The join fans out m·ks rows per vector, but the partial min
+    * combines to m rows per vector before the exchange — and the shape
+    * is the only one that survives ks = 256 at all. The pre-join
+    * repartition is the Exchange barrier that keeps the residual/cell
+    * projection evaluated once, not once per meta row.
+    */
+  private def pqCodesLong(emb: DataFrame, idCol: String, embCol: String,
+                          model: PqModel,
+                          coarse: Option[IvfModel]): DataFrame = {
+    val extra = if (coarse.isDefined) Seq("cell") else Nil
+    val corpus = pqCorpus(emb, idCol, embCol, coarse)
+      .repartition(col("vec_id"))
+    val sub = slice(col("emb_d"), col("j") * model.subDim + 1,
+      lit(model.subDim))
+    corpus.crossJoin(broadcast(codeMeta(emb.sparkSession, model)))
+      .select((col("vec_id") +: extra.map(col)) ++ Seq(col("j"),
+        struct(d2Col(sub, col("w"), model.subDim).as("d"),
+          col("c")).as("dc")): _*)
+      .groupBy((col("vec_id") +: extra.map(col)) :+ col("j"): _*)
+      .agg(min(col("dc")).as("b"))
+      .select((col("vec_id") +: extra.map(col)) ++
+        Seq(col("j"), col("b.c").as("c")): _*)
+  }
+
+  /** Per-subspace code assignment columns c0..c{m-1} (the wide encode
+    * contract): [[pqCodesLong]] pivoted back to one row per vector.
+    * With `coarse` set the codes quantize the IVF-cell residual (see
+    * [[pqCorpus]]) and the output carries the coarse `cell` — the
+    * (cell, codes) pair IS the compressed IVFPQ corpus representation.
     */
   def pqEncode(emb: DataFrame, idCol: String, embCol: String,
                model: PqModel, coarse: Option[IvfModel] = None): DataFrame = {
-    val corpus = pqCorpus(emb, idCol, embCol, coarse)
-    model.codebooks.zipWithIndex.foldLeft(corpus) { case (df, (cb, j)) =>
-      val scored = cb.map { case (cid, v) =>
-        struct(d2Lit(subSlice(j, model.subDim), v).as("d"),
-          lit(cid.toLong).as("cid"))
-      }
-      val best = if (scored.length == 1) scored.head else least(scored: _*)
-      df.withColumn(s"c$j", best.getField("cid"))
-    }.drop("emb_d")
+    val extra = if (coarse.isDefined) Seq("cell") else Nil
+    pqCodesLong(emb, idCol, embCol, model, coarse)
+      .groupBy((col("vec_id") +: extra.map(col)): _*)
+      .agg(
+        max(when(col("j") === 0, col("c"))).as("c0"),
+        (1 until model.m).map(j =>
+          max(when(col("j") === j, col("c"))).as(s"c$j")): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
@@ -761,26 +818,25 @@ object Ann {
                model: PqModel, queryPred: Column, k: Int,
                coarse: Option[IvfModel] = None,
                nProbe: Int = Int.MaxValue): DataFrame = {
-    val lutEntries = for {
-      j <- 0 until model.m
-      (cid, v) <- model.codebooks(j)
-    } yield struct(lit(j).as("j"), lit(cid.toLong).as("c"),
-      round(lit(1.0e12) * d2Lit(subSlice(j, model.subDim), v))
-        .cast("long").as("d"))
+    val meta = codeMeta(emb.sparkSession, model)
     val scored = coarse match {
       case None =>
-        val codes = pqEncode(emb, idCol, embCol, model)
-        val codeLong = codes.select(col("vec_id"),
-          posexplode(array((0 until model.m).map(j => col(s"c$j")): _*))
-            .as(Seq("j", "c")))
+        val codeLong = pqCodesLong(emb, idCol, embCol, model, None)
+        // LUT via the same (j, c, w) meta join as the code assignment
+        // (pqCodesLong reasoning — one small codegen'd d2 per LUT row);
+        // the repartition is the Exchange barrier keeping the query
+        // projection out of the fan-out.
         val queries = emb
           .withColumn("emb_d", toDouble(col(embCol)))
           .filter(queryPred)
           .select(col(idCol).as("query_id"), col("emb_d"))
-        val lut = queries
-          .select(col("query_id"), explode(array(lutEntries: _*)).as("e"))
-          .select(col("query_id"), col("e.j").as("j"), col("e.c").as("c"),
-            col("e.d").as("d2_e12"))
+          .repartition(col("query_id"))
+        val subQ = slice(col("emb_d"),
+          col("j") * model.subDim + 1, lit(model.subDim))
+        val lut = queries.crossJoin(broadcast(meta))
+          .select(col("query_id"), col("j"), col("c"),
+            round(lit(1.0e12) * d2Col(subQ, col("w"), model.subDim))
+              .cast("long").as("d2_e12"))
         codeLong.join(broadcast(lut), Seq("j", "c"))
           .groupBy("query_id", "vec_id")
           .agg(sum(col("d2_e12")).as("ad2_e12"))
@@ -795,10 +851,7 @@ object Ann {
         // codes, never raw floats. Query-side residuals reuse the same
         // (x − c) elementwise form as [[pqCorpus]], so corpus and query
         // residual arithmetic round identically (the FP-parity contract).
-        val codes = pqEncode(emb, idCol, embCol, model, coarse)
-        val codeLong = codes.select(col("vec_id"), col("cell"),
-          posexplode(array((0 until model.m).map(j => col(s"c$j")): _*))
-            .as(Seq("j", "c")))
+        val codeLong = pqCodesLong(emb, idCol, embCol, model, coarse)
         val queries = withNorm(emb, embCol).filter(queryPred)
           .select(col(idCol).as("query_id"), col("emb_d"), col("norm"))
         val exploded = queries
@@ -814,14 +867,25 @@ object Ann {
             exploded.withColumn("__rn", row_number().over(wp))
               .filter(col("__rn") <= nProbe)
           }
+        // Exchange barrier (codeLongOf reasoning): without it the
+        // residual expression — and the cell ranking it rides on —
+        // collapses into the LUT projection and re-evaluates once per
+        // codeword meta row. probed is |queries|·nProbe rows; the
+        // shuffle is noise.
         val probed = probed0.select(col("query_id"),
-          col("__c.cid").cast("long").as("cell"),
-          zip_with(col("emb_d"), col("__c.cv"), (x, y) => x - y).as("emb_d"))
-        val lut = probed
-          .select(col("query_id"), col("cell"),
-            explode(array(lutEntries: _*)).as("e"))
-          .select(col("query_id"), col("cell"), col("e.j").as("j"),
-            col("e.c").as("c"), col("e.d").as("d2_e12"))
+            col("__c.cid").cast("long").as("cell"),
+            zip_with(col("emb_d"), col("__c.cv"), (x, y) => x - y).as("qr"))
+          .repartition(col("query_id"))
+        // LUT via the (j, c, w) codeword meta table cross-joined onto
+        // the probed (query, cell) residuals — ONE codegen'd d2 per LUT
+        // row. The cross join is bounded by construction:
+        // |queries|·nProbe × m·ks.
+        val sub = slice(col("qr"),
+          col("j") * model.subDim + 1, lit(model.subDim))
+        val lut = probed.crossJoin(broadcast(meta))
+          .select(col("query_id"), col("cell"), col("j"), col("c"),
+            round(lit(1.0e12) * d2Col(sub, col("w"), model.subDim))
+              .cast("long").as("d2_e12"))
         codeLong.join(broadcast(lut), Seq("cell", "j", "c"))
           .groupBy("query_id", "vec_id")
           .agg(sum(col("d2_e12")).as("ad2_e12"))
@@ -848,9 +912,10 @@ object Ann {
       .select(col(idCol).as("vec_id"), col("emb_d"))
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"))
-    val diff = zip_with(col("q_emb"), col("emb_d"), (x, y) => x - y)
+    // full-dim squared L2 in the codegen'd element form ([[d2Col]]
+    // reasoning — bit-identical to the zip_with-diff + dot fold)
     val scored = broadcast(queries).crossJoin(corpus)
-      .withColumn("d2", dot(diff, diff))
+      .withColumn("d2", d2Col(col("q_emb"), col("emb_d"), Dim))
     val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id"))
     val exact = scored
       .withColumn("rank", row_number().over(w))

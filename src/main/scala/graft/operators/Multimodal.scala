@@ -63,6 +63,16 @@ object Multimodal {
     * actually parse the PNG to reproduce them.
     */
   def makePng(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(makeImage(id), "png", out)
+    out.toByteArray
+  }
+
+  /** The shared formula image behind [[makePng]] / [[makeJpeg]]:
+    * width = 1 + id%13, height = 1 + id%7, RGB with every channel of
+    * pixel (x, y) set to (id + 31x + 17y) % 256.
+    */
+  private def makeImage(id: Long): java.awt.image.BufferedImage = {
     val w = (1 + id % 13).toInt
     val h = (1 + id % 7).toInt
     val img = new java.awt.image.BufferedImage(
@@ -77,8 +87,29 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** The same formula image JPEG-encoded (the JDK ships a JPEG codec
+    * next to PNG/BMP/GIF). JPEG is LOSSY, so — unlike PNG — decoded
+    * samples only approximate the formula: the closed-form DuckDB
+    * oracle of q_media_decode / q_image_neardup cannot cover JPEG
+    * payloads, and the cross-codec contract lives in MultimodalSpec
+    * instead (real decode asserted against the stub-impossible
+    * dimensions; dHash of the JPEG within the Hamming band of the same
+    * image's PNG — the codec-robustness property dHash exists for).
+    */
+  def makeJpeg(id: Long, quality: Float = 0.95f): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(makeImage(id), null, null), p)
+    writer.dispose()
+    ios.close()
     out.toByteArray
   }
 

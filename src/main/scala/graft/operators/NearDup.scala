@@ -189,15 +189,27 @@ object NearDup {
     * Verify cost is linear in candidates. Equality with [[jaccardPairs]]
     * is property-tested in NearDupSpec; the oracle is the same SQL.
     *
+    * The rarity prefix is built with the engine's own grouped top-k
+    * physical operator (plans.TopKPerKey: bounded heap partial →
+    * exchange → bounded heap final) instead of a row_number window — the
+    * window spelling SORTED and shuffled every doc's full shingle list
+    * (it was the engine's slowest query); the heap pass keeps ≤ cap rows
+    * per doc per partition, where cap = the corpus-wide max of each
+    * doc's prefix length (a one-row aggregate over the per-doc counts —
+    * bounded driver state; cap ≤ (1-t)·max-doc-shingles + 1, so heap
+    * memory tracks the largest document, not the corpus). A plan spec
+    * (NearDupSpec) asserts no WindowExec remains.
+    *
     * Measured trade (sf0.1 documents, local[32], graft.tools.PrefixDemo;
     * identical outputs in all four cells):
     *
-    *   - CLEAN corpus, t=0.5: plain 4.3s, prefix 16.4s — the prefix
-    *     machinery (doc-frequency join, per-doc rank window, checkpoint)
+    *   - CLEAN corpus, t=0.5: plain ~3.0s, prefix ~9.4s (was 16.4s with
+    *     the window sort) — the prefix machinery (checkpoint,
+    *     doc-frequency join, grouped top-k, two-sided verify) still
     *     costs more than it saves when no shingle is hot.
     *   - BOILERPLATE corpus (a shared 60-token paragraph appended to every
-    *     document — the web-crawl norm), t=0.8: plain 107.2s, prefix
-    *     10.4s — 10x: the shared shingles put d² candidate rows through
+    *     document — the web-crawl norm), t=0.8: plain ~47s, prefix
+    *     ~9.4s — 5x: the shared shingles put d² candidate rows through
     *     the plain join but fall out of the prefix candidates entirely
     *     (they are the FREQUENT ones, prefixes keep the rarest).
     *
@@ -224,10 +236,12 @@ object NearDup {
     // driver state) and a filter trims each doc to its own klim; the cap
     // is ≤ (1-t)·max-doc-shingles + 1, so per-group heap memory stays
     // proportional to the largest document, not the corpus.
+    val klimOf = (n: Column) => (n - ceil(lit(threshold) * n) + 1L).cast("long")
     val withLim = sh.join(dfreq, "shingle").join(counts, "id")
-      .withColumn("klim", (col("n") - ceil(lit(threshold) * col("n")) + 1L)
-        .cast("long"))
-    val maxK = withLim.agg(max(col("klim"))).collect()(0) match {
+      .withColumn("klim", klimOf(col("n")))
+    // the cap depends only on per-doc sizes, so derive it from the tiny
+    // counts table (one row per doc), not the postings-sized join
+    val maxK = counts.agg(max(klimOf(col("n")))).collect()(0) match {
       case r if r.isNullAt(0) => 0L            // empty corpus
       case r => r.getLong(0)
     }

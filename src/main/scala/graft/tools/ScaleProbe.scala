@@ -49,6 +49,16 @@ import org.apache.spark.sql.functions._
   * witness rows, i.e. ~290 s extrapolated at f=10^4 — the quadratic the
   * distinct-keys-first design removes.
   *
+  * Round-10 additions (same protocol; copies are near-dups of their
+  * siblings, so TRUE pairs grow ~R² per doc — both pair-emitting probes
+  * emitted 979x the rows at 10x data, 256 -> 250,600): bm25_batch
+  * 1.85x/3.43x at 4x/10x (corpus-linear — the query-vocab prune keeps
+  * the postings bounded); substring_spans 6.1x/24.7x and jaccard_prefix
+  * 3.7x/39.3x against that 979x output growth — output cardinality (the
+  * exact-verify floor on ~R² true pairs), not join blowup; on a clean
+  * corpus the prefix probe's 1x point is seconds (see PrefixDemo for
+  * the clean-vs-boilerplate trade the operator exists for).
+  *
   * Embedding section (same base, copies keep vectors verbatim so they are
   * exact duplicates — candidate pairs grow ~R² per vector on purpose):
   * semantic_contam is FLAT (0.85/0.99 at 4x/10x — the eval side is fixed,

@@ -224,6 +224,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(one == Seq((7L, true)))
   }
 
+  test("round-10 additions tolerate empty input") {
+    // grouped-top-k prefix join: empty corpus takes the maxK = 0 branch
+    assert(NearDup.jaccardPairsPrefix(noDocs, "doc_id", "text", 3, 0.5)
+      .count() == 0)
+    // persisted LSH index written from an empty corpus still serves
+    // (empty-but-typed parquet), and an empty batch probes it cleanly
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_idx")
+      .toString
+    NearDup.writeBandIndex(noDocs, "doc_id", "text", 3, dir)
+    assert(NearDup.incrementalNearDupPairs(noDocs, "doc_id", "text", 3,
+      0.5, dir).count() == 0)
+    assert(NearDup.incrementalNearDupPairs(someDocs, "doc_id", "text", 3,
+      0.5, dir).count() == 0)
+    // multi-pass SNM: empty corpus through each pass and the audit
+    val noKeys = Seq.empty[(Long, String)].toDF("id", "key")
+    assert(Linker.sortedNeighborhoodMulti(noKeys, "id", "key",
+      Seq(col("key"), reverse(col("key"))), 3, 2).count() == 0)
+    assert(Linker.sortedNeighborhoodMultiRecall(noKeys, "id", "key",
+      Seq("f" -> col("key")), 3, 2).count() == 0)
+    // residual (IVFPQ) encode/search on an empty embedding table
+    val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Ann.pqEncode(noEmb, "vec_id", "embedding", PqFixture.model,
+      Some(IvfFixture.model)).count() == 0)
+    assert(Ann.pqSearch(noEmb, "vec_id", "embedding", PqFixture.model,
+      col("vec_id") % 2 === 0, 3, Some(IvfFixture.model)).count() == 0)
+    // batched BPE on an empty corpus: empty merge table
+    assert(Bpe.train(noDocs, "text", 3, batchM = 2).count() == 0)
+  }
+
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
     assert(Sampling.weightedSample(

@@ -137,6 +137,37 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == brute)
   }
 
+  test("JPEG payloads really decode and pair with their PNG siblings") {
+    // ids picked at the widest image (id % 13 == 12 -> w = 13) with
+    // varied heights — wide rows give the dHash comparisons real
+    // gradient margins for JPEG noise to be tolerated by
+    val ids = Seq(12L, 90L, 51L, 142L)
+    for (id <- ids) {
+      val jpg = Multimodal.makeJpeg(id)
+      // actual JPEG SOI marker
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+      // REAL decode: the generating formula's dimensions — the stub
+      // could never produce them (its width floor is 16)
+      val Some((w, h, c, _)) = Multimodal.decodeImage(jpg)
+      assert(w == (1 + id % 13).toInt && h == (1 + id % 7).toInt && c == 3,
+        s"id $id")
+    }
+    // cross-codec near-dup end-to-end through the exact q_image_neardup
+    // chain: the SAME formula image as PNG (id) and JPEG (id + 1000)
+    // must land within the Hamming band — the codec-robustness property
+    // dHash exists for (JPEG is lossy, so the closed-form oracle can't
+    // cover it; this spec is the JPEG contract instead)
+    val rows = ids.map(id => (id, Multimodal.makePng(id))) ++
+      ids.map(id => (id + 1000L, Multimodal.makeJpeg(id)))
+    val hashes = Multimodal.imageHashes(rows.toDF("doc_id", "payload"), "doc_id")
+    assert(hashes.count() == rows.size)   // both codecs hash — none dropped
+    val pairs = graft.operators.NearDup.simhashPairs(hashes, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val caught = ids.count(id => pairs.contains((id, id + 1000L)))
+    assert(caught >= 3,
+      s"cross-codec pairs caught: $caught of ${ids.size}; pairs=$pairs")
+  }
+
   test("decodeStub is deterministic and byte-driven") {
     val a = Multimodal.decodeStub("abc".getBytes("UTF-8"))
     assert(a == Multimodal.decodeStub("abc".getBytes("UTF-8")))

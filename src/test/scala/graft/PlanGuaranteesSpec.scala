@@ -28,13 +28,26 @@ class PlanGuaranteesSpec extends SparkSpec {
     * (the pqRecallEval Scaladoc), like q_ann_recall:
     * the recall audit's exact-truth side is all-pairs BY CONTRACT, bounded
     * to a sample tier by the operator's required samplePred argument
-    * (Ann.embeddingRecallEval Scaladoc).
+    * (Ann.embeddingRecallEval Scaladoc). q_link_snm_multi_recall:
+    * crossJoin(broadcast(<pass-label table>)) — the constant-attach shape
+    * again (build side = one row per named pass + 'union'), plus its
+    * truth side is the same sample-tier exact pair set as
+    * q_link_snm_recall. q_pq_encode / q_pq_search / q_pq_probe /
+    * q_pq_recall: code assignment and the ADC LUT build crossJoin the
+    * (j, c, w) codeword meta table (m·ks driver rows, broadcast) onto
+    * the corpus / probed-query residuals — the build side is the
+    * CONSTANT-SIZED codebook, the per-vector fan-out is the fixed m·ks
+    * (combined back to m rows before any exchange), the IVFPQ
+    * lookup-table shape, not a candidate blowup (Ann.pqCodesLong
+    * Scaladoc: the single-projection alternative blows the 64 KB
+    * codegen method limit at ks >= 64).
     */
   private val allowedBnlj =
     Set("q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
       "q_rag_topk", "q_tfidf_top", "q_ann_recall",
       "q_lm_score", "q_lm_contrast", "q_bm25", "q_bm25_batch",
-      "q_dsir_weights", "q_pq_recall")
+      "q_dsir_weights", "q_pq_recall", "q_link_snm_multi_recall",
+      "q_pq_search", "q_pq_probe", "q_pq_encode")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
