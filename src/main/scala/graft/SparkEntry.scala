@@ -776,6 +776,22 @@ object SparkEntry {
         "doc_id", "text", 3, 0.5, tmp)
     }),
 
+    // ---- The same incremental serve against BUCKETED index tables
+    // (bucketBy bkey/id through the catalog) — the 100 TB form where
+    // the standing index joins IN PLACE: no index-side exchange, only
+    // the small batch shuffles to the bucket layout (plan-asserted in
+    // NearDupSpec). Same oracle as the parquet form: identical results
+    // prove the bucketed write/read roundtrip lossless.
+    "q_near_dedup_incr_bucketed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = scratchDir("graft_lsh_bidx").toString
+      NearDup.writeBandIndexBucketed(docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", 3, tmp, "graft_lsh_idx")
+      NearDup.incrementalNearDupPairsBucketed(
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3, 0.5, "graft_lsh_idx")
+    }),
+
     // ---- Near-dup: MinHash signatures (16 md5-based hashes, shared with
     // the oracle bit-for-bit).
     "q_minhash_sig" -> ((s, dir) =>
@@ -2621,27 +2637,10 @@ object SparkEntry {
     // sides split by a documents join — hash equality against the
     // Spark side proves the parquet write/read of postings + verify
     // sets is lossless and the frozen-index join complete.
-    "q_near_dedup_incremental" ->
-      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlAbCte, " +
-        s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
-        "cands AS (SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id " +
-        "FROM (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.id " +
-        "WHERE d.source = 'src0') a " +
-        "JOIN (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.id " +
-        s"WHERE d.source <> 'src0') b ON ($sqlBandCond)), " +
-        "interx AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, " +
-        "count(*) AS n_common FROM sh a " +
-        "JOIN documents da ON da.doc_id = a.doc_id AND da.source = 'src0' " +
-        "JOIN sh b ON a.s = b.s " +
-        "JOIN documents db ON db.doc_id = b.doc_id AND db.source <> 'src0' " +
-        "GROUP BY 1, 2) " +
-        "SELECT c.batch_id, c.corpus_id, i.n_common, " +
-        "CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jacc " +
-        "FROM cands c JOIN interx i ON i.batch_id = c.batch_id " +
-        "AND i.corpus_id = c.corpus_id " +
-        "JOIN counts ca ON ca.doc_id = c.batch_id " +
-        "JOIN counts cb ON cb.doc_id = c.corpus_id " +
-        "WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5"),
+    "q_near_dedup_incremental" -> sqlNearDedupIncrementalOracle,
+    // The bucketed-table serve computes the identical result; same
+    // recompute oracle — equality proves the bucketed roundtrip too.
+    "q_near_dedup_incr_bucketed" -> sqlNearDedupIncrementalOracle,
     "q_minhash_sig" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlAbCte " +
         s"SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id"),
@@ -3733,6 +3732,33 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_feats, CAST(sum(r_e6) AS BIGINT) AS sum_r_e6, " +
         "CAST(sum(r_e6) // count(*) AS BIGINT) AS avg_r_e6 FROM sc GROUP BY 1"),
   )
+
+  /** Incremental near-dedup recompute oracle (shared by the parquet and
+    * bucketed index forms): batch (src0) x standing-corpus LSH band
+    * candidates + exact Jaccard verify, all recomputed from the
+    * documents table.
+    */
+  private lazy val sqlNearDedupIncrementalOracle: String =
+    s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlAbCte, " +
+      s"sig AS (SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id), " +
+      "cands AS (SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id " +
+      "FROM (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.id " +
+      "WHERE d.source = 'src0') a " +
+      "JOIN (SELECT s.* FROM sig s JOIN documents d ON d.doc_id = s.id " +
+      s"WHERE d.source <> 'src0') b ON ($sqlBandCond)), " +
+      "interx AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, " +
+      "count(*) AS n_common FROM sh a " +
+      "JOIN documents da ON da.doc_id = a.doc_id AND da.source = 'src0' " +
+      "JOIN sh b ON a.s = b.s " +
+      "JOIN documents db ON db.doc_id = b.doc_id AND db.source <> 'src0' " +
+      "GROUP BY 1, 2) " +
+      "SELECT c.batch_id, c.corpus_id, i.n_common, " +
+      "CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jacc " +
+      "FROM cands c JOIN interx i ON i.batch_id = c.batch_id " +
+      "AND i.corpus_id = c.corpus_id " +
+      "JOIN counts ca ON ca.doc_id = c.batch_id " +
+      "JOIN counts cb ON cb.doc_id = c.corpus_id " +
+      "WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5"
 
   /** Multi-pass SNM recall oracle (mirrors
     * Linker.sortedNeighborhoodMultiRecall on the q_link_snm_recall

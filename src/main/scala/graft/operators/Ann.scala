@@ -803,16 +803,21 @@ object Ann {
     * its m·ks lookup table of subspace distances to every codeword (e12
     * fixed point — BIGINT sums are order-independent, the repo FP
     * contract), then every corpus vector's approximate distance is the
-    * integer sum of m table lookups joined on (subspace, code).
+    * integer sum of m table lookups joined on (subspace, code) — plus
+    * the coarse cell in residual (IVFPQ) mode, where each probed cell
+    * gets its own LUT built from the query's residual against THAT
+    * cell's centroid.
     *
-    * Scale shape: the corpus side is the (vec_id, j, code) long-format
-    * code table — m small ints per vector, the compression PQ exists
-    * for; the LUT is queries · m · ks rows, broadcast (bounded query
-    * batches by contract, same as the other ANN searches); the join is a
-    * broadcast hash probe (no shuffle despite only m·ks distinct join
-    * keys — key skew never materializes as exchange skew), and the
-    * grouped sum is map-side combinable. Output: (query_id, rank,
-    * vec_id, ad2_e12) — rank by (ad2_e12 ASC, vec_id).
+    * Scale shape: the corpus side is the (vec_id[, cell], j, code)
+    * long-format code table ([[pqCodesLong]] — m small ints per vector,
+    * the compression PQ exists for); the LUT is queries · nProbe · m ·
+    * ks rows built by the codeword-meta cross join and broadcast
+    * (bounded query batches by contract, same as the other ANN
+    * searches — size nProbe accordingly); the join is a broadcast hash
+    * probe (no shuffle despite few distinct join keys — key skew never
+    * materializes as exchange skew), and the grouped sum is map-side
+    * combinable. Output: (query_id, rank, vec_id, ad2_e12) — rank by
+    * (ad2_e12 ASC, vec_id).
     */
   def pqSearch(emb: DataFrame, idCol: String, embCol: String,
                model: PqModel, queryPred: Column, k: Int,

@@ -390,10 +390,64 @@ object NearDup {
                               textCol: String, n: Int, threshold: Double,
                               indexDir: String): DataFrame = {
     val spark = batch.sparkSession
-    val post = spark.read.parquet(s"$indexDir/postings")
-      .select(col("id").as("corpus_id"), col("bkey"))
-    val sets = spark.read.parquet(s"$indexDir/sets")
-      .select(col("id").as("corpus_id"), col("ss").as("ss_c"))
+    incrementalServe(batch, idCol, textCol, n, threshold,
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/sets"))
+  }
+
+  /** [[writeBandIndex]] as BUCKETED catalog tables — the declared 100 TB
+    * upgrade path made concrete: Spark persists bucket metadata only
+    * through the catalog, so `<tablePrefix>_postings` (bucketBy bkey)
+    * and `<tablePrefix>_sets` (bucketBy id) are saved as tables with
+    * their files under `$dir`. A serve-side join against the postings
+    * then needs NO index-side exchange at all — the bucketed scan
+    * reports hashpartitioning(bkey) and only the (small) batch side
+    * shuffles to meet it (plan-asserted in NearDupSpec); at 100 TB
+    * that is the difference between joining the standing index in
+    * place and re-shuffling the corpus on every nightly batch.
+    */
+  def writeBandIndexBucketed(corpus: DataFrame, idCol: String,
+                             textCol: String, n: Int, dir: String,
+                             tablePrefix: String,
+                             numBuckets: Int = 8): Unit = {
+    val sh = shingles(corpus, idCol, textCol, n).localCheckpoint(true)
+    minhashSignatures(sh)
+      .select(col("id"), explode(array(bandKeyCols(
+        k => col(s"h$k")): _*)).as("bkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .option("path", s"$dir/postings").saveAsTable(s"${tablePrefix}_postings")
+    sh.groupBy("id").agg(sort_array(collect_set(col("shingle"))).as("ss"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "id").sortBy("id")
+      .option("path", s"$dir/sets").saveAsTable(s"${tablePrefix}_sets")
+  }
+
+  /** [[incrementalNearDupPairs]] served from the BUCKETED index tables
+    * ([[writeBandIndexBucketed]]): result-identical, but the candidate
+    * join consumes the postings' bucket layout — no index-side shuffle.
+    */
+  def incrementalNearDupPairsBucketed(batch: DataFrame, idCol: String,
+                                      textCol: String, n: Int,
+                                      threshold: Double,
+                                      tablePrefix: String): DataFrame = {
+    val spark = batch.sparkSession
+    incrementalServe(batch, idCol, textCol, n, threshold,
+      spark.table(s"${tablePrefix}_postings"),
+      spark.table(s"${tablePrefix}_sets"))
+  }
+
+  /** The per-batch serving join both incremental forms share: batch
+    * postings × index postings on bkey (shuffle_hash build on the
+    * bounded batch side), exact Jaccard verify against the index's
+    * shingle sets.
+    */
+  private def incrementalServe(batch: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double,
+                               postRaw: DataFrame,
+                               setsRaw: DataFrame): DataFrame = {
+    val post = postRaw.select(col("id").as("corpus_id"), col("bkey"))
+    val sets = setsRaw.select(col("id").as("corpus_id"), col("ss").as("ss_c"))
     // batch scan shared by its postings and its verify sets
     val shB = shingles(batch, idCol, textCol, n).localCheckpoint(true)
     val postB = minhashSignatures(shB)

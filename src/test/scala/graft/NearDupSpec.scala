@@ -62,6 +62,32 @@ class NearDupSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("bucketed standing index serves in place: parquet-equal results, no index-side shuffle") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"source" =!= "src0")
+    val batch = docs.filter($"source" === "src0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bidx").toString
+    NearDup.writeBandIndex(corpus, "doc_id", "text", 3, s"$dir/plain")
+    val viaParquet = NearDup.incrementalNearDupPairs(batch, "doc_id",
+        "text", 3, 0.3, s"$dir/plain")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    NearDup.writeBandIndexBucketed(corpus, "doc_id", "text", 3,
+      s"$dir/bucketed", "graft_spec_idx")
+    val bucketed = NearDup.incrementalNearDupPairsBucketed(batch, "doc_id",
+      "text", 3, 0.3, "graft_spec_idx")
+    assert(bucketed.as[(Long, Long, Long, Double)].collect().toSet == viaParquet)
+    // the candidate join consumes the postings' bucket layout: the scan
+    // is bucketed and the ONLY bkey exchange is the batch side's —
+    // a second one would mean the index got re-shuffled per batch
+    val plan = bucketed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(bkey")) == 1, plan)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_idx_postings")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_idx_sets")
+  }
+
   test("containmentPairs: subset duplication both directions, Jaccard blind spot") {
     val corpus = Seq(
       (1L, "a b c d e f"),                       // 4 3-grams, all inside doc 2
