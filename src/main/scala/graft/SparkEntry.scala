@@ -97,6 +97,23 @@ object SparkEntry {
       Dedup.incremental(batch, corpus, "fp")
     }),
 
+    // ---- The same incremental exact dedup against a PERSISTED standing
+    // fingerprint index (bucketed catalog table, distinct paid at
+    // publish time) — the write-once/serve-many form of
+    // q_dedup_incremental: the anti join consumes the index's bucket
+    // layout in place, only the batch shuffles (plan-asserted in
+    // DedupSpec). Same oracle: equality proves the roundtrip lossless.
+    "q_dedup_incr_indexed" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      val tmp = scratchDir("graft_fp_idx").toString
+      Dedup.writeKeyIndexBucketed(fp.filter(col("source") =!= "src0"),
+        "fp", tmp, "graft_fp_idx")
+      Dedup.incrementalAgainstIndex(
+        fp.filter(col("source") === "src0").select("doc_id", "fp"),
+        "fp", "graft_fp_idx")
+    }),
+
     // ---- P1: surrogate id — structural check (uniqueness + count), values
     // are nondeterministic by design so they are never compared directly.
     "q_surrogate_id" -> ((s, dir) => {
@@ -1992,11 +2009,10 @@ object SparkEntry {
         "SELECT fp, doc_id AS best_doc, q AS best_quality FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn FROM scored) " +
         "WHERE rn = 1"),
-    "q_dedup_incremental" ->
-      ("WITH fps AS (SELECT doc_id, source, " +
-        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents) " +
-        "SELECT doc_id, fp FROM fps n WHERE n.source = 'src0' " +
-        "AND NOT EXISTS (SELECT 1 FROM fps c WHERE c.source <> 'src0' AND c.fp = n.fp)"),
+    "q_dedup_incremental" -> sqlDedupIncrementalOracle,
+    // The bucketed-index serve computes the identical result; same
+    // recompute oracle (the q_near_dedup_incr_bucketed argument).
+    "q_dedup_incr_indexed" -> sqlDedupIncrementalOracle,
     // Equality with the direct aggregate proves the partitioned write/read
     // roundtrip in the Spark query was lossless and the pruned scan complete.
     // Replays the manifest straight off the source table: shard and
@@ -3732,6 +3748,16 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_feats, CAST(sum(r_e6) AS BIGINT) AS sum_r_e6, " +
         "CAST(sum(r_e6) // count(*) AS BIGINT) AS avg_r_e6 FROM sc GROUP BY 1"),
   )
+
+  /** Incremental exact-dedup recompute oracle (shared by the direct and
+    * bucketed-index forms): batch (src0) fingerprints anti-joined
+    * against the standing corpus's, recomputed from the documents table.
+    */
+  private lazy val sqlDedupIncrementalOracle: String =
+    "WITH fps AS (SELECT doc_id, source, " +
+      "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents) " +
+      "SELECT doc_id, fp FROM fps n WHERE n.source = 'src0' " +
+      "AND NOT EXISTS (SELECT 1 FROM fps c WHERE c.source <> 'src0' AND c.fp = n.fp)"
 
   /** Incremental near-dedup recompute oracle (shared by the parquet and
     * bucketed index forms): batch (src0) x standing-corpus LSH band

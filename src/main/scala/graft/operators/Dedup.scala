@@ -101,6 +101,33 @@ object Dedup {
   def incremental(newBatch: DataFrame, corpus: DataFrame, key: String): DataFrame =
     newBatch.join(corpus.select(key), Seq(key), "left_anti")
 
+  /** Publish a STANDING key index for [[incremental]] — the
+    * write-once/serve-many pattern ([[NearDup.writeBandIndexBucketed]])
+    * applied to the exact tier: the corpus's distinct keys as a BUCKETED
+    * catalog table (bucketBy + per-bucket single sorted file via the
+    * pre-write repartition), so each batch's anti join consumes the
+    * index's layout in place — no corpus-side shuffle or sort per batch,
+    * and the distinct is paid once at publish time instead of inside
+    * every serve-side anti join. Files land under `dir`; bucket metadata
+    * lives in the catalog (Spark persists it nowhere else).
+    */
+  def writeKeyIndexBucketed(corpus: DataFrame, key: String, dir: String,
+                            tableName: String, numBuckets: Int = 8): Unit =
+    corpus.select(key).distinct()
+      .repartition(numBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", dir).saveAsTable(tableName)
+
+  /** [[incremental]] against a persisted [[writeKeyIndexBucketed]]
+    * table: only genuinely novel batch rows survive, and the standing
+    * corpus contributes a bucketed scan per batch, never recompute.
+    */
+  def incrementalAgainstIndex(newBatch: DataFrame, key: String,
+                              tableName: String): DataFrame =
+    newBatch.join(newBatch.sparkSession.table(tableName).select(key),
+      Seq(key), "left_anti")
+
   /** Streaming twin of content-fingerprint dedup ([[TextOps.fingerprintGroups]]
     * collapsed to survivors): first-ARRIVAL document per md5-of-normalized-
     * text fingerprint, with BOUNDED state — dropDuplicatesWithinWatermark

@@ -584,15 +584,39 @@ object NearDup {
   def nearDupGateStream(docs: DataFrame, corpus: DataFrame, idCol: String,
                         textCol: String, tsCol: String, n: Int = 3,
                         windowLen: String = "1 hour",
-                        watermark: String = "2 hours"): DataFrame = {
+                        watermark: String = "2 hours"): DataFrame =
     // materialize the corpus postings ONCE: the static side of a
     // stream-static join is re-planned every micro-batch, and without
     // the checkpoint each batch would re-run the full-corpus
     // shingle+signature aggregation (per-batch cost = corpus-sized, not
     // batch-sized — the round-8 review caught exactly that)
-    val statics = bandPostings(corpus, idCol, textCol, n)
-      .select(col("bkey")).distinct().withColumn("__hit", lit(1L))
-      .localCheckpoint(true)
+    gateStream(docs,
+      bandPostings(corpus, idCol, textCol, n)
+        .select(col("bkey")).distinct().withColumn("__hit", lit(1L))
+        .localCheckpoint(true),
+      idCol, textCol, tsCol, n, windowLen, watermark)
+
+  /** [[nearDupGateStream]] with the standing side read from a PERSISTED
+    * band-posting index ([[writeBandIndex]] / [[writeBandIndexBucketed]]
+    * `postings` relation) instead of recomputed from corpus text — the
+    * production wiring: the nightly index job publishes, the 24/7
+    * admission gate serves. Same checkpoint-once lifecycle (the distinct
+    * over the postings runs once per query construction, micro-batches
+    * reuse the materialized band-key set).
+    */
+  def nearDupGateStreamIndexed(docs: DataFrame, postings: DataFrame,
+                               idCol: String, textCol: String,
+                               tsCol: String, n: Int = 3,
+                               windowLen: String = "1 hour",
+                               watermark: String = "2 hours"): DataFrame =
+    gateStream(docs,
+      postings.select(col("bkey")).distinct().withColumn("__hit", lit(1L))
+        .localCheckpoint(true),
+      idCol, textCol, tsCol, n, windowLen, watermark)
+
+  private def gateStream(docs: DataFrame, statics: DataFrame, idCol: String,
+                         textCol: String, tsCol: String, n: Int,
+                         windowLen: String, watermark: String): DataFrame = {
     val shingleArr = array_distinct(
       graft.functions.word_ngrams(TextOps.tokens(col(textCol)), n))
     // one md5 per shingle, halved into the affine family's (a, b) — the

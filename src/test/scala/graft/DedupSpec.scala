@@ -84,6 +84,37 @@ class DedupSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L, 13L))
   }
 
+  test("bucketed key index serves the anti join in place (equal results, no index-side shuffle)") {
+    val corpus = Seq(("a", 1L), ("b", 2L), ("b", 3L)).toDF("fp", "old_id")
+    val batch  = Seq(("b", 10L), ("c", 11L), ("d", 13L)).toDF("fp", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    Dedup.writeKeyIndexBucketed(corpus, "fp", dir, "graft_spec_fp_idx")
+    val viaIndex = Dedup.incrementalAgainstIndex(batch, "fp", "graft_spec_fp_idx")
+    val direct = Dedup.incremental(batch, corpus, "fp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex.select("doc_id").as[Long].collect().toSet == direct)
+    // plan: with broadcast disabled (at real scale the index never fits
+    // a broadcast), the anti join must consume the index's bucket
+    // layout — exactly one fp exchange (the batch side), bucketed scan
+    val broadcastConfs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = broadcastConfs.map(k => k -> spark.conf.getOption(k))
+    broadcastConfs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = Dedup.incrementalAgainstIndex(batch, "fp", "graft_spec_fp_idx")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning(fp")) == 1, plan)
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql("DROP TABLE IF EXISTS graft_spec_fp_idx")
+    }
+  }
+
   test("stats reports before/after counts") {
     val r = Dedup.stats(cp, Seq("name", "iban")).collect().head
     assert(r.getLong(0) == 5 && r.getLong(1) == 3)

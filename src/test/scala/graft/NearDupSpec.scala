@@ -349,6 +349,44 @@ class NearDupSpec extends SparkSpec {
     assert(got(4L) == ((4L, true, true, true, true, "")))
   }
 
+  test("indexed streaming gate equals the corpus-driven gate (persisted postings)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (101L, "an entirely different standing corpus document about spark jobs"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_idx").toString
+    NearDup.writeBandIndex(corpus, "doc_id", "text", 3, dir)
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river",
+        ts("2026-01-01 10:05:00")),
+      (2L, "novel content sharing no shingles with anything in the corpus",
+        ts("2026-01-01 10:10:00")))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = NearDup.nearDupGateStreamIndexed(
+      ms.toDS().toDF("doc_id", "text", "ts"),
+      spark.read.parquet(s"$dir/postings"), "doc_id", "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_gate_idx").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      ms.addData((99L, "watermark push doc with enough tokens to flush",
+        ts("2026-01-02 06:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("neardup_gate_idx")
+        .select("doc_id", "n_hit_bands", "near_dup")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // the persisted-index gate must agree with the recompute gate's
+      // verdicts: the verbatim copy hits all 4 bands, novel content none
+      assert(got(1L) == ((4L, true)))
+      assert(got(2L) == ((0L, false)))
+    } finally q.stop()
+  }
+
   test("streaming near-dup gate equals the batch band-collision verdict") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
