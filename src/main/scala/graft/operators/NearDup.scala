@@ -203,13 +203,13 @@ object NearDup {
     * Measured trade (sf0.1 documents, local[32], graft.tools.PrefixDemo;
     * identical outputs in all four cells):
     *
-    *   - CLEAN corpus, t=0.5: plain ~3.0s, prefix ~9.4s (was 16.4s with
+    *   - CLEAN corpus, t=0.5: plain ~3.0s, prefix ~7.2s (was 16.4s with
     *     the window sort) — the prefix machinery (checkpoint,
-    *     doc-frequency join, grouped top-k, two-sided verify) still
+    *     doc-frequency join, grouped top-k, set-array verify) still
     *     costs more than it saves when no shingle is hot.
     *   - BOILERPLATE corpus (a shared 60-token paragraph appended to every
     *     document — the web-crawl norm), t=0.8: plain ~47s, prefix
-    *     ~9.4s — 5x: the shared shingles put d² candidate rows through
+    *     ~10s — 5x: the shared shingles put d² candidate rows through
     *     the plain join but fall out of the prefix candidates entirely
     *     (they are the FREQUENT ones, prefixes keep the rarest).
     *
@@ -259,26 +259,25 @@ object NearDup {
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify: expand each candidate pair by side A's full shingle set,
-    // probe side B's postings — linear in candidates x avg set size.
-    // The shuffle_hash hint goes on the POSTINGS side: the hinted side is
-    // the hash-build side, and the expanded candidate relation on the left
-    // is the unbounded one (candidates x shingles-per-doc — on a
-    // boilerplate-heavy corpus it dwarfs the postings and a build over it
-    // OOMs, measured in graft.tools.PrefixDemo), while the postings table
-    // is one row per (doc, shingle): bounded and evenly keyed.
-    val common = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingle")).hint("shuffle_hash"),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    // per-doc counts: no broadcast hint (see jaccardPairs)
-    common
-      .join(counts.as("ca"), col("id_a") === col("ca.id"))
-      .join(counts.as("cb"), col("id_b") === col("cb.id"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("ca.n") + col("cb.n") - col("n_common"))).as("jacc"))
+    // verify: join each candidate pair with BOTH docs' full shingle-set
+    // ARRAYS and intersect in-row (the minhashNearDupPairs shape) —
+    // candidates × 2 id-keyed joins instead of the candidates ×
+    // avg-set-size posting expansion this replaced (the expansion
+    // materialized ~50x the candidate rows through a two-key shuffle;
+    // measured ~20% off the clean-corpus total — the remaining cost is
+    // the candidate volume itself: at t=0.5 the prefix is ~half of
+    // each document, so candidate pairs stay plentiful; the operator's
+    // win is the boilerplate corpus, per the trade table above). Set
+    // size bounds per-row memory by the largest document, the same
+    // bound the heap prefix carries.
+    val sets = sh.groupBy("id").agg(collect_set(col("shingle")).as("ss"))
+    val inter = size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long")
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), inter.as("n_common"),
+        (inter.cast("double") /
+          (size(col("sa.ss")) + size(col("sb.ss")) - inter)).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 
