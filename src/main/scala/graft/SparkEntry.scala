@@ -1966,6 +1966,20 @@ object SparkEntry {
           "sorted_chars" -> concat_ws("", sort_array(split(col("c_name"), "")))),
         10, 2)),
 
+    // ---- SNM transitive-closure audit (the Hernández–Stolfo method's
+    // FINAL step: duplicates = the closure of the multi-pass union):
+    // recall AND precision for the raw union and for all in-component
+    // pairs after CC over the union edges, vs the exact lev<=2 truth on
+    // the same fixture. The closure's recall gain is only meaningful
+    // next to its precision bill — both columns in one audit row pair.
+    "q_link_snm_tc_recall" -> ((s, dir) =>
+      Linker.sortedNeighborhoodTcRecall(
+        Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "c_name",
+        Seq(col("c_name"), reverse(col("c_name")),
+          concat_ws("", sort_array(split(col("c_name"), "")))),
+        10, 2)),
+
     // ---- DSIR importance weights: every document weighted by hashed-
     // bigram target/raw probability ratios (target = lang 'en'), e6
     // fixed point — the importance-resampling selection signal.
@@ -3729,6 +3743,7 @@ object SparkEntry {
     // (forward / reversed / sorted-chars), normalized pair sets, the
     // union row, all left-joined against the exact lev truth.
     "q_link_snm_multi_recall" -> sqlSnmMultiRecallOracle,
+    "q_link_snm_tc_recall" -> sqlSnmTcRecallOracle,
     // DSIR replay: hashed-bigram buckets, add-one smoothed target/raw
     // ratio at e6, exact integer sums per doc.
     "q_dsir_weights" ->
@@ -3834,6 +3849,74 @@ object SparkEntry {
       "FROM (SELECT tr.id_a, tr.id_b, l.pass FROM truth tr, lab l) t " +
       "LEFT JOIN caught c ON c.id_a = t.id_a AND c.id_b = t.id_b " +
       "AND c.pass = t.pass) GROUP BY pass"
+  }
+
+  /** SNM transitive-closure audit oracle (mirrors
+    * Linker.sortedNeighborhoodTcRecall on the q_link_snm_recall fixture):
+    * the three pass CTEs of [[sqlSnmMultiRecallOracle]], their UNION as
+    * the pair set, then components via a recursive reachability CTE over
+    * the undirected union edges (component label = least reachable id —
+    * the same min-id labeling ConnectedComponents.run converges to, so
+    * the in-component pair sets agree regardless of label choice). The
+    * expensive members (union, truth, comp) are AS MATERIALIZED — DuckDB
+    * default-inlines every CTE reference, and truth alone is n²/2
+    * levenshtein calls referenced once per audit variant.
+    */
+  private lazy val sqlSnmTcRecallOracle: String = {
+    val passes = Seq(
+      "forward" -> "key",
+      "reversed" -> "reverse(key)",
+      "sorted_chars" -> "array_to_string(list_sort(string_split(key, '')), '')")
+    // The pass CTEs MUST be AS MATERIALIZED: default-inlined into the
+    // UNION's branches, DuckDB 1.0.0 returns the union with duplicate
+    // rows surviving (measured 10250 instead of the inclusion-exclusion-
+    // correct 9081 on the sf0.01 fixture) — same CTE-inlining hazard as
+    // the q_bpe_train oracle.
+    val passCtes = passes.map { case (nm, ex) =>
+      s"p_$nm AS MATERIALIZED (SELECT id, key, " +
+        s"row_number() OVER (ORDER BY $ex, id) AS pos FROM base), " +
+        s"c_$nm AS MATERIALIZED (SELECT DISTINCT least(a.id, b.id) AS id_a, " +
+        "greatest(a.id, b.id) AS id_b " +
+        s"FROM p_$nm a JOIN p_$nm b ON b.pos > a.pos AND b.pos <= a.pos + 10 " +
+        "WHERE levenshtein(a.key, b.key) <= 2)"
+    }.mkString(", ")
+    // DISTINCT-over-UNION-ALL, never bare UNION: inside a WITH RECURSIVE
+    // list DuckDB 1.0.0 leaves duplicate rows in a non-recursive member's
+    // UNION (u read 10250 rows / 9081 distinct), so spell the dedup out.
+    val unionSql = "SELECT DISTINCT id_a, id_b FROM (" + passes.map {
+      case (nm, _) => s"SELECT id_a, id_b FROM c_$nm"
+    }.mkString(" UNION ALL ") + ")"
+    "WITH RECURSIVE base AS (SELECT c_custkey AS id, c_name AS key " +
+      "FROM customer WHERE c_custkey % 3 = 0 AND c_name IS NOT NULL), " +
+      s"$passCtes, " +
+      s"u AS MATERIALIZED ($unionSql), " +
+      "truth AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b " +
+      "FROM base a JOIN base b " +
+      "ON a.id < b.id AND levenshtein(a.key, b.key) <= 2), " +
+      "e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+      "(SELECT id_a AS src, id_b AS dst FROM u " +
+      "UNION ALL SELECT id_b, id_a FROM u)), " +
+      "reach(src, dst) AS (SELECT src, dst FROM e2 " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON e.src = r.dst " +
+      "WHERE e.dst <> r.src), " +
+      "comp AS MATERIALIZED (SELECT src AS id, least(src, min(dst)) AS comp " +
+      "FROM reach GROUP BY src), " +
+      "tc AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b " +
+      "FROM comp a JOIN comp b ON a.comp = b.comp AND a.id < b.id) " +
+      "SELECT variant, n_true, n_pairs, n_caught, " +
+      "CASE WHEN n_true > 0 THEN CAST(n_caught AS DOUBLE) / " +
+      "CAST(n_true AS DOUBLE) END AS recall, " +
+      "CASE WHEN n_pairs > 0 THEN CAST(n_caught AS DOUBLE) / " +
+      "CAST(n_pairs AS DOUBLE) END AS precision FROM (" +
+      "SELECT 'union' AS variant, " +
+      "(SELECT count(*) FROM truth) AS n_true, " +
+      "(SELECT count(*) FROM u) AS n_pairs, " +
+      "(SELECT count(*) FROM truth t JOIN u c ON c.id_a = t.id_a " +
+      "AND c.id_b = t.id_b) AS n_caught " +
+      "UNION ALL SELECT 'tc', (SELECT count(*) FROM truth), " +
+      "(SELECT count(*) FROM tc), " +
+      "(SELECT count(*) FROM truth t JOIN tc c ON c.id_a = t.id_a " +
+      "AND c.id_b = t.id_b))"
   }
 
   /** Nearest-centroid training CTEs (mirrors QualityModel.trainCentroid

@@ -242,6 +242,86 @@ object Linker {
           col("n_caught").cast("double") / col("n_true")).as("recall"))
   }
 
+  /** Transitive-closure tail of the Hernández–Stolfo method, audited.
+    * The published algorithm's FINAL step declares the duplicate relation
+    * to be the transitive closure of the union of every pass's verified
+    * pairs — a chain a~b~c links a and c even when no window ever put
+    * them side by side. Closure trades precision for recall: lev is a
+    * metric, so chained endpoints can sit up to chainLen·maxDist apart,
+    * and every in-component pair is emitted whether or not it verifies.
+    * This audit prices that trade against the exact lev <= maxDist truth
+    * ([[EditDistanceJoin.idPairs]]): one row per variant — 'union' (the
+    * raw multi-pass pair set) and 'tc' (all in-component pairs after
+    * components over the union edges) — with BOTH recall
+    * (n_caught/n_true) and precision (n_caught/n_pairs), because the
+    * closure's recall gain is meaningless without its precision bill.
+    *
+    * Scale: the closure itself is the linear O(log n)-round labeling
+    * ([[ConnectedComponents.run]] over pair endpoints only — vertices
+    * with no caught pair cannot join a component), and the audit NEVER
+    * expands in-component pairs: the closure's pair count is
+    * Σ size·(size−1)/2 over the component-size aggregate, and its catch
+    * count labels each truth pair's endpoints with their components and
+    * counts the matches — both linear in |truth| + |union| (a first cut
+    * that self-joined comp into explicit pairs paid a 12.5M-row shuffle
+    * join on the sf0.1 fixture's single giant component: 12.5 s vs this
+    * form's 8.6 s, which decomposes as truth 4.5 s + three passes 4.2 s
+    * + CC 3.6 s overlapped — graft.tools.TcProfile; the remaining cost
+    * IS the audit's exact-truth contract, not the closure). truth and
+    * union are localCheckpointed — each feeds two consumers (both audit
+    * rows; the CC edges), and recomputing them means re-running the lev
+    * joins.
+    */
+  def sortedNeighborhoodTcRecall(df: DataFrame, idCol: String, keyCol: String,
+                                 passes: Seq[org.apache.spark.sql.Column],
+                                 windowSize: Int, maxDist: Int): DataFrame = {
+    val truth = EditDistanceJoin.idPairs(df, idCol, keyCol, maxDist)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .localCheckpoint(true)
+    val union = sortedNeighborhoodMulti(df, idCol, keyCol, passes,
+        windowSize, maxDist)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .localCheckpoint(true)
+    val edges = union.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val verts = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val comp = ConnectedComponents.run(verts, edges)
+    val unionRow = truth.withColumn("t", lit(1L))
+      .join(union.withColumn("p", lit(1L)), Seq("id_a", "id_b"), "full")
+      .agg(coalesce(sum("t"), lit(0L)).as("n_true"),
+        coalesce(sum("p"), lit(0L)).as("n_pairs"),
+        coalesce(sum(when(col("t").isNotNull && col("p").isNotNull, 1L)),
+          lit(0L)).as("n_caught"))
+      .select(lit("union").as("variant"), col("n_true"), col("n_pairs"),
+        col("n_caught"))
+    // tc pair count without expansion: Σ C(size, 2) over components
+    val tcPairs = comp.groupBy("component").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("n_pairs"))
+    // tc catch count: a truth pair is caught iff both endpoints carry the
+    // same component label (an unlabeled endpoint — null — never matches)
+    val tcCaught = truth
+      .join(comp.select(col("id").as("id_a"), col("component").as("ca")),
+        Seq("id_a"), "left")
+      .join(comp.select(col("id").as("id_b"), col("component").as("cb")),
+        Seq("id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(when(col("ca") === col("cb"), 1L)), lit(0L))
+          .as("n_caught"))
+    // constant-attach: both sides are ONE-row aggregates (the
+    // PlanGuaranteesSpec-whitelisted scalar-attach shape, as in q_bm25)
+    val tcRow = tcCaught.crossJoin(broadcast(tcPairs))
+      .select(lit("tc").as("variant"), col("n_true"), col("n_pairs"),
+        col("n_caught"))
+    unionRow.unionByName(tcRow)
+      .select(col("variant"), col("n_true"), col("n_pairs"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true")).as("recall"),
+        when(col("n_pairs") > 0,
+          col("n_caught").cast("double") / col("n_pairs")).as("precision"))
+  }
+
   /** Recall audit for [[sortedNeighborhood]] against the EXACT lev ≤
     * maxDist pair set (from [[EditDistanceJoin.idPairs]]'s
     * deletion-neighborhood join — exact-equivalent to the naive theta

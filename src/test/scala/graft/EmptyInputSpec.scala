@@ -243,6 +243,14 @@ class EmptyInputSpec extends SparkSpec {
       Seq(col("key"), reverse(col("key"))), 3, 2).count() == 0)
     assert(Linker.sortedNeighborhoodMultiRecall(noKeys, "id", "key",
       Seq("f" -> col("key")), 3, 2).count() == 0)
+    // TC audit on an empty corpus: both variant rows exist, all-zero
+    // counts, null ratios (CC over zero edges converges immediately)
+    val tcEmpty = Linker.sortedNeighborhoodTcRecall(noKeys, "id", "key",
+        Seq(col("key")), 3, 2)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(tcEmpty.toSeq == Seq(("tc", 0L, 0L, 0L, None, None),
+      ("union", 0L, 0L, 0L, None, None)), tcEmpty.mkString(", "))
     // residual (IVFPQ) encode/search on an empty embedding table
     val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Ann.pqEncode(noEmb, "vec_id", "embedding", PqFixture.model,

@@ -150,6 +150,24 @@ class LinkerSpec extends SparkSpec {
     assert(single == plain)
   }
 
+  test("sortedNeighborhoodTcRecall: closure recovers chained misses, billed as precision") {
+    import org.apache.spark.sql.functions.col
+    // an edit chain aaaa~aaab~aabb~abbb, window 1: SNM catches only the
+    // sort-adjacent links; closure merges the chain into one component.
+    //   truth (lev<=2): (1,2)(1,3)(2,3)(2,4)(3,4) — 5 pairs ((1,4) is 3)
+    //   union (w=1):    (1,2)(2,3)(3,4)           — recall 3/5, prec 1
+    //   tc:             all 6 component pairs     — recall 1, prec 5/6
+    val chain = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aabb"), (4L, "abbb"))
+      .toDF("id", "key")
+    val rows = Linker.sortedNeighborhoodTcRecall(chain, "id", "key",
+        Seq(col("key")), 1, 2)
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("union", "tc"))
+    assert(rows("union") == (("union", 5L, 3L, 3L, 0.6, 1.0)), rows("union"))
+    assert(rows("tc") == (("tc", 5L, 6L, 5L, 1.0, 5.0 / 6.0)), rows("tc"))
+  }
+
   test("sortedNeighborhood: null keys drop, empty input is empty") {
     val df = Seq((1L, "abc"), (2L, null.asInstanceOf[String]), (3L, "abd"))
       .toDF("id", "key")
