@@ -97,7 +97,11 @@ import org.apache.spark.sql.functions._
   * the unpinned form's 35.7x is the scan-search R², not a plan flaw);
   * hard_negatives (same pinned-query protocol) is FLAT at 0.86x/0.99x —
   * the query-side bucket join touches only the fixed batch's bucket
-  * mates.
+  * mates. snm_tc_closure (the TC audit's closure half: two-pass union
+  * edges -> components) 1.50x/1.95x at 4x/10x — sublinear like
+  * connected_components, round count stays put while per-round cost
+  * amortizes; the audit's count-based form never expands component
+  * pairs, so output cardinality cannot bite.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -215,6 +219,21 @@ object ScaleProbe {
         PrefixSum.densePositions(
           d.select(col("doc_id").as("id"), col("text").as("key")),
           Seq("key", "id")).count()),
+      // the closure half of the TC audit alone (multi-pass union edges ->
+      // large-star/small-star components): edge volume grows with the
+      // replication-saturated sort windows; runtime must track edges x
+      // O(log n) rounds, never the component-pair potential (which the
+      // count-based audit never expands)
+      "snm_tc_closure" -> { d =>
+        val keyed = d.withColumn("k", substring(col("text"), 1, 24))
+        val union = Linker.sortedNeighborhoodMulti(keyed, "doc_id", "k",
+          Seq(col("k"), reverse(col("k"))), 10, 5)
+        val edges = union.select(col("id_a").cast("long").as("src"),
+          col("id_b").cast("long").as("dst"))
+        val verts = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id"))).distinct()
+        ConnectedComponents.run(verts, edges).count()
+      },
       // only the word-frequency agg is corpus-sized; the merge loop runs
       // on the distinct-word table (vocab-bounded — near-flat here, the
       // copysalt suffixes add R new words per base word)
