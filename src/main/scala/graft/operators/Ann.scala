@@ -768,8 +768,17 @@ object Ann {
                           model: PqModel,
                           coarse: Option[IvfModel]): DataFrame = {
     val extra = if (coarse.isDefined) Seq("cell") else Nil
+    // explicit partition count: AQE sizes the exchange by its INPUT
+    // bytes (a few KB of raw vectors) and would coalesce to one
+    // partition — but the compute lives AFTER the fan-out (|corpus| ×
+    // m·ks d2 evaluations, ~4M on the sf0.1 fixture), and a coalesced
+    // plan runs it single-threaded (measured 2 s of the old 4.1 s
+    // q_pq_search, graft.tools.PqProfile). A user-specified count is
+    // exempt from AQE coalescing.
+    val nPart = emb.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val corpus = pqCorpus(emb, idCol, embCol, coarse)
-      .repartition(col("vec_id"))
+      .repartition(nPart, col("vec_id"))
     val sub = slice(col("emb_d"), col("j") * model.subDim + 1,
       lit(model.subDim))
     corpus.crossJoin(broadcast(codeMeta(emb.sparkSession, model)))
@@ -831,11 +840,15 @@ object Ann {
         // (pqCodesLong reasoning — one small codegen'd d2 per LUT row);
         // the repartition is the Exchange barrier keeping the query
         // projection out of the fan-out.
+        // explicit count: exempt from AQE coalescing (pqCodesLong note) —
+        // the LUT fan-out compute sits after this exchange
+        val nPart = emb.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
         val queries = emb
           .withColumn("emb_d", toDouble(col(embCol)))
           .filter(queryPred)
           .select(col(idCol).as("query_id"), col("emb_d"))
-          .repartition(col("query_id"))
+          .repartition(nPart, col("query_id"))
         val subQ = slice(col("emb_d"),
           col("j") * model.subDim + 1, lit(model.subDim))
         val lut = queries.crossJoin(broadcast(meta))
@@ -877,10 +890,14 @@ object Ann {
         // collapses into the LUT projection and re-evaluates once per
         // codeword meta row. probed is |queries|·nProbe rows; the
         // shuffle is noise.
+        // explicit count: exempt from AQE coalescing (pqCodesLong note) —
+        // the per-cell LUT fan-out compute sits after this exchange
+        val nPart = emb.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
         val probed = probed0.select(col("query_id"),
             col("__c.cid").cast("long").as("cell"),
             zip_with(col("emb_d"), col("__c.cv"), (x, y) => x - y).as("qr"))
-          .repartition(col("query_id"))
+          .repartition(nPart, col("query_id"))
         // LUT via the (j, c, w) codeword meta table cross-joined onto
         // the probed (query, cell) residuals — ONE codegen'd d2 per LUT
         // row. The cross join is bounded by construction:
