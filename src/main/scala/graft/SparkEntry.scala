@@ -747,6 +747,21 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- Decontamination against a STANDING eval-suite index (the
+    // write-once/serve-many pattern completing the contamination tier,
+    // alongside the exact-key and LSH-band indexes): the benchmark
+    // suite's distinct 13-grams persist once; each train batch reads
+    // them as one small scan instead of re-shingling the suite per run.
+    // Result-identical to q_decontam_13gram — same oracle.
+    "q_decontam_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = scratchDir("graft_eval_ngram_idx").toString
+      Winnow.writeEvalNgramIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", tmp)
+      Winnow.ngramContaminationAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", tmp)
+    }),
+
     // ---- Contamination scan, bloom-pruned: identical result (and
     // oracle) to q_contamination, but train postings are filtered by a
     // distributed-built Bloom sketch of the eval fingerprints BEFORE the
@@ -2418,6 +2433,21 @@ object SparkEntry {
         "50 * count(*) AS contaminated " +
         "FROM tr LEFT JOIN ev ON tr.fp = ev.fp GROUP BY 1"),
     "q_decontam_13gram" ->
+      ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "g AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS s " +
+        "FROM tk, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13), " +
+        "tr AS (SELECT doc_id, s FROM g WHERE doc_id % 2 = 0), " +
+        "ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 2 = 1) " +
+        "SELECT tr.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated " +
+        "FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1"),
+    // The standing-index serve is result-identical by construction (the
+    // index IS the distinct eval-gram set) — the oracle is IDENTICAL to
+    // q_decontam_13gram's.
+    "q_decontam_indexed" ->
       ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
         "FROM documents WHERE length(trim(text)) > 0), " +
         "g AS (SELECT DISTINCT doc_id, " +

@@ -103,6 +103,38 @@ class WinnowSpec extends SparkSpec {
     assert(n1 == 7L)
   }
 
+  test("indexed decontamination equals the recompute form; empty suite = all clean") {
+    val run13 = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"aa bb cc $run13 dd ee ff"),
+      (3L, "mm nn oo pp qq rr ss tt uu vv ww xx yy zz")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((10L, s"eval context $run13 more eval text here padd"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ngram_idx").toString
+    Winnow.writeEvalNgramIndex(eval_, "doc_id", "text", dir)
+    val served = Winnow.ngramContaminationAgainstIndex(
+        train, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val recomputed = Winnow.exactNgramContamination(
+        train, eval_, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(served == recomputed, served)
+    // an EMPTY suite publishes an empty index and every doc comes back
+    // clean (absence of contamination, not absence of rows)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ngram_idx_empty").toString
+    Winnow.writeEvalNgramIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", dir2)
+    val clean = Winnow.ngramContaminationAgainstIndex(
+        train, "doc_id", "text", dir2)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(clean.map(_._1) == Set(1L, 3L) && clean.forall(r => r._3 == 0L && !r._4),
+      clean)
+  }
+
   test("bloom-pruned contamination equals the unpruned scan on real docs") {
     val train = docs.filter(col("doc_id") % 2 === 0).limit(200)
     val eval_ = docs.filter(col("doc_id") % 2 === 1).limit(200)
