@@ -189,9 +189,38 @@ object Winnow {
                               windowLen: String = "1 hour",
                               watermark: String = "2 hours",
                               k: Int = GramTokens,
-                              w: Int = WindowGrams): DataFrame = {
-    val fe = fingerprints(evalSet, idCol, textCol, k, w)
-      .select(col("fp")).distinct().withColumn("__hit", lit(1L))
+                              w: Int = WindowGrams): DataFrame =
+    gateStreamWith(docs,
+      fingerprints(evalSet, idCol, textCol, k, w).select(col("fp")).distinct(),
+      idCol, textCol, tsCol, dropAtPct, windowLen, watermark, k, w)
+
+  /** [[contaminationGateStream]] served from a persisted
+    * [[writeEvalFpIndex]] — the nightly-publish / 24/7-serve wiring the
+    * near-dup gate already has ([[NearDup.nearDupGateStreamIndexed]]):
+    * the suite's fingerprint index is read once per (re)start as the
+    * stream-static side instead of being recomputed from the suite's
+    * text on every gate deployment. Result-identical to the
+    * corpus-driven gate (parity-spec'd in WinnowSpec).
+    */
+  def contaminationGateStreamIndexed(docs: DataFrame, idCol: String,
+                                     textCol: String, tsCol: String,
+                                     indexDir: String, dropAtPct: Int = 50,
+                                     windowLen: String = "1 hour",
+                                     watermark: String = "2 hours",
+                                     k: Int = GramTokens,
+                                     w: Int = WindowGrams): DataFrame =
+    gateStreamWith(docs,
+      docs.sparkSession.read.parquet(indexDir).select(col("fp")),
+      idCol, textCol, tsCol, dropAtPct, windowLen, watermark, k, w)
+
+  /** Shared gate body: `fe` must be one distinct `fp` column (the eval
+    * suite's winnow fingerprints, recomputed or persisted).
+    */
+  private def gateStreamWith(docs: DataFrame, fe: DataFrame,
+                             idCol: String, textCol: String, tsCol: String,
+                             dropAtPct: Int, windowLen: String,
+                             watermark: String, k: Int, w: Int): DataFrame = {
+    val hits = fe.withColumn("__hit", lit(1L))
     val toks = TextOps.tokens(lower(col(textCol)))
     val ft = docs.withWatermark(tsCol, watermark)
       .select(col(idCol).as("id"), col(tsCol).as("__ts"), toks.as("t"))
@@ -199,7 +228,7 @@ object Winnow {
       .select(col("id"), col("__ts"),
         explode(graft.functions.winnow_fingerprints(col("t"), k, w, Base, Mod))
           .as("fp"))
-    ft.join(fe, Seq("fp"), "left")
+    ft.join(hits, Seq("fp"), "left")
       .groupBy(window(col("__ts"), windowLen), col("id").as("train_id"))
       .agg(count(lit(1)).as("n_fp"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
@@ -257,6 +286,17 @@ object Winnow {
                           dir: String, n: Int = 13): Unit =
     NearDup.shingles(evalSet, idCol, textCol, n)
       .select(col("shingle")).distinct()
+      .write.mode("overwrite").parquet(dir)
+
+  /** The winnow-FINGERPRINT twin of [[writeEvalNgramIndex]]: the suite's
+    * distinct selected fingerprints, the static side the streaming gate
+    * ([[contaminationGateStreamIndexed]]) reads per (re)start.
+    */
+  def writeEvalFpIndex(evalSet: DataFrame, idCol: String, textCol: String,
+                       dir: String, k: Int = GramTokens,
+                       w: Int = WindowGrams): Unit =
+    fingerprints(evalSet, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
       .write.mode("overwrite").parquet(dir)
 
   /** [[exactNgramContamination]] served from a persisted

@@ -266,4 +266,46 @@ class WinnowSpec extends SparkSpec {
       assert(got(12L)._2 == 0L && !got(12L)._3)            // clean doc passes
     } finally q.stop()
   }
+
+  test("indexed streaming gate equals the corpus-driven gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (10L, s"training text preamble $para and some unique training tail here",
+        ts("2026-01-01 10:05:00")),
+      (12L, "completely unrelated training material nothing shared at all zz",
+        ts("2026-01-01 10:10:00")))
+    val eval_ = Seq(
+      (21L, s"eval question setup $para answer choices follow below now"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_eval_fp_idx").toString
+    Winnow.writeEvalFpIndex(eval_, "doc_id", "text", dir)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Winnow.contaminationGateStreamIndexed(
+      ms.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", dir,
+      dropAtPct = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_gate_idx").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      ms.addData((99L, "watermark push doc with enough tokens to pass",
+        ts("2026-01-02 06:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("contam_gate_idx")
+        .select("train_id", "n_fp", "n_hit", "contaminated")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = Winnow.contaminationScore(
+        rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text"),
+        eval_, "doc_id", "text", dropAtPct = 10)
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert((got - 99L) == batch, got)     // served == recomputed, doc by doc
+      assert(got(10L)._3 && !got(12L)._3)
+    } finally q.stop()
+  }
 }
