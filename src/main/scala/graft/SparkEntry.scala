@@ -1903,6 +1903,21 @@ object SparkEntry {
         PqFixture.model, col("vec_id") % 50 === 0, 5,
         Some(IvfFixture.model))),
 
+    // ---- IVFPQ search against a STANDING code index (write-once/
+    // serve-many on the ANN tier, completing the pattern the exact,
+    // near-dup, and contamination tiers already carry): the corpus ×
+    // m·ks code assignment persists once; each query batch reads codes
+    // as one scan and only builds its own LUTs. Result-identical to the
+    // fused q_pq_search — same oracle.
+    "q_pq_search_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_pq_idx").toString
+      Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model, tmp,
+        Some(IvfFixture.model))
+      Ann.pqSearchIndexed(emb, "vec_id", "embedding", PqFixture.model,
+        col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model))
+    }),
+
     // ---- IVFPQ search with the PRODUCTION probe bound (nProbe=4 of 16
     // cells): LUTs built only for each query's best coarse cells, so
     // unprobed vectors never enter the distance sum — the sublinear
@@ -3641,6 +3656,16 @@ object SparkEntry {
     // over the per-subspace code lookups joined on (cell, subspace,
     // code), (distance ASC, vec_id) top-5.
     "q_pq_search" ->
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(None)} " +
+        "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
+        "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // The standing-index serve is result-identical by construction (the
+    // persisted codes ARE pqCodesLong's output) — oracle IDENTICAL to
+    // q_pq_search's.
+    "q_pq_search_indexed" ->
       (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(None)} " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +

@@ -831,11 +831,48 @@ object Ann {
   def pqSearch(emb: DataFrame, idCol: String, embCol: String,
                model: PqModel, queryPred: Column, k: Int,
                coarse: Option[IvfModel] = None,
-               nProbe: Int = Int.MaxValue): DataFrame = {
+               nProbe: Int = Int.MaxValue): DataFrame =
+    pqSearchWith(pqCodesLong(emb, idCol, embCol, model, coarse),
+      emb, idCol, embCol, model, queryPred, k, coarse, nProbe)
+
+  /** Publish the STANDING PQ code index — write-once/serve-many on the
+    * ANN tier (production IVFPQ separates index BUILD from SEARCH; the
+    * convenience [[pqSearch]] fuses them, re-paying the corpus × m·ks
+    * code assignment on every query batch). The long-format
+    * (vec_id[, cell], j, c) code table lands under `dir`; plain
+    * non-bucketed parquet ON PURPOSE — the ADC join probes the codes
+    * with a BROADCAST lookup table, so the corpus side never shuffles
+    * and a bucket layout would never be consulted (the
+    * [[Winnow.writeEvalNgramIndex]] argument, from the other side: here
+    * the corpus is the big side and the per-batch LUT is the broadcast).
+    */
+  def writePqIndex(emb: DataFrame, idCol: String, embCol: String,
+                   model: PqModel, dir: String,
+                   coarse: Option[IvfModel] = None): Unit =
+    pqCodesLong(emb, idCol, embCol, model, coarse)
+      .write.mode("overwrite").parquet(dir)
+
+  /** [[pqSearch]] served from a persisted [[writePqIndex]] — the corpus
+    * contributes one code scan per query batch, never a re-encode.
+    * Result-identical to the fused form (same codes, same LUT, same
+    * integer ADC sums), so it shares q_pq_search's oracle.
+    */
+  def pqSearchIndexed(emb: DataFrame, idCol: String, embCol: String,
+                      model: PqModel, queryPred: Column, k: Int,
+                      indexDir: String, coarse: Option[IvfModel] = None,
+                      nProbe: Int = Int.MaxValue): DataFrame =
+    pqSearchWith(emb.sparkSession.read.parquet(indexDir),
+      emb, idCol, embCol, model, queryPred, k, coarse, nProbe)
+
+  private def pqSearchWith(codes: DataFrame,
+                           emb: DataFrame, idCol: String, embCol: String,
+                           model: PqModel, queryPred: Column, k: Int,
+                           coarse: Option[IvfModel],
+                           nProbe: Int): DataFrame = {
     val meta = codeMeta(emb.sparkSession, model)
     val scored = coarse match {
       case None =>
-        val codeLong = pqCodesLong(emb, idCol, embCol, model, None)
+        val codeLong = codes
         // LUT via the same (j, c, w) meta join as the code assignment
         // (pqCodesLong reasoning — one small codegen'd d2 per LUT row);
         // the repartition is the Exchange barrier keeping the query
@@ -869,7 +906,7 @@ object Ann {
         // codes, never raw floats. Query-side residuals reuse the same
         // (x − c) elementwise form as [[pqCorpus]], so corpus and query
         // residual arithmetic round identically (the FP-parity contract).
-        val codeLong = pqCodesLong(emb, idCol, embCol, model, coarse)
+        val codeLong = codes
         val queries = withNorm(emb, embCol).filter(queryPred)
           .select(col(idCol).as("query_id"), col("emb_d"), col("norm"))
         val exploded = queries

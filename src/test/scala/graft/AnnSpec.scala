@@ -546,4 +546,29 @@ class AnnSpec extends SparkSpec {
     // pipeline partition the similarity axis at 0.3
     assert(got.forall(_._4 < 0.3))
   }
+
+  test("pqSearchIndexed serves the persisted code index, result-identical to the fused form") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model, dir,
+      Some(IvfFixture.model))
+    val served = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5, dir,
+        Some(IvfFixture.model))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fused = Ann.pqSearch(emb, "vec_id", "embedding", PqFixture.model,
+        col("vec_id") % 50 === 0, 5, Some(IvfFixture.model))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served == fused)
+    // the probe-bounded serving form reads the same index
+    val servedProbe = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5, dir,
+        Some(IvfFixture.model), nProbe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fusedProbe = Ann.pqSearch(emb, "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5,
+        Some(IvfFixture.model), nProbe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(servedProbe == fusedProbe)
+  }
 }
