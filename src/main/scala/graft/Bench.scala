@@ -61,7 +61,17 @@ object Bench {
         while (buf.length < nRuns &&
                (buf.isEmpty || buf.last._1 <= repeatCutoffSec)) {
           val t0 = System.nanoTime()
-          val err = try { fn(spark, sfDir).count(); None } catch {
+          // Full materialization via the noop sink, NOT count(): count()
+          // lets Catalyst prune every computed column a query doesn't
+          // aggregate or join on, so pure-projection queries benchmarked
+          // only their scan (q_text_repetition read 0.10s while its
+          // projection actually cost 5.9s — found by StageAudit). The
+          // noop sink consumes every row of the full result, which is
+          // what a real downstream consumer pays.
+          val err = try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            None
+          } catch {
             case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: " +
                 Option(e.getMessage).getOrElse("").take(160))

@@ -165,20 +165,32 @@ object TextOps {
 
   /** Token-repetition stats (the Gopher/C4-style quality signals: a doc
     * whose top token or top bigram dominates is boilerplate or spam).
-    * Computed entirely inside one codegen'd projection — the per-doc mode
-    * is an O(distinct·n) higher-order-function fold over the token array,
-    * NOT a groupBy: no shuffle, scan-speed at 100 TB (documents are short
-    * relative to corpus size; a pathological single doc is executor-local
-    * work, not a hot shuffle key).
+    * Computed entirely inside one projection — the per-doc mode count is
+    * the longest equal-run of the SORTED token array (one O(n log n)
+    * sort + one O(n) fold), NOT a groupBy (no shuffle, scan-speed at
+    * 100 TB) and NOT the distinct×n nested-HOF probe it replaces — that
+    * form paid O(distinct·n) comparisons per document (~600M over the
+    * sf0.1 corpus, 5.9 s single-task under full materialization,
+    * StageAudit; this form is ~40x fewer element ops).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     def bigrams(arr: Column): Column = graft.functions.word_ngrams(arr, 2)
+    // max multiplicity = longest run in sorted order; the fold state is
+    // (prev element, current run, best run)
     def topCount(arr: Column): Column =
       coalesce(
-        array_max(transform(array_distinct(arr),
-          x => size(filter(arr, y => y === x)))),
-        lit(0)).cast("long")
+        aggregate(array_sort(arr),
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+            lit(0L).as("best")),
+          (st, x) => {
+            val run = when(x === st.getField("prev"),
+              st.getField("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(st.getField("best"), run).as("best"))
+          },
+          st => st.getField("best")),
+        lit(0L))
     df.select(
       col(idCol),
       size(t).cast("long").as("n_tokens"),
