@@ -257,6 +257,15 @@ class EmptyInputSpec extends SparkSpec {
       Some(IvfFixture.model)).count() == 0)
     assert(Ann.pqSearch(noEmb, "vec_id", "embedding", PqFixture.model,
       col("vec_id") % 2 === 0, 3, Some(IvfFixture.model)).count() == 0)
+    // indexed serve over an empty corpus: empty index published, empty
+    // result served
+    val emptyIdx = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_empty").toString
+    Ann.writePqIndex(noEmb, "vec_id", "embedding", PqFixture.model,
+      emptyIdx, Some(IvfFixture.model))
+    assert(Ann.pqSearchIndexed(noEmb, "vec_id", "embedding", PqFixture.model,
+      col("vec_id") % 2 === 0, 3, emptyIdx, Some(IvfFixture.model))
+      .count() == 0)
     // batched BPE on an empty corpus: empty merge table
     assert(Bpe.train(noDocs, "text", 3, batchM = 2).count() == 0)
   }
