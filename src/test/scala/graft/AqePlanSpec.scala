@@ -62,4 +62,26 @@ class AqePlanSpec extends SparkSpec {
         s"$q: AQE demoted the '$key' join to broadcast:\n${demoted.mkString("\n")}")
     }
   }
+
+  test("PQ fan-out exchanges keep their user-specified partition count under AQE") {
+    // AQE sizes exchanges by INPUT bytes; the PQ repartitions carry a few
+    // KB of raw vectors whose cost lives AFTER the codeword fan-out, and
+    // a coalesced exchange ran the ~4M d2 evaluations in ONE task
+    // (StageAudit/PqProfile, round 10). repartition(n, col) plans as
+    // REPARTITION_BY_NUM, which AQE's coalescer must not touch; a revert
+    // to repartition(col) would read REPARTITION_BY_COL and coalesce.
+    // q_pq_search keeps both pins (corpus-code side + LUT side);
+    // q_pq_probe's probe-ranking window already exchanges on query_id,
+    // so Catalyst legitimately elides the redundant LUT-side pin there.
+    for ((q, minPins) <- Seq("q_pq_search" -> 2, "q_pq_probe" -> 1)) {
+      val p = finalPlan(q)
+      val byNum = p.linesIterator
+        .filter(l => l.contains("Exchange") && l.contains("REPARTITION_BY_NUM"))
+        .toSeq
+      assert(byNum.size >= minPins,
+        s"$q final plan lost the pinned-count repartitions:\n$p")
+      assert(!p.linesIterator.exists(_.contains("REPARTITION_BY_COL")),
+        s"$q has a coalescible repartition back in the plan:\n$p")
+    }
+  }
 }
