@@ -154,7 +154,22 @@ object EditDistanceJoin {
     // verify drops them), so exclude them before grouping.
     val keyed = base.filter(col("key").isNotNull)
     val dk = keyed.groupBy("key").agg(min(col("id")).as("gid"))
-    val variants = dk
+    // Explicit partition count before the variant explode: AQE sizes the
+    // post-groupBy exchange by its INPUT bytes (a few hundred KB of
+    // distinct keys) and coalesces it to ONE partition — but the compute
+    // lives AFTER the ~(len·k)-way generator fan-out, so the coalesced
+    // plan runs the whole neighborhood expansion single-threaded
+    // (measured: a 1.7-2.4 s one-task stage inside q_link_agg_lev,
+    // graft.tools.LinkAggAudit — the same AQE blind spot as the PQ
+    // codeword fan-out in Ann.pqCodesLong). A user-specified count is
+    // exempt from AQE coalescing. The repartition column must NOT be
+    // `key`: the groupBy child is already hash-partitioned on key, so a
+    // same-column repartition is elided as redundant and the coalescible
+    // groupBy exchange is all that remains (verified in the physical
+    // plan); `gid` forces a fresh user-pinned exchange.
+    val nPart = base.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val variants = dk.repartition(nPart, col("gid"))
       .withColumn("__len", length(col("key")))
       .select(col("gid"), col("__len"),
         explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
@@ -250,8 +265,15 @@ object EditDistanceJoin {
       .filter(col("key").isNotNull)
     def distinctKeys(df: DataFrame): DataFrame =
       df.groupBy("key").agg(min(col("id")).as("gid"))
+    // Same explicit-count pin as [[halfIdPairs]]: the distinct-key
+    // exchange is tiny by bytes, so AQE would coalesce it to one
+    // partition ahead of the variant fan-out (and the pin must hash on
+    // `gid`, not `key`, or it is elided as redundant with the groupBy).
+    val nPart = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     def explodeSide(dk: DataFrame): DataFrame =
-      dk.withColumn("__len", length(col("key")))
+      dk.repartition(nPart, col("gid"))
+        .withColumn("__len", length(col("key")))
         .select(col("gid"), col("__len"),
           explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
             .as("__v"))

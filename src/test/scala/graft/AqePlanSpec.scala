@@ -73,7 +73,14 @@ class AqePlanSpec extends SparkSpec {
     // q_pq_search keeps both pins (corpus-code side + LUT side);
     // q_pq_probe's probe-ranking window already exchanges on query_id,
     // so Catalyst legitimately elides the redundant LUT-side pin there.
-    for ((q, minPins) <- Seq("q_pq_search" -> 2, "q_pq_probe" -> 1)) {
+    // q_link_pairs_lev (round 11): the deletion-variant explode has the
+    // same shape — a tiny distinct-key exchange feeding a ~(len·k)-way
+    // generator fan-out; unpinned, AQE coalesced it and the whole
+    // neighborhood expansion ran in ONE task (1.7-2.4 s inside
+    // q_link_agg_lev, graft.tools.LinkAggAudit). The pin hashes on gid
+    // (a key-column repartition is elided as redundant with the groupBy).
+    for ((q, minPins) <- Seq("q_pq_search" -> 2, "q_pq_probe" -> 1,
+                             "q_link_pairs_lev" -> 1)) {
       val p = finalPlan(q)
       val byNum = p.linesIterator
         .filter(l => l.contains("Exchange") && l.contains("REPARTITION_BY_NUM"))
