@@ -193,7 +193,12 @@ object EditDistanceJoin {
     // every member of key_b's group. gid order says nothing about member
     // id order, so each expanded pair re-orients to id_a < id_b (keys
     // travel with their ids).
-    val cross = verified
+    // Same expansion-fan-out pin as [[pairsAgainst]]: the verified
+    // distinct-key pairs are small by bytes, but the group-membership
+    // expansion multiplies them by both groups' sizes — on a corpus with
+    // few distinct keys AQE's coalesced one-partition exchange would run
+    // that corpus-scale fan-out single-threaded.
+    val cross = verified.repartition(nPart, col("key_a"))
       .join(keyed.select(col("id").as("__ia"), col("key").as("key_a")), "key_a")
       .join(keyed.select(col("id").as("__ib"), col("key").as("key_b")), "key_b")
       .select(when(col("__ia") < col("__ib"),
@@ -297,7 +302,15 @@ object EditDistanceJoin {
       .filter(levenshtein(col("left_key"), col("right_key"), maxDist) >= 0)
       .select(col("left_key"), col("right_key"),
         levenshtein(col("left_key"), col("right_key")).as("dist"))
-    verified
+    // Third fan-out pin: the verified distinct-key matches are tiny by
+    // bytes (AQE coalesces their exchange to one partition) but the
+    // membership expansion below multiplies them by BOTH sides' group
+    // sizes — on a low-cardinality dictionary that is corpus-scale output
+    // (the sf0.1 part table holds 64 distinct names across 20k rows:
+    // 659 key pairs expand to ~1.4M rows, measured 1.4 s in ONE task,
+    // graft.tools.LinkAggAudit). Spreading the verified pairs before the
+    // expansion keeps the fan-out parallel at any scale.
+    verified.repartition(nPart, col("left_key"))
       .join(lk.select(col("id").as("left_id"), col("key").as("left_key")),
         "left_key")
       .join(rk.select(col("id").as("right_id"), col("key").as("right_key")),
