@@ -106,12 +106,15 @@ object SparkEntry {
     "q_dedup_incr_indexed" -> ((s, dir) => {
       val fp = Tables.documents(s, dir).select(
         col("doc_id"), col("source"), TextOps.fingerprint(col("text")).as("fp"))
-      val tmp = scratchDir("graft_fp_idx").toString
+      // Catalog table name = the unique scratch-dir leaf, so two sessions
+      // sharing a metastore never race on one name with different paths.
+      val tmp = scratchDir("graft_fp_idx")
+      val tbl = tmp.getFileName.toString
       Dedup.writeKeyIndexBucketed(fp.filter(col("source") =!= "src0"),
-        "fp", tmp, "graft_fp_idx")
+        "fp", tmp.toString, tbl)
       Dedup.incrementalAgainstIndex(
         fp.filter(col("source") === "src0").select("doc_id", "fp"),
-        "fp", "graft_fp_idx")
+        "fp", tbl)
     }),
 
     // ---- P1: surrogate id — structural check (uniqueness + count), values
@@ -172,6 +175,16 @@ object SparkEntry {
         "AND ro_similarity(a.name, b.name) >= 80.0D) " +
         "SELECT uniqId, concat_ws(',', sort_array(collect_set(name_a))) " +
         "AS CollectedNames FROM pairs GROUP BY uniqId")
+    }),
+
+    // ---- SURVEY §7.2 blocked mode for the RO metric: prefix-filter
+    // equi-join candidates (1-gram multiset AllPairs + length band) +
+    // ro_similarity verify — result-identical to q_link_ro's faithful
+    // BNLJ (same difflib-replay oracle) with a plan that survives 100x.
+    "q_link_ro_blocked" -> ((s, dir) => {
+      val deduped = Dedup.exact(Tables.supplier(s, dir), Seq("s_name"))
+      val pairs = Linker.similarityPairsBlocked(deduped, "s_name", 80.0)
+      Linker.groupCollect(pairs, "uniqId", Seq("name_a" -> "CollectedNames"))
     }),
 
     // ---- A4 scale mode: similarity edges (exact lev<=1 join) → distributed
@@ -816,12 +829,14 @@ object SparkEntry {
     // prove the bucketed write/read roundtrip lossless.
     "q_near_dedup_incr_bucketed" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tmp = scratchDir("graft_lsh_bidx").toString
+      // Unique catalog names per run (see q_dedup_incr_indexed note).
+      val tmp = scratchDir("graft_lsh_bidx")
+      val tbl = tmp.getFileName.toString
       NearDup.writeBandIndexBucketed(docs.filter(col("source") =!= "src0"),
-        "doc_id", "text", 3, tmp, "graft_lsh_idx")
+        "doc_id", "text", 3, tmp.toString, tbl)
       NearDup.incrementalNearDupPairsBucketed(
         docs.filter(col("source") === "src0"),
-        "doc_id", "text", 3, 0.5, "graft_lsh_idx")
+        "doc_id", "text", 3, 0.5, tbl)
     }),
 
     // ---- Near-dup: MinHash signatures (16 md5-based hashes, shared with
@@ -1259,14 +1274,16 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, dir) => {
       val tmpPath = scratchDir("graft_bucket")
       val tmp = tmpPath.toString
+      // Unique catalog names per run (see q_dedup_incr_indexed note).
+      val base = tmpPath.getFileName.toString
       Tables.orders(s, dir).write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$tmp/orders_b").saveAsTable("graft_orders_bucketed")
+        .option("path", s"$tmp/orders_b").saveAsTable(s"${base}_orders")
       Tables.customer(s, dir).write.mode("overwrite").format("parquet")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$tmp/customer_b").saveAsTable("graft_customer_bucketed")
-      s.table("graft_orders_bucketed").hint("merge")
-        .join(s.table("graft_customer_bucketed"),
+        .option("path", s"$tmp/customer_b").saveAsTable(s"${base}_customer")
+      s.table(s"${base}_orders").hint("merge")
+        .join(s.table(s"${base}_customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -3184,6 +3201,9 @@ object SparkEntry {
     "q_link_ro" -> sqlLinkRoOracle,
     // The SQL-surface twin computes the identical result; same oracle.
     "q_link_ro_sql" -> sqlLinkRoOracle,
+    // Blocked mode is exact (prefix-filter soundness argued in
+    // Linker.similarityPairsBlocked's Scaladoc) — same all-pairs oracle.
+    "q_link_ro_blocked" -> sqlLinkRoOracle,
     // Full greedy-fold replay (sqlGreedyFoldOracle) — fixture-independent,
     // replacing the r2–r7 one-cluster derivation.
     "q_cluster_greedy" -> sqlGreedyFoldOracle(
@@ -4207,8 +4227,11 @@ object SparkEntry {
 
   /** The q_bpe_train final select over [[sqlBpeCtes]]'s b{i} rows. */
   private def sqlBpeMergeSelect(k: Int): String =
+    // Sequential training (batchM = 1, what q_bpe_train runs): every
+    // pass accepts exactly one merge, so pass_id == merge_rank.
     (1 to k).map(i => s"SELECT CAST($i AS BIGINT) AS merge_rank, x, y, " +
-      s"CAST(c AS BIGINT) AS pair_count FROM b$i").mkString(" UNION ALL ")
+      s"CAST(c AS BIGINT) AS pair_count, CAST($i AS BIGINT) AS pass_id " +
+      s"FROM b$i").mkString(" UNION ALL ")
 
   /** Content-defined chunk CTEs over `toks` → `ch(doc_id, chunk_idx,
     * n_tokens, chunk_hash)` (mirrors Chunker.contentDefinedChunks with

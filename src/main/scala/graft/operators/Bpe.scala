@@ -72,9 +72,14 @@ object Bpe {
       .select(col("word"), col("f"), expr(CharSplit).as("s"))
 
   /** Train `numMerges` BPE merges. Output: (merge_rank, x, y,
-    * pair_count) — merge_rank 1-based in learned order; fewer rows when
-    * the corpus runs out of mergeable pairs early (single-char
-    * vocabulary). An empty corpus yields an empty merge table.
+    * pair_count, pass_id) — merge_rank 1-based in learned order;
+    * pass_id = the 1-based corpus pass that accepted the merge, so a
+    * merge table from batched training (batchM > 1: repeated pass_id
+    * values) is distinguishable from sequential output (pass_id ==
+    * merge_rank) by inspection — consumers of a merge table can tell
+    * which contract produced it. Fewer rows when the corpus runs out of
+    * mergeable pairs early (single-char vocabulary). An empty corpus
+    * yields an empty merge table.
     *
     * `batchM` batches merge rounds per corpus pass — the lever that
     * makes a 50k-merge vocabulary feasible (sequential BPE is one Spark
@@ -101,8 +106,9 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     var cur = initialSymbols(df, textCol).localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Int)]
     var i = 0
+    var pass = 0
     var done = false
     while (i < numMerges && !done) {
       val want = math.min(batchM, numMerges - i)
@@ -127,8 +133,9 @@ object Bpe {
             chosen += cand; used += x; used += y
           }
         }
+        pass += 1
         chosen.foreach { case (x, y, c) =>
-          merges += ((i + 1, x, y, c)); i += 1
+          merges += ((i + 1, x, y, c, pass)); i += 1
         }
         val folded = chosen.foldLeft("s") { case (acc, (x, y, _)) =>
           mergeExpr(acc, x, y)
@@ -136,9 +143,9 @@ object Bpe {
         cur = cur.withColumn("s", expr(folded)).localCheckpoint(true)
       }
     }
-    merges.toSeq.toDF("merge_rank", "x", "y", "pair_count")
+    merges.toSeq.toDF("merge_rank", "x", "y", "pair_count", "pass_id")
       .select(col("merge_rank").cast("long").as("merge_rank"), col("x"),
-        col("y"), col("pair_count"))
+        col("y"), col("pair_count"), col("pass_id").cast("long").as("pass_id"))
   }
 
   /** ENCODE with a trained merge list: per word, replay every merge in

@@ -56,6 +56,183 @@ object Linker {
         col("a.alt").as("alt_a"), col("b.alt").as("alt_b"))
   }
 
+  /** Blocked-mode twin of [[similarityPairs]] (SURVEY §7.2's promised
+    * production shape for the Ratcliff/Obershelp metric): an AllPairs/
+    * PPJoin-style prefix-filter equi-join over 1-gram character multisets
+    * plus a length band, verified by the SAME `ro_similarity` predicate —
+    * RESULT-IDENTICAL to the faithful BNLJ for any corpus and threshold
+    * (parity-pinned in LinkerSpec; q_link_ro_blocked shares q_link_ro's
+    * difflib-replay oracle), but shaped as bounded equi-joins that
+    * survive a 100 TB corpus where the O(n²) baseline dies.
+    *
+    * Exactness argument (the blocking never drops a >= t pair):
+    *  - difflib's matched blocks consume distinct character occurrences
+    *    from each side, so ratio >= t/100 implies the char-multiset
+    *    overlap O >= M >= ceil(t·(la+lb)/200);
+    *  - ratio >= t/100 also bounds the length ratio: M <= min(la,lb)
+    *    forces lb·(200−t) >= t·la and la·(200−t) >= t·lb (the band);
+    *  - under the band, ceil(t·la/(200−t)) <= ceil(t·(la+lb)/200), so
+    *    taking each name's prefix of size la − ceil(t·la/(200−t)) + 1
+    *    in a GLOBAL rarity order keeps the standard prefix-filter
+    *    guarantee: any qualifying pair shares a prefix element.
+    * All bounds are computed in integer arithmetic — the FP form
+    * ceil(0.8·18/1.2) lands on 13 instead of 12 and would silently
+    * shrink the prefix below soundness.
+    *
+    * Scale shape: char tagging and rarity ranking are hash aggregates;
+    * the candidate join is a shuffle equi-join on (char, occurrence)
+    * with the same shuffle_hash pin as the deletion-variant join
+    * (post-explode cardinality is opaque to Catalyst); each candidate is
+    * verified once PER DIRECTION after the narrow distinct — difflib's
+    * ratio is argument-order-sensitive, see the body comment. The prefix
+    * explode fans out from a tiny grouped exchange, so it carries the
+    * same explicit-count repartition pin as EditDistanceJoin. Worst case
+    * degenerates with the corpus's character diversity (a corpus of
+    * near-anagrams keeps most pairs) — that is PPJoin's published worst
+    * case, not a plan defect. On the supplier fixture EVERY unordered
+    * name pair is a true >= 80 pair (graft.tools.RoBlockProbe at sf0.01:
+    * 4950/4950 verified) and the filter emits exactly the 4950 true
+    * candidates — zero false candidates even on the densest input; the
+    * pruning payoff appears on corpora whose pairs are mostly BELOW the
+    * threshold, which is what a real 100 TB name corpus looks like.
+    *
+    * `threshold` is the 0–100 similarity percentage and must be a whole
+    * number (the integer soundness arithmetic above relies on it).
+    */
+  def similarityPairsBlocked(df: DataFrame, nameCol: String,
+                             threshold: Double): DataFrame = {
+    // Expand candidates into BOTH orientations BEFORE the verify:
+    // difflib's ratio is NOT symmetric (the greedy longest-match
+    // recursion depends on argument order — measured 80.0 one way vs
+    // 74.3 the other on a boundary pair), and the faithful BNLJ
+    // evaluates the predicate per DIRECTED pair, so a one-per-unordered-
+    // pair verify would emit or drop both directions together and
+    // diverge at the threshold boundary. Two sims per candidate is
+    // exactly the BNLJ's own cost per unordered pair. The unordered
+    // candidate superset stays sound for both directions: the multiset-
+    // overlap bound O >= M holds for either argument order.
+    roBlockCandidates(df, nameCol, threshold)
+      .select(explode(array(
+        struct(col("name_a").as("na"), col("name_b").as("nb")),
+        struct(col("name_b").as("na"), col("name_a").as("nb")))).as("p"))
+      .select(col("p.na").as("name_a"), col("p.nb").as("name_b"))
+      .filter(string_similarity(col("name_a"), col("name_b")) >= threshold)
+      .select(
+        canonical_key(col("name_a"), col("name_b")).as("uniqId"),
+        col("name_a"), col("name_b"))
+  }
+
+  /** Candidate core of [[similarityPairsBlocked]] (exposed for the
+    * filter-effectiveness probe): distinct unordered candidate name
+    * pairs surviving the prefix filter + length band, BEFORE the
+    * `ro_similarity` verify. Pair orientation follows the internal
+    * 128-bit name identity, not lexicographic name order.
+    *
+    * The join witnesses and their distinct run over NARROW rows — a
+    * 128-bit identity struct per name (two independently-seeded
+    * xxhash64 values), never the name string (hash-aggregating wide
+    * string pairs was the 147 s failure mode EditDistanceJoin
+    * documents). 64 bits would not be enough: an equal-identity
+    * collision between DIFFERENT names makes the gid_a < gid_b join
+    * DROP their pair (unlike the variant-hash joins, where a collision
+    * only adds a candidate), and at 10^9 names a 64-bit birthday is a
+    * ~3% corpus-level event; at 128 bits it is ~10^-21. The names
+    * re-attach AFTER the distinct, behind an explicit-count repartition
+    * pin, so the expensive ro_similarity verify runs parallel even when
+    * AQE coalesces the byte-small candidate exchange (measured: the
+    * verify ran 10 s single-task without the pin; the sim predicate
+    * references both join branches, so Catalyst cannot push it below
+    * the pinned exchange).
+    */
+  private[graft] def roBlockCandidates(df: DataFrame, nameCol: String,
+                                       threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 100 && threshold == threshold.floor,
+      s"blocked mode needs an integral threshold in (0, 100], got $threshold")
+    val t = threshold.toLong
+    val names = df.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull && length(col("name")) >= 1)
+      .distinct()
+    // sname = the name's characters in sorted order, computed ONCE per
+    // distinct name — the count filter below runs banded levenshtein
+    // over these (for sorted strings, LCS = multiset overlap).
+    val ids = names.select(col("name"),
+      struct(xxhash64(col("name")), xxhash64(col("name"), lit(1))).as("gid"),
+      expr("array_join(array_sort(transform(sequence(1, length(name)), " +
+        "i -> substring(name, i, 1))), '')").as("sname"))
+    // Tagged char multiset: (gid, len, c, k) — the k-th occurrence of
+    // char c. Tagging occurrences turns multiset intersection into plain
+    // set intersection, which the equi-join computes.
+    val elems = ids
+      .select(col("gid"), length(col("name")).as("len"),
+        explode(expr(
+          "transform(sequence(1, length(name)), i -> substring(name, i, 1))"))
+          .as("c"))
+      .groupBy("gid", "len", "c").agg(count(lit(1)).as("cnt"))
+      .select(col("gid"), col("len"), col("c"),
+        explode(expr("sequence(1L, cnt)")).as("k"))
+    // Global rarity: corpus frequency per tagged element; the prefix
+    // order (edf, c, k) is total, so both sides of a pair agree on it.
+    val rarity = elems.groupBy("c", "k").agg(count(lit(1)).as("edf"))
+    val nPart = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // Per-name prefix: the (len − ceil(t·len/(200−t)) + 1) rarest tagged
+    // elements. collect_list is bounded by the name's length — the same
+    // bounded-per-key aggregate contract as P5. The explicit-count
+    // repartition pins the prefix-explode fan-out (the grouped exchange
+    // is tiny by bytes; AQE would coalesce it to one task).
+    val prefix = elems.join(rarity, Seq("c", "k"))
+      .groupBy("gid", "len")
+      .agg(sort_array(collect_list(struct(col("edf"), col("c"), col("k"))))
+        .as("es"))
+      .repartition(nPart, col("gid"))
+      .select(col("gid"), col("len"),
+        explode(expr(s"slice(es, 1, CAST(len - ((${t}L * len + ${200 - t}L - 1) " +
+          s"div ${200 - t}L) + 1 AS INT))")).as("pe"))
+      .select(col("gid"), col("len"),
+        col("pe.c").as("c"), col("pe.k").as("k"))
+    val cand = prefix.as("a").hint("shuffle_hash")
+      .join(prefix.as("b"),
+        col("a.c") === col("b.c") && col("a.k") === col("b.k") &&
+          col("a.gid") < col("b.gid") &&
+          col("b.len") * lit(200 - t) >= col("a.len") * lit(t) &&
+          col("a.len") * lit(200 - t) >= col("b.len") * lit(t))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+      .distinct()
+    // Verify-parallelism pin (see Scaladoc): names re-attach above it;
+    // the joins preserve the pinned partitioning when the id table
+    // broadcasts, and at shuffle scale the exchanges are large enough
+    // that AQE keeps them parallel on its own.
+    val attached = cand.repartition(nPart, col("gid_a"))
+      .join(ids.select(col("gid").as("gid_a"), col("name").as("name_a"),
+        col("sname").as("sname_a")), "gid_a")
+      .join(ids.select(col("gid").as("gid_b"), col("name").as("name_b"),
+        col("sname").as("sname_b")), "gid_b")
+    // Count filter (the AllPairs strengthening of the prefix filter):
+    // the prefix join only certifies ONE shared rare element, but
+    // ratio >= t/100 needs full multiset overlap O >= α :=
+    // ceil(t·(la+lb)/200). For SORTED char strings LCS = O, and
+    // O >= α implies an indel-only edit script of cost la + lb − 2α,
+    // so lev(sname_a, sname_b) > la + lb − 2α soundly rejects the
+    // candidate (levenshtein <= indel distance; O symmetric, bounds M
+    // for both argument orders — rejection can never drop a directed
+    // true pair). The 3-arg banded form makes this ~0.2(la+lb)·len char
+    // ops of codegen'd builtin, orders of magnitude cheaper than the
+    // difflib-exact verify it gates (a higher-order-function multiset
+    // count measured ~300 µs/candidate — 3x slower than no filter at
+    // all). Substitution credit makes it slightly laxer than the exact
+    // O >= α test, but disjoint-alphabet and mostly-different names
+    // still reject: measured on the 2000-name diverse probe corpus the
+    // 1.45M prefix candidates shrink to 69.7k verify survivors — 3.5%
+    // of all pairs reach the difflib verify (graft.tools.RoBlockProbe).
+    attached
+      .select(col("name_a"), col("name_b"), col("sname_a"), col("sname_b"))
+      .withColumn("__lab",
+        (length(col("name_a")) + length(col("name_b"))).cast("long"))
+      .filter(expr("levenshtein(sname_a, sname_b, " +
+        s"CAST(__lab - 2L * ((${t}L * __lab + 199L) div 200L) AS INT)) >= 0"))
+      .select(col("name_a"), col("name_b"))
+  }
+
   /** A2/W1 + P4 + D4: attach per-`partitionCol` sorted distinct member sets
     * via an unordered window (whole-partition frame, as in the reference),
     * then collapse to one row per cluster. (valueCol -> outputCol) pairs.
@@ -221,14 +398,22 @@ object Linker {
                                     windowSize: Int, maxDist: Int): DataFrame = {
     require(passes.nonEmpty, "need at least one named pass")
     val truth = EditDistanceJoin.idPairs(df, idCol, keyCol, maxDist)
+    // The union row derives from the per-pass rows IN THE SAME PLAN
+    // (collect the passes that caught each pair, then emit one row per
+    // pass plus 'union') — each pass's n·w subtree appears exactly once,
+    // instead of twice as separate per-pass + re-invoked-union branches.
+    // Result-identical: a pair gets a pass row iff that pass caught it
+    // and a union row iff ANY pass did. (Checkpoint-free on purpose:
+    // sharing via eager checkpoints serializes what Spark otherwise runs
+    // as concurrent stages — measured slower on the TC audit.)
     val caught = passes.map { case (pname, skey) =>
         sortedNeighborhoodMulti(df, idCol, keyCol, Seq(skey), windowSize, maxDist)
           .select(col("id_a"), col("id_b"), lit(pname).as("pass"))
       }.reduce(_.unionByName(_))
-      .unionByName(
-        sortedNeighborhoodMulti(df, idCol, keyCol, passes.map(_._2),
-            windowSize, maxDist)
-          .select(col("id_a"), col("id_b"), lit("union").as("pass")))
+      .groupBy("id_a", "id_b")
+      .agg(collect_set(col("pass")).as("ps"))
+      .select(col("id_a"), col("id_b"),
+        explode(concat(col("ps"), array(lit("union")))).as("pass"))
       .withColumn("hit", lit(1L))
     import df.sparkSession.implicits._
     val labels = (passes.map(_._1) :+ "union").toDF("pass")

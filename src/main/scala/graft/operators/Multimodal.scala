@@ -106,10 +106,13 @@ object Multimodal {
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(makeImage(id), null, null), p)
-    writer.dispose()
-    ios.close()
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(makeImage(id), null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     out.toByteArray
   }
 

@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.{GraftLocalDir, Tables}
+import graft.operators.{Ann, Dedup, IvfFixture, NearDup, PqFixture, Winnow}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Publish/serve cost split for the four standing-index tiers (dev
+  * scratch). By fixture convention every `*_indexed` / `*_incr_*` BENCH
+  * query re-pays its index PUBLISH inside the timed body, so the
+  * write-once/serve-many win is invisible in BENCH numbers (q_pq_search
+  * vs q_pq_search_indexed reads as a wash). This probe times the two
+  * phases separately: publish once (what the nightly index build pays),
+  * then serve repeatedly against the standing index (what every batch
+  * pays forever after) — the number pair a 100 TB operator actually
+  * budgets. Serve runs materialize through the noop sink like Bench.
+  */
+object IndexServeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", GraftLocalDir.path)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enableOptimizations(spark)
+
+    val scratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(GraftLocalDir.path), "idxprobe")
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def serveMin(runs: Int)(df: => org.apache.spark.sql.DataFrame): Double =
+      (1 to runs).map { _ =>
+        time(df.write.mode("overwrite").format("noop").save())._1
+      }.min
+
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    // 1. exact fingerprint key index (q_dedup_incr_indexed's tiers)
+    locally {
+      val fp = docs.select(col("doc_id"), col("source"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val (pub, _) = time(Dedup.writeKeyIndexBucketed(
+        fp.filter(col("source") =!= "src0"), "fp",
+        s"$scratch/fp_idx", "idxprobe_fp"))
+      val srv = serveMin(3)(Dedup.incrementalAgainstIndex(
+        fp.filter(col("source") === "src0").select("doc_id", "fp"),
+        "fp", "idxprobe_fp"))
+      results += (("fp_exact", pub, srv))
+    }
+
+    // 2. LSH band index, bucketed catalog form (q_near_dedup_incr_bucketed)
+    locally {
+      val (pub, _) = time(NearDup.writeBandIndexBucketed(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text", 3,
+        s"$scratch/lsh_idx", "idxprobe_lsh"))
+      val srv = serveMin(3)(NearDup.incrementalNearDupPairsBucketed(
+        docs.filter(col("source") === "src0"), "doc_id", "text", 3, 0.5,
+        "idxprobe_lsh"))
+      results += (("lsh_bands", pub, srv))
+    }
+
+    // 3. eval-suite 13-gram contamination index (q_decontam_indexed)
+    locally {
+      val (pub, _) = time(Winnow.writeEvalNgramIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s"$scratch/ngram_idx"))
+      val srv = serveMin(3)(Winnow.ngramContaminationAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$scratch/ngram_idx"))
+      results += (("eval_13gram", pub, srv))
+    }
+
+    // 4. IVFPQ code index (q_pq_search_indexed)
+    locally {
+      val (pub, _) = time(Ann.writePqIndex(emb, "vec_id", "embedding",
+        PqFixture.model, s"$scratch/pq_idx", Some(IvfFixture.model)))
+      val srv = serveMin(3)(Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5, s"$scratch/pq_idx",
+        Some(IvfFixture.model)))
+      results += (("pq_codes", pub, srv))
+    }
+
+    println(f"${"tier"}%-12s ${"publish_s"}%9s ${"serve_s"}%9s ${"serve/pub"}%9s")
+    results.foreach { case (t, p, s) =>
+      println(f"$t%-12s $p%9.2f $s%9.2f ${s / p}%9.2f")
+    }
+    spark.stop()
+  }
+}

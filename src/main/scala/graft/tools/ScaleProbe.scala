@@ -259,7 +259,18 @@ object ScaleProbe {
       // per doc — runtime must track the posting-join output, never the
       // doc-pair potential
       "substring_spans" -> (d =>
-        SubstringDedup.sharedSpans(d, "doc_id", "text", 8, 3).count())
+        SubstringDedup.sharedSpans(d, "doc_id", "text", 8, 3).count()),
+      // the FULL round-10 TC audit (exact truth + two SNM passes +
+      // closure + recall/precision rows) on the short sort key. maxDist 2
+      // keeps the truth tier's deletion neighborhood affordable; salted
+      // copies share the first-24-char key exactly, so truth pairs grow
+      // ~R² per base pair — the count-based audit must track edges and
+      // emitted truth rows, never expand component pair potential
+      "snm_tc_recall" -> (d => {
+        val keyed = d.withColumn("k", substring(col("text"), 1, 24))
+        Linker.sortedNeighborhoodTcRecall(keyed, "doc_id", "k",
+          Seq(col("k"), reverse(col("k"))), 10, 2).count()
+      })
     )
 
     // Optional probe-name args: run only those (local iteration — the
@@ -422,6 +433,72 @@ object ScaleProbe {
       println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
       (name, r4, r10)
     }
+    // ---- standing-index SERVE tier (round-10 additions): the index
+    // PUBLISH is untimed (the nightly build that write-once/serve-many
+    // amortizes away); the timed body is one serve pass against the
+    // standing index, with the batch/query side PINNED to the base copy
+    // (ids < the replication offset) — so the measured growth is the
+    // serve path's cost in the STANDING CORPUS size, which is exactly
+    // the 100 TB question for these operators (see IndexServeProbe for
+    // the absolute publish-vs-serve split at 1x).
+    val idxScratch = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(GraftLocalDir.path), "scaleidx").toString
+    def idxProbe(name: String, mk: Int => DataFrame)
+                (publish: (DataFrame, String, String) => Unit)
+                (serve: (DataFrame, String, String) => Long): (String, Double, Double) = {
+      val times = factors.map { r =>
+        val d = mk(r).localCheckpoint(true)
+        val dir = s"$idxScratch/${name}_$r"
+        val tbl = s"scaleidx_${name}_$r"
+        publish(d, dir, tbl)
+        val (warm, _) = time(serve(d, dir, tbl))
+        val (t, n) = time(serve(d, dir, tbl))
+        d.unpersist()
+        println(f"[scale] $name%-22s ${r}%2dx  $t%7.2f s (warm-up $warm%6.2f)  rows=$n")
+        t
+      }
+      val r4 = times(1) / times(0)
+      val r10 = times(2) / times(0)
+      println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
+      (name, r4, r10)
+    }
+    val idxProbes: Seq[(String, () => (String, Double, Double))] = Seq(
+      // standing LSH band index grows Rx; today's batch stays the base
+      // copy's src0 slice — serve joins the batch's bands against the
+      // bucketed postings in place
+      "lsh_incr_serve" -> (() => idxProbe("lsh_incr_serve", replicate) { (d, dir, tbl) =>
+        NearDup.writeBandIndexBucketed(d.filter(col("source") =!= "src0"),
+          "doc_id", "text", 3, dir, tbl)
+      } { (d, _, tbl) =>
+        NearDup.incrementalNearDupPairsBucketed(
+          d.filter(col("source") === "src0" && col("doc_id") < 10000000L),
+          "doc_id", "text", 3, 0.5, tbl).count()
+      }),
+      // the eval suite (index side) is FIXED at the base copy — the
+      // production shape: a frozen benchmark suite scanned against an
+      // ever-growing train corpus; serve must track the TRAIN side
+      "decontam_idx_serve" -> (() => idxProbe("decontam_idx_serve", replicate) { (_, dir, _) =>
+        Winnow.writeEvalNgramIndex(
+          base.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir)
+      } { (d, dir, _) =>
+        Winnow.ngramContaminationAgainstIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir).count()
+      }),
+      // standing PQ code table grows Rx; the query batch stays the base
+      // copy's slice — serve is the ADC scan over the code table (linear
+      // by design; IVF probing is the sublinear complement)
+      "pq_idx_serve" -> (() => idxProbe("pq_idx_serve", replicateEmb) { (d, dir, _) =>
+        Ann.writePqIndex(d, "vec_id", "embedding", PqFixture.model, dir,
+          Some(IvfFixture.model))
+      } { (d, dir, _) =>
+        Ann.pqSearchIndexed(d, "vec_id", "embedding", PqFixture.model,
+          col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
+          Some(IvfFixture.model)).count()
+      })
+    )
+    val idxResults = idxProbes
+      .filter(p => only.isEmpty || only(p._1)).map(_._2())
+
     // ---- duplicate-key flood (the EditDistanceJoin skew guard): the
     // supplier corpus plus f exact copies of ONE name. The guarded join
     // dedupes keys before the variant explode, so its variant-join stage
@@ -467,7 +544,7 @@ object ScaleProbe {
       d.unpersist()
     }
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
-    (results ++ embResults ++ evResults ++ graphResults).foreach { case (n, r4, r10) =>
+    (results ++ embResults ++ evResults ++ graphResults ++ idxResults).foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()

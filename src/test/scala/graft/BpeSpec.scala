@@ -17,6 +17,7 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
     val got = Bpe.train(docs, "text", 3)
       .orderBy("merge_rank")
+      .select("merge_rank", "x", "y", "pair_count")
       .as[(Long, String, String, Long)].collect()
     assert(got === Array(
       (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
@@ -28,6 +29,7 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val got = Bpe.train(docs, "text", 3)
       .orderBy("merge_rank")
+      .select("merge_rank", "x", "y", "pair_count")
       .as[(Long, String, String, Long)].collect()
     assert(got === Array((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
     // only 2 merges possible -> early stop, 2 rows not 3
@@ -62,12 +64,19 @@ class BpeSpec extends SparkSpec {
     // merges in the same order with the same counts.
     val docs = Seq((1L, ("ab " * 9) + ("cd " * 7) + ("ef " * 5) + ("gh " * 3)))
       .toDF("doc_id", "text")
-    val seqRes = Bpe.train(docs, "text", 4)
-      .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
+    val seqTable = Bpe.train(docs, "text", 4).orderBy("merge_rank")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    // sequential output self-identifies: pass_id == merge_rank
+    assert(seqTable.map(_._5) == seqTable.map(_._1))
+    val seqRes = seqTable.map(t => (t._1, t._2, t._3, t._4))
     for (m <- Seq(2, 4)) {
-      val bat = Bpe.train(docs, "text", 4, batchM = m)
-        .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
-      assert(bat == seqRes, s"batchM=$m")
+      val batTable = Bpe.train(docs, "text", 4, batchM = m)
+        .orderBy("merge_rank")
+        .as[(Long, String, String, Long, Long)].collect().toSeq
+      assert(batTable.map(t => (t._1, t._2, t._3, t._4)) == seqRes, s"batchM=$m")
+      // batched output self-identifies: pass_id groups ceil(rank/M)
+      assert(batTable.map(_._5) == seqTable.map(t => (t._1 - 1) / m + 1),
+        s"batchM=$m pass ids")
     }
     assert(seqRes.map(t => (t._2, t._3)) ==
       Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
@@ -80,19 +89,23 @@ class BpeSpec extends SparkSpec {
     // pass, reproducing the sequential merge list exactly here because
     // every later winner depends on the earlier merge's output symbols.
     val docs = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
-    val seqRes = Bpe.train(docs, "text", 3)
-      .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
-    val bat = Bpe.train(docs, "text", 3, batchM = 3)
-      .orderBy("merge_rank").as[(Long, String, String, Long)].collect().toSeq
-    assert(bat == seqRes)
+    def table(batchM: Int) = Bpe.train(docs, "text", 3, batchM = batchM)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    val seqRes = table(1)
+    val bat = table(3)
+    assert(bat.map(t => (t._1, t._2, t._3, t._4)) ==
+      seqRes.map(t => (t._1, t._2, t._3, t._4)))
+    // every pass deferred the conflicting runner-up: one merge per pass
+    assert(bat.map(_._5) == Seq(1L, 2L, 3L))
   }
 
   test("train is deterministic across repartitioned input") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Bpe.train(docs, "text", 4)
-      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
     val b = Bpe.train(docs.repartition(7), "text", 4)
-      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
     assert(a === b)
     assert(a.length == 4)
   }
@@ -147,6 +160,7 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "a'b a'b x\\y x\\y")).toDF("doc_id", "text")
     val got = Bpe.train(docs, "text", 2)
       .orderBy("merge_rank")
+      .select("merge_rank", "x", "y", "pair_count")
       .as[(Long, String, String, Long)].collect()
     assert(got.length == 2)
     // both words contribute pairs; encoding with the learned merges must

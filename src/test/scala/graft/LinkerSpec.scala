@@ -67,6 +67,51 @@ class LinkerSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // Parity pin for SURVEY §7.2's blocked mode: the prefix-filter equi-join
+  // must reproduce the faithful BNLJ's pair set EXACTLY — first on the real
+  // supplier fixture (dense near-identical names: the filter's worst
+  // territory), then on a varied-length frame that exercises the length
+  // band's boundary (a 9-vs-14-char pair sits outside lb·120 >= 80·la and
+  // must be pruned WITHOUT being a lost true pair; difflib agrees it is
+  // below 80).
+  test("similarityPairsBlocked == similarityPairs on supplier sf0.001 and a banded frame") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("uniqId", "name_a", "name_b")
+        .as[(String, String, String)].collect().toSet
+    val supplier = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val dedup = graft.operators.Dedup.exact(supplier, Seq("s_name"))
+    val naive = pairSet(Linker.similarityPairs(dedup, "s_name", None, 80.0)
+      .select("uniqId", "name_a", "name_b"))
+    val blocked = pairSet(Linker.similarityPairsBlocked(dedup, "s_name", 80.0))
+    assert(blocked == naive)
+    assert(naive.nonEmpty, "fixture must actually link something")
+
+    // The last two rows are a measured ASYMMETRIC boundary pair —
+    // difflib gives 80.0 one way and 74.3 the other — so this frame
+    // regression-pins the per-direction verify (a one-per-unordered-pair
+    // verify emits or drops both orientations together and diverges).
+    val varied = Seq("Acme GmbH", "Acme GmbH.", "Acme GmbH Int.", "Umbrella Corp",
+      "Umbrela Corp", "corp Umbrella", "Zzyzx", "Zzyzx Ltd", "x",
+      "kilo mike bravo 6", "kilo ember bravo 2").toDF("name")
+    val n2 = pairSet(Linker.similarityPairs(varied, "name", None, 80.0)
+      .select("uniqId", "name_a", "name_b"))
+    val b2 = pairSet(Linker.similarityPairsBlocked(varied, "name", 80.0))
+    assert(b2 == n2)
+    // and the blocking genuinely prunes on a diverse corpus: disjoint-char
+    // names ("Zzyzx" vs "Acme GmbH") never become candidates
+    val cand = Linker.roBlockCandidates(varied, "name", 80.0).count()
+    assert(cand < 11L * 10 / 2, s"prefix filter pruned nothing: $cand of 55")
+  }
+
+  test("similarityPairsBlocked rejects non-integral thresholds and handles empty input") {
+    intercept[IllegalArgumentException] {
+      Linker.similarityPairsBlocked(Seq("a").toDF("name"), "name", 80.5)
+    }
+    val empty = Linker.similarityPairsBlocked(
+      Seq.empty[String].toDF("name"), "name", 80.0)
+    assert(empty.count() == 0)
+  }
+
   test("windowCollect collapses to one row per partition key") {
     val pairs = Seq(("k1", "b"), ("k1", "a"), ("k1", "a"), ("k2", "z"))
       .toDF("uniqId", "name_a")
