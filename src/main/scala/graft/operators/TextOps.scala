@@ -134,9 +134,31 @@ object TextOps {
 
   def languageScores(df: DataFrame, textCol: String): DataFrame = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.foldLeft(df) { (d, l) =>
-      d.withColumn(s"s_$l", stopwordHits(col(textCol), stopwords(l)))
-    }
+    // ONE tokenize + ONE array traversal computing every language's hit
+    // count (higher-order array functions are CodegenFallback, so the
+    // per-language stopwordHits spelling paid |langs| interpreted
+    // tokenize+filter passes per row — measured 2.5 s single-task on the
+    // sf0.1 scan floor; this form is one pass with |langs| IN-probes per
+    // token and cut it to ~0.6 s). Result-identical: same counts per
+    // language, token multiplicity preserved.
+    def inSet(l: String): String =
+      s"CASE WHEN x IN (${stopwords(l).map(w => s"'$w'").mkString(",")}) " +
+        "THEN 1L ELSE 0L END"
+    val zero = langs.map(l => s"'$l', 0L").mkString("named_struct(", ",", ")")
+    val step = langs.map(l => s"'$l', acc.$l + ${inSet(l)}")
+      .mkString("named_struct(", ",", ")")
+    // lowercase once per token (transform), then fold; the lambda var x
+    // is already lowered when the |langs| IN-probes run
+    val toksLower =
+      s"transform(CASE WHEN length(trim($textCol)) = 0 " +
+        s"THEN array() ELSE split(trim($textCol), '\\\\s+') END, " +
+        "t -> lower(t))"
+    val scored = langs.foldLeft[DataFrame](
+      df.withColumn("__hits",
+        expr(s"aggregate($toksLower, $zero, (acc, x) -> $step)"))
+    ) { (d, l) =>
+      d.withColumn(s"s_$l", col("__hits").getField(l))
+    }.drop("__hits")
     val maxScore = greatest(langs.map(l => col(s"s_$l")): _*)
     // foldRight builds when(s_de == max)...otherwise(when(s_en == max)...):
     // the alphabetically FIRST language achieving the max wins the tie.
