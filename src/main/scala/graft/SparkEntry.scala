@@ -1902,12 +1902,13 @@ object SparkEntry {
       Linker.sortedNeighborhood(Tables.customer(s, dir), "c_custkey",
         "c_name", 10, 2)),
 
-    // ---- IVFPQ encode: every vector as its coarse IVF cell + 32
+    // ---- IVFPQ encode: every vector as its coarse IVF cell + 64
     // per-subspace RESIDUAL code ids against the frozen PqFixture
     // codebooks (trained on v − centroid(cell) residuals, the FAISS
-    // IVFPQ layout; m=32 × ks=64 chosen by the PqTune recall sweep) —
-    // the compressed representation a 100 TB ANN stores instead of raw
-    // floats.
+    // IVFPQ layout; m=64 × ks=64 chosen by the PqTune recall/latency
+    // frontier — recall@5 1.000, the cheapest config over the 0.95
+    // serving floor) — the compressed representation a 100 TB ANN
+    // stores instead of raw floats.
     "q_pq_encode" -> ((s, dir) =>
       Ann.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
         PqFixture.model, Some(IvfFixture.model))),

@@ -966,7 +966,8 @@ object Ann {
     */
   def pqRecallEval(emb: DataFrame, idCol: String, embCol: String,
                    model: PqModel, queryPred: Column, k: Int,
-                   coarse: Option[IvfModel] = None): DataFrame = {
+                   coarse: Option[IvfModel] = None,
+                   nProbe: Int = Int.MaxValue): DataFrame = {
     val corpus = emb.withColumn("emb_d", toDouble(col(embCol)))
       .select(col(idCol).as("vec_id"), col("emb_d"))
     val queries = corpus.filter(queryPred)
@@ -980,7 +981,8 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id")
-    val approx = pqSearch(emb, idCol, embCol, model, queryPred, k, coarse)
+    val approx = pqSearch(emb, idCol, embCol, model, queryPred, k, coarse,
+        nProbe)
       .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
     exact.join(approx, Seq("query_id", "vec_id"), "left")
       .agg(count(lit(1)).as("n_true"),

@@ -515,16 +515,22 @@ class AnnSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("IVFPQ recall@5 on the fixture corpus clears 0.8") {
+  test("IVFPQ recall@5 on the fixture corpus clears the 0.95 serving floor") {
     import graft.operators.{Ann, IvfFixture, PqFixture}
     // the corpus the fixtures were trained on (FreezeIvf/FreezePq): the
-    // audit bar guards the SERVED configuration, not the tiny spec corpus
+    // audit bar guards the SERVED configuration, not the tiny spec corpus.
+    // The round-11 production point (m=64/ks=64 residual, PqTune
+    // recall/latency frontier in the README) measured recall@5 1.000 —
+    // the pin is 0.95, the declared serving floor the config was chosen
+    // to clear (m=32/ks=64's 0.88 must FAIL this pin: a fixture
+    // regression back to it would silently halve the compression
+    // quality budget).
     val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val r = Ann.pqRecallEval(emb01, "vec_id", "embedding", PqFixture.model,
       col("vec_id") % 50 === 0, 5, Some(IvfFixture.model)).collect()(0)
     val recall = r.getDouble(2)
     info(f"IVFPQ recall@5 vs exact L2: $recall%.2f")
-    assert(recall >= 0.8, f"recall $recall%.2f below the audit bar")
+    assert(recall >= 0.95, f"recall $recall%.2f below the 0.95 serving floor")
   }
 
   test("hardNegatives stays in the band, excludes self, ranks by sim desc") {
