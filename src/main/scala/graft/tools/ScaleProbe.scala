@@ -102,6 +102,19 @@ import org.apache.spark.sql.functions._
   * connected_components, round count stays put while per-round cost
   * amortizes; the audit's count-based form never expands component
   * pairs, so output cardinality cannot bite.
+  *
+  * Round-11 additions (standing-index serve tier — publish untimed,
+  * batch/query side pinned to the base copy; plus the FULL TC audit):
+  * snm_tc_recall (exact truth + two passes + closure + recall rows,
+  * maxDist 2) 1.20x/1.67x at 4x/10x — the whole audit inherits the
+  * closure half's sublinearity; lsh_incr_serve 1.14x/1.52x — serving a
+  * 10x standing band index costs 1.5x, the nightly-publish/24-7-serve
+  * contract holding under growth; decontam_idx_serve 1.57x/3.04x
+  * against 10x train-side growth (serve IS the train scan — linear
+  * with amortizing overhead, 10x emitted hits); pq_idx_serve
+  * 0.99x/1.20x — near-FLAT: the pinned query batch's broadcast-LUT ADC
+  * join over a 10x code table rides the scan, exactly the
+  * corpus-linear-at-worst shape the standing code index promises.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
