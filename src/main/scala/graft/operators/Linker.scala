@@ -145,7 +145,8 @@ object Linker {
     * the pinned exchange).
     */
   private[graft] def roBlockCandidates(df: DataFrame, nameCol: String,
-                                       threshold: Double): DataFrame = {
+                                       threshold: Double,
+                                       countFilter: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 100 && threshold == threshold.floor,
       s"blocked mode needs an integral threshold in (0, 100], got $threshold")
     val t = threshold.toLong
@@ -224,13 +225,18 @@ object Linker {
     // still reject: measured on the 2000-name diverse probe corpus the
     // 1.45M prefix candidates shrink to 69.7k verify survivors — 3.5%
     // of all pairs reach the difflib verify (graft.tools.RoBlockProbe).
-    attached
+    // countFilter=false is a probe hook only (RoBlockProbe prices the
+    // filter by differencing the two counts); production always filters.
+    val narrowed = attached
       .select(col("name_a"), col("name_b"), col("sname_a"), col("sname_b"))
-      .withColumn("__lab",
-        (length(col("name_a")) + length(col("name_b"))).cast("long"))
-      .filter(expr("levenshtein(sname_a, sname_b, " +
-        s"CAST(__lab - 2L * ((${t}L * __lab + 199L) div 200L) AS INT)) >= 0"))
-      .select(col("name_a"), col("name_b"))
+    val kept =
+      if (!countFilter) narrowed
+      else narrowed
+        .withColumn("__lab",
+          (length(col("name_a")) + length(col("name_b"))).cast("long"))
+        .filter(expr("levenshtein(sname_a, sname_b, " +
+          s"CAST(__lab - 2L * ((${t}L * __lab + 199L) div 200L) AS INT)) >= 0"))
+    kept.select(col("name_a"), col("name_b"))
   }
 
   /** A2/W1 + P4 + D4: attach per-`partitionCol` sorted distinct member sets

@@ -57,6 +57,14 @@ object RoBlockProbe {
       println(f"[roblock] $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  pairs=$r")
       r
     }
+    val prefixCand = Linker.roBlockCandidates(diverse, "name", 80.0,
+      countFilter = false).count()
+    val survivors = Linker.roBlockCandidates(diverse, "name", 80.0).count()
+    val allDiverse = 2000L * 1999 / 2
+    println(f"[roblock] diverse: prefix candidates=$prefixCand -> " +
+      f"count-filter survivors=$survivors " +
+      f"(${100.0 * survivors / allDiverse}%.1f%% of ${allDiverse} pairs " +
+      "reach the difflib verify)")
     for (_ <- 1 to 2) {
       val b = time("diverse blocked") {
         Linker.similarityPairsBlocked(diverse, "name", 80.0).count()

@@ -103,6 +103,40 @@ class LinkerSpec extends SparkSpec {
     assert(cand < 11L * 10 / 2, s"prefix filter pruned nothing: $cand of 55")
   }
 
+  // Property-style exactness pin across thresholds: the blocking math
+  // (integer length band, prefix size, banded-lev count filter) must
+  // never drop a true pair at ANY integral threshold — exercised on a
+  // seeded random corpus dense in boundary pairs (bases + 1- and 2-edit
+  // mutants over a 6-char alphabet, lengths 3..22, so collisions,
+  // shared multisets, and near-threshold sims all occur).
+  test("similarityPairsBlocked == similarityPairs at thresholds 60/75/90 on a seeded random corpus") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("uniqId", "name_a", "name_b")
+        .as[(String, String, String)].collect().toSet
+    val rng = new scala.util.Random(42)
+    val alpha = "abcdef"
+    def word(n: Int): String =
+      (1 to n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String): String = {
+      val i = rng.nextInt(s.length max 1)
+      rng.nextInt(3) match {
+        case 0 => s.updated(i min (s.length - 1), alpha(rng.nextInt(alpha.length)))
+        case 1 if s.length > 1 => s.take(i) + s.drop(i + 1)
+        case _ => s.take(i) + alpha(rng.nextInt(alpha.length)) + s.drop(i)
+      }
+    }
+    val bases = (1 to 30).map(_ => word(3 + rng.nextInt(20)))
+    val names = (bases ++ bases.map(mutate) ++ bases.map(b => mutate(mutate(b))))
+      .distinct
+    val df = names.toDF("name")
+    for (t <- Seq(60.0, 75.0, 90.0)) {
+      val naive = pairSet(Linker.similarityPairs(df, "name", None, t)
+        .select("uniqId", "name_a", "name_b"))
+      val blocked = pairSet(Linker.similarityPairsBlocked(df, "name", t))
+      assert(blocked == naive, s"threshold $t")
+    }
+  }
+
   test("similarityPairsBlocked rejects non-integral thresholds and handles empty input") {
     intercept[IllegalArgumentException] {
       Linker.similarityPairsBlocked(Seq("a").toDF("name"), "name", 80.5)
