@@ -284,14 +284,28 @@ object EditDistanceJoin {
             .as("__v"))
     val ldk = distinctKeys(lk)
     val rdk = distinctKeys(rk)
+    matchAgainstPostings(lk, explodeSide(ldk), ldk,
+      explodeSide(rdk), rdk, rk, maxDist, nPart)
+  }
+
+  /** Shared core of [[pairsAgainst]] and [[pairsAgainstIndex]]: the
+    * candidate equi-join over variant postings, narrow distinct, key
+    * re-attach + banded verify, and the pinned membership expansion —
+    * with the dictionary side's postings/keys/members supplied by the
+    * caller (derived inline, or read from the standing index).
+    */
+  private def matchAgainstPostings(lk: DataFrame, lPost: DataFrame,
+                                   ldk: DataFrame, rPost: DataFrame,
+                                   rdk: DataFrame, rk: DataFrame,
+                                   maxDist: Int, nPart: Int): DataFrame = {
     // hint on the RIGHT (dictionary) side: the hinted side is the
     // hash-build side, and the dictionary is the bounded one — building
     // over the corpus side inverts the plan at scale. Same verify order
     // as halfIdPairs: distinct the narrow gid pairs first, then re-attach
     // keys and verify each unique candidate once; `dist` is computed at
     // verify time (once per distinct key pair) and rides the expansion.
-    val cand = explodeSide(ldk).as("a")
-      .join(explodeSide(rdk).as("b").hint("shuffle_hash"),
+    val cand = lPost.as("a")
+      .join(rPost.as("b").hint("shuffle_hash"),
         col("a.__v") === col("b.__v") &&
           abs(col("a.__len") - col("b.__len")) <= maxDist)
       .select(col("a.gid").as("lgid"), col("b.gid").as("rgid"))
@@ -317,6 +331,75 @@ object EditDistanceJoin {
         "right_key")
       .select(col("left_id"), col("left_key"), col("right_id"),
         col("right_key"), col("dist"))
+  }
+
+  /** STANDING deletion-variant index for [[pairsAgainst]]'s dictionary
+    * side — the FIFTH write-once/serve-many tier (after exact keys, LSH
+    * bands, eval 13-grams, PQ codes): a spell-correction / master-data
+    * service freezes its dictionary for months while dirty batches
+    * arrive, so the dictionary's distinct-key variant explosion — the
+    * whole right half of the candidate join — persists once and every
+    * batch reads it as a scan. Published under `dir`:
+    * `postings` (gid, __len, __v) clustered by variant hash (the join
+    * key, so file stats prune probes), `keys` (key, gid) for the verify
+    * re-attach, `members` (id, key) for the id-level expansion.
+    * The skew guard is baked at publish time (distinct keys only).
+    */
+  def writeVariantIndex(right: DataFrame, rightId: String, rightKey: String,
+                        maxDist: Int, dir: String, numFiles: Int = 8): Unit = {
+    val rk = right.select(col(rightId).as("id"), col(rightKey).as("key"))
+      .filter(col("key").isNotNull)
+    val rdk = rk.groupBy("key").agg(min(col("id")).as("gid"))
+    val nPart = right.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // same explode-fan-out pin as pairsAgainst (gid, not key)
+    val postings = rdk.repartition(nPart, col("gid"))
+      .withColumn("__len", length(col("key")))
+      .select(col("gid"), col("__len"),
+        explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
+          .as("__v"))
+    graft.sources.Layout.writeClustered(postings, s"$dir/postings",
+      numFiles, "__v")
+    rdk.write.mode("overwrite").parquet(s"$dir/keys")
+    rk.write.mode("overwrite").parquet(s"$dir/members")
+    import right.sparkSession.implicits._
+    Seq(maxDist).toDF("max_dist").write.mode("overwrite")
+      .parquet(s"$dir/meta")
+  }
+
+  /** [[pairsAgainst]] served from a persisted [[writeVariantIndex]]:
+    * only the BATCH side explodes at query time; its variants join the
+    * standing postings, and the verify/expansion read the persisted
+    * keys/members tables. RESULT-IDENTICAL to pairsAgainst for the same
+    * dictionary and the same `maxDist` (the caller's contract — a
+    * smaller serve-time maxDist is also exact, since the length band
+    * and verify tighten on it; a LARGER one would need postings the
+    * index never generated and is the one misuse, so it is checked
+    * against the persisted `max_dist` marker). Oracled as
+    * q_dict_match_indexed with q_dict_match's own replay oracle —
+    * equality proves the publish/serve roundtrip lossless.
+    */
+  def pairsAgainstIndex(left: DataFrame, leftId: String, leftKey: String,
+                        maxDist: Int, indexDir: String): DataFrame = {
+    val spark = left.sparkSession
+    val indexedDist = spark.read.parquet(s"$indexDir/meta")
+      .head().getInt(0)
+    require(maxDist <= indexedDist,
+      s"index at $indexDir holds <=$indexedDist-deletion postings; " +
+        s"serving maxDist=$maxDist would need variants it never generated")
+    val lk = left.select(col(leftId).as("id"), col(leftKey).as("key"))
+      .filter(col("key").isNotNull)
+    val ldk = lk.groupBy("key").agg(min(col("id")).as("gid"))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val lPost = ldk.repartition(nPart, col("gid"))
+      .withColumn("__len", length(col("key")))
+      .select(col("gid"), col("__len"),
+        explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
+          .as("__v"))
+    matchAgainstPostings(lk, lPost, ldk,
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/keys"),
+      spark.read.parquet(s"$indexDir/members"), maxDist, nPart)
   }
 
   /** Winner policy over [[pairsAgainst]]: ONE canonical dictionary entry

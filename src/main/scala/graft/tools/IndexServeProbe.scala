@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{GraftLocalDir, Tables}
-import graft.operators.{Ann, Dedup, IvfFixture, NearDup, PqFixture, Winnow}
+import graft.operators.{Ann, Dedup, EditDistanceJoin, IvfFixture, NearDup, PqFixture, Winnow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -77,7 +77,24 @@ object IndexServeProbe {
       results += (("eval_13gram", pub, srv))
     }
 
-    // 4. IVFPQ code index (q_pq_search_indexed)
+    // 4. deletion-variant dictionary index (q_dict_match_indexed)
+    locally {
+      val parts = Tables.part(spark, sfDir)
+      val dirty = parts.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          concat(
+            expr("substring(p_name, 1, CAST((p_partkey DIV 5) % length(p_name) AS INT))"),
+            expr("substring(p_name, CAST((p_partkey DIV 5) % length(p_name) AS INT) + 2)"))
+            .as("dirty_name"))
+      val (pub, _) = time(EditDistanceJoin.writeVariantIndex(
+        parts.select(col("p_partkey"), col("p_name")), "p_partkey", "p_name",
+        1, s"$scratch/var_idx"))
+      val srv = serveMin(3)(EditDistanceJoin.pairsAgainstIndex(
+        dirty, "dirty_id", "dirty_name", 1, s"$scratch/var_idx"))
+      results += (("dict_variants", pub, srv))
+    }
+
+    // 5. IVFPQ code index (q_pq_search_indexed)
     locally {
       val (pub, _) = time(Ann.writePqIndex(emb, "vec_id", "embedding",
         PqFixture.model, s"$scratch/pq_idx", Some(IvfFixture.model)))

@@ -237,4 +237,37 @@ class EditDistanceJoinSpec extends SparkSpec {
     val selfHits = back.filter($"left_id" === $"right_id").count()
     assert(selfHits == mangled.count())
   }
+
+  test("pairsAgainstIndex: publish/serve roundtrip equals pairsAgainst; maxDist contract") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("left_id", "left_key", "right_id", "right_key", "dist")
+        .as[(Long, String, Long, String, Int)].collect().toSet
+    val c = Tables.customer(spark, sf0001)
+    val dict = c.select($"c_custkey", $"c_name")
+    val mangled = c.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey".as("did"),
+        expr("concat(substring(c_name, 1, CAST((c_custkey DIV 10) % length(c_name) AS INT)), " +
+          "substring(c_name, CAST((c_custkey DIV 10) % length(c_name) AS INT) + 2))").as("dname"))
+    val dir = java.nio.file.Files.createTempDirectory("varidx").toString
+    EditDistanceJoin.writeVariantIndex(dict, "c_custkey", "c_name", 2, dir)
+    val direct2 = rows(EditDistanceJoin.pairsAgainst(
+      mangled, "did", "dname", dict, "c_custkey", "c_name", 2))
+    val served2 = rows(EditDistanceJoin.pairsAgainstIndex(
+      mangled, "did", "dname", 2, dir))
+    assert(served2 == direct2)
+    assert(served2.nonEmpty)
+    // serving a SMALLER maxDist against the bigger index is exact too
+    // (extra standing postings only add candidates; the band + verify
+    // tighten on the serve-time distance)
+    val direct1 = rows(EditDistanceJoin.pairsAgainst(
+      mangled, "did", "dname", dict, "c_custkey", "c_name", 1))
+    val served1 = rows(EditDistanceJoin.pairsAgainstIndex(
+      mangled, "did", "dname", 1, dir))
+    assert(served1 == direct1)
+    // a LARGER one needs postings the index never generated: refused
+    val e = intercept[IllegalArgumentException] {
+      EditDistanceJoin.pairsAgainstIndex(mangled, "did", "dname", 3, dir)
+    }
+    assert(e.getMessage.contains("maxDist=3"))
+  }
 }
