@@ -321,6 +321,32 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("quality"))
     }),
 
+    // ---- Quality-threshold retention curve: for every filter bar
+    // t/10 (t = 0..10), how many documents and tokens survive — the
+    // table a filter owner reads to price a quality threshold against
+    // the token budget BEFORE running the filter at corpus scale. One
+    // scan: bucket by floor(quality*10), per-bucket hash agg (<= 11
+    // rows), then each bucket explodes into the thresholds it clears
+    // and a zero-seed union guarantees all 11 rows — generator + hash
+    // agg, no join, no window, shuffle bounded by 11 groups.
+    "q_quality_retention" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).as("toks"))
+      val g = scored.select(
+          least(greatest(floor(col("q") * lit(10.0)).cast("long"), lit(0L)),
+            lit(10L)).as("bucket"), col("toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("toks")).as("t"))
+      g.select(explode(expr("sequence(0L, bucket)")).as("threshold_e1"),
+          col("n"), col("t"))
+        .unionByName(s.range(0, 11)
+          .select(col("id").as("threshold_e1"), lit(0L).as("n"), lit(0L).as("t")))
+        .groupBy("threshold_e1")
+        .agg(sum(col("n")).as("n_docs_kept"),
+          sum(col("t")).as("n_tokens_kept"))
+    }),
+
     // ---- Token counting (north-star): whitespace tokens + the BPE-ish
     // regex pre-tokenizer count (TextOps.BpeTokenPattern; engine-parity
     // verified bit-for-bit) + the chars/4 estimate, per document.
@@ -2148,6 +2174,20 @@ object SparkEntry {
         "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
         "SELECT u AS c_custkey, min(v) AS component FROM reach GROUP BY u"),
     "q_text_stats" -> sqlTextStats,
+    // Retention curve replay: same quality formula + whitespace token
+    // count, same floor(q*10) bucketing (identical IEEE tree both
+    // engines), unnest(range) mirroring Spark's sequence explode.
+    "q_quality_retention" ->
+      (s"WITH s AS ($sqlTextStats), " +
+        "b AS (SELECT least(greatest(CAST(floor(quality * 10) AS BIGINT), 0), 10) AS bucket, " +
+        "n_tokens FROM s), " +
+        "g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS t FROM b GROUP BY 1), " +
+        "e AS (SELECT unnest(range(0, bucket + 1)) AS threshold_e1, n, t FROM g " +
+        "UNION ALL SELECT unnest(range(0, 11)) AS threshold_e1, 0 AS n, 0 AS t) " +
+        "SELECT CAST(threshold_e1 AS BIGINT) AS threshold_e1, " +
+        "CAST(sum(n) AS BIGINT) AS n_docs_kept, " +
+        "CAST(sum(t) AS BIGINT) AS n_tokens_kept FROM e GROUP BY 1"),
     "q_top_quality" ->
       (s"WITH s AS ($sqlTextStats) " +
         "SELECT doc_id, quality FROM s ORDER BY quality DESC, doc_id LIMIT 20"),

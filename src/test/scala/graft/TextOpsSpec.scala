@@ -261,4 +261,18 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].head()
     assert(t3 == ((3L, 2L, 2L, 1L, "de")))
   }
+
+  test("q_quality_retention curve: 11 rows, t=0 keeps everything, monotone non-increasing") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rows = SparkEntry.queries("q_quality_retention")(spark, sf0001)
+      .orderBy("threshold_e1")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0L to 10L))
+    val (nDocs, nToks) = (docs.count(),
+      docs.select(sum(TextOps.tokenCount(col("text")))).head.getLong(0))
+    assert(rows.head._2 == nDocs && rows.head._3 == nToks)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"not monotone at ${b._1}")
+    }
+  }
 }
