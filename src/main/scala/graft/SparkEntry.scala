@@ -792,6 +792,16 @@ object SparkEntry {
     // suite's distinct 13-grams persist once; each train batch reads
     // them as one small scan instead of re-shingling the suite per run.
     // Result-identical to q_decontam_13gram — same oracle.
+    // ---- Span-surgery decontamination: excise ONLY the eval-matching
+    // 13-gram windows from train docs (drop-the-doc's eval-aware
+    // complement — one leaked benchmark sentence costs its window, not
+    // the document). Same eval/train split as q_decontam_13gram.
+    "q_decontam_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Winnow.ngramRedact(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }),
+
     "q_decontam_indexed" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val tmp = scratchDir("graft_eval_ngram_idx").toString
@@ -2553,6 +2563,30 @@ object SparkEntry {
         "CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
         "sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated " +
         "FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1"),
+    // Redaction replay: positioned (non-distinct) train grams join the
+    // eval-distinct gram set; covered = union of hit windows; survivors
+    // re-join ordered by position (list ORDER BY + FILTER).
+    "q_decontam_redact" ->
+      ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
+        "array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS s " +
+        "FROM tk, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13), " +
+        "ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 2 = 1), " +
+        "hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev ON g.s = ev.s " +
+        "WHERE g.doc_id % 2 = 0), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + o AS pos FROM hits, " +
+        "unnest(range(0, 13)) AS v(o)), " +
+        "toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok " +
+        "FROM tk, unnest(range(1, len(t) + 1)) AS u(i) WHERE doc_id % 2 = 0) " +
+        "SELECT toks.doc_id AS train_id, " +
+        "CAST(max(toks.n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted, " +
+        "coalesce(array_to_string(list(toks.tok ORDER BY toks.pos) " +
+        "FILTER (WHERE cov.pos IS NULL), ' '), '') AS redacted_text " +
+        "FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos " +
+        "GROUP BY 1"),
     // Bloom pruning is result-invariant (no false negatives; false
     // positives die in the exact join) — the oracle is IDENTICAL to
     // q_contamination's.

@@ -269,6 +269,55 @@ object Winnow {
       .withColumn("contaminated", col("n_hit") >= 1)
   }
 
+  /** Span-surgery decontamination: instead of DROPPING every train
+    * document with an eval collision ([[exactNgramContamination]]'s
+    * verdict — the GPT-3 recipe), excise only the matching windows —
+    * every train token covered by ANY eval-matching n-gram is removed
+    * and the survivors re-join in order. The eval-aware middle ground:
+    * a 10k-token document with one leaked benchmark sentence keeps its
+    * other 9,987 tokens. Output (train docs with >= 1 token):
+    * (train_id, n_tokens, n_redacted, redacted_text) — redacted_text is
+    * '' when the whole document is covered; untouched docs round-trip
+    * their whitespace-normalized text.
+    *
+    * Scale shape: positioned grams are one row per train token (the
+    * [[SubstringDedup.positionedGrams]] posting shape, raw token-join
+    * form so the gram strings match the eval set's); the eval join is
+    * [[exactNgramContamination]]'s equi-join (AQE broadcasts the tiny
+    * suite); coverage explode is <= n rows per hit and distinct-bounded
+    * by token count; the rebuild is a bounded per-doc sorted aggregate
+    * (the P5 collect contract) — no window, no driver state.
+    */
+  def ngramRedact(train: DataFrame, evalSet: DataFrame, idCol: String,
+                  textCol: String, n: Int = 13): DataFrame = {
+    val toks = train
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+    // positioned, NON-distinct n-grams: repeated leaked grams must cover
+    // every occurrence (NearDup.shingles dedups per doc — wrong here)
+    val gt = toks.select(col("id"),
+        posexplode(graft.functions.word_ngrams(col("t"), n)).as(Seq("p", "shingle")))
+      .select(col("id"), (col("p") + 1).cast("long").as("pos"), col("shingle"))
+    val ge = NearDup.shingles(evalSet, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val covered = gt.join(ge, "shingle")
+      .select(col("id"), explode(expr(s"sequence(pos, pos + ${n - 1}L)")).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(1L))
+    val perTok = toks
+      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(col("t")).as(Seq("p", "tok")))
+      .select(col("id"), col("n_tokens"),
+        (col("p") + 1).cast("long").as("pos"), col("tok"))
+    perTok.join(covered, Seq("id", "pos"), "left")
+      .groupBy(col("id").as("train_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(coalesce(col("__cov"), lit(0L))).as("n_redacted"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "CASE WHEN __cov IS NULL THEN struct(pos, tok) END)), " +
+          "x -> x.tok), ' ')").as("redacted_text"))
+  }
+
   /** Publish the EVAL SUITE's standing decontamination index — the
     * write-once/serve-many pattern ([[Dedup.writeKeyIndexBucketed]],
     * [[NearDup.writeBandIndexBucketed]]) applied to the contamination

@@ -103,6 +103,28 @@ class WinnowSpec extends SparkSpec {
     assert(n1 == 7L)
   }
 
+  test("ngramRedact excises exactly the covered windows, keeps the rest in order") {
+    val run13 = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"aa bb cc $run13 dd ee ff"),    // one leaked window mid-doc
+      (2L, run13),                           // fully covered -> ''
+      (3L, "mm nn oo pp qq"),                // untouched, < n tokens
+      (4L, s"$run13 zz $run13")              // the SAME leaked gram twice
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((10L, s"eval context $run13 more eval text here padd"))
+      .toDF("doc_id", "text")
+    val got = Winnow.ngramRedact(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_redacted"),
+          r.getAs[String]("redacted_text")))).toMap
+    assert(got(1L) == ((19L, 13L, "aa bb cc dd ee ff")))
+    assert(got(2L) == ((13L, 13L, "")))
+    assert(got(3L) == ((5L, 0L, "mm nn oo pp qq")))
+    // both occurrences covered; only the separator survives
+    assert(got(4L) == ((27L, 26L, "zz")))
+    assert(got.size == 4)
+  }
+
   test("indexed decontamination equals the recompute form; empty suite = all clean") {
     val run13 = (1 to 13).map(i => s"tok$i").mkString(" ")
     val train = Seq(
