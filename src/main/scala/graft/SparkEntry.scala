@@ -811,6 +811,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", tmp)
     }),
 
+    // ---- Redaction served from the same standing eval-suite index —
+    // result-identical to q_decontam_redact by construction (the index
+    // IS the distinct gram set); same oracle proves the roundtrip.
+    "q_decontam_redact_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = scratchDir("graft_eval_ngram_idx").toString
+      Winnow.writeEvalNgramIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", tmp)
+      Winnow.ngramRedactIndexed(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", tmp)
+    }),
+
     // ---- Contamination scan, bloom-pruned: identical result (and
     // oracle) to q_contamination, but train postings are filtered by a
     // distributed-built Bloom sketch of the eval fingerprints BEFORE the
@@ -2566,27 +2578,10 @@ object SparkEntry {
     // Redaction replay: positioned (non-distinct) train grams join the
     // eval-distinct gram set; covered = union of hit windows; survivors
     // re-join ordered by position (list ORDER BY + FILTER).
-    "q_decontam_redact" ->
-      ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
-        "FROM documents WHERE length(trim(text)) > 0), " +
-        "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
-        "array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS s " +
-        "FROM tk, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13), " +
-        "ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 2 = 1), " +
-        "hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev ON g.s = ev.s " +
-        "WHERE g.doc_id % 2 = 0), " +
-        "cov AS (SELECT DISTINCT doc_id, pos + o AS pos FROM hits, " +
-        "unnest(range(0, 13)) AS v(o)), " +
-        "toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
-        "CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok " +
-        "FROM tk, unnest(range(1, len(t) + 1)) AS u(i) WHERE doc_id % 2 = 0) " +
-        "SELECT toks.doc_id AS train_id, " +
-        "CAST(max(toks.n_tokens) AS BIGINT) AS n_tokens, " +
-        "CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted, " +
-        "coalesce(array_to_string(list(toks.tok ORDER BY toks.pos) " +
-        "FILTER (WHERE cov.pos IS NULL), ' '), '') AS redacted_text " +
-        "FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos " +
-        "GROUP BY 1"),
+    "q_decontam_redact" -> sqlDecontamRedactOracle,
+    // The indexed serve is identical by construction (the standing index
+    // IS the distinct eval-gram set) — same replay oracle.
+    "q_decontam_redact_indexed" -> sqlDecontamRedactOracle,
     // Bloom pruning is result-invariant (no false negatives; false
     // positives die in the exact join) — the oracle is IDENTICAL to
     // q_contamination's.
@@ -4581,6 +4576,33 @@ object SparkEntry {
     * Column-API query (q_link_ro) and its SQL-surface twin
     * (q_link_ro_sql) compute the identical result.
     */
+  /** Redaction replay (q_decontam_redact and its standing-index twin —
+    * one oracle, two plans): positioned non-distinct train grams join
+    * the eval-distinct gram set; covered = union of hit windows;
+    * survivors re-join ordered by position (list ORDER BY + FILTER).
+    */
+  private lazy val sqlDecontamRedactOracle: String =
+    "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
+      "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
+      "array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)], ' ') AS s " +
+      "FROM tk, unnest(range(1, len(t) - 11)) AS u(i) WHERE len(t) >= 13), " +
+      "ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 2 = 1), " +
+      "hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev ON g.s = ev.s " +
+      "WHERE g.doc_id % 2 = 0), " +
+      "cov AS (SELECT DISTINCT doc_id, pos + o AS pos FROM hits, " +
+      "unnest(range(0, 13)) AS v(o)), " +
+      "toks AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+      "CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok " +
+      "FROM tk, unnest(range(1, len(t) + 1)) AS u(i) WHERE doc_id % 2 = 0) " +
+      "SELECT toks.doc_id AS train_id, " +
+      "CAST(max(toks.n_tokens) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted, " +
+      "coalesce(array_to_string(list(toks.tok ORDER BY toks.pos) " +
+      "FILTER (WHERE cov.pos IS NULL), ' '), '') AS redacted_text " +
+      "FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos " +
+      "GROUP BY 1"
+
   /** Naive replay of the dictionary match (q_dict_match and its
     * standing-index twin q_dict_match_indexed — one oracle, two plans).
     */

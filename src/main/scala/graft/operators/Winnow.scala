@@ -289,7 +289,16 @@ object Winnow {
     * (the P5 collect contract) — no window, no driver state.
     */
   def ngramRedact(train: DataFrame, evalSet: DataFrame, idCol: String,
-                  textCol: String, n: Int = 13): DataFrame = {
+                  textCol: String, n: Int = 13): DataFrame =
+    ngramRedactWith(train, idCol, textCol,
+      NearDup.shingles(evalSet, idCol, textCol, n)
+        .select(col("shingle")).distinct(), n)
+
+  /** Core of [[ngramRedact]]/[[ngramRedactIndexed]] over a caller-
+    * supplied distinct eval-gram frame. */
+  private def ngramRedactWith(train: DataFrame, idCol: String,
+                              textCol: String, ge: DataFrame,
+                              n: Int): DataFrame = {
     val toks = train
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) > 0)
@@ -298,8 +307,6 @@ object Winnow {
     val gt = toks.select(col("id"),
         posexplode(graft.functions.word_ngrams(col("t"), n)).as(Seq("p", "shingle")))
       .select(col("id"), (col("p") + 1).cast("long").as("pos"), col("shingle"))
-    val ge = NearDup.shingles(evalSet, idCol, textCol, n)
-      .select(col("shingle")).distinct()
     val covered = gt.join(ge, "shingle")
       .select(col("id"), explode(expr(s"sequence(pos, pos + ${n - 1}L)")).as("pos"))
       .distinct()
@@ -317,6 +324,17 @@ object Winnow {
           "CASE WHEN __cov IS NULL THEN struct(pos, tok) END)), " +
           "x -> x.tok), ' ')").as("redacted_text"))
   }
+
+  /** [[ngramRedact]] served from a persisted [[writeEvalNgramIndex]] —
+    * the index IS the distinct eval-gram set the recompute form folds
+    * to, so the result is identical by construction (shares
+    * q_decontam_redact's oracle); the frozen suite costs one small scan
+    * per batch instead of a re-shingle.
+    */
+  def ngramRedactIndexed(train: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, n: Int = 13): DataFrame =
+    ngramRedactWith(train, idCol, textCol,
+      train.sparkSession.read.parquet(indexDir).select(col("shingle")), n)
 
   /** Publish the EVAL SUITE's standing decontamination index — the
     * write-once/serve-many pattern ([[Dedup.writeKeyIndexBucketed]],
