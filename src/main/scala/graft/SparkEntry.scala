@@ -200,6 +200,40 @@ object SparkEntry {
         .select(col("id").as("c_custkey"), col("component"))
     }),
 
+    // ---- A4 scale mode, SERVED INCREMENTALLY: standing components +
+    // standing variant index label a new batch WITHOUT recomputing the
+    // corpus — cross edges come from the persisted dictionary postings
+    // (fifth index tier), intra-batch edges from the batch alone, and
+    // the condensed CC runs over batch ids + touched component labels
+    // only. Labels provably equal the full recompute (min labels are
+    // associative — ConnectedComponents.incrementalAssign Scaladoc);
+    // the oracle IS the full-graph recursive closure restricted to the
+    // batch. Publish (standing CC + index) re-paid in-bench by fixture
+    // convention like every indexed query.
+    "q_cluster_cc_incremental" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val corpus = c.filter(col("c_custkey") % 3 =!= 0)
+      val batch = c.filter(col("c_custkey") % 3 === 0)
+      val standing = ConnectedComponents.run(
+        corpus.select(col("c_custkey").as("id")),
+        EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      val tmp = scratchDir("graft_cc_var_idx").toString
+      EditDistanceJoin.writeVariantIndex(
+        corpus.select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", 1, tmp)
+      val crossEdges = EditDistanceJoin.pairsAgainstIndex(
+          batch.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", 1, tmp)
+        .select(col("left_id").as("src"), col("right_id").as("dst"))
+      val batchEdges = EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      ConnectedComponents.incrementalAssign(standing,
+          batch.select(col("c_custkey").as("id")),
+          crossEdges.unionByName(batchEdges))
+        .select(col("id").as("c_custkey"), col("component"))
+    }),
+
     // ---- A4 faithful mode: solutionTwo's greedy driver-side clustering
     // (order-dependent, multi-assign, non-transitive) on supplier names,
     // ordered by s_suppkey. The DuckDB oracle replays the FULL sequential
@@ -2195,6 +2229,17 @@ object SparkEntry {
         "reach(u, v) AS (SELECT u, v FROM e " +
         "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
         "SELECT u AS c_custkey, min(v) AS component FROM reach GROUP BY u"),
+    // The incremental serve must equal the FULL-graph closure restricted
+    // to the batch slice — that equality IS the operator's correctness
+    // claim (min labels are associative over the condensed supernodes).
+    "q_cluster_cc_incremental" ->
+      ("WITH RECURSIVE e AS (" +
+        "SELECT a.c_custkey AS u, b.c_custkey AS v FROM customer a JOIN customer b " +
+        "ON levenshtein(a.c_name, b.c_name) <= 1), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
+        "SELECT u AS c_custkey, min(v) AS component FROM reach " +
+        "WHERE u % 3 = 0 GROUP BY u"),
     "q_text_stats" -> sqlTextStats,
     // Retention curve replay: same quality formula + whitespace token
     // count, same floor(q*10) bucketing (identical IEEE tree both

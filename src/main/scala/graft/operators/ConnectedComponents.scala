@@ -90,6 +90,57 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("mc"), col("id")).as("component"))
   }
 
+  /** INCREMENTAL component assignment — the serve half of a standing
+    * CC tier: a daily batch of new documents is labeled against frozen
+    * component labels WITHOUT recomputing the corpus. The corpus's
+    * internal connectivity is already condensed into its labels, so the
+    * batch runs CC over the CONDENSED graph only: endpoints of batch
+    * edges that hit standing members are replaced by their component
+    * label (supernodes), then [[run]] executes over batch ids +
+    * touched supernodes — cost scales with the batch and the components
+    * it touches, never with the corpus.
+    *
+    * EXACTNESS vs a full recompute (min labels are associative): a
+    * batch doc's full-graph component is batch members plus whole
+    * standing components (standing edges never cross components), and
+    * min(all members) = min(per-standing-component minima ∪ batch ids)
+    * = min over condensed node ids — so the returned labels EQUAL what
+    * [[run]] over the full graph would produce (parity-spec'd, and
+    * q_cluster_cc_incremental's oracle IS the full-graph closure).
+    *
+    * Inputs: `standing` = (id, component) from a prior [[run]] over the
+    * corpus; `batchVerts` = (id); `batchEdges` = (src, dst) where at
+    * least one endpoint is a batch id (pair the batch against the
+    * corpus's standing variant/band index to get these without a corpus
+    * scan — [[EditDistanceJoin.pairsAgainstIndex]],
+    * [[NearDup.incrementalNearDupPairsBucketed]]). Returns (id,
+    * component) for the batch ids. Merged standing components are
+    * visible to the caller as rows of the SAME output where a batch id
+    * bridged them — a standing label L that merged downward appears as
+    * the batch rows' smaller component value; corpus-side relabeling is
+    * the nightly re-publish's job, not the serve path's.
+    */
+  def incrementalAssign(standing: DataFrame, batchVerts: DataFrame,
+                        batchEdges: DataFrame): DataFrame = {
+    val lab = standing.select(col("id").cast("long").as("__sid"),
+      col("component").cast("long").as("__slabel"))
+    def condense(e: DataFrame, end: String): DataFrame =
+      e.join(lab, e(end) === col("__sid"), "left")
+        .withColumn(end, coalesce(col("__slabel"), col(end)))
+        .drop("__sid", "__slabel")
+    val ce = condense(condense(
+      batchEdges.select(col("src").cast("long"), col("dst").cast("long")),
+      "src"), "dst")
+    val verts = batchVerts.select(col("id").cast("long").as("id"))
+      .unionByName(ce.select(col("src").as("id")))
+      .unionByName(ce.select(col("dst").as("id")))
+      .distinct()
+    val cc = run(verts, ce)
+    batchVerts.select(col("id").cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Cluster-size distribution of a component assignment — the dedup
     * audit that says where the duplicate mass sits (a corpus where 1% of
     * clusters hold 50% of docs needs the survivorship policy reviewed; a
