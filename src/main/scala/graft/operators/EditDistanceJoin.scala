@@ -297,7 +297,8 @@ object EditDistanceJoin {
   private def matchAgainstPostings(lk: DataFrame, lPost: DataFrame,
                                    ldk: DataFrame, rPost: DataFrame,
                                    rdk: DataFrame, rk: DataFrame,
-                                   maxDist: Int, nPart: Int): DataFrame = {
+                                   maxDist: Int, nPart: Int,
+                                   expandRight: Boolean = true): DataFrame = {
     // hint on the RIGHT (dictionary) side: the hinted side is the
     // hash-build side, and the dictionary is the bounded one — building
     // over the corpus side inverts the plan at scale. Same verify order
@@ -314,7 +315,7 @@ object EditDistanceJoin {
       .join(ldk.select(col("gid").as("lgid"), col("key").as("left_key")), "lgid")
       .join(rdk.select(col("gid").as("rgid"), col("key").as("right_key")), "rgid")
       .filter(levenshtein(col("left_key"), col("right_key"), maxDist) >= 0)
-      .select(col("left_key"), col("right_key"),
+      .select(col("left_key"), col("right_key"), col("rgid"),
         levenshtein(col("left_key"), col("right_key")).as("dist"))
     // Third fan-out pin: the verified distinct-key matches are tiny by
     // bytes (AQE coalesces their exchange to one partition) but the
@@ -324,13 +325,18 @@ object EditDistanceJoin {
     // 659 key pairs expand to ~1.4M rows, measured 1.4 s in ONE task,
     // graft.tools.LinkAggAudit). Spreading the verified pairs before the
     // expansion keeps the fan-out parallel at any scale.
-    verified.repartition(nPart, col("left_key"))
+    val leftExpanded = verified.repartition(nPart, col("left_key"))
       .join(lk.select(col("id").as("left_id"), col("key").as("left_key")),
         "left_key")
-      .join(rk.select(col("id").as("right_id"), col("key").as("right_key")),
-        "right_key")
-      .select(col("left_id"), col("left_key"), col("right_id"),
-        col("right_key"), col("dist"))
+    if (expandRight)
+      leftExpanded
+        .join(rk.select(col("id").as("right_id"), col("key").as("right_key")),
+          "right_key")
+        .select(col("left_id"), col("left_key"), col("right_id"),
+          col("right_key"), col("dist"))
+    else
+      leftExpanded.select(col("left_id"), col("left_key"),
+        col("rgid").as("right_rep_id"), col("right_key"), col("dist"))
   }
 
   /** STANDING deletion-variant index for [[pairsAgainst]]'s dictionary
@@ -380,7 +386,33 @@ object EditDistanceJoin {
     * equality proves the publish/serve roundtrip lossless.
     */
   def pairsAgainstIndex(left: DataFrame, leftId: String, leftKey: String,
-                        maxDist: Int, indexDir: String): DataFrame = {
+                        maxDist: Int, indexDir: String): DataFrame =
+    serveAgainstIndex(left, leftId, leftKey, maxDist, indexDir,
+      expandRight = true)
+
+  /** [[pairsAgainstIndex]] collapsed to KEY-level matches: one row per
+    * (left_id, matched right KEY), the right side carried by its
+    * REPRESENTATIVE member id (the index's gid = min right id per key)
+    * instead of expanding to every member — output (left_id, left_key,
+    * right_rep_id, right_key, dist). The verified key-pair set is
+    * IDENTICAL to pairsAgainstIndex's (this skips only the right-
+    * membership fan-out), so for consumers that need connectivity or a
+    * canonical representative rather than every duplicate row —
+    * component assignment ([[ConnectedComponents.incrementalAssign]]:
+    * equal keys share a standing component, so an edge to the
+    * representative reaches the whole group), correction-to-canonical —
+    * the result is equivalent at a fraction of the rows on duplicate-
+    * heavy dictionaries.
+    */
+  def repsAgainstIndex(left: DataFrame, leftId: String, leftKey: String,
+                       maxDist: Int, indexDir: String): DataFrame =
+    serveAgainstIndex(left, leftId, leftKey, maxDist, indexDir,
+      expandRight = false)
+
+  private def serveAgainstIndex(left: DataFrame, leftId: String,
+                                leftKey: String, maxDist: Int,
+                                indexDir: String,
+                                expandRight: Boolean): DataFrame = {
     val spark = left.sparkSession
     val indexedDist = spark.read.parquet(s"$indexDir/meta")
       .head().getInt(0)
@@ -399,7 +431,7 @@ object EditDistanceJoin {
     matchAgainstPostings(lk, lPost, ldk,
       spark.read.parquet(s"$indexDir/postings"),
       spark.read.parquet(s"$indexDir/keys"),
-      spark.read.parquet(s"$indexDir/members"), maxDist, nPart)
+      spark.read.parquet(s"$indexDir/members"), maxDist, nPart, expandRight)
   }
 
   /** Winner policy over [[pairsAgainst]]: ONE canonical dictionary entry

@@ -114,10 +114,10 @@ object IndexServeProbe {
       }
       val standing = spark.read.parquet(s"$scratch/cc_labels")
       val srv = serveMin(3) {
-        val cross = EditDistanceJoin.pairsAgainstIndex(
+        val cross = EditDistanceJoin.repsAgainstIndex(
             batch.select(col("c_custkey"), col("c_name")),
             "c_custkey", "c_name", 1, s"$scratch/cc_var_idx")
-          .select(col("left_id").as("src"), col("right_id").as("dst"))
+          .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
         val intra = EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         ConnectedComponents.incrementalAssign(standing,

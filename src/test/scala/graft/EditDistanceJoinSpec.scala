@@ -269,5 +269,18 @@ class EditDistanceJoinSpec extends SparkSpec {
       EditDistanceJoin.pairsAgainstIndex(mangled, "did", "dname", 3, dir)
     }
     assert(e.getMessage.contains("maxDist=3"))
+
+    // reps form: same verified (left_id, right_key) matches, right side
+    // collapsed to the key's representative (min right id)
+    val reps = EditDistanceJoin.repsAgainstIndex(mangled, "did", "dname", 2, dir)
+      .select("left_id", "right_rep_id", "right_key", "dist")
+      .as[(Long, Long, String, Int)].collect().toSet
+    val pairs2 = EditDistanceJoin.pairsAgainstIndex(mangled, "did", "dname", 2, dir)
+      .select("left_id", "right_id", "right_key", "dist")
+      .as[(Long, Long, String, Int)].collect()
+    val collapsed = pairs2.groupBy(r => (r._1, r._3, r._4))
+      .map { case ((lid, rkey, d), rows) => (lid, rows.map(_._2).min, rkey, d) }
+      .toSet
+    assert(reps == collapsed)
   }
 }
