@@ -55,38 +55,81 @@ object Bench {
     // official host for nothing.
     val repeatCutoffSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "60").toDouble
-    val results = selected.map { case (name, fn) =>
-      val attempts = {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String])]
-        while (buf.length < nRuns &&
-               (buf.isEmpty || buf.last._1 <= repeatCutoffSec)) {
-          val t0 = System.nanoTime()
-          // Full materialization via the noop sink, NOT count(): count()
-          // lets Catalyst prune every computed column a query doesn't
-          // aggregate or join on, so pure-projection queries benchmarked
-          // only their scan (q_text_repetition read 0.10s while its
-          // projection actually cost 5.9s — found by StageAudit). The
-          // noop sink consumes every row of the full result, which is
-          // what a real downstream consumer pays.
-          val err = try {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            None
-          } catch {
-            case e: Throwable =>
-              Some(s"${e.getClass.getSimpleName}: " +
-                Option(e.getMessage).getOrElse("").take(160))
-          }
-          buf += (((System.nanoTime() - t0) / 1e9, err))
-        }
-        buf.toSeq
+    // Full materialization via the noop sink, NOT count(): count()
+    // lets Catalyst prune every computed column a query doesn't
+    // aggregate or join on, so pure-projection queries benchmarked
+    // only their scan (q_text_repetition read 0.10s while its
+    // projection actually cost 5.9s — found by StageAudit). The
+    // noop sink consumes every row of the full result, which is
+    // what a real downstream consumer pays.
+    def attempt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        None
+      } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(160))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val attemptsByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Option[String])]]
+    selected.foreach { case (name, fn) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String])]
+      while (buf.length < nRuns &&
+             (buf.isEmpty || buf.last._1 <= repeatCutoffSec)) {
+        buf += attempt(fn)
       }
       // Nudge the ContextCleaner: shuffle files and broadcasts are only
       // released when their owning objects are GC'd, and with a large heap
       // GC may not run for many queries — letting dead shuffle data from
       // earlier queries pile up under later timings.
       System.gc()
-      // A query counts as failed if ANY attempt failed — a crash that
-      // sometimes passes is a flake, not a success.
+      attemptsByQuery(name) = buf.toSeq
+    }
+    // Noise-robust closing (round-11 postmortem: the committed artifact
+    // landed on a noisy window and showed q_link_pairs_lev at 18.35 s —
+    // a 2.8x phantom regression a 3-run re-measure erased). Any query
+    // whose min exceeds 1.5x its frozen BASELINE_QUERIES.json entry gets
+    // re-run in THIS fresh window (after all other queries, the closest
+    // a single process gets to a fresh box state); queries still over
+    // after the rechecks are flagged `noise_suspect` so a driver diff
+    // against the baseline knows the delta was re-measured, not trusted.
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
+    val baseline: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      // Only per-query keys match q_*; the header fields never collide.
+      "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val noiseFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_FACTOR", "1.5").toDouble
+    val maxRechecks =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECKS", "2").toInt
+    def minOf(name: String): Double = attemptsByQuery(name).map(_._1).min
+    def isOutlier(name: String): Boolean =
+      baseline.get(name).exists { b =>
+        attemptsByQuery(name).forall(_._2.isEmpty) && minOf(name) > noiseFactor * b
+      }
+    val outliers = attemptsByQuery.keys.filter(isOutlier).toSeq
+    outliers.foreach { name =>
+      val fn = selected(name)
+      var extra = 0
+      while (extra < maxRechecks && isOutlier(name)) {
+        attemptsByQuery(name) = attemptsByQuery(name) :+ attempt(fn)
+        System.gc()
+        extra += 1
+      }
+    }
+    val noiseSuspect = outliers.filter(isOutlier).sorted
+    // A query counts as failed if ANY attempt failed — a crash that
+    // sometimes passes is a flake, not a success.
+    val results = attemptsByQuery.map { case (name, attempts) =>
       val err = attempts.collectFirst { case (_, Some(e)) => e }
       name -> (attempts.map(_._1).min, attempts.map(_._1), err)
     }
@@ -110,7 +153,9 @@ object Bench {
     // queries the leading "value" headline scrolls out of that window.
     // Duplicate the headline fields at the very END of the object so any
     // tail capture, however short, still contains total/count/failed.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}"""
+    val recheckedJson = outliers.sorted.map(jstr).mkString("[", ",", "]")
+    val suspectJson = noiseSuspect.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"rechecked":$recheckedJson,"noise_suspect":$suspectJson,"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}"""
     println(line)
     // The driver's stdout capture tail-truncates past ~2000 chars, losing
     // most per-query timings from the artifact (round-7 verdict: only ~45

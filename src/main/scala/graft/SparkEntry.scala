@@ -46,6 +46,33 @@ object SparkEntry {
     p
   }
 
+  private val publishLock = new Object
+  /** JVM-cached publish directory for the SERVE-ONLY bench rows
+    * (q_cluster_cc_serve): unlike [[scratchDir]] (fresh per call, so
+    * every bench attempt re-pays the index publish — the fixture
+    * convention for `*_indexed` rows), this path is deterministic per
+    * (key, sf dir) and `body` runs only on first use, so Bench's
+    * min-of-2 prices the SERVE alone on the second attempt — the
+    * IndexServeProbe split, visible as a committed bench row. Still
+    * registered for exit cleanup: a later session never reads a stale
+    * publish from a previous code version.
+    */
+  private def cachedPublish(key: String, sfDir: String)
+                           (body: String => Unit): String =
+    publishLock.synchronized {
+      val leaf = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val base = java.nio.file.Paths.get("target", "graft-scratch",
+        s"pub_${key}_$leaf")
+      val marker = base.resolve("_GRAFT_PUBLISH_DONE")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(base)
+        cleanupAtExit(base)
+        body(base.toString)
+        java.nio.file.Files.createFile(marker)
+      }
+      base.toString
+    }
+
   /** Flagship (soulutionOne.py end-to-end shape, Spark-native): dedup the
     * counterparty-like customer table, then link near-duplicate names and
     * aggregate member sets per cluster. Driver smoke-checks rows>0 on sf0.001.
@@ -235,6 +262,73 @@ object SparkEntry {
       val batchEdges = EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       ConnectedComponents.incrementalAssign(standing,
+          batch.select(col("c_custkey").as("id")),
+          crossEdges.unionByName(batchEdges))
+        .select(col("id").as("c_custkey"), col("component"))
+    }),
+
+    // ---- The SERVE-ONLY priced twin of q_cluster_cc_incremental: the
+    // standing CC labels + variant index publish once per JVM
+    // (cachedPublish), so Bench's min-of-2 second attempt pays the serve
+    // alone — the IndexServeProbe cc_assign split surfaced as a
+    // committed bench row, next to the publish-inclusive row the fixture
+    // convention keeps. Result-identical (same edges, same condensed
+    // CC): shares the incremental row's full-closure oracle.
+    "q_cluster_cc_serve" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val corpus = c.filter(col("c_custkey") % 3 =!= 0)
+      val batch = c.filter(col("c_custkey") % 3 === 0)
+      val pub = cachedPublish("cc_standing", dir) { root =>
+        ConnectedComponents.run(
+            corpus.select(col("c_custkey").as("id")),
+            EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
+              .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .write.mode("overwrite").parquet(s"$root/standing")
+        EditDistanceJoin.writeVariantIndex(
+          corpus.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", 1, s"$root/varidx")
+      }
+      val standing = s.read.parquet(s"$pub/standing")
+      val crossEdges = EditDistanceJoin.repsAgainstIndex(
+          batch.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", 1, s"$pub/varidx")
+        .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
+      val batchEdges = EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      ConnectedComponents.incrementalAssign(standing,
+          batch.select(col("c_custkey").as("id")),
+          crossEdges.unionByName(batchEdges))
+        .select(col("id").as("c_custkey"), col("component"))
+    }),
+
+    // ---- NIGHTLY RE-PUBLISH: fold the served batch back into the
+    // standing labels (ConnectedComponents.mergeRepublish) — standing
+    // components a batch id bridged relabel to the merged minimum via
+    // ONE corpus-linear equi-join on the label column; batch ids take
+    // their condensed labels. The output is the NEW standing frame over
+    // ALL customers, so the oracle is q_cluster_cc's own full-graph
+    // closure — equality proves republish ≡ full recompute, and the
+    // fixpoint (serve → republish → serve ≡ one big run) is
+    // parity-spec'd in ClusterSpec.
+    "q_cluster_cc_republish" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val corpus = c.filter(col("c_custkey") % 3 =!= 0)
+      val batch = c.filter(col("c_custkey") % 3 === 0)
+      val standing = ConnectedComponents.run(
+        corpus.select(col("c_custkey").as("id")),
+        EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      val tmp = scratchDir("graft_cc_var_idx").toString
+      EditDistanceJoin.writeVariantIndex(
+        corpus.select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", 1, tmp)
+      val crossEdges = EditDistanceJoin.repsAgainstIndex(
+          batch.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", 1, tmp)
+        .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
+      val batchEdges = EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      ConnectedComponents.mergeRepublish(standing,
           batch.select(col("c_custkey").as("id")),
           crossEdges.unionByName(batchEdges))
         .select(col("id").as("c_custkey"), col("component"))
@@ -2045,14 +2139,19 @@ object SparkEntry {
         col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model))
     }),
 
-    // ---- IVFPQ search with the PRODUCTION probe bound (nProbe=4 of 16
+    // ---- IVFPQ search with the PRODUCTION probe bound (nProbe=8 of 16
     // cells): LUTs built only for each query's best coarse cells, so
     // unprobed vectors never enter the distance sum — the sublinear
     // serving form next to q_pq_search's exhaustive compressed scan.
+    // nProbe=8 is the chosen bounded serving point off the PqTune
+    // frontier: recall@5 0.86 on the sf0.01 fixture (AnnSpec pins the
+    // 0.80 floor so a codebook refreeze can't silently degrade the
+    // bounded path); nProbe=4 measured 0.70 — below any defensible
+    // serving floor, so the round-12 pin moved the point up.
     "q_pq_probe" -> ((s, dir) =>
       Ann.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
         PqFixture.model, col("vec_id") % 50 === 0, 5,
-        Some(IvfFixture.model), nProbe = 4)),
+        Some(IvfFixture.model), nProbe = 8)),
 
     // ---- BATCH BM25: two queries scored in ONE corpus pass (broadcast
     // query-vocab prune → shared postings → per-query fan-out), top-5
@@ -2246,6 +2345,26 @@ object SparkEntry {
         "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
         "SELECT u AS c_custkey, min(v) AS component FROM reach " +
         "WHERE u % 3 = 0 GROUP BY u"),
+    // Serve-only twin: identical result to the incremental row (same
+    // edges, same condensed CC), so the same full-closure oracle.
+    "q_cluster_cc_serve" ->
+      ("WITH RECURSIVE e AS (" +
+        "SELECT a.c_custkey AS u, b.c_custkey AS v FROM customer a JOIN customer b " +
+        "ON levenshtein(a.c_name, b.c_name) <= 1), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
+        "SELECT u AS c_custkey, min(v) AS component FROM reach " +
+        "WHERE u % 3 = 0 GROUP BY u"),
+    // Re-publish must equal the FULL recompute over corpus + batch —
+    // q_cluster_cc's own oracle, unrestricted: that equality IS
+    // mergeRepublish's correctness claim.
+    "q_cluster_cc_republish" ->
+      ("WITH RECURSIVE e AS (" +
+        "SELECT a.c_custkey AS u, b.c_custkey AS v FROM customer a JOIN customer b " +
+        "ON levenshtein(a.c_name, b.c_name) <= 1), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
+        "SELECT u AS c_custkey, min(v) AS component FROM reach GROUP BY u"),
     "q_text_stats" -> sqlTextStats,
     // Retention curve replay: same quality formula + whitespace token
     // count, same floor(q*10) bucketing (identical IEEE tree both
@@ -3836,7 +3955,7 @@ object SparkEntry {
     // — the sublinear serving form next to q_pq_search's exhaustive
     // scan.
     "q_pq_probe" ->
-      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(4))} " +
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(8))} " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
         "CAST(row_number() OVER (PARTITION BY query_id " +

@@ -109,7 +109,13 @@ object ConnectedComponents {
     * q_cluster_cc_incremental's oracle IS the full-graph closure).
     *
     * Inputs: `standing` = (id, component) from a prior [[run]] over the
-    * corpus; `batchVerts` = (id); `batchEdges` = (src, dst) where at
+    * corpus — labels MUST be component-minimum member ids (exactly
+    * [[run]]'s output; any other labeling, e.g. stable surrogate ids
+    * from a relabeling pass, breaks exactness because raw batch ids are
+    * compared against label values as minima — a per-row
+    * `label <= id` guard is folded into the condense join and raises on
+    * the first violating standing row); `batchVerts` = (id);
+    * `batchEdges` = (src, dst) where at
     * least one endpoint is a batch id (pair the batch against the
     * corpus's standing variant/band index to get these without a corpus
     * scan — [[EditDistanceJoin.pairsAgainstIndex]],
@@ -118,27 +124,92 @@ object ConnectedComponents {
     * visible to the caller as rows of the SAME output where a batch id
     * bridged them — a standing label L that merged downward appears as
     * the batch rows' smaller component value; corpus-side relabeling is
-    * the nightly re-publish's job, not the serve path's.
+    * [[mergeRepublish]]'s job (the nightly re-publish), not the serve
+    * path's.
     */
   def incrementalAssign(standing: DataFrame, batchVerts: DataFrame,
                         batchEdges: DataFrame): DataFrame = {
+    val cc = condensedCc(standing, batchEdges)
+    batchVerts.select(col("id").cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** CC over the CONDENSED graph (batch ids + standing component labels
+    * touched by `batchEdges`) — the shared core of [[incrementalAssign]]
+    * (serve: read off the batch ids) and [[mergeRepublish]] (re-publish:
+    * read off the standing labels). Returns (id, component) for every
+    * condensed node. The min-label standing contract is enforced here:
+    * `assert_true(label <= id)` rides inside the condensed endpoint
+    * expression, so it cannot be pruned and costs one comparison per
+    * matched edge endpoint.
+    */
+  private def condensedCc(standing: DataFrame,
+                          batchEdges: DataFrame): DataFrame = {
     val lab = standing.select(col("id").cast("long").as("__sid"),
       col("component").cast("long").as("__slabel"))
     def condense(e: DataFrame, end: String): DataFrame =
       e.join(lab, e(end) === col("__sid"), "left")
-        .withColumn(end, coalesce(col("__slabel"), col(end)))
+        // coalesce(assert_true(..), label): assert_true is NULL whenever
+        // the contract holds, so the coalesce evaluates to the label and
+        // the guard survives column pruning; a standing frame whose
+        // labels are not component-minimum member ids fails loudly here
+        // instead of producing silently wrong merged labels.
+        .withColumn(end, coalesce(
+          assert_true(col("__slabel").isNull || col("__slabel") <= col("__sid"),
+            lit("incrementalAssign/mergeRepublish require min-label standing " +
+              "components (label = min member id, ConnectedComponents.run's " +
+              "output); found label > id")),
+          col("__slabel"), col(end)))
         .drop("__sid", "__slabel")
     val ce = condense(condense(
       batchEdges.select(col("src").cast("long"), col("dst").cast("long")),
       "src"), "dst")
-    val verts = batchVerts.select(col("id").cast("long").as("id"))
-      .unionByName(ce.select(col("src").as("id")))
+    val verts = ce.select(col("src").as("id"))
       .unionByName(ce.select(col("dst").as("id")))
       .distinct()
-    val cc = run(verts, ce)
-    batchVerts.select(col("id").cast("long").as("id"))
+    run(verts, ce)
+  }
+
+  /** NIGHTLY RE-PUBLISH — the write half that completes the standing-CC
+    * write-once/serve-many story: fold a served batch into the standing
+    * labels, relabeling every standing component a batch id bridged, and
+    * emit the NEW standing frame over corpus ∪ batch ids.
+    *
+    * Mechanics: rerun the condensed CC ([[condensedCc]] — the same graph
+    * the serve ran, batch ids + touched supernodes), then (a) standing
+    * rows join their component label against the condensed labels — a
+    * label that merged downward carries its whole component to the new
+    * minimum, an untouched label misses the join and keeps its rows
+    * verbatim; (b) batch rows take their condensed label directly
+    * ([[incrementalAssign]]'s own output). Cost therefore scales with
+    * the batch for the CC part and ONE corpus-linear equi-join on the
+    * label column for the relabel — never a corpus re-pairing.
+    *
+    * EXACTNESS: the full graph's components are whole standing
+    * components plus batch ids; min labels are associative, so
+    * min(full component) = min(condensed node ids) — each standing
+    * member's new label is its old label's condensed component, which is
+    * exactly what (a) computes. Output therefore EQUALS [[run]] over
+    * corpus + batch (parity-spec'd including the fixpoint
+    * serve → republish → serve ≡ one big run; oracled as
+    * q_cluster_cc_republish with the full-graph recursive closure).
+    * The output is again min-labeled, so it is a valid `standing` for
+    * the next day's serve.
+    */
+  def mergeRepublish(standing: DataFrame, batchVerts: DataFrame,
+                     batchEdges: DataFrame): DataFrame = {
+    val cc = condensedCc(standing, batchEdges)
+    val relabeled = standing
+      .select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("component"))
+      .join(cc.select(col("id").as("component"),
+        col("component").as("__new")), Seq("component"), "left")
+      .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
+    val batchAssigned = batchVerts.select(col("id").cast("long").as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    relabeled.unionByName(batchAssigned)
   }
 
   /** Cluster-size distribution of a component assignment — the dedup

@@ -148,10 +148,13 @@ object TextOps {
     val step = langs.map(l => s"'$l', acc.$l + ${inSet(l)}")
       .mkString("named_struct(", ",", ")")
     // lowercase once per token (transform), then fold; the lambda var x
-    // is already lowered when the |langs| IN-probes run
+    // is already lowered when the |langs| IN-probes run. The column name
+    // goes into generated SQL, so backtick-quote it (names with spaces,
+    // dots, or reserved words must resolve the same as col(textCol)).
+    val tq = s"`${textCol.replace("`", "``")}`"
     val toksLower =
-      s"transform(CASE WHEN length(trim($textCol)) = 0 " +
-        s"THEN array() ELSE split(trim($textCol), '\\\\s+') END, " +
+      s"transform(CASE WHEN length(trim($tq)) = 0 " +
+        s"THEN array() ELSE split(trim($tq), '\\\\s+') END, " +
         "t -> lower(t))"
     val scored = langs.foldLeft[DataFrame](
       df.withColumn("__hits",

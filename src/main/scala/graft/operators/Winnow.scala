@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -334,7 +334,22 @@ object Winnow {
   def ngramRedactIndexed(train: DataFrame, idCol: String, textCol: String,
                          indexDir: String, n: Int = 13): DataFrame =
     ngramRedactWith(train, idCol, textCol,
-      train.sparkSession.read.parquet(indexDir).select(col("shingle")), n)
+      readEvalNgramIndex(train.sparkSession, indexDir, n), n)
+
+  /** Load a [[writeEvalNgramIndex]] gram set, enforcing the `n` marker:
+    * a serve-time `n` different from the published one would join
+    * differently-shaped grams, silently match nothing, and report every
+    * doc clean — the same misuse [[EditDistanceJoin.pairsAgainstIndex]]
+    * guards with its `max_dist` marker, so the same require here.
+    */
+  private def readEvalNgramIndex(spark: SparkSession, indexDir: String,
+                                 n: Int): DataFrame = {
+    val indexedN = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    require(n == indexedN,
+      s"eval-gram index at $indexDir was published with n=$indexedN; " +
+        s"serving n=$n would match zero grams and report every doc clean")
+    spark.read.parquet(s"$indexDir/grams").select(col("shingle"))
+  }
 
   /** Publish the EVAL SUITE's standing decontamination index — the
     * write-once/serve-many pattern ([[Dedup.writeKeyIndexBucketed]],
@@ -350,10 +365,13 @@ object Winnow {
     * recompute, not a shuffle.
     */
   def writeEvalNgramIndex(evalSet: DataFrame, idCol: String, textCol: String,
-                          dir: String, n: Int = 13): Unit =
+                          dir: String, n: Int = 13): Unit = {
     NearDup.shingles(evalSet, idCol, textCol, n)
       .select(col("shingle")).distinct()
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/grams")
+    import evalSet.sparkSession.implicits._
+    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$dir/meta")
+  }
 
   /** The winnow-FINGERPRINT twin of [[writeEvalNgramIndex]]: the suite's
     * distinct selected fingerprints, the static side the streaming gate
@@ -375,8 +393,8 @@ object Winnow {
   def ngramContaminationAgainstIndex(train: DataFrame, idCol: String,
                                      textCol: String, indexDir: String,
                                      n: Int = 13): DataFrame = {
-    val ge = train.sparkSession.read.parquet(indexDir)
-      .select(col("shingle")).withColumn("__hit", lit(1L))
+    val ge = readEvalNgramIndex(train.sparkSession, indexDir, n)
+      .withColumn("__hit", lit(1L))
     val gt = NearDup.shingles(train, idCol, textCol, n)
     gt.join(ge, Seq("shingle"), "left")
       .groupBy(col("id").as("train_id"))

@@ -45,34 +45,50 @@ object RoBlockProbe {
       "cedar", "dune", "ember", "fjord", "grove", "harbor", "isle",
       "juniper", "knoll", "lagoon", "mesa", "nimbus")
     val vcol = array(vocab.map(lit): _*)
-    val diverse = spark.range(2000).select(
+    def diverse(n: Long) = spark.range(n).select(
       concat_ws(" ",
         element_at(vcol, (col("id") % 40 + 1).cast("int")),
         element_at(vcol, (col("id") / 7 % 40 + 1).cast("int")),
         element_at(vcol, (col("id") / 191 % 40 + 1).cast("int")),
         (col("id") % 13).cast("string")).as("name"))
-    def time(label: String)(f: => Long): Long = {
+    def time(label: String)(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[roblock] $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  pairs=$r")
-      r
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[roblock] $label%-24s $s%6.2f s  pairs=$r")
+      (s, r)
     }
-    val prefixCand = Linker.roBlockCandidates(diverse, "name", 80.0,
-      countFilter = false).count()
-    val survivors = Linker.roBlockCandidates(diverse, "name", 80.0).count()
-    val allDiverse = 2000L * 1999 / 2
-    println(f"[roblock] diverse: prefix candidates=$prefixCand -> " +
-      f"count-filter survivors=$survivors " +
-      f"(${100.0 * survivors / allDiverse}%.1f%% of ${allDiverse} pairs " +
-      "reach the difflib verify)")
-    for (_ <- 1 to 2) {
-      val b = time("diverse blocked") {
-        Linker.similarityPairsBlocked(diverse, "name", 80.0).count()
+    // Size sweep: the crossover table README quotes. The BNLJ pays
+    // n²/2 difflib calls regardless of data; the blocked form pays
+    // (prefix candidates) difflib calls + the filter chain's joins —
+    // so blocked wins exactly when most pairs fall below the threshold,
+    // and the win GROWS quadratically with n.
+    Seq(2000L, 4000L, 8000L).foreach { n =>
+      val d = diverse(n).localCheckpoint(true)
+      val prefixCand = Linker.roBlockCandidates(d, "name", 80.0,
+        countFilter = false).count()
+      val survivors = Linker.roBlockCandidates(d, "name", 80.0).count()
+      val all = n * (n - 1) / 2
+      println(f"[roblock] diverse n=$n%5d: allPairs=$all prefix=$prefixCand -> " +
+        f"count-filter survivors=$survivors " +
+        f"(${100.0 * survivors / all}%.2f%% reach the difflib verify)")
+      // two timed rounds each (min-of-2 like Bench; first may pay JIT)
+      val bs = (1 to 2).map { _ =>
+        time(f"n=$n blocked") {
+          Linker.similarityPairsBlocked(d, "name", 80.0).count()
+        }
       }
-      val nv = time("diverse bnlj") {
-        Linker.similarityPairs(diverse, "name", None, 80.0).count()
+      val nvs = (1 to 2).map { _ =>
+        time(f"n=$n bnlj") {
+          Linker.similarityPairs(d, "name", None, 80.0).count()
+        }
       }
-      require(b == nv, s"pair sets disagree: blocked=$b naive=$nv")
+      require(bs.head._2 == nvs.head._2,
+        s"pair sets disagree at n=$n: blocked=${bs.head._2} naive=${nvs.head._2}")
+      println(f"[roblock] n=$n%5d  min blocked=${bs.map(_._1).min}%6.2f s  " +
+        f"min bnlj=${nvs.map(_._1).min}%6.2f s  " +
+        f"speedup=${nvs.map(_._1).min / bs.map(_._1).min}%5.2fx")
+      d.unpersist()
     }
     spark.stop()
   }

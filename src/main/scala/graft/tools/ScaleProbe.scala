@@ -456,6 +456,23 @@ object ScaleProbe {
     // the absolute publish-vs-serve split at 1x).
     val idxScratch = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(GraftLocalDir.path), "scaleidx").toString
+    // Customer replication for the CC-assignment serve probe: copies get
+    // a per-copy salt of pairwise lev distance >= 2 ("Z1Z1" vs "Z2Z2"),
+    // so at maxDist=1 the copies are INDEPENDENT subgraphs (no cross-copy
+    // edges) and the standing corpus grows Rx with the base copy's
+    // component structure per copy. Copy 0 keeps names verbatim so the
+    // pinned batch (base %3 slice under fresh ids) really matches.
+    val custBase = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("key"))
+    def replicateCust(r: Int): DataFrame = {
+      val copies = spark.range(r).select(col("id").as("copy"))
+      custBase.crossJoin(broadcast(copies))
+        .select((col("id") + col("copy") * lit(10000000L)).as("id"),
+          when(col("copy") === 0, col("key"))
+            .otherwise(concat(col("key"),
+              repeat(concat(lit("Z"), col("copy").cast("string")), 2)))
+            .as("key"))
+    }
     def idxProbe(name: String, mk: Int => DataFrame)
                 (publish: (DataFrame, String, String) => Unit)
                 (serve: (DataFrame, String, String) => Long): (String, Double, Double) = {
@@ -507,6 +524,33 @@ object ScaleProbe {
         Ann.pqSearchIndexed(d, "vec_id", "embedding", PqFixture.model,
           col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
           Some(IvfFixture.model)).count()
+      }),
+      // incremental CC assignment (the sixth serve tier): standing corpus
+      // (labels + variant index) grows Rx as R INDEPENDENT copies of the
+      // customer graph (per-copy salts are mutually lev>1, so no cross-
+      // copy edges); the batch is PINNED to the base copy's %3 slice with
+      // fresh ids. The operator's defining claim — serve cost tracks the
+      // BATCH and the components it touches, never the corpus — is
+      // exactly what this exponent prices: the condensed CC's node set
+      // stays batch-sized at every R; only the variant-index candidate
+      // join sees the grown postings.
+      "cc_assign_serve" -> (() => idxProbe("cc_assign_serve", replicateCust) { (d, dir, _) =>
+        ConnectedComponents.run(d.select(col("id")),
+            EditDistanceJoin.idPairs(d, "id", "key", 1)
+              .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .write.mode("overwrite").parquet(s"$dir/standing")
+        EditDistanceJoin.writeVariantIndex(d, "id", "key", 1, s"$dir/varidx")
+      } { (_, dir, _) =>
+        val batch = custBase.filter(col("id") % 3 === 0)
+          .select((col("id") + 900000000L).as("id"), col("key"))
+        val standing = spark.read.parquet(s"$dir/standing")
+        val cross = EditDistanceJoin.repsAgainstIndex(
+            batch, "id", "key", 1, s"$dir/varidx")
+          .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
+        val intra = EditDistanceJoin.idPairs(batch, "id", "key", 1)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        ConnectedComponents.incrementalAssign(standing,
+          batch.select("id"), cross.unionByName(intra)).count()
       })
     )
     val idxResults = idxProbes
@@ -543,21 +587,62 @@ object ScaleProbe {
         .distinct()
     }
     val floodFactors = Seq(100, 1000, 10000)
-    println(f"[scale] link_skew: base suppliers=${sup.count()}%d, hot name replicated f times")
-    floodFactors.foreach { f =>
-      val d = flood(f)
-      val (t, n) = time(
-        EditDistanceJoin.idPairs(d, "id", "key", 2).count())
-      println(f"[scale] link_skew guarded   f=$f%5d  $t%7.2f s  pairs=$n (s/Mpair ${t / (n / 1e6)}%6.2f)")
-      if (f <= 1000) {
-        // candidate stage only (no verify) — already the blowup carrier
-        val (tU, nU) = time(unguardedPairs(d, 2).count())
-        println(f"[scale] link_skew unguarded f=$f%5d  $tU%7.2f s  cand=$nU (candidate stage only)")
+    if (only.isEmpty || only("link_skew")) {
+      println(f"[scale] link_skew: base suppliers=${sup.count()}%d, hot name replicated f times")
+      floodFactors.foreach { f =>
+        val d = flood(f)
+        val (t, n) = time(
+          EditDistanceJoin.idPairs(d, "id", "key", 2).count())
+        println(f"[scale] link_skew guarded   f=$f%5d  $t%7.2f s  pairs=$n (s/Mpair ${t / (n / 1e6)}%6.2f)")
+        if (f <= 1000) {
+          // candidate stage only (no verify) — already the blowup carrier
+          val (tU, nU) = time(unguardedPairs(d, 2).count())
+          println(f"[scale] link_skew unguarded f=$f%5d  $tU%7.2f s  cand=$nU (candidate stage only)")
+        }
+        d.unpersist()
       }
-      d.unpersist()
     }
+    // ---- blocked RO join (Linker.similarityPairsBlocked) on the DIVERSE
+    // name corpus (RoBlockProbe's generator: three vocabulary words + a
+    // digit, most pairs below the 80 threshold — the shape the blocked
+    // mode exists for; the supplier fixture is the all-true-pairs
+    // opposite extreme where blocking can prune nothing). n = 2000·R, so
+    // pair potential grows R²: the exponent prices the prefix filter's
+    // candidate growth — PPJoin's worst case (near-anagram corpora) is
+    // documented in the Scaladoc, and this measures how far the vocab
+    // corpus sits from it. True pairs grow ~R (digit-suffix neighbors),
+    // so a candidate-bound plan must grow well below the R² potential.
+    val roResults = if (only.isEmpty || only("ro_blocked")) {
+      val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo",
+        "foxtrot", "golf", "hotel", "india", "juliett", "kilo", "lima",
+        "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+        "tango", "uniform", "victor", "whiskey", "xray", "yankee", "zulu",
+        "amber", "birch", "cedar", "dune", "ember", "fjord", "grove",
+        "harbor", "isle", "juniper", "knoll", "lagoon", "mesa", "nimbus")
+      val vcol = array(vocab.map(lit): _*)
+      def diverseNames(n: Long): DataFrame = spark.range(n).select(
+        concat_ws(" ",
+          element_at(vcol, (col("id") % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 7 % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 191 % 40 + 1).cast("int")),
+          (col("id") % 13).cast("string")).as("name"))
+      val times = factors.map { r =>
+        val d = diverseNames(2000L * r).localCheckpoint(true)
+        val (warm, _) = time(
+          Linker.similarityPairsBlocked(d, "name", 80.0).count())
+        val (t, n) = time(
+          Linker.similarityPairsBlocked(d, "name", 80.0).count())
+        d.unpersist()
+        println(f"[scale] ro_blocked             ${r}%2dx  $t%7.2f s (warm-up $warm%6.2f)  rows=$n")
+        t
+      }
+      val r4 = times(1) / times(0)
+      val r10 = times(2) / times(0)
+      println(f"[scale] ro_blocked             ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
+      Seq(("ro_blocked", r4, r10))
+    } else Seq.empty
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
-    (results ++ embResults ++ evResults ++ graphResults ++ idxResults).foreach { case (n, r4, r10) =>
+    (results ++ embResults ++ evResults ++ graphResults ++ idxResults ++ roResults).foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()

@@ -533,6 +533,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.95, f"recall $recall%.2f below the 0.95 serving floor")
   }
 
+  test("probe-bounded IVFPQ (nProbe=8, q_pq_probe's serving point) clears the 0.80 floor") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    // The exhaustive form's 0.95 pin (above) doesn't guard the BOUNDED
+    // serving path: nProbe restricts the scan to each query's best
+    // coarse cells, so a codebook/centroid refreeze can degrade probe
+    // recall while the exhaustive recall stays perfect. Measured on the
+    // round-11 m=64/ks=64 fixtures: nProbe=8 -> 0.86 (the chosen
+    // serving point, marked on the PqTune frontier in README), nProbe=4
+    // -> 0.70 (rejected — below any defensible floor). Pin 0.80 so the
+    // bounded path fails loudly if a regeneration drops it.
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val r = Ann.pqRecallEval(emb01, "vec_id", "embedding", PqFixture.model,
+      col("vec_id") % 50 === 0, 5, Some(IvfFixture.model), nProbe = 8)
+      .collect()(0)
+    val recall = r.getDouble(2)
+    info(f"probe-bounded (nProbe=8) IVFPQ recall@5 vs exact L2: $recall%.2f")
+    assert(recall >= 0.80, f"recall $recall%.2f below the 0.80 probe-serving floor")
+  }
+
   test("hardNegatives stays in the band, excludes self, ranks by sim desc") {
     import graft.operators.Ann
     val got = Ann.hardNegatives(emb, "vec_id", "embedding",

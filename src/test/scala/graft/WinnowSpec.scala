@@ -155,6 +155,18 @@ class WinnowSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().toSet
     assert(clean.map(_._1) == Set(1L, 3L) && clean.forall(r => r._3 == 0L && !r._4),
       clean)
+    // serving with an n different from the published index would join
+    // differently-shaped grams, match NOTHING, and report every doc
+    // clean — the persisted n marker must reject it loudly instead
+    // (the writeVariantIndex max_dist guard, mirrored on this tier)
+    val eN = intercept[IllegalArgumentException] {
+      Winnow.ngramContaminationAgainstIndex(train, "doc_id", "text", dir, n = 7)
+    }
+    assert(eN.getMessage.contains("n=13"), eN.getMessage)
+    val eR = intercept[IllegalArgumentException] {
+      Winnow.ngramRedactIndexed(train, "doc_id", "text", dir, n = 7)
+    }
+    assert(eR.getMessage.contains("n=13"), eR.getMessage)
   }
 
   test("bloom-pruned contamination equals the unpruned scan on real docs") {
