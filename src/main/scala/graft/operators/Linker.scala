@@ -89,7 +89,14 @@ object Linker {
     * same explicit-count repartition pin as EditDistanceJoin. Worst case
     * degenerates with the corpus's character diversity (a corpus of
     * near-anagrams keeps most pairs) — that is PPJoin's published worst
-    * case, not a plan defect. On the supplier fixture EVERY unordered
+    * case, not a plan defect. Priced honestly (round-12 RoBlockProbe
+    * sweep, README crossover table): on 40-word-vocabulary corpora the
+    * prefix passes 70-99% of pairs and the faithful BNLJ wins single-
+    * node wall time at every measured n (the codegen verify costs less
+    * per pair than shuffling one candidate row); this operator's value
+    * is the DISTRIBUTABLE shape — the BNLJ broadcasts a full side and
+    * cannot leave one node — plus candidate-bound cost on genuinely
+    * character-diverse corpora. On the supplier fixture EVERY unordered
     * name pair is a true >= 80 pair (graft.tools.RoBlockProbe at sf0.01:
     * 4950/4950 verified) and the filter emits exactly the 4950 true
     * candidates — zero false candidates even on the densest input; the

@@ -4,22 +4,37 @@ import graft.{GraftLocalDir, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measures the blocked RO join (dev scratch), two sections:
+/** Measures the blocked RO join (dev scratch), three arg-gated sections
+  * (`supplier`, `diverse`, `long`; no args = all):
   *
   *  1. filter effectiveness on the supplier fixture: candidate pairs
   *     surviving prefix filter + length band vs all pairs vs verified —
   *     the numbers quoted in Linker.similarityPairsBlocked's Scaladoc
   *     (SPARK_GRAFT_SF_DIR selects the fixture, default sf0.01);
   *
-  *  2. the honest trade vs the faithful BNLJ on a DIVERSE corpus
-  *     (2000 deterministic three-word names from a 40-word vocabulary,
-  *     where most pairs fall below the threshold — the realistic name-
-  *     corpus shape): wall time of both strategies + equality of pair
-  *     counts. The supplier fixture is the opposite extreme (every pair
-  *     is a true >= 80 pair), where blocking cannot prune anything.
+  *  2. the trade vs the faithful BNLJ on a DIVERSE corpus (deterministic
+  *     three-word names from a 40-word vocabulary, most pairs below the
+  *     threshold) at n = 2000/4000/8000: wall time of both strategies +
+  *     equality of pair counts;
+  *
+  *  3. the same sweep on LONG 8-word keys (~55 chars), where the difflib
+  *     verify per pair is several times dearer.
+  *
+  * Round-12 results (README crossover table): the BNLJ won every cell —
+  * diverse 0.33x/0.35x/0.18x, long 0.24x/0.30x (blocked/BNLJ speedup).
+  * The 40-word vocabulary puts both corpora in PPJoin's small-alphabet
+  * worst case (prefix passes 70-99% of pairs), and the codegen difflib
+  * verify costs ~0.5-2 us/pair vs ~2-3 us to push one candidate row
+  * through the prefix join + distinct — so single-node wall time favors
+  * the BNLJ throughout this range. The blocked form's justification is
+  * SHAPE (bounded equi-joins that distribute; the BNLJ broadcasts one
+  * side in full and dies at corpus scale), not single-node constant
+  * factors — stated exactly that way in the README.
   */
 object RoBlockProbe {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet
+    def section(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,13 +44,15 @@ object RoBlockProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Dedup, Linker}
 
-    val dedup = Dedup.exact(Tables.supplier(spark, sfDir), Seq("s_name"))
-    val n = dedup.select(countDistinct(col("s_name"))).head.getLong(0)
-    val cand = Linker.roBlockCandidates(dedup, "s_name", 80.0).count()
-    val verified = Linker.similarityPairsBlocked(dedup, "s_name", 80.0).count() / 2
-    val all = n * (n - 1) / 2
-    println(f"[roblock] supplier: n=$n allPairs=$all candidates=$cand " +
-      f"(${100.0 * cand / all}%.1f%%) verified=$verified")
+    if (section("supplier")) {
+      val dedup = Dedup.exact(Tables.supplier(spark, sfDir), Seq("s_name"))
+      val n = dedup.select(countDistinct(col("s_name"))).head.getLong(0)
+      val cand = Linker.roBlockCandidates(dedup, "s_name", 80.0).count()
+      val verified = Linker.similarityPairsBlocked(dedup, "s_name", 80.0).count() / 2
+      val all = n * (n - 1) / 2
+      println(f"[roblock] supplier: n=$n allPairs=$all candidates=$cand " +
+        f"(${100.0 * cand / all}%.1f%%) verified=$verified")
+    }
 
     // Diverse corpus: three pseudo-words per name, deterministic in id.
     val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
@@ -63,32 +80,54 @@ object RoBlockProbe {
     // (prefix candidates) difflib calls + the filter chain's joins —
     // so blocked wins exactly when most pairs fall below the threshold,
     // and the win GROWS quadratically with n.
-    Seq(2000L, 4000L, 8000L).foreach { n =>
-      val d = diverse(n).localCheckpoint(true)
+    def sweep(tag: String, mk: Long => org.apache.spark.sql.DataFrame,
+              sizes: Seq[Long]): Unit = sizes.foreach { n =>
+      val d = mk(n).localCheckpoint(true)
       val prefixCand = Linker.roBlockCandidates(d, "name", 80.0,
         countFilter = false).count()
       val survivors = Linker.roBlockCandidates(d, "name", 80.0).count()
       val all = n * (n - 1) / 2
-      println(f"[roblock] diverse n=$n%5d: allPairs=$all prefix=$prefixCand -> " +
+      println(f"[roblock] $tag n=$n%5d: allPairs=$all prefix=$prefixCand -> " +
         f"count-filter survivors=$survivors " +
         f"(${100.0 * survivors / all}%.2f%% reach the difflib verify)")
       // two timed rounds each (min-of-2 like Bench; first may pay JIT)
       val bs = (1 to 2).map { _ =>
-        time(f"n=$n blocked") {
+        time(f"$tag n=$n blocked") {
           Linker.similarityPairsBlocked(d, "name", 80.0).count()
         }
       }
       val nvs = (1 to 2).map { _ =>
-        time(f"n=$n bnlj") {
+        time(f"$tag n=$n bnlj") {
           Linker.similarityPairs(d, "name", None, 80.0).count()
         }
       }
       require(bs.head._2 == nvs.head._2,
-        s"pair sets disagree at n=$n: blocked=${bs.head._2} naive=${nvs.head._2}")
-      println(f"[roblock] n=$n%5d  min blocked=${bs.map(_._1).min}%6.2f s  " +
+        s"pair sets disagree at $tag n=$n: blocked=${bs.head._2} naive=${nvs.head._2}")
+      println(f"[roblock] $tag n=$n%5d  min blocked=${bs.map(_._1).min}%6.2f s  " +
         f"min bnlj=${nvs.map(_._1).min}%6.2f s  " +
         f"speedup=${nvs.map(_._1).min / bs.map(_._1).min}%5.2fx")
       d.unpersist()
+    }
+    if (section("diverse")) sweep("diverse", diverse, Seq(2000L, 4000L, 8000L))
+    // LONG-KEY corpus: the regime the blocked form exists for. difflib's
+    // ratio is superlinear in string length (greedy longest-match
+    // recursion), so at ~10x the name length each BNLJ probe costs far
+    // more while the blocked form's candidate join still moves narrow
+    // 128-bit rows — the verify-savings now dominate the join overhead.
+    // Keys: 8 vocabulary words + the digit, ~90 chars, same construction.
+    if (section("long")) {
+      def longNames(n: Long) = spark.range(n).select(
+        concat_ws(" ",
+          element_at(vcol, (col("id") % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 7 % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 191 % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") % 37 % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 11 % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 53 % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 501 % 40 + 1).cast("int")),
+          element_at(vcol, (col("id") / 1301 % 40 + 1).cast("int")),
+          (col("id") % 13).cast("string")).as("name"))
+      sweep("long", longNames, Seq(2000L, 4000L))
     }
     spark.stop()
   }

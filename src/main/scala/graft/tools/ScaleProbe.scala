@@ -115,6 +115,27 @@ import org.apache.spark.sql.functions._
   * 0.99x/1.20x — near-FLAT: the pinned query batch's broadcast-LUT ADC
   * join over a 10x code table rides the scan, exactly the
   * corpus-linear-at-worst shape the standing code index promises.
+  *
+  * Round-12 additions: cc_assign_serve — the incremental CC serve with
+  * the standing customer corpus grown 4x/10x as lev-DISJOINT copies
+  * (per-copy "Z<i>Z<i>" salts keep cross-copy distance >= 2 at
+  * maxDist 1) and the batch pinned to the base %3 slice under fresh
+  * ids — measured **0.91x at 4x, 1.02x at 10x corpus: FLAT**, the
+  * measured form of incrementalAssign's "cost scales with the batch
+  * ... never with the corpus" claim (the condensed CC's node set stays
+  * batch-sized; only the variant-index candidate join sees the grown
+  * postings, and its bucketed postings are probed, not scanned).
+  * cc_full_recompute prices the alternative at the same sizes (full
+  * pair join + CC over corpus ∪ batch): 6.50/11.44/14.65 s at
+  * 1x/4x/10x vs the flat 4.3 s serve — incremental wins 1.5x at 3:1
+  * corpus:batch and 3.3x at 30:1, the crossover pair README quotes.
+  * ro_blocked (diverse 40-word-vocab names, n = 2000·R)
+  * measured 22.6x/66.0x at 4x/10x while emitted TRUE pairs grew
+  * 11.9x/82.5x (the small vocabulary saturates, near-dup density rises
+  * with n): at 10x runtime sits BELOW output growth; the 4x point's
+  * ~2x-over-output is the prefix join's hot-key cost on a 40-word
+  * vocabulary — PPJoin's small-alphabet regime, priced honestly in the
+  * README crossover table (RoBlockProbe has the blocked-vs-BNLJ minima).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -551,6 +572,21 @@ object ScaleProbe {
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         ConnectedComponents.incrementalAssign(standing,
           batch.select("id"), cross.unionByName(intra)).count()
+      }),
+      // the ALTERNATIVE the incremental serve replaces, at the same
+      // corpus sizes: a FULL recompute over corpus ∪ batch (pair join +
+      // CC from scratch). The crossover README quotes is this row vs
+      // cc_assign_serve: full recompute grows with the corpus, the
+      // serve stays batch-bound.
+      "cc_full_recompute" -> (() => idxProbe("cc_full_recompute", replicateCust) {
+        (_, _, _) => ()
+      } { (d, _, _) =>
+        val batch = custBase.filter(col("id") % 3 === 0)
+          .select((col("id") + 900000000L).as("id"), col("key"))
+        val all = d.unionByName(batch)
+        ConnectedComponents.run(all.select(col("id")),
+          EditDistanceJoin.idPairs(all, "id", "key", 1)
+            .select(col("id_a").as("src"), col("id_b").as("dst"))).count()
       })
     )
     val idxResults = idxProbes
