@@ -49,6 +49,17 @@ object GraftLocalDir {
       }
       rm(dir)
     }
+    // Route the other two user.dir droppings into the same owned dir
+    // (every session builder evaluates this lazy val before getOrCreate,
+    // and SparkConf reads spark.* system properties at construction):
+    // Derby's derby.log (written to user.dir at engine boot, before any
+    // per-connection setting could apply) and the catalog warehouse
+    // (user.dir/spark-warehouse) both landed in the repo root otherwise.
+    // getOrElseUpdate so an explicit external setting still wins.
+    sys.props.getOrElseUpdate("derby.stream.error.file",
+      new java.io.File(dir, "derby.log").getAbsolutePath)
+    sys.props.getOrElseUpdate("spark.sql.warehouse.dir",
+      new java.io.File(dir, "spark-warehouse").getAbsolutePath)
     dir.getAbsolutePath
   }
 }

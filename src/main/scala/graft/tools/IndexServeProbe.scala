@@ -113,17 +113,27 @@ object IndexServeProbe {
           "c_custkey", "c_name", 1, s"$scratch/cc_var_idx")
       }
       val standing = spark.read.parquet(s"$scratch/cc_labels")
-      val srv = serveMin(3) {
+      def edges = {
         val cross = EditDistanceJoin.repsAgainstIndex(
             batch.select(col("c_custkey"), col("c_name")),
             "c_custkey", "c_name", 1, s"$scratch/cc_var_idx")
           .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
         val intra = EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
-        ConnectedComponents.incrementalAssign(standing,
-          batch.select(col("c_custkey").as("id")), cross.unionByName(intra))
+        cross.unionByName(intra)
       }
+      val srv = serveMin(3)(ConnectedComponents.incrementalAssign(standing,
+        batch.select(col("c_custkey").as("id")), edges))
       results += (("cc_assign", pub, srv))
+      // the lifecycle's third phase: the NIGHTLY republish folding the
+      // batch into the standing labels (condensed CC again + one
+      // corpus-linear relabel join + the new standing write)
+      val rep = (1 to 3).map { i =>
+        time(ConnectedComponents.mergeRepublish(standing,
+            batch.select(col("c_custkey").as("id")), edges)
+          .write.mode("overwrite").parquet(s"$scratch/cc_labels_next$i"))._1
+      }.min
+      results += (("cc_republish", pub, rep))
     }
 
     // 6. IVFPQ code index (q_pq_search_indexed)
