@@ -112,9 +112,13 @@ object Bench {
     val maxRechecks =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECKS", "2").toInt
     def minOf(name: String): Double = attemptsByQuery(name).map(_._1).min
+    // Rechecks respect the repeat cutoff like the main pass: a query
+    // whose honest cost exceeds the cutoff would re-pay minutes per
+    // recheck to chase a delta that is already signal at that size.
     def isOutlier(name: String): Boolean =
       baseline.get(name).exists { b =>
-        attemptsByQuery(name).forall(_._2.isEmpty) && minOf(name) > noiseFactor * b
+        attemptsByQuery(name).forall(_._2.isEmpty) &&
+          minOf(name) > noiseFactor * b && minOf(name) <= repeatCutoffSec
       }
     val outliers = attemptsByQuery.keys.filter(isOutlier).toSeq
     outliers.foreach { name =>

@@ -20,16 +20,20 @@ import org.apache.spark.sql.functions._
   *  3. the same sweep on LONG 8-word keys (~55 chars), where the difflib
   *     verify per pair is several times dearer.
   *
-  * Round-12 results (README crossover table): the BNLJ won every cell —
-  * diverse 0.33x/0.35x/0.18x, long 0.24x/0.30x (blocked/BNLJ speedup).
-  * The 40-word vocabulary puts both corpora in PPJoin's small-alphabet
-  * worst case (prefix passes 70-99% of pairs), and the codegen difflib
-  * verify costs ~0.5-2 us/pair vs ~2-3 us to push one candidate row
-  * through the prefix join + distinct — so single-node wall time favors
-  * the BNLJ throughout this range. The blocked form's justification is
-  * SHAPE (bounded equi-joins that distribute; the BNLJ broadcasts one
-  * side in full and dies at corpus scale), not single-node constant
-  * factors — stated exactly that way in the README.
+  * Round-12 results (README crossover table): at the fixture threshold
+  * t=80 the BNLJ won every cell — diverse 0.33x/0.35x/0.18x, long
+  * 0.24x/0.30x, random-letters 0.29x/0.15x (blocked/BNLJ speedup) —
+  * because the exactness-preserving prefix is ~l/3 elements at t=80 and
+  * even uniform-random 22-char names share a rare tagged char ~80% of
+  * the time; the codegen difflib verify costs ~0.5-2 us/pair vs
+  * ~2-3 us to push one candidate row through the prefix join +
+  * distinct. The crossover is IN THE THRESHOLD (prefix = 4 elements at
+  * t=90, 2 at t=95): random-letters at t=90 0.60x, at t=95 **1.12x at
+  * n=4000 and 1.95x at n=16000, growing** — blocked tracks pruned
+  * candidates, the BNLJ tracks n² regardless. Below the crossover the
+  * blocked form's justification is SHAPE (bounded equi-joins that
+  * distribute; the BNLJ broadcasts one side in full and dies at corpus
+  * scale); at near-dup thresholds it wins outright.
   */
 object RoBlockProbe {
   def main(args: Array[String]): Unit = {
@@ -81,29 +85,29 @@ object RoBlockProbe {
     // so blocked wins exactly when most pairs fall below the threshold,
     // and the win GROWS quadratically with n.
     def sweep(tag: String, mk: Long => org.apache.spark.sql.DataFrame,
-              sizes: Seq[Long]): Unit = sizes.foreach { n =>
+              sizes: Seq[Long], t: Double = 80.0): Unit = sizes.foreach { n =>
       val d = mk(n).localCheckpoint(true)
-      val prefixCand = Linker.roBlockCandidates(d, "name", 80.0,
+      val prefixCand = Linker.roBlockCandidates(d, "name", t,
         countFilter = false).count()
-      val survivors = Linker.roBlockCandidates(d, "name", 80.0).count()
+      val survivors = Linker.roBlockCandidates(d, "name", t).count()
       val all = n * (n - 1) / 2
-      println(f"[roblock] $tag n=$n%5d: allPairs=$all prefix=$prefixCand -> " +
+      println(f"[roblock] $tag n=$n%5d t=$t%3.0f: allPairs=$all prefix=$prefixCand -> " +
         f"count-filter survivors=$survivors " +
         f"(${100.0 * survivors / all}%.2f%% reach the difflib verify)")
       // two timed rounds each (min-of-2 like Bench; first may pay JIT)
       val bs = (1 to 2).map { _ =>
-        time(f"$tag n=$n blocked") {
-          Linker.similarityPairsBlocked(d, "name", 80.0).count()
+        time(f"$tag n=$n t=$t blocked") {
+          Linker.similarityPairsBlocked(d, "name", t).count()
         }
       }
       val nvs = (1 to 2).map { _ =>
-        time(f"$tag n=$n bnlj") {
-          Linker.similarityPairs(d, "name", None, 80.0).count()
+        time(f"$tag n=$n t=$t bnlj") {
+          Linker.similarityPairs(d, "name", None, t).count()
         }
       }
       require(bs.head._2 == nvs.head._2,
         s"pair sets disagree at $tag n=$n: blocked=${bs.head._2} naive=${nvs.head._2}")
-      println(f"[roblock] $tag n=$n%5d  min blocked=${bs.map(_._1).min}%6.2f s  " +
+      println(f"[roblock] $tag n=$n%5d t=$t%3.0f  min blocked=${bs.map(_._1).min}%6.2f s  " +
         f"min bnlj=${nvs.map(_._1).min}%6.2f s  " +
         f"speedup=${nvs.map(_._1).min / bs.map(_._1).min}%5.2fx")
       d.unpersist()
@@ -128,6 +132,48 @@ object RoBlockProbe {
           element_at(vcol, (col("id") / 1301 % 40 + 1).cast("int")),
           (col("id") % 13).cast("string")).as("name"))
       sweep("long", longNames, Seq(2000L, 4000L))
+    }
+    // CHARACTER-DIVERSE corpus: ~22-char names of uniform pseudo-random
+    // letters — the regime the filter chain is FOR. Rows come in groups
+    // of 5 sharing a random three-6-letter-word stem and differing only
+    // in a digit suffix (true near-dups, lev 1 within the group), while
+    // CROSS-group stems are independent uniform letters: two such names
+    // overlap in ~12 of 20 chars in multiset terms, below the
+    // alpha = ceil(t(la+lb)/200) ≈ 18 the count filter demands, and
+    // mostly share no rare prefix element at all — so candidates should
+    // collapse far below n², unlike the vocab corpora's 70-99%.
+    if (section("random") || only("random16")) {
+      val letters = array(('a' to 'z').map(c => lit(c.toString)): _*)
+      def word(e: org.apache.spark.sql.Column) = {
+        // 6 base-26 digits of a 64-bit hash mix, rendered as letters
+        val mixed = abs(xxhash64(e))
+        concat((0 until 6).map(i =>
+          element_at(letters,
+            pmod(mixed / lit(math.pow(26, i).toLong.max(1L)), lit(26L))
+              .cast("int") + 1)): _*)
+      }
+      def randomNames(n: Long) = {
+        val g = expr("id DIV 5")   // integral division (/ is float div)
+        spark.range(n).select(
+          concat_ws(" ",
+            word(g * 3 + 1), word(g * 3 + 2), word(g * 3 + 3),
+            (col("id") % 5).cast("string")).as("name"))
+      }
+      if (section("random")) {
+        sweep("random", randomNames, Seq(4000L, 8000L))
+        // THRESHOLD sweep: the prefix size is l − ceil(t·l/(200−t)) + 1 —
+        // ~l/3 at t=80 but only ~4 elements at t=90 and ~2 at t=95 on
+        // 22-char names, so the exactness-preserving filter sharpens
+        // quickly with t. Within-group true pairs (sim ≈ 97) survive all
+        // of these thresholds, so the output is identical — this isolates
+        // the filter's threshold-selectivity, the crossover IN t.
+        Seq(90.0, 95.0).foreach { t =>
+          sweep(s"random", randomNames, Seq(4000L), t)
+        }
+      }
+      // the t=95 win must GROW with n (blocked tracks the pruned
+      // candidates, the BNLJ tracks n² regardless) — one scale point
+      sweep(s"random", randomNames, Seq(16000L), 95.0)
     }
     spark.stop()
   }
