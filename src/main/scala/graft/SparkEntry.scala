@@ -309,22 +309,28 @@ object SparkEntry {
     // ALL customers, so the oracle is q_cluster_cc's own full-graph
     // closure — equality proves republish ≡ full recompute, and the
     // fixpoint (serve → republish → serve ≡ one big run) is
-    // parity-spec'd in ClusterSpec.
+    // parity-spec'd in ClusterSpec. Shares q_cluster_cc_serve's cached
+    // standing publish (same corpus split, same artifacts — one publish
+    // per JVM covers both rows), so the bench row prices the republish
+    // itself, matching IndexServeProbe's cc_republish figure.
     "q_cluster_cc_republish" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val corpus = c.filter(col("c_custkey") % 3 =!= 0)
       val batch = c.filter(col("c_custkey") % 3 === 0)
-      val standing = ConnectedComponents.run(
-        corpus.select(col("c_custkey").as("id")),
-        EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
-          .select(col("id_a").as("src"), col("id_b").as("dst")))
-      val tmp = scratchDir("graft_cc_var_idx").toString
-      EditDistanceJoin.writeVariantIndex(
-        corpus.select(col("c_custkey"), col("c_name")),
-        "c_custkey", "c_name", 1, tmp)
+      val pub = cachedPublish("cc_standing", dir) { root =>
+        ConnectedComponents.run(
+            corpus.select(col("c_custkey").as("id")),
+            EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
+              .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .write.mode("overwrite").parquet(s"$root/standing")
+        EditDistanceJoin.writeVariantIndex(
+          corpus.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", 1, s"$root/varidx")
+      }
+      val standing = s.read.parquet(s"$pub/standing")
       val crossEdges = EditDistanceJoin.repsAgainstIndex(
           batch.select(col("c_custkey"), col("c_name")),
-          "c_custkey", "c_name", 1, tmp)
+          "c_custkey", "c_name", 1, s"$pub/varidx")
         .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
       val batchEdges = EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
         .select(col("id_a").as("src"), col("id_b").as("dst"))

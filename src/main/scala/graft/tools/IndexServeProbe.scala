@@ -5,7 +5,7 @@ import graft.operators.{Ann, ConnectedComponents, Dedup, EditDistanceJoin, IvfFi
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Publish/serve cost split for the four standing-index tiers (dev
+/** Publish/serve cost split for the standing-index tiers (dev
   * scratch). By fixture convention every `*_indexed` / `*_incr_*` BENCH
   * query re-pays its index PUBLISH inside the timed body, so the
   * write-once/serve-many win is invisible in BENCH numbers (q_pq_search
