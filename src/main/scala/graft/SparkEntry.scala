@@ -214,6 +214,19 @@ object SparkEntry {
       Linker.groupCollect(pairs, "uniqId", Seq("name_a" -> "CollectedNames"))
     }),
 
+    // ---- The COST-BASED strategy form: similarityPairsAuto picks BNLJ
+    // vs blocked off the measured RoBlockProbe crossover (threshold >= 90
+    // or past the single-node name budget -> blocked; else BNLJ). On
+    // this fixture (t=80, 100 distinct names at sf0.01) it takes the
+    // BNLJ branch; both branches are parity-pinned, so the row shares
+    // the same difflib-replay oracle either way — the choice is an
+    // implementation detail the oracle can't see, which is the point.
+    "q_link_ro_auto" -> ((s, dir) => {
+      val pairs = Linker.similarityPairsAuto(
+        Tables.supplier(s, dir), "s_name", 80.0)
+      Linker.groupCollect(pairs, "uniqId", Seq("name_a" -> "CollectedNames"))
+    }),
+
     // ---- A4 scale mode: similarity edges (exact lev<=1 join) → distributed
     // connected components (large-star/small-star) → component per customer.
     // DuckDB oracle = recursive-CTE transitive closure.
@@ -3471,6 +3484,9 @@ object SparkEntry {
     // Blocked mode is exact (prefix-filter soundness argued in
     // Linker.similarityPairsBlocked's Scaladoc) — same all-pairs oracle.
     "q_link_ro_blocked" -> sqlLinkRoOracle,
+    // auto picks a branch; both branches are result-identical, so the
+    // same replay oracle proves whichever plan ran.
+    "q_link_ro_auto" -> sqlLinkRoOracle,
     // Full greedy-fold replay (sqlGreedyFoldOracle) — fixture-independent,
     // replacing the r2–r7 one-cluster derivation.
     "q_cluster_greedy" -> sqlGreedyFoldOracle(

@@ -129,6 +129,9 @@ import org.apache.spark.sql.functions._
   * pair join + CC over corpus ∪ batch): 6.50/11.44/14.65 s at
   * 1x/4x/10x vs the flat 4.3 s serve — incremental wins 1.5x at 3:1
   * corpus:batch and 3.3x at 30:1, the crossover pair README quotes.
+  * cc_republish_serve (mergeRepublish under the same protocol) is flat
+  * too — 0.92x/1.01x — the corpus-linear relabel join is noise next to
+  * the batch-bound condensed CC even as the output frame grows 10x.
   * ro_blocked (diverse 40-word-vocab names, n = 2000·R)
   * measured 22.6x/66.0x at 4x/10x while emitted TRUE pairs grew
   * 11.9x/82.5x (the small vocabulary saturates, near-dup density rises
@@ -587,6 +590,28 @@ object ScaleProbe {
         ConnectedComponents.run(all.select(col("id")),
           EditDistanceJoin.idPairs(all, "id", "key", 1)
             .select(col("id_a").as("src"), col("id_b").as("dst"))).count()
+      }),
+      // the nightly republish at the same sizes: its claim is "condensed
+      // CC on the batch + ONE corpus-linear equi-join on the label
+      // column" — so the exponent must sit between cc_assign_serve's
+      // flat and the corpus growth rate, far below cc_full_recompute.
+      "cc_republish_serve" -> (() => idxProbe("cc_republish_serve", replicateCust) { (d, dir, _) =>
+        ConnectedComponents.run(d.select(col("id")),
+            EditDistanceJoin.idPairs(d, "id", "key", 1)
+              .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .write.mode("overwrite").parquet(s"$dir/standing")
+        EditDistanceJoin.writeVariantIndex(d, "id", "key", 1, s"$dir/varidx")
+      } { (_, dir, _) =>
+        val batch = custBase.filter(col("id") % 3 === 0)
+          .select((col("id") + 900000000L).as("id"), col("key"))
+        val standing = spark.read.parquet(s"$dir/standing")
+        val cross = EditDistanceJoin.repsAgainstIndex(
+            batch, "id", "key", 1, s"$dir/varidx")
+          .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
+        val intra = EditDistanceJoin.idPairs(batch, "id", "key", 1)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        ConnectedComponents.mergeRepublish(standing,
+          batch.select("id"), cross.unionByName(intra)).count()
       })
     )
     val idxResults = idxProbes

@@ -137,6 +137,36 @@ class LinkerSpec extends SparkSpec {
     }
   }
 
+  test("similarityPairsAuto picks the measured branch and is result-identical on all of them") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("uniqId", "name_a", "name_b")
+        .as[(String, String, String)].collect().toSet
+    def usesBnlj(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    val varied = Seq("Acme GmbH", "Acme GmbH.", "Acme GmbH Int.", "Umbrella Corp",
+      "Umbrela Corp", "corp Umbrella", "Zzyzx", "Zzyzx Ltd", "x",
+      "kilo mike bravo 6", "kilo ember bravo 2").toDF("name")
+    // t=80, tiny corpus -> the measured single-node winner: the BNLJ
+    val auto80 = Linker.similarityPairsAuto(varied, "name", 80.0)
+    assert(usesBnlj(auto80), "below the crossover on a small corpus auto must take the BNLJ")
+    assert(pairSet(auto80) ==
+      pairSet(Linker.similarityPairsBlocked(varied, "name", 80.0)))
+    // t=90 (the crossover) -> blocked regardless of size
+    val auto90 = Linker.similarityPairsAuto(varied, "name", 90.0)
+    assert(!usesBnlj(auto90), "at/above the crossover auto must take the blocked form")
+    assert(pairSet(auto90) ==
+      pairSet(Linker.similarityPairs(varied, "name", None, 90.0)
+        .select("uniqId", "name_a", "name_b")))
+    // t=80 past the single-node name budget -> blocked (the only shape
+    // that distributes; the budget models the BNLJ's broadcast wall)
+    val autoBig = Linker.similarityPairsAuto(varied, "name", 80.0, maxBnljNames = 5)
+    assert(!usesBnlj(autoBig), "past the name budget auto must take the blocked form")
+    assert(pairSet(autoBig) == pairSet(auto80))
+    // duplicate input rows must not duplicate pairs (auto distincts names)
+    val dup = varied.unionByName(varied)
+    assert(pairSet(Linker.similarityPairsAuto(dup, "name", 80.0)) == pairSet(auto80))
+  }
+
   test("similarityPairsBlocked rejects non-integral thresholds and handles empty input") {
     intercept[IllegalArgumentException] {
       Linker.similarityPairsBlocked(Seq("a").toDF("name"), "name", 80.5)

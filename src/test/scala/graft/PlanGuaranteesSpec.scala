@@ -43,7 +43,13 @@ class PlanGuaranteesSpec extends SparkSpec {
     * codegen method limit at ks >= 64).
     */
   private val allowedBnlj =
-    Set("q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
+    // q_link_ro_auto: the BNLJ here is the cost-based CHOICE, not a
+    // default — similarityPairsAuto measured (RoBlockProbe round 12)
+    // that below the t=90 crossover and under the name budget the BNLJ
+    // wins single-node; past either bound the same operator plans the
+    // blocked equi-join (branch selection plan-asserted in LinkerSpec).
+    Set("q_link_ro_auto",
+      "q_link_ro", "q_link_ro_sql", "q_ann_cosine", "q_knn_eval",
       "q_rag_topk", "q_tfidf_top", "q_ann_recall",
       "q_lm_score", "q_lm_contrast", "q_bm25", "q_bm25_batch",
       "q_dsir_weights", "q_pq_recall", "q_link_snm_multi_recall",
