@@ -1040,6 +1040,27 @@ object SparkEntry {
         "doc_id", "text", 3, 0.5, tbl)
     }),
 
+    // ---- The LSH tier's INCREMENTAL PUBLISH: build the standing index
+    // WITHOUT yesterday's batch (src1), append src1 via
+    // appendBandIndexBucketed (same bucket spec — the no-shuffle serve
+    // property survives the append), then serve today's batch (src0)
+    // against the grown index. Shares the monolithic rebuild's oracle
+    // (standing after append = source <> 'src0' either way) — equality
+    // proves append(corpus) ∪ append(batch) ≡ write(corpus ∪ batch).
+    "q_near_dedup_incr_appended" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = scratchDir("graft_lsh_aidx")
+      val tbl = tmp.getFileName.toString
+      NearDup.writeBandIndexBucketed(
+        docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", 3, tmp.toString, tbl)
+      NearDup.appendBandIndexBucketed(
+        docs.filter(col("source") === "src1"), "doc_id", "text", 3, tbl)
+      NearDup.incrementalNearDupPairsBucketed(
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3, 0.5, tbl)
+    }),
+
     // ---- Near-dup: MinHash signatures (16 md5-based hashes, shared with
     // the oracle bit-for-bit).
     "q_minhash_sig" -> ((s, dir) =>
@@ -3013,6 +3034,10 @@ object SparkEntry {
     // The bucketed-table serve computes the identical result; same
     // recompute oracle — equality proves the bucketed roundtrip too.
     "q_near_dedup_incr_bucketed" -> sqlNearDedupIncrementalOracle,
+    // Appended-index serve: the standing side after append is exactly
+    // source <> 'src0', so the monolithic oracle proves the append
+    // lossless.
+    "q_near_dedup_incr_appended" -> sqlNearDedupIncrementalOracle,
     "q_minhash_sig" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlAbCte " +
         s"SELECT doc_id AS id, $sqlSigSelect FROM ab GROUP BY doc_id"),

@@ -422,6 +422,40 @@ object NearDup {
       .option("path", s"$dir/sets").saveAsTable(s"${tablePrefix}_sets")
   }
 
+  /** INCREMENTAL PUBLISH for the LSH tier — the missing third verb of
+    * the write-once/serve-many lifecycle (the CC tier got its
+    * [[ConnectedComponents.mergeRepublish]] the same round): append a
+    * day's ACCEPTED batch into the standing bucketed tables instead of
+    * rebuilding them from the whole corpus. The appended files carry
+    * the SAME bucket spec (Spark verifies it against the table), so
+    * bucket b of the grown index is still exactly the rows hashing to
+    * b — the serve join's no-index-shuffle property survives appends,
+    * and tomorrow's [[incrementalNearDupPairsBucketed]] sees
+    * corpus ∪ batch with no work proportional to the corpus.
+    * Lossless by construction: postings/sets are per-document rows
+    * computed by the same expressions the full writer uses, so
+    * append(corpus) ∪ append(batch) = write(corpus ∪ batch) row-for-row
+    * (parity-spec'd in NearDupSpec; q_near_dedup_incr_appended shares
+    * the monolithic rebuild's oracle — equality proves the roundtrip).
+    * Contract: batch ids must be NEW (an id re-publish would duplicate
+    * its rows — exact dedup upstream owns identity).
+    */
+  def appendBandIndexBucketed(batch: DataFrame, idCol: String,
+                              textCol: String, n: Int, tablePrefix: String,
+                              numBuckets: Int = 8): Unit = {
+    val sh = shingles(batch, idCol, textCol, n).localCheckpoint(true)
+    minhashSignatures(sh)
+      .select(col("id"), explode(array(bandKeyCols(
+        k => col(s"h$k")): _*)).as("bkey"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .saveAsTable(s"${tablePrefix}_postings")
+    sh.groupBy("id").agg(sort_array(collect_set(col("shingle"))).as("ss"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "id").sortBy("id")
+      .saveAsTable(s"${tablePrefix}_sets")
+  }
+
   /** [[incrementalNearDupPairs]] served from the BUCKETED index tables
     * ([[writeBandIndexBucketed]]): result-identical, but the candidate
     * join consumes the postings' bucket layout — no index-side shuffle.

@@ -88,6 +88,52 @@ class NearDupSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_spec_idx_sets")
   }
 
+  test("appendBandIndexBucketed: grown index equals the monolithic rebuild, bucketing intact") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus0 = docs.filter($"source" =!= "src0" && $"source" =!= "src1")
+    // day-1 slice = src1 plus one planted near-dup of a batch doc (the
+    // fixture's organic near-dups may not span exactly these sources at
+    // sf0.001, and the test must prove pairs REACH the appended files)
+    val planted = docs.filter($"source" === "src0").orderBy($"doc_id").limit(1)
+      .select(org.apache.spark.sql.functions.lit(990000001L).as("doc_id"), $"text")
+    val day1 = docs.filter($"source" === "src1").select($"doc_id", $"text")
+      .unionByName(planted)
+    val batch = docs.filter($"source" === "src0")
+    val dir = java.nio.file.Files.createTempDirectory("graft_aidx").toString
+    // incremental publish: corpus0 written, day1 appended
+    NearDup.writeBandIndexBucketed(corpus0, "doc_id", "text", 3,
+      s"$dir/grown", "graft_spec_aidx")
+    NearDup.appendBandIndexBucketed(day1, "doc_id", "text", 3,
+      "graft_spec_aidx")
+    val viaAppend = NearDup.incrementalNearDupPairsBucketed(batch, "doc_id",
+        "text", 3, 0.3, "graft_spec_aidx")
+    // monolithic rebuild over the same final content
+    NearDup.writeBandIndexBucketed(
+      docs.filter($"source" =!= "src0" && $"source" =!= "src1")
+        .select($"doc_id", $"text").unionByName(day1),
+      "doc_id", "text", 3, s"$dir/mono", "graft_spec_aidx_mono")
+    val viaMono = NearDup.incrementalNearDupPairsBucketed(batch, "doc_id",
+        "text", 3, 0.3, "graft_spec_aidx_mono")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAppend.as[(Long, Long, Long, Double)].collect().toSet == viaMono)
+    assert(viaMono.nonEmpty, "fixture must actually link something")
+    // day-1 docs are genuinely SERVED from the appended files: the
+    // planted near-dup must surface as a pair (else the append was a
+    // no-op and the equality above proved nothing about appended rows)
+    assert(viaMono.exists(_._2 == 990000001L),
+      "no pair reaches the appended day-1 slice; the append test is vacuous")
+    // the serve join still consumes the bucket layout after the append:
+    // one bkey exchange (the batch side's), index side bucketed
+    val plan = viaAppend.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(bkey")) == 1, plan)
+    Seq("graft_spec_aidx_postings", "graft_spec_aidx_sets",
+      "graft_spec_aidx_mono_postings", "graft_spec_aidx_mono_sets")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("containmentPairs: subset duplication both directions, Jaccard blind spot") {
     val corpus = Seq(
       (1L, "a b c d e f"),                       // 4 3-grams, all inside doc 2
