@@ -144,6 +144,30 @@ object SparkEntry {
         "fp", tbl)
     }),
 
+    // ---- The exact tier's INCREMENTAL PUBLISH: standing fingerprint
+    // index built WITHOUT yesterday's batch (src1); src1's serve
+    // SURVIVORS (the keys the anti join just proved novel) append into
+    // the bucketed table via appendKeyIndexBucketed; today's batch
+    // (src0) then serves against the grown index. Standing content
+    // after append = distinct fps of source <> 'src0' exactly, so the
+    // monolithic oracle proves the append lossless — the same argument
+    // as q_near_dedup_incr_appended on the LSH tier.
+    "q_dedup_incr_appended" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      val tmp = scratchDir("graft_fp_aidx")
+      val tbl = tmp.getFileName.toString
+      Dedup.writeKeyIndexBucketed(
+        fp.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+        "fp", tmp.toString, tbl)
+      val novel = Dedup.incrementalAgainstIndex(
+        fp.filter(col("source") === "src1").select("doc_id", "fp"), "fp", tbl)
+      Dedup.appendKeyIndexBucketed(novel, "fp", tbl)
+      Dedup.incrementalAgainstIndex(
+        fp.filter(col("source") === "src0").select("doc_id", "fp"),
+        "fp", tbl)
+    }),
+
     // ---- P1: surrogate id — structural check (uniqueness + count), values
     // are nondeterministic by design so they are never compared directly.
     "q_surrogate_id" -> ((s, dir) => {
@@ -2323,6 +2347,9 @@ object SparkEntry {
     // The bucketed-index serve computes the identical result; same
     // recompute oracle (the q_near_dedup_incr_bucketed argument).
     "q_dedup_incr_indexed" -> sqlDedupIncrementalOracle,
+    // Appended-index serve: standing after append = distinct fps of
+    // source <> 'src0', so the monolithic oracle proves the append.
+    "q_dedup_incr_appended" -> sqlDedupIncrementalOracle,
     // Equality with the direct aggregate proves the partitioned write/read
     // roundtrip in the Spark query was lossless and the pruned scan complete.
     // Replays the manifest straight off the source table: shard and

@@ -128,6 +128,29 @@ object Dedup {
     newBatch.join(newBatch.sparkSession.table(tableName).select(key),
       Seq(key), "left_anti")
 
+  /** INCREMENTAL PUBLISH for the exact tier — the same third lifecycle
+    * verb the LSH ([[NearDup.appendBandIndexBucketed]]) and CC
+    * ([[ConnectedComponents.mergeRepublish]]) tiers carry: fold a day's
+    * ACCEPTED batch keys into the standing fingerprint index by
+    * bucketed append instead of re-distincting the whole corpus. The
+    * appended files share the table's bucket spec, so the serve anti
+    * join's no-index-shuffle property survives appends. The standing
+    * distinctness invariant is preserved by the serve contract itself:
+    * the rows appended are [[incrementalAgainstIndex]] survivors —
+    * keys the anti join just proved absent — and the batch side is
+    * distinct-ed here, so append(corpus) ∪ append(novel batch) holds
+    * exactly the distinct keys of corpus ∪ batch (parity-spec'd;
+    * q_dedup_incr_appended shares the monolithic form's oracle).
+    */
+  def appendKeyIndexBucketed(novelBatch: DataFrame, key: String,
+                             tableName: String,
+                             numBuckets: Int = 8): Unit =
+    novelBatch.select(key).distinct()
+      .repartition(numBuckets, col(key))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(tableName)
+
   /** Streaming twin of content-fingerprint dedup ([[TextOps.fingerprintGroups]]
     * collapsed to survivors): first-ARRIVAL document per md5-of-normalized-
     * text fingerprint, with BOUNDED state — dropDuplicatesWithinWatermark

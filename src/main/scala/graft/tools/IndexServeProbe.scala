@@ -66,6 +66,43 @@ object IndexServeProbe {
       results += (("lsh_bands", pub, srv))
     }
 
+    // 2b. the INCREMENTAL PUBLISH verbs (round 12): for these rows the
+    // columns read (monolithic nightly rebuild, batch append) — the
+    // publish-side saving write-once/serve-many buys when the nightly
+    // job appends the day's accepted batch instead of re-distincting /
+    // re-shingling the corpus.
+    locally {
+      NearDup.writeBandIndexBucketed(
+        docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", 3, s"$scratch/lsh_a0", "idxprobe_lsh_a0")
+      val (reb, _) = time(NearDup.writeBandIndexBucketed(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text", 3,
+        s"$scratch/lsh_reb", "idxprobe_lsh_reb"))
+      val (app, _) = time(NearDup.appendBandIndexBucketed(
+        docs.filter(col("source") === "src1"), "doc_id", "text", 3,
+        "idxprobe_lsh_a0"))
+      results += (("lsh_append", reb, app))
+    }
+    locally {
+      val fp = docs.select(col("doc_id"), col("source"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      Dedup.writeKeyIndexBucketed(
+        fp.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+        "fp", s"$scratch/fp_a0", "idxprobe_fp_a0")
+      val (reb, _) = time(Dedup.writeKeyIndexBucketed(
+        fp.filter(col("source") =!= "src0"), "fp",
+        s"$scratch/fp_reb", "idxprobe_fp_reb"))
+      // the anti join producing the survivors is the SERVE's cost (it
+      // ran anyway to admit the batch) — materialize it untimed so the
+      // append row prices only the publish increment, the write
+      val novel = Dedup.incrementalAgainstIndex(
+        fp.filter(col("source") === "src1").select("doc_id", "fp"),
+        "fp", "idxprobe_fp_a0").localCheckpoint(true)
+      val (app, _) = time(
+        Dedup.appendKeyIndexBucketed(novel, "fp", "idxprobe_fp_a0"))
+      results += (("fp_append", reb, app))
+    }
+
     // 3. eval-suite 13-gram contamination index (q_decontam_indexed)
     locally {
       val (pub, _) = time(Winnow.writeEvalNgramIndex(
