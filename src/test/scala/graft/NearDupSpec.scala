@@ -433,6 +433,56 @@ class NearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gate serves appended postings: a doc matching only the appended slice is flagged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // day-0 standing corpus, then day-1 doc APPENDED via the
+    // incremental-publish verb — the 24/7 admission gate must see it on
+    // its next (re)start without any monolithic rebuild
+    val corpus0 = Seq(
+      (100L, "an entirely different standing corpus document about spark jobs"))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_aidx").toString
+    NearDup.writeBandIndexBucketed(corpus0, "doc_id", "text", 3,
+      dir, "graft_spec_gate_aidx")
+    NearDup.appendBandIndexBucketed(day1, "doc_id", "text", 3,
+      "graft_spec_gate_aidx")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = NearDup.nearDupGateStreamIndexed(
+      ms.toDS().toDF("doc_id", "text", "ts"),
+      spark.table("graft_spec_gate_aidx_postings"),
+      "doc_id", "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_gate_aidx").start()
+    try {
+      ms.addData(
+        // verbatim copy of the APPENDED day-1 doc: all 4 bands must hit
+        (1L, "the quick brown fox jumps over the lazy dog near the river",
+          ts("2026-01-01 10:05:00")),
+        (2L, "novel content sharing no shingles with anything in the corpus",
+          ts("2026-01-01 10:10:00")))
+      q.processAllAvailable()
+      ms.addData((99L, "watermark push doc with enough tokens to flush",
+        ts("2026-01-02 06:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("neardup_gate_aidx")
+        .select("doc_id", "n_hit_bands", "near_dup")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L) == ((4L, true)),
+        "the gate missed content served only by the appended files")
+      assert(got(2L) == ((0L, false)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_spec_gate_aidx_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_gate_aidx_sets")
+    }
+  }
+
   test("streaming near-dup gate equals the batch band-collision verdict") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
