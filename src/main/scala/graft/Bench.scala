@@ -10,12 +10,24 @@ import org.apache.spark.sql.SparkSession
   * the min is the least-noisy estimator of the query's true cost under
   * external interference. All attempts are published in "runs" so the
   * spread itself is visible to the driver.
+  *
+  * SERVE-ONLY rows caveat: q_cluster_cc_serve / q_cluster_cc_republish
+  * amortize their standing publish across attempts via
+  * SparkEntry.cachedPublish, so their MIN prices the serve alone only
+  * when >= 2 attempts run. Under SPARK_GRAFT_BENCH_RUNS=1 the single
+  * attempt silently includes the one-time publish — the run emits a
+  * stderr warning so the artifact can't masquerade as a serve figure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    if (nRuns == 1)
+      System.err.println("[bench] SPARK_GRAFT_BENCH_RUNS=1: serve-only " +
+        "rows (q_cluster_cc_serve/_republish) include their one-time " +
+        "standing publish in the single attempt — figures price " +
+        "publish+serve, not the serve alone")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

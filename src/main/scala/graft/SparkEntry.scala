@@ -47,28 +47,54 @@ object SparkEntry {
   }
 
   private val publishLock = new Object
+  /** Process-unique suffix for [[cachedPublish]] dirs: pid alone could be
+    * reused by a later JVM after a crash orphans a dir, so the JVM start
+    * time rides along — two distinct JVMs can never resolve to the same
+    * publish path.
+    */
+  private lazy val jvmNonce: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${ProcessHandle.current().pid()}_${rt.getStartTime}"
+  }
   /** JVM-cached publish directory for the SERVE-ONLY bench rows
     * (q_cluster_cc_serve): unlike [[scratchDir]] (fresh per call, so
     * every bench attempt re-pays the index publish — the fixture
     * convention for `*_indexed` rows), this path is deterministic per
-    * (key, sf dir) and `body` runs only on first use, so Bench's
-    * min-of-2 prices the SERVE alone on the second attempt — the
-    * IndexServeProbe split, visible as a committed bench row. Still
-    * registered for exit cleanup: a later session never reads a stale
-    * publish from a previous code version.
+    * (key, sf dir) WITHIN one JVM and `body` runs only on first use, so
+    * Bench's min-of-2 prices the SERVE alone on the second attempt —
+    * the IndexServeProbe split, visible as a committed bench row.
+    *
+    * The path carries [[jvmNonce]], which is what makes the cache safe
+    * without any marker protocol: a publish left behind by a crashed or
+    * killed JVM (whose exit hook never ran) lives under a DIFFERENT
+    * nonce, so a later session can never serve it — every JVM's first
+    * use rebuilds with current code and registers its own exit cleanup —
+    * and two concurrent JVMs write disjoint dirs, so there is no
+    * cross-process race to lock against. Orphans from crashed JVMs sit
+    * inert under target/graft-scratch until a `sbt clean` (scratch
+    * space, never read).
     */
   private def cachedPublish(key: String, sfDir: String)
                            (body: String => Unit): String =
     publishLock.synchronized {
       val leaf = java.nio.file.Paths.get(sfDir).getFileName.toString
       val base = java.nio.file.Paths.get("target", "graft-scratch",
-        s"pub_${key}_$leaf")
-      val marker = base.resolve("_GRAFT_PUBLISH_DONE")
-      if (!java.nio.file.Files.exists(marker)) {
+        s"pub_${key}_${leaf}_$jvmNonce")
+      if (!java.nio.file.Files.exists(base)) {
         java.nio.file.Files.createDirectories(base)
         cleanupAtExit(base)
-        body(base.toString)
-        java.nio.file.Files.createFile(marker)
+        // A half-written publish must not satisfy the existence check on
+        // the next call: tear the dir down before rethrowing.
+        try body(base.toString)
+        catch {
+          case e: Throwable =>
+            scala.util.Using(java.nio.file.Files.walk(base)) { st =>
+              import scala.jdk.CollectionConverters._
+              st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            }
+            throw e
+        }
       }
       base.toString
     }

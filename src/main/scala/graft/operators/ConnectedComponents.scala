@@ -116,9 +116,14 @@ object ConnectedComponents {
     * corpus — labels MUST be component-minimum member ids (exactly
     * [[run]]'s output; any other labeling, e.g. stable surrogate ids
     * from a relabeling pass, breaks exactness because raw batch ids are
-    * compared against label values as minima — a per-row
-    * `label <= id` guard is folded into the condense join and raises on
-    * the first violating standing row); `batchVerts` = (id);
+    * compared against label values as minima. A `label <= id` guard is
+    * folded into the condense join as a PARTIAL defense: it raises on
+    * the first edge-touched standing row whose label EXCEEDS its id —
+    * which catches surrogate-id labelings in practice — but a frame
+    * whose labels satisfy label <= id without being true component
+    * minima, e.g. component {5,6} labeled 4, passes the guard and
+    * yields wrong components; the contract itself is the caller's to
+    * honor); `batchVerts` = (id);
     * `batchEdges` = (src, dst) where at
     * least one endpoint is a batch id (pair the batch against the
     * corpus's standing variant/band index to get these without a corpus
@@ -143,10 +148,12 @@ object ConnectedComponents {
     * touched by `batchEdges`) — the shared core of [[incrementalAssign]]
     * (serve: read off the batch ids) and [[mergeRepublish]] (re-publish:
     * read off the standing labels). Returns (id, component) for every
-    * condensed node. The min-label standing contract is enforced here:
-    * `assert_true(label <= id)` rides inside the condensed endpoint
-    * expression, so it cannot be pruned and costs one comparison per
-    * matched edge endpoint.
+    * condensed node. The min-label standing contract gets a partial
+    * runtime check here: `assert_true(label <= id)` rides inside the
+    * condensed endpoint expression, so it cannot be pruned and costs one
+    * comparison per matched edge endpoint — it flags label > id on
+    * edge-touched rows only (see [[incrementalAssign]]'s contract note
+    * for what it cannot catch).
     */
   private def condensedCc(standing: DataFrame,
                           batchEdges: DataFrame): DataFrame = {
@@ -155,10 +162,12 @@ object ConnectedComponents {
     def condense(e: DataFrame, end: String): DataFrame =
       e.join(lab, e(end) === col("__sid"), "left")
         // coalesce(assert_true(..), label): assert_true is NULL whenever
-        // the contract holds, so the coalesce evaluates to the label and
-        // the guard survives column pruning; a standing frame whose
-        // labels are not component-minimum member ids fails loudly here
-        // instead of producing silently wrong merged labels.
+        // the check passes, so the coalesce evaluates to the label and
+        // the guard survives column pruning. It fails loudly on the
+        // detectable half of contract violations (label > id on an
+        // edge-touched row — the surrogate-id mistake); label <= id
+        // non-minimum labelings are undetectable per-row and stay the
+        // caller's contract.
         .withColumn(end, coalesce(
           assert_true(col("__slabel").isNull || col("__slabel") <= col("__sid"),
             lit("incrementalAssign/mergeRepublish require min-label standing " +

@@ -152,19 +152,32 @@ object Linker {
     * LinkerSpec; the branch is an implementation detail). The decision
     * count is one map-side-combinable aggregate over the name column —
     * noise against either branch's join. altCol semantics are the
-    * names-only reference form (None); integral threshold required only
-    * when the blocked branch is taken (its soundness arithmetic).
+    * names-only reference form (None). Only the blocked branch's
+    * soundness arithmetic needs an INTEGRAL threshold, and an auto
+    * planner must not fail on inputs one of its branches computes
+    * exactly — so a non-integral threshold routes to the BNLJ whenever
+    * the name count is under `maxBnljNames` (whatever the crossover
+    * says), and only the truly infeasible combination — non-integral
+    * AND past the broadcast wall, where no exact branch exists — is
+    * rejected, up front and with both numbers in the message.
     */
   def similarityPairsAuto(df: DataFrame, nameCol: String, threshold: Double,
                           maxBnljNames: Long = 20000L): DataFrame = {
     val names = df.select(col(nameCol).as(nameCol))
       .filter(col(nameCol).isNotNull).distinct()
+    val integral = threshold == threshold.floor
     def blocked = similarityPairsBlocked(names, nameCol, threshold)
-    if (threshold >= BlockedThresholdCrossover) blocked
-    else if (names.count() <= maxBnljNames)
-      similarityPairs(names, nameCol, None, threshold)
-        .select(col("uniqId"), col("name_a"), col("name_b"))
-    else blocked
+    def bnlj = similarityPairs(names, nameCol, None, threshold)
+      .select(col("uniqId"), col("name_a"), col("name_b"))
+    if (integral && threshold >= BlockedThresholdCrossover) blocked
+    else if (names.count() <= maxBnljNames) bnlj
+    else if (integral) blocked
+    else throw new IllegalArgumentException(
+      s"similarityPairsAuto: non-integral threshold $threshold needs the " +
+        s"BNLJ branch (blocked mode's prefix arithmetic is integral), but " +
+        s"the name count exceeds maxBnljNames=$maxBnljNames — the " +
+        "full-side broadcast is infeasible at that size; round the " +
+        "threshold or raise maxBnljNames explicitly")
   }
 
   /** Measured similarity threshold at which [[similarityPairsBlocked]]

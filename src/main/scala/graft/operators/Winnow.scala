@@ -344,6 +344,21 @@ object Winnow {
     */
   private def readEvalNgramIndex(spark: SparkSession, indexDir: String,
                                  n: Int): DataFrame = {
+    // Layout migration guard: before the n-marker format the index was a
+    // FLAT parquet dir of grams. Reading one through the current layout
+    // would surface as an opaque "path does not exist" parquet error from
+    // the meta read — detect it and name the remedy instead.
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    if (!fs.exists(metaPath) && fs.exists(root) &&
+        fs.listStatus(root).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"eval-gram index at $indexDir uses the legacy flat layout " +
+          "(parquet files at the root, no meta/ marker); re-publish with " +
+          "writeEvalNgramIndex — the serve cannot verify the published n " +
+          "without the marker")
     val indexedN = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
     require(n == indexedN,
       s"eval-gram index at $indexDir was published with n=$indexedN; " +

@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-shot recall readout for the PROBE-BOUNDED IVFPQ serving point
-  * (dev scratch): q_pq_probe serves nProbe=4 of 16 cells, and AnnSpec
-  * pins that point's recall floor — this prints recall@5 at nProbe
-  * 2/4/8/16 on the sf0.01 fixture so the pin is set from a measurement,
-  * not an assumption.
+  * (dev scratch): q_pq_probe serves nProbe=8 of 16 cells (4 was
+  * rejected at 0.70 recall — this probe's own round-12 curve:
+  * 2→0.58, 4→0.70, 8→0.86, 16→1.00), and AnnSpec pins the 0.80
+  * recall@5 floor at that point — this prints the full curve on the
+  * sf0.01 fixture so the pin stays set from a measurement, not an
+  * assumption.
   */
 object ProbeRecall {
   def main(args: Array[String]): Unit = {

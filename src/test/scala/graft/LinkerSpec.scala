@@ -165,6 +165,22 @@ class LinkerSpec extends SparkSpec {
     // duplicate input rows must not duplicate pairs (auto distincts names)
     val dup = varied.unionByName(varied)
     assert(pairSet(Linker.similarityPairsAuto(dup, "name", 80.0)) == pairSet(auto80))
+    // NON-INTEGRAL thresholds: the BNLJ computes them exactly, so under
+    // the broadcast wall auto must route there — even at/above the
+    // blocked crossover, where only the integral path may take blocked
+    val autoFrac = Linker.similarityPairsAuto(varied, "name", 90.5)
+    assert(usesBnlj(autoFrac),
+      "non-integral threshold under the wall must take the BNLJ")
+    assert(pairSet(autoFrac) ==
+      pairSet(Linker.similarityPairs(varied, "name", None, 90.5)
+        .select("uniqId", "name_a", "name_b")))
+    // ... and only the truly infeasible combination (non-integral AND
+    // past the wall) is rejected, up front with both numbers named
+    val eF = intercept[IllegalArgumentException] {
+      Linker.similarityPairsAuto(varied, "name", 80.5, maxBnljNames = 5)
+    }
+    assert(eF.getMessage.contains("80.5") &&
+      eF.getMessage.contains("maxBnljNames=5"), eF.getMessage)
   }
 
   test("similarityPairsBlocked rejects non-integral thresholds and handles empty input") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Winnow
+import graft.operators.{NearDup, Winnow}
 import org.apache.spark.sql.functions._
 
 class WinnowSpec extends SparkSpec {
@@ -167,6 +167,19 @@ class WinnowSpec extends SparkSpec {
       Winnow.ngramRedactIndexed(train, "doc_id", "text", dir, n = 7)
     }
     assert(eR.getMessage.contains("n=13"), eR.getMessage)
+    // pre-n-marker LEGACY layout (flat parquet at the index root, no
+    // meta/) must fail with a message naming the remedy, not an opaque
+    // "path does not exist" from the meta read
+    val dirLegacy = java.nio.file.Files
+      .createTempDirectory("graft_ngram_idx_legacy").toString
+    NearDup.shingles(eval_, "doc_id", "text", 13)
+      .select(col("shingle")).distinct()
+      .write.mode("overwrite").parquet(dirLegacy)
+    val eL = intercept[IllegalStateException] {
+      Winnow.ngramContaminationAgainstIndex(train, "doc_id", "text", dirLegacy)
+    }
+    assert(eL.getMessage.contains("legacy flat layout") &&
+      eL.getMessage.contains("re-publish"), eL.getMessage)
   }
 
   test("bloom-pruned contamination equals the unpruned scan on real docs") {
