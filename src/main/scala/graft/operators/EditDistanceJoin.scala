@@ -419,19 +419,183 @@ object EditDistanceJoin {
     require(maxDist <= indexedDist,
       s"index at $indexDir holds <=$indexedDist-deletion postings; " +
         s"serving maxDist=$maxDist would need variants it never generated")
+    val (lk, ldk, lPost, nPart) = explodeLeft(left, leftId, leftKey, maxDist)
+    matchAgainstPostings(lk, lPost, ldk,
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/keys"),
+      spark.read.parquet(s"$indexDir/members"), maxDist, nPart, expandRight)
+  }
+
+  /** Batch-side preparation shared by every index serve: keyed rows,
+    * distinct keys (skew guard), and the pinned variant explode.
+    */
+  private def explodeLeft(left: DataFrame, leftId: String, leftKey: String,
+                          maxDist: Int): (DataFrame, DataFrame, DataFrame, Int) = {
     val lk = left.select(col(leftId).as("id"), col(leftKey).as("key"))
       .filter(col("key").isNotNull)
     val ldk = lk.groupBy("key").agg(min(col("id")).as("gid"))
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val lPost = ldk.repartition(nPart, col("gid"))
       .withColumn("__len", length(col("key")))
       .select(col("gid"), col("__len"),
         explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
           .as("__v"))
+    (lk, ldk, lPost, nPart)
+  }
+
+  /** [[writeVariantIndex]] as BUCKETED catalog tables — the variant
+    * tier's 100 TB layout ([[NearDup.writeBandIndexBucketed]] reasoning):
+    * `<tablePrefix>_postings` bucketBy(__v) so the candidate equi-join
+    * consumes the standing side's layout with NO index-side exchange
+    * (only the batch's exploded variants shuffle to meet it),
+    * `<tablePrefix>_keys` bucketBy(gid) for the verify re-attach,
+    * `<tablePrefix>_members` bucketBy(key) for the id-level expansion —
+    * and, unlike the flat layout, a shape that supports INCREMENTAL
+    * publish ([[appendVariantIndexBucketed]]): bucketed appends keep the
+    * bucket spec (Spark verifies it against the table), so the serve
+    * join's no-shuffle property survives day-N appends. Files land under
+    * `dir`; bucket metadata lives in the catalog. The pre-write
+    * repartition on each bucket column yields one file per bucket.
+    */
+  def writeVariantIndexBucketed(right: DataFrame, rightId: String,
+                                rightKey: String, maxDist: Int, dir: String,
+                                tablePrefix: String,
+                                numBuckets: Int = 8): Unit = {
+    val rk = right.select(col(rightId).as("id"), col(rightKey).as("key"))
+      .filter(col("key").isNotNull)
+    val rdk = rk.groupBy("key").agg(min(col("id")).as("gid"))
+    val nPart = right.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // same explode-fan-out pin as writeVariantIndex (gid, not key); the
+    // bucket repartition AFTER the explode is the write-side layout, so
+    // the neighborhood expansion still computes at nPart parallelism
+    rdk.repartition(nPart, col("gid"))
+      .withColumn("__len", length(col("key")))
+      .select(col("gid"), col("__len"),
+        explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
+          .as("__v"))
+      .repartition(numBuckets, col("__v"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "__v").sortBy("__v")
+      .option("path", s"$dir/postings").saveAsTable(s"${tablePrefix}_postings")
+    rdk.repartition(numBuckets, col("gid"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "gid").sortBy("gid")
+      .option("path", s"$dir/keys").saveAsTable(s"${tablePrefix}_keys")
+    rk.repartition(numBuckets, col("key"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "key").sortBy("key")
+      .option("path", s"$dir/members").saveAsTable(s"${tablePrefix}_members")
+    import right.sparkSession.implicits._
+    Seq(maxDist).toDF("max_dist").write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/meta").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** INCREMENTAL PUBLISH for the variant tier — the verb that closes the
+    * CC lifecycle's day-N loop: after [[ConnectedComponents
+    * .mergeRepublish]] folds a served batch into the standing LABELS,
+    * tomorrow's serve also needs the batch's NAMES in the variant index,
+    * and until this verb existed the only way to get them there was a
+    * full [[writeVariantIndex]] over the grown corpus — the corpus-scan
+    * publish the tier exists to amortize. This appends the batch's
+    * slice of each index table instead (cost tracks the batch, never
+    * the corpus), under the tables' own bucket specs, so the serve
+    * contract survives unchanged.
+    *
+    * Per-table semantics (what keeps append ≡ rebuild):
+    *  - `members` gets EVERY batch row — ids must be NEW (the same
+    *    contract as [[NearDup.appendBandIndexBucketed]]: exact dedup
+    *    upstream owns identity; a re-appended id would duplicate its
+    *    matches);
+    *  - `keys`/`postings` get only the batch's NOVEL keys (left_anti
+    *    against the standing keys): these tables are per-DISTINCT-key
+    *    by the skew-guard construction, and a second (key, gid) row for
+    *    an existing key would double every one of that key's matches
+    *    downstream. The novel set is eagerly materialized BEFORE the
+    *    first append so the second writer cannot see its own side
+    *    effects (the anti join re-evaluated after the keys append would
+    *    find nothing novel and silently skip the postings).
+    *
+    * Exactness vs [[writeVariantIndexBucketed]] over corpus ∪ batch:
+    * id-level serve output ([[pairsAgainstIndexBucketed]]) is IDENTICAL
+    * — gids never reach it (parity-spec'd in EditDistanceJoinSpec;
+    * q_dict_match_appended shares the monolithic oracle). The reps form
+    * ([[repsAgainstIndexBucketed]]) exposes gids as `right_rep_id`: a
+    * novel key's gid (min batch id) equals the monolithic one, and an
+    * existing key keeps its standing gid — which differs from a
+    * monolithic rebuild only when a batch id undercuts that key's
+    * standing minimum (day-N batches normally carry larger ids). Either
+    * way the rep is a true member of the key's group, so connectivity
+    * consumers ([[ConnectedComponents.incrementalAssign]]) are exact
+    * regardless.
+    */
+  def appendVariantIndexBucketed(batch: DataFrame, idCol: String,
+                                 keyCol: String, tablePrefix: String,
+                                 numBuckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val maxDist = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    val bk = batch.select(col(idCol).as("id"), col(keyCol).as("key"))
+      .filter(col("key").isNotNull)
+    bk.repartition(numBuckets, col("key"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "key").sortBy("key")
+      .saveAsTable(s"${tablePrefix}_members")
+    val novel = bk.groupBy("key").agg(min(col("id")).as("gid"))
+      .join(spark.table(s"${tablePrefix}_keys").select("key"),
+        Seq("key"), "left_anti")
+      .localCheckpoint(true) // pin BEFORE the keys append mutates its input
+    novel.repartition(numBuckets, col("gid"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "gid").sortBy("gid")
+      .saveAsTable(s"${tablePrefix}_keys")
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    novel.repartition(nPart, col("gid"))
+      .withColumn("__len", length(col("key")))
+      .select(col("gid"), col("__len"),
+        explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
+          .as("__v"))
+      .repartition(numBuckets, col("__v"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "__v").sortBy("__v")
+      .saveAsTable(s"${tablePrefix}_postings")
+  }
+
+  /** [[pairsAgainstIndex]] served from the BUCKETED tables
+    * ([[writeVariantIndexBucketed]], possibly grown by
+    * [[appendVariantIndexBucketed]]): result-identical, but the
+    * candidate join consumes the postings' bucket layout — no
+    * index-side shuffle (plan-asserted in EditDistanceJoinSpec).
+    */
+  def pairsAgainstIndexBucketed(left: DataFrame, leftId: String,
+                                leftKey: String, maxDist: Int,
+                                tablePrefix: String): DataFrame =
+    serveAgainstTables(left, leftId, leftKey, maxDist, tablePrefix,
+      expandRight = true)
+
+  /** [[repsAgainstIndex]] over the bucketed tables — see
+    * [[appendVariantIndexBucketed]] for the rep-id note under appends.
+    */
+  def repsAgainstIndexBucketed(left: DataFrame, leftId: String,
+                               leftKey: String, maxDist: Int,
+                               tablePrefix: String): DataFrame =
+    serveAgainstTables(left, leftId, leftKey, maxDist, tablePrefix,
+      expandRight = false)
+
+  private def serveAgainstTables(left: DataFrame, leftId: String,
+                                 leftKey: String, maxDist: Int,
+                                 tablePrefix: String,
+                                 expandRight: Boolean): DataFrame = {
+    val spark = left.sparkSession
+    val indexedDist = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    require(maxDist <= indexedDist,
+      s"index tables $tablePrefix hold <=$indexedDist-deletion postings; " +
+        s"serving maxDist=$maxDist would need variants they never generated")
+    val (lk, ldk, lPost, nPart) = explodeLeft(left, leftId, leftKey, maxDist)
     matchAgainstPostings(lk, lPost, ldk,
-      spark.read.parquet(s"$indexDir/postings"),
-      spark.read.parquet(s"$indexDir/keys"),
-      spark.read.parquet(s"$indexDir/members"), maxDist, nPart, expandRight)
+      spark.table(s"${tablePrefix}_postings"),
+      spark.table(s"${tablePrefix}_keys"),
+      spark.table(s"${tablePrefix}_members"), maxDist, nPart, expandRight)
   }
 
   /** Winner policy over [[pairsAgainst]]: ONE canonical dictionary entry

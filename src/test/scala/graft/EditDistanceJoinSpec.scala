@@ -283,4 +283,72 @@ class EditDistanceJoinSpec extends SparkSpec {
       .toSet
     assert(reps == collapsed)
   }
+
+  test("bucketed variant index: append equals monolithic rebuild, no index-side shuffle") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("left_id", "left_key", "right_id", "right_key", "dist")
+        .as[(Long, String, Long, String, Int)].collect().toSet
+    val c = Tables.customer(spark, sf0001)
+    // day-0 dictionary; day-1 slice re-registers the %7==0 names under
+    // NEW (shifted) ids, plus one row whose key ALREADY stands in day 0
+    // under a fresh id — the append must route it to members only
+    // (a second keys/postings row for an existing key would double every
+    // one of that key's matches; set-equality with the monolithic build
+    // below proves it doesn't)
+    val dict0 = c.filter($"c_custkey" % 7 =!= 0).select($"c_custkey", $"c_name")
+    val existingKey = dict0.orderBy($"c_custkey").limit(1)
+      .select(lit(990000001L).as("c_custkey"), $"c_name")
+    val day1 = c.filter($"c_custkey" % 7 === 0)
+      .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_name")
+      .unionByName(existingKey)
+    val mangled = c.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey".as("did"),
+        expr("concat(substring(c_name, 1, CAST((c_custkey DIV 10) % length(c_name) AS INT)), " +
+          "substring(c_name, CAST((c_custkey DIV 10) % length(c_name) AS INT) + 2))").as("dname"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bvidx").toString
+    EditDistanceJoin.writeVariantIndexBucketed(dict0, "c_custkey", "c_name",
+      1, s"$dir/grown", "graft_spec_vidx")
+    EditDistanceJoin.appendVariantIndexBucketed(day1, "c_custkey", "c_name",
+      "graft_spec_vidx")
+    val viaAppend = EditDistanceJoin.pairsAgainstIndexBucketed(
+      mangled, "did", "dname", 1, "graft_spec_vidx")
+    EditDistanceJoin.writeVariantIndexBucketed(dict0.unionByName(day1),
+      "c_custkey", "c_name", 1, s"$dir/mono", "graft_spec_vidx_mono")
+    val viaMono = rows(EditDistanceJoin.pairsAgainstIndexBucketed(
+      mangled, "did", "dname", 1, "graft_spec_vidx_mono"))
+    assert(rows(viaAppend) == viaMono)
+    assert(viaMono.nonEmpty, "fixture must actually match something")
+    // matches genuinely REACH the appended slice: a %70==0 customer's
+    // mangled name has its original ONLY under the appended day-1 id
+    // (the %7==0 originals are absent from day 0), so without the
+    // appended postings these rows match nothing
+    assert(viaMono.exists(_._3 >= 1000000L),
+      "no match reaches the appended day-1 ids; the append test is vacuous")
+    // reps parity too: appended novel keys carry min-batch-id gids =
+    // the monolithic gids (batch ids sit above standing ids here), and
+    // the planted existing key keeps its standing rep on both sides
+    val repsAppend = EditDistanceJoin.repsAgainstIndexBucketed(
+        mangled, "did", "dname", 1, "graft_spec_vidx")
+      .select("left_id", "right_rep_id", "right_key", "dist")
+      .as[(Long, Long, String, Int)].collect().toSet
+    val repsMono = EditDistanceJoin.repsAgainstIndexBucketed(
+        mangled, "did", "dname", 1, "graft_spec_vidx_mono")
+      .select("left_id", "right_rep_id", "right_key", "dist")
+      .as[(Long, Long, String, Int)].collect().toSet
+    assert(repsAppend == repsMono)
+    // the serve join still consumes the bucket layout after the append:
+    // the index scan is bucketed and the only __v exchange is the batch
+    // side's — a second one would mean the standing postings re-shuffle
+    // on every serve
+    val plan = viaAppend.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(__v")) == 1, plan)
+    Seq("graft_spec_vidx", "graft_spec_vidx_mono").foreach { p =>
+      Seq("postings", "keys", "members", "meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_$t"))
+    }
+  }
 }
