@@ -2262,6 +2262,24 @@ object SparkEntry {
         col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model))
     }),
 
+    // ---- The standing code index GROWN INCREMENTALLY (Ann.appendPqIndex
+    // — the ANN tier's day-N verb): 7/8 of the corpus publishes, the
+    // %8==0 slice appends its own codes (batch-sized encode, same frozen
+    // codebooks — a refreeze forces a rebuild by construction), and the
+    // search runs against the grown index. Final code content equals the
+    // monolithic encode, so this shares q_pq_search's oracle. Publish +
+    // append re-paid in-bench by fixture convention.
+    "q_pq_search_appended" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_pq_aidx").toString
+      Ann.writePqIndex(emb.filter(col("vec_id") % 8 =!= 0), "vec_id",
+        "embedding", PqFixture.model, tmp, Some(IvfFixture.model))
+      Ann.appendPqIndex(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+        "embedding", PqFixture.model, tmp, Some(IvfFixture.model))
+      Ann.pqSearchIndexed(emb, "vec_id", "embedding", PqFixture.model,
+        col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model))
+    }),
+
     // ---- IVFPQ search with the PRODUCTION probe bound (nProbe=8 of 16
     // cells): LUTs built only for each query's best coarse cells, so
     // unprobed vectors never enter the distance sum — the sublinear
@@ -4080,6 +4098,16 @@ object SparkEntry {
     // persisted codes ARE pqCodesLong's output) — oracle IDENTICAL to
     // q_pq_search's.
     "q_pq_search_indexed" ->
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(None)} " +
+        "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
+        "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // write(7/8) + append(1/8) reconstructs the monolithic code table
+    // row-for-row (per-vector rows, same frozen codebooks), so the
+    // fused form's oracle is exact.
+    "q_pq_search_appended" ->
       (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(None)} " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +

@@ -852,6 +852,29 @@ object Ann {
     pqCodesLong(emb, idCol, embCol, model, coarse)
       .write.mode("overwrite").parquet(dir)
 
+  /** INCREMENTAL PUBLISH for the ANN tier — the append verb the exact
+    * ([[Dedup.appendKeyIndexBucketed]]), LSH
+    * ([[NearDup.appendBandIndexBucketed]]) and variant
+    * ([[EditDistanceJoin.appendVariantIndexBucketed]]) tiers already
+    * carry: encode ONLY the day's batch and append its codes to the
+    * standing [[writePqIndex]] dir, instead of re-encoding the grown
+    * corpus (the corpus × m·ks assignment the tier exists to amortize).
+    * Losslessness is structural: codes are per-vector rows computed by
+    * the same expressions the full writer uses, so
+    * append(corpus) ∪ append(batch) = write(corpus ∪ batch) row-for-row
+    * (q_pq_search_appended shares the monolithic oracle; AnnSpec pins
+    * the roundtrip). Contracts: batch ids must be NEW (a re-appended
+    * vector would score twice), and `model`/`coarse` must be the
+    * PUBLISHED codebooks — a codebook refreeze changes every code and
+    * therefore forces a full [[writePqIndex]] rebuild; there is nothing
+    * incremental about it by construction.
+    */
+  def appendPqIndex(embBatch: DataFrame, idCol: String, embCol: String,
+                    model: PqModel, dir: String,
+                    coarse: Option[IvfModel] = None): Unit =
+    pqCodesLong(embBatch, idCol, embCol, model, coarse)
+      .write.mode("append").parquet(dir)
+
   /** [[pqSearch]] served from a persisted [[writePqIndex]] — the corpus
     * contributes one code scan per query batch, never a re-encode.
     * Result-identical to the fused form (same codes, same LUT, same

@@ -151,6 +151,18 @@ object Dedup {
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(tableName)
 
+  /** COMPACTION — the fourth lifecycle verb (publish / serve / append /
+    * compact): each [[appendKeyIndexBucketed]] lays down one file per
+    * bucket it touches, so after N daily appends the serve's anti join
+    * scans N small files per bucket. Rewrites the table in place under
+    * its own catalog bucket spec ([[graft.sources.Layout.compactBucketed]])
+    * — serve-identical before/after (LayoutSpec), back to one file per
+    * bucket. Returns the post-compaction file count.
+    */
+  def compactKeyIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                              tableName: String): Int =
+    graft.sources.Layout.compactBucketed(spark, tableName)
+
   /** Streaming twin of content-fingerprint dedup ([[TextOps.fingerprintGroups]]
     * collapsed to survivors): first-ARRIVAL document per md5-of-normalized-
     * text fingerprint, with BOUNDED state — dropDuplicatesWithinWatermark

@@ -561,6 +561,22 @@ object EditDistanceJoin {
       .saveAsTable(s"${tablePrefix}_postings")
   }
 
+  /** COMPACTION for the variant tier's bucketed tables — the fourth
+    * lifecycle verb alongside [[writeVariantIndexBucketed]] (publish),
+    * [[pairsAgainstIndexBucketed]] (serve) and
+    * [[appendVariantIndexBucketed]] (append): N daily appends leave N
+    * file sets per bucket; this rewrites postings/keys/members in place
+    * under their own catalog bucket specs
+    * ([[graft.sources.Layout.compactBucketed]]), serve-identical
+    * before/after. The meta table never grows, so it is left alone.
+    * Returns files per table after compaction (postings, keys, members).
+    */
+  def compactVariantIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                                  tablePrefix: String): (Int, Int, Int) =
+    (graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_postings"),
+     graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_keys"),
+     graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_members"))
+
   /** [[pairsAgainstIndex]] served from the BUCKETED tables
     * ([[writeVariantIndexBucketed]], possibly grown by
     * [[appendVariantIndexBucketed]]): result-identical, but the

@@ -456,6 +456,20 @@ object NearDup {
       .saveAsTable(s"${tablePrefix}_sets")
   }
 
+  /** COMPACTION for the LSH tier's bucketed tables — the fourth
+    * lifecycle verb: each [[appendBandIndexBucketed]] adds a file set
+    * per bucket, and after N appends the serve scans N small files per
+    * bucket. Rewrites both tables in place under their own catalog
+    * bucket specs ([[graft.sources.Layout.compactBucketed]]),
+    * serve-identical before/after (LayoutSpec prices the pattern;
+    * IndexServeProbe prices this tier's serve at 1 vs many appends).
+    * Returns (postings files, sets files) after compaction.
+    */
+  def compactBandIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                               tablePrefix: String): (Int, Int) =
+    (graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_postings"),
+     graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_sets"))
+
   /** [[incrementalNearDupPairs]] served from the BUCKETED index tables
     * ([[writeBandIndexBucketed]]): result-identical, but the candidate
     * join consumes the postings' bucket layout — no index-side shuffle.

@@ -51,6 +51,58 @@ object Layout {
       s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Compact a BUCKETED catalog table in place — the maintenance verb
+    * the incremental-publish tiers need
+    * ([[graft.operators.Dedup.appendKeyIndexBucketed]],
+    * [[graft.operators.NearDup.appendBandIndexBucketed]],
+    * [[graft.operators.EditDistanceJoin.appendVariantIndexBucketed]]):
+    * every bucketed append lays down one file SET per append under the
+    * table's bucket spec, so after N daily appends a serve scans N small
+    * files per bucket — the classic small-files regression, invisible at
+    * day 1 and dominant at day 365. This rewrites the table from itself
+    * under the IDENTICAL bucket/sort spec (read from the catalog, so no
+    * caller-supplied spec can drift from the table's), restoring one
+    * file per bucket while changing nothing a query can observe
+    * (content parity spec'd in LayoutSpec; the serve cost at 1 vs ~20
+    * appends, before and after compaction, is priced in
+    * IndexServeProbe).
+    *
+    * Mechanics: the current content FIRST materializes to a staging dir
+    * beside the table's location (Spark cannot overwrite a table it is
+    * reading, and the overwrite deletes the old files before the new
+    * job could read them), then rewrites from staging under the same
+    * spec with the one-file-per-bucket pre-write repartition, then the
+    * staging dir is deleted. Two sequential writes of the table's bytes
+    * — the honest price of an in-place rewrite; at 100 TB this runs as
+    * the same nightly maintenance window as the appends it cleans up
+    * after. Returns the data file count after compaction.
+    */
+  def compactBucketed(spark: SparkSession, tableName: String): Int = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableName has no bucket spec; compactBucketed is for bucketed " +
+        "tables — use compact(inDir, outDir) for plain parquet"))
+    val location = meta.location.toString
+    val staging = location.stripSuffix("/") + "__compact_staging"
+    spark.table(tableName).write.mode(SaveMode.Overwrite).parquet(staging)
+    val writer = spark.read.parquet(staging)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else writer)
+      .option("path", location).saveAsTable(tableName)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.listStatus(new org.apache.hadoop.fs.Path(location)).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Write `df` range-clustered on `cols`: repartitionByRange gives each
     * output file a disjoint key range (sampled range boundaries — one
     * shuffle), sortWithinPartitions makes row-group stats tight within

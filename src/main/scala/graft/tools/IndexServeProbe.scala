@@ -187,6 +187,56 @@ object IndexServeProbe {
     results.foreach { case (t, p, s) =>
       println(f"$t%-12s $p%9.2f $s%9.2f ${s / p}%9.2f")
     }
+
+    // 7. COMPACTION (round 13): every bucketed append lays down one file
+    // set per bucket, so day-N serving scans N file sets — this prices
+    // the small-files drift (serve at 0 vs 20 appends) and what
+    // compactIndexBucketed buys back (serve after the in-place rewrite,
+    // one file per bucket again). Appends use suffixed/shifted keys so
+    // each is genuinely novel per the append contract.
+    locally {
+      val fp = docs.select(col("doc_id"), col("source"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      Dedup.writeKeyIndexBucketed(fp.filter(col("source") =!= "src0"),
+        "fp", s"$scratch/fp_cmp", "idxprobe_fp_cmp")
+      val batch = fp.filter(col("source") === "src0").select("doc_id", "fp")
+      def srvFp = serveMin(3)(Dedup.incrementalAgainstIndex(
+        batch, "fp", "idxprobe_fp_cmp"))
+      val s0 = srvFp
+      (1 to 20).foreach { i =>
+        Dedup.appendKeyIndexBucketed(
+          fp.filter(col("source") === "src1")
+            .select(concat(col("fp"), lit(s"_d$i")).as("fp")),
+          "fp", "idxprobe_fp_cmp")
+      }
+      val s20 = srvFp
+      val (cSec, files) = time(
+        Dedup.compactKeyIndexBucketed(spark, "idxprobe_fp_cmp"))
+      val sAfter = srvFp
+      println(f"[compact] fp_exact  serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
+        f" | compact ${cSec}%.2f s -> $files files | after ${sAfter}%.2f s")
+    }
+    locally {
+      NearDup.writeBandIndexBucketed(docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", 3, s"$scratch/lsh_cmp", "idxprobe_lsh_cmp")
+      val batch = docs.filter(col("source") === "src0")
+      def srvLsh = serveMin(3)(NearDup.incrementalNearDupPairsBucketed(
+        batch, "doc_id", "text", 3, 0.5, "idxprobe_lsh_cmp"))
+      val s0 = srvLsh
+      (1 to 20).foreach { i =>
+        NearDup.appendBandIndexBucketed(
+          docs.filter(col("source") === "src1")
+            .select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+              col("text")),
+          "doc_id", "text", 3, "idxprobe_lsh_cmp")
+      }
+      val s20 = srvLsh
+      val (cSec, (pf, sf_)) = time(
+        NearDup.compactBandIndexBucketed(spark, "idxprobe_lsh_cmp"))
+      val sAfter = srvLsh
+      println(f"[compact] lsh_bands serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
+        f" | compact ${cSec}%.2f s -> ($pf, ${sf_}) files | after ${sAfter}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -596,4 +596,32 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(servedProbe == fusedProbe)
   }
+
+  test("appendPqIndex: grown code index equals the monolithic encode, search-identical") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_aidx").toString
+    Ann.writePqIndex(emb.filter(col("vec_id") % 8 =!= 0), "vec_id",
+      "embedding", PqFixture.model, s"$dir/grown", Some(IvfFixture.model))
+    Ann.appendPqIndex(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+      "embedding", PqFixture.model, s"$dir/grown", Some(IvfFixture.model))
+    Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model,
+      s"$dir/mono", Some(IvfFixture.model))
+    // code-table parity row-for-row: per-vector rows from the same
+    // frozen codebooks — the structural losslessness claim, checked
+    val grown = spark.read.parquet(s"$dir/grown")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val mono = spark.read.parquet(s"$dir/mono")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(grown == mono)
+    assert(grown.exists(_._1 % 8 == 0), "appended vectors must be present")
+    // ... and the search result over the grown index is the fused form's
+    val served = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+        PqFixture.model, col("vec_id") % 50 === 0, 5, s"$dir/grown",
+        Some(IvfFixture.model))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fused = Ann.pqSearch(emb, "vec_id", "embedding", PqFixture.model,
+        col("vec_id") % 50 === 0, 5, Some(IvfFixture.model))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served == fused)
+  }
 }

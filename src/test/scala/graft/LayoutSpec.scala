@@ -31,6 +31,79 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(compacted).count() == c.count())
   }
 
+  test("compactBucketed rewrites an appended bucketed table in place: same serve, one file per bucket") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sf0001)
+    val fp = docs.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val corpus0 = fp.filter(col("source") === "src1").select("fp")
+    val dir = tmpDir("bcomp")
+    val tbl = "graft_spec_compact_idx"
+    Dedup.writeKeyIndexBucketed(corpus0, "fp", s"$dir/t", tbl, numBuckets = 4)
+    // five daily appends, each one bucketed file set — novel keys only,
+    // per the append contract
+    (2 to 6).foreach { i =>
+      val day = fp.filter(col("source") === s"src$i").select("doc_id", "fp")
+      Dedup.appendKeyIndexBucketed(
+        Dedup.incrementalAgainstIndex(day, "fp", tbl), "fp", tbl,
+        numBuckets = 4)
+    }
+    val batch = fp.filter(col("source") === "src0").select("doc_id", "fp")
+    val before = Dedup.incrementalAgainstIndex(batch, "fp", tbl)
+      .as[(String, Long)].collect().toSet
+    val filesBefore = parquetFiles(s"$dir/t").size
+    assert(filesBefore > 4, s"appends must accumulate files, saw $filesBefore")
+    val filesAfter = Dedup.compactKeyIndexBucketed(spark, tbl)
+    // one file per bucket restored, nothing a query can observe changed
+    assert(filesAfter == 4, s"filesAfter=$filesAfter")
+    assert(parquetFiles(s"$dir/t").size == 4)
+    val after = Dedup.incrementalAgainstIndex(batch, "fp", tbl)
+      .as[(String, Long)].collect().toSet
+    assert(after == before)
+    // ... and the table is still genuinely BUCKETED (the serve anti join
+    // consumes the layout in place; broadcast disabled as in DedupSpec —
+    // at real scale the index never fits one)
+    val broadcastConfs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = broadcastConfs.map(k => k -> spark.conf.getOption(k))
+    broadcastConfs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = Dedup.incrementalAgainstIndex(batch, "fp", tbl)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  test("compactBandIndexBucketed: LSH serve identical across append + compact") {
+    import graft.operators.NearDup
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"source" =!= "src0" && $"source" =!= "src1")
+    val day1 = docs.filter($"source" === "src1").select($"doc_id", $"text")
+    val batch = docs.filter($"source" === "src0")
+    val dir = tmpDir("lshcomp")
+    val tbl = "graft_spec_compact_lsh"
+    NearDup.writeBandIndexBucketed(corpus, "doc_id", "text", 3, s"$dir/t", tbl)
+    NearDup.appendBandIndexBucketed(day1, "doc_id", "text", 3, tbl)
+    val before = NearDup.incrementalNearDupPairsBucketed(batch, "doc_id",
+        "text", 3, 0.3, tbl)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val (pFiles, sFiles) = NearDup.compactBandIndexBucketed(spark, tbl)
+    assert(pFiles == 8 && sFiles == 8, s"($pFiles, $sFiles)")
+    val after = NearDup.incrementalNearDupPairsBucketed(batch, "doc_id",
+        "text", 3, 0.3, tbl)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(after == before)
+    assert(before.nonEmpty)
+    Seq("postings", "sets").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_$t"))
+  }
+
   test("writeSharded + shardManifest: stable shards, order-independent checksum") {
     import spark.implicits._
     val out = s"${tmpDir("sharded")}/t"
