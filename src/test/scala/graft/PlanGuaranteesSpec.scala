@@ -54,6 +54,9 @@ class PlanGuaranteesSpec extends SparkSpec {
       "q_lm_score", "q_lm_contrast", "q_bm25", "q_bm25_batch",
       "q_dsir_weights", "q_pq_recall", "q_link_snm_multi_recall",
       "q_pq_search", "q_pq_probe", "q_pq_encode", "q_pq_search_indexed",
+      // same LUT shape over the APPENDED code table — identical plan
+      // family to q_pq_search_indexed, only the scan's file list differs
+      "q_pq_search_appended",
       // the tc row combines TWO one-row aggregates (component pair count
       // x truth catch count) — constant-attach, build side is one row
       "q_link_snm_tc_recall")
