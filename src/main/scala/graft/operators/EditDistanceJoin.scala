@@ -508,14 +508,16 @@ object EditDistanceJoin {
     *    contract as [[NearDup.appendBandIndexBucketed]]: exact dedup
     *    upstream owns identity; a re-appended id would duplicate its
     *    matches);
-    *  - `keys`/`postings` get only the batch's NOVEL keys (left_anti
-    *    against the standing keys): these tables are per-DISTINCT-key
-    *    by the skew-guard construction, and a second (key, gid) row for
-    *    an existing key would double every one of that key's matches
-    *    downstream. The novel set is eagerly materialized BEFORE the
-    *    first append so the second writer cannot see its own side
-    *    effects (the anti join re-evaluated after the keys append would
-    *    find nothing novel and silently skip the postings).
+    *  - `keys`/`postings` get only the batch's NOVEL keys
+    *    ([[novelKeysAgainstMembers]] — an anti join against the
+    *    KEY-BUCKETED members table, so the standing side is a bucketed
+    *    scan with no exchange and no broadcast): these tables are
+    *    per-DISTINCT-key by the skew-guard construction, and a second
+    *    (key, gid) row for an existing key would double every one of
+    *    that key's matches downstream. The novel set is eagerly
+    *    materialized BEFORE any table is appended — the anti join reads
+    *    members, so appending members first would make every batch key
+    *    look standing and silently skip the keys/postings writes.
     *
     * Exactness vs [[writeVariantIndexBucketed]] over corpus ∪ batch:
     * id-level serve output ([[pairsAgainstIndexBucketed]]) is IDENTICAL
@@ -537,14 +539,15 @@ object EditDistanceJoin {
     val maxDist = spark.table(s"${tablePrefix}_meta").head().getInt(0)
     val bk = batch.select(col(idCol).as("id"), col(keyCol).as("key"))
       .filter(col("key").isNotNull)
+    // Novelty is PINNED before any table mutates: the anti join reads
+    // `members`, and appending members first would make every batch key
+    // look standing (nothing novel -> postings silently skipped).
+    val novel = novelKeysAgainstMembers(bk, tablePrefix)
+      .localCheckpoint(true)
     bk.repartition(numBuckets, col("key"))
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "key").sortBy("key")
       .saveAsTable(s"${tablePrefix}_members")
-    val novel = bk.groupBy("key").agg(min(col("id")).as("gid"))
-      .join(spark.table(s"${tablePrefix}_keys").select("key"),
-        Seq("key"), "left_anti")
-      .localCheckpoint(true) // pin BEFORE the keys append mutates its input
     novel.repartition(numBuckets, col("gid"))
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "gid").sortBy("gid")
@@ -560,6 +563,33 @@ object EditDistanceJoin {
       .bucketBy(numBuckets, "__v").sortBy("__v")
       .saveAsTable(s"${tablePrefix}_postings")
   }
+
+  /** The append's novelty check, shaped for the standing side: the
+    * batch's distinct keys anti-joined against the `members` table —
+    * NOT `keys` — because members is bucketed BY KEY, so the standing
+    * side contributes a bucketed column scan with no exchange and no
+    * broadcast (an anti join against the gid-bucketed keys table would
+    * have to re-shuffle — or, under AQE at fixture sizes, BROADCAST —
+    * the entire standing key set on every nightly append; at corpus
+    * scale either is the corpus-sized work the append verb exists to
+    * avoid). members holds one row per corpus row rather than per
+    * distinct key, but a bucketed single-column scan is a strictly
+    * cheaper posture than any corpus shuffle. The merge hint rides the
+    * members side: a LeftAnti join can only broadcast its RIGHT side,
+    * and without the pin AQE broadcasts fixture-sized members tables —
+    * the exact plan that dies when members is corpus-sized; under the
+    * hint the join is a sort-merge whose members side sorts within its
+    * buckets and never exchanges (asserted via the no-BroadcastExchange
+    * plan check in EditDistanceJoinSpec — with LeftAnti, any broadcast
+    * would necessarily be the members side). Duplicate right-side keys
+    * are harmless to left_anti semantics.
+    */
+  private[graft] def novelKeysAgainstMembers(bk: DataFrame,
+                                             tablePrefix: String): DataFrame =
+    bk.groupBy("key").agg(min(col("id")).as("gid"))
+      .join(bk.sparkSession.table(s"${tablePrefix}_members")
+          .select("key").hint("merge"),
+        Seq("key"), "left_anti")
 
   /** COMPACTION for the variant tier's bucketed tables — the fourth
     * lifecycle verb alongside [[writeVariantIndexBucketed]] (publish),

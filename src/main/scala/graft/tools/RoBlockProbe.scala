@@ -4,8 +4,9 @@ import graft.{GraftLocalDir, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measures the blocked RO join (dev scratch), three arg-gated sections
-  * (`supplier`, `diverse`, `long`; no args = all):
+/** Measures the blocked RO join (dev scratch), arg-gated sections
+  * (`supplier`, `diverse`, `long`, `random`, `random16`, `wall`,
+  * `wall32`; no args = all but wall32):
   *
   *  1. filter effectiveness on the supplier fixture: candidate pairs
   *     surviving prefix filter + length band vs all pairs vs verified —
@@ -175,6 +176,69 @@ object RoBlockProbe {
       // candidates, the BNLJ tracks n² regardless) — one scale point
       sweep(s"random", randomNames, Seq(16000L), 95.0)
     }
+    // BNLJ WALL (round 13): where does the faithful BNLJ actually fall
+    // over at the fixture threshold t=80? similarityPairsAuto's
+    // `maxBnljNames` default models the answer, and until this sweep it
+    // was an argument, not a number. Protocol: random-letters corpus
+    // (the filter-friendliest regime — if the blocked form can't win
+    // here at t=80 it can't win anywhere at t=80), n doubling from 8k;
+    // BNLJ wall time plus its broadcast payload (distinct names × avg
+    // bytes — the memory wall the time wall races against); blocked at
+    // the base n for the pair-equality check and the constant ratio
+    // (its t=80 single-node constant is ~6x the BNLJ's on this corpus —
+    // the round-12 crossover table). Measured (this box): the wall is
+    // TIME, not memory — 17.4 s at n=8k, ~4x per doubling (~17 us per
+    // difflib verify across 32 cores), while the broadcast payload is
+    // 0.18 MB at 8k (~23 B/name — memory is nowhere in sight below
+    // ~10^8 names). At the 20k default the extrapolated BNLJ wall is
+    // ~2 minutes on 32 cores — the single-node latency budget the
+    // default encodes; past it neither single-node form is sane and the
+    // blocked shape's distributability is the only lever left, 6x
+    // constant and all. Sections: `wall` (8k/16k), `wall32` (the 32k
+    // confirmation point, ~5 min alone).
+    val wallLetters = array(('a' to 'z').map(c => lit(c.toString)): _*)
+    def wallWord(e: org.apache.spark.sql.Column) = {
+      val mixed = abs(xxhash64(e))
+      concat((0 until 6).map(i =>
+        element_at(wallLetters,
+          pmod(mixed / lit(math.pow(26, i).toLong.max(1L)), lit(26L))
+            .cast("int") + 1)): _*)
+    }
+    def wallNames(n: Long) = {
+      val g = expr("id DIV 5")
+      spark.range(n).select(
+        concat_ws(" ",
+          wallWord(g * 3 + 1), wallWord(g * 3 + 2), wallWord(g * 3 + 3),
+          (col("id") % 5).cast("string")).as("name"))
+    }
+    def wallPoint(n: Long, bnljRuns: Int, withBlocked: Boolean): Unit = {
+      val d = wallNames(n).localCheckpoint(true)
+      val bytes = d.select(sum(length(col("name")))).head.getLong(0)
+      println(f"[roblock] wall n=$n%6d t=80: broadcast payload ~${bytes / 1e6}%6.2f MB " +
+        f"(${n * (n - 1) / 2}%.3g candidate verifies for the BNLJ)")
+      val nv = (1 to bnljRuns).map { _ =>
+        time(f"wall n=$n bnlj") {
+          Linker.similarityPairs(d, "name", None, 80.0).count()
+        }
+      }
+      if (withBlocked) {
+        val bl = time(f"wall n=$n blocked") {
+          Linker.similarityPairsBlocked(d, "name", 80.0).count()
+        }
+        require(nv.head._2 == bl._2,
+          s"pair sets disagree at wall n=$n: bnlj=${nv.head._2} blocked=${bl._2}")
+        println(f"[roblock] wall n=$n%6d t=80  min bnlj=${nv.map(_._1).min}%7.2f s  " +
+          f"blocked=${bl._1}%7.2f s  bnlj/blocked=${nv.map(_._1).min / bl._1}%5.2fx")
+      } else {
+        println(f"[roblock] wall n=$n%6d t=80  min bnlj=${nv.map(_._1).min}%7.2f s")
+      }
+      d.unpersist()
+    }
+    if (section("wall")) {
+      wallPoint(8000L, bnljRuns = 2, withBlocked = true)
+      wallPoint(16000L, bnljRuns = 1, withBlocked = false)
+    }
+    if (only("wall32")) wallPoint(32000L, bnljRuns = 1, withBlocked = false)
     spark.stop()
   }
 }

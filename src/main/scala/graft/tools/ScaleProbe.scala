@@ -132,6 +132,18 @@ import org.apache.spark.sql.functions._
   * cc_republish_serve (mergeRepublish under the same protocol) is flat
   * too — 0.92x/1.01x — the corpus-linear relabel join is noise next to
   * the batch-bound condensed CC even as the output frame grows 10x.
+  * Round-13 additions (append-verb exponents — the incremental-publish
+  * verbs' "append cost tracks the batch, never the corpus" claim, with
+  * the batch pinned and the STANDING side grown 4x/10x; fresh batch
+  * salts per timed call so a second append can't shortcut through the
+  * first one's state): fp_append 0.78x/0.63x, lsh_append 0.74x/0.91x,
+  * pq_append 0.77x/0.62x — FLAT, as their shape demands (none of the
+  * three ever opens the standing table); variant_append 0.80x/0.81x —
+  * flat too, INCLUDING its novelty anti join, which is the one append
+  * with a standing-side input: it reads the key-bucketed members table
+  * (bucketed scan + in-bucket sort, no exchange, and the merge pin
+  * keeps AQE from broadcasting a corpus-sized side — see
+  * EditDistanceJoin.novelKeysAgainstMembers).
   * ro_blocked (diverse 40-word-vocab names, n = 2000·R)
   * measured 22.6x/66.0x at 4x/10x while emitted TRUE pairs grew
   * 11.9x/82.5x (the small vocabulary saturates, near-dup density rises
@@ -617,6 +629,89 @@ object ScaleProbe {
     val idxResults = idxProbes
       .filter(p => only.isEmpty || only(p._1)).map(_._2())
 
+    // ---- append-verb exponents (round 13): the serve exponents above
+    // price READING a grown standing index; these price GROWING it — the
+    // incremental-publish verbs' defining claim is "append cost tracks
+    // the batch, never the corpus", measured here the same way: batch
+    // PINNED to a base-corpus slice, standing side published at 1x/4x/
+    // 10x, then the append itself timed. Each timed call gets a
+    // freshly-salted batch (new ids / new keys) so the second append
+    // can't shortcut through state the first one created (the variant
+    // tier's novelty anti join would otherwise find nothing novel on a
+    // re-append and skip its postings write). Expected shapes: fp/lsh/pq
+    // appends never read the standing side at all — FLAT is the only
+    // acceptable exponent; the variant append's novelty anti join DOES
+    // read the standing keys, so its floor is a corpus-key scan — the
+    // exponent prices whether the plan pays a scan or a shuffle for it.
+    def appendProbe(name: String, mk: Int => DataFrame)
+                   (publish: (DataFrame, String, String) => Unit)
+                   (append: (String, String, Int) => Unit): (String, Double, Double) = {
+      val times = factors.map { r =>
+        val d = mk(r).localCheckpoint(true)
+        val dir = s"$idxScratch/app_${name}_$r"
+        val tbl = s"scaleapp_${name}_$r"
+        publish(d, dir, tbl)
+        val (warm, _) = time { append(dir, tbl, 1); 0L }
+        val (t, _) = time { append(dir, tbl, 2); 0L }
+        d.unpersist()
+        println(f"[scale] $name%-22s ${r}%2dx  $t%7.2f s (warm-up $warm%6.2f)")
+        t
+      }
+      val r4 = times(1) / times(0)
+      val r10 = times(2) / times(0)
+      println(f"[scale] $name%-22s ratios: 4x -> ${r4}%5.2f, 10x -> ${r10}%5.2f")
+      (name, r4, r10)
+    }
+    val appendProbes: Seq[(String, () => (String, Double, Double))] = Seq(
+      // exact tier: batch = salted-text slice (all keys novel); the verb
+      // distincts and bucket-appends the BATCH only
+      "fp_append" -> (() => appendProbe("fp_append", replicate) { (d, dir, tbl) =>
+        Dedup.writeKeyIndexBucketed(d, "text", dir, tbl)
+      } { (_, tbl, i) =>
+        val batch = base.filter(col("doc_id") % 3 === 0)
+          .select(concat(col("text"), lit(" apsalt"), lit(i)).as("text"))
+        Dedup.appendKeyIndexBucketed(batch, "text", tbl)
+      }),
+      // LSH tier: batch = base src0 slice under fresh ids; the verb
+      // shingles/minhashes the batch and bucket-appends its postings/sets
+      "lsh_append" -> (() => appendProbe("lsh_append", replicate) { (d, dir, tbl) =>
+        NearDup.writeBandIndexBucketed(d, "doc_id", "text", 3, dir, tbl)
+      } { (_, tbl, i) =>
+        val batch = base.filter(col("source") === "src0")
+          .select((col("doc_id") + lit(800000000L) + lit(i) * 1000000L)
+            .as("doc_id"), col("text"))
+        NearDup.appendBandIndexBucketed(batch, "doc_id", "text", 3, tbl)
+      }),
+      // variant tier: batch = customer %3 slice under fresh ids, half the
+      // keys salted novel / half verbatim (both novelty paths exercised);
+      // the verb's anti join reads the STANDING keys — the one append
+      // with a corpus-side input, and the exponent this section is for
+      "variant_append" -> (() => appendProbe("variant_append", replicateCust) { (d, dir, tbl) =>
+        EditDistanceJoin.writeVariantIndexBucketed(d, "id", "key", 1, dir, tbl)
+      } { (_, tbl, i) =>
+        val batch = custBase.filter(col("id") % 3 === 0)
+          .select((col("id") + lit(900000000L) + lit(i) * 1000000L).as("id"),
+            when(col("id") % 2 === 0, col("key"))
+              .otherwise(concat(col("key"), lit("Q"), lit(i))).as("key"))
+        EditDistanceJoin.appendVariantIndexBucketed(batch, "id", "key", tbl)
+      }),
+      // ANN tier: batch = embedding slice under fresh ids; the verb
+      // encodes the BATCH against the frozen codebooks and appends its
+      // codes — it never opens the standing code table
+      "pq_append" -> (() => appendProbe("pq_append", replicateEmb) { (d, dir, _) =>
+        Ann.writePqIndex(d, "vec_id", "embedding", PqFixture.model, dir,
+          Some(IvfFixture.model))
+      } { (dir, _, i) =>
+        val batch = embBase.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + lit(700000000L) + lit(i) * 1000000L)
+            .as("vec_id"), col("embedding"))
+        Ann.appendPqIndex(batch, "vec_id", "embedding", PqFixture.model, dir,
+          Some(IvfFixture.model))
+      })
+    )
+    val appendResults = appendProbes
+      .filter(p => only.isEmpty || only(p._1)).map(_._2())
+
     // ---- duplicate-key flood (the EditDistanceJoin skew guard): the
     // supplier corpus plus f exact copies of ONE name. The guarded join
     // dedupes keys before the variant explode, so its variant-join stage
@@ -703,7 +798,8 @@ object ScaleProbe {
       Seq(("ro_blocked", r4, r10))
     } else Seq.empty
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
-    (results ++ embResults ++ evResults ++ graphResults ++ idxResults ++ roResults).foreach { case (n, r4, r10) =>
+    (results ++ embResults ++ evResults ++ graphResults ++ idxResults ++
+      appendResults ++ roResults).foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()

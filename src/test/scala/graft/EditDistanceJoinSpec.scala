@@ -346,6 +346,21 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
     assert(plan.linesIterator
       .count(l => l.contains("Exchange hashpartitioning(__v")) == 1, plan)
+    // the append's novelty anti join consumes the members table's KEY
+    // bucketing: the standing side must contribute a bucketed scan with
+    // no exchange and no broadcast (either would be corpus-sized work on
+    // every nightly append — the exact cost the verb exists to avoid);
+    // the only exchange in the plan is the bounded batch side's
+    // (a LeftAnti join can only broadcast its RIGHT side — the members
+    // table here — so no-BroadcastExchange pins exactly that; bucketing
+    // supplies the members side's distribution, so its scan needs no
+    // exchange either)
+    val novelPlan = EditDistanceJoin.novelKeysAgainstMembers(
+        day1.select($"c_custkey".as("id"), $"c_name".as("key")),
+        "graft_spec_vidx")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(novelPlan.contains("Bucketed: true"), novelPlan)
+    assert(!novelPlan.contains("BroadcastExchange"), novelPlan)
     Seq("graft_spec_vidx", "graft_spec_vidx_mono").foreach { p =>
       Seq("postings", "keys", "members", "meta").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS ${p}_$t"))
