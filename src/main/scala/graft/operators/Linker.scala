@@ -143,10 +143,10 @@ object Linker {
     *    codegen difflib verify is cheaper per pair than shuffling one
     *    candidate row, so the BNLJ wins single-node wall time (measured
     *    0.11-0.37x blocked/BNLJ across four corpora) — BNLJ;
-    *  - below the crossover PAST that size: blocked, the only shape
-    *    that can recruit more hardware (the BNLJ broadcasts one full
-    *    side and its n² verify floor caps at one machine's probe-side
-    *    cores x time).
+    *  - below the crossover PAST that size: blocked — its cost is
+    *    candidate-bound (can collapse with corpus diversity, where the
+    *    BNLJ pays the n² verify floor unconditionally) and it never
+    *    ships a full side to the driver and every executor.
     *
     * The 20000 default is MEASURED, not modeled (round-13 RoBlockProbe
     * `wall` sweep, t=80 random-letters corpus, local[32]): the BNLJ's
@@ -154,12 +154,13 @@ object Linker {
     * 213 s at 32k (~n², ~13-16 us per difflib verify), so the default
     * sits where the extrapolated single-node wall (~100 s at 20k)
     * crosses from "slow query" into "wrong plan shape"; the broadcast
-    * payload is a non-factor at ANY plausible name count (measured
-    * ~23 B/name: 0.45 MB at 20k, still <250 MB at 10^7 names). Past
-    * the budget the blocked branch is chosen for distributability
-    * despite its ~6-9x single-node constant at t=80 (blocked 125.8 s
-    * vs BNLJ 13.5 s at 8k, same sweep): n² work that saturates one
-    * box only goes DOWN with more executors in the blocked shape.
+    * payload is ~23 B/name (0.45 MB at 20k — a non-factor until
+    * ~10^7-10^8 names). The route past the budget is paid knowingly:
+    * on the adversarially prefix-dense corpora measured, blocked
+    * carries a ~6-9x single-node constant at t=80 (125.8 s vs the
+    * BNLJ's 13.5 s at 8k, same sweep) — the premium buys the shape
+    * whose cost can collapse on diverse corpora and that never
+    * materializes a full side in one place.
     *
     * Names are distinct-ed up front so both branches emit the SAME
     * directed (uniqId, name_a, name_b) rows (parity pinned in
