@@ -403,6 +403,48 @@ object SparkEntry {
         .select(col("id").as("c_custkey"), col("component"))
     }),
 
+    // ---- The CC lifecycle's DAY-N LOOP, end-to-end and oracled: day-0
+    // publish (standing labels + BUCKETED variant index), day-1 serve →
+    // mergeRepublish → appendVariantIndexBucketed, day-2 serve whose
+    // edges come from the APPENDED index against the REPUBLISHED labels
+    // — no caller-supplied frames anywhere past day 0. The output (the
+    // day-2 batch's labels) must equal the one-big-run closure over all
+    // three slices, so it shares q_cluster_cc_serve's oracle: the
+    // fixpoint property as a DuckDB row, not just the ClusterSpec
+    // parity test. Fresh scratch tables per call — publish + fold +
+    // append are re-paid in-bench by the same fixture convention as
+    // every *_appended row. Day-1's fold is PINNED (eager
+    // localCheckpoint) before the append grows the index it reads.
+    "q_cluster_cc_day2" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def slice(r: Int) = c.filter(col("c_custkey") % 3 === r)
+        .select(col("c_custkey"), col("c_name"))
+      val day0 = slice(1); val day1 = slice(2); val day2 = slice(0)
+      val tmp = scratchDir("graft_cc_day2q")
+      val tbl = tmp.getFileName.toString
+      EditDistanceJoin.writeVariantIndexBucketed(day0, "c_custkey",
+        "c_name", 1, tmp.toString, tbl)
+      val standing0 = ConnectedComponents.run(
+        day0.select(col("c_custkey").as("id")),
+        EditDistanceJoin.idPairs(day0, "c_custkey", "c_name", 1)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      def edges(batch: org.apache.spark.sql.DataFrame) =
+        EditDistanceJoin.repsAgainstIndexBucketed(
+            batch, "c_custkey", "c_name", 1, tbl)
+          .select(col("left_id").as("src"), col("right_rep_id").as("dst"))
+          .unionByName(
+            EditDistanceJoin.idPairs(batch, "c_custkey", "c_name", 1)
+              .select(col("id_a").as("src"), col("id_b").as("dst")))
+      val standing1 = ConnectedComponents.mergeRepublish(standing0,
+          day1.select(col("c_custkey").as("id")), edges(day1))
+        .localCheckpoint(true)
+      EditDistanceJoin.appendVariantIndexBucketed(day1, "c_custkey",
+        "c_name", tbl)
+      ConnectedComponents.incrementalAssign(standing1,
+          day2.select(col("c_custkey").as("id")), edges(day2))
+        .select(col("id").as("c_custkey"), col("component"))
+    }),
+
     // ---- A4 faithful mode: solutionTwo's greedy driver-side clustering
     // (order-dependent, multi-assign, non-transitive) on supplier names,
     // ordered by s_suppkey. The DuckDB oracle replays the FULL sequential
@@ -2509,6 +2551,17 @@ object SparkEntry {
         "reach(u, v) AS (SELECT u, v FROM e " +
         "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
         "SELECT u AS c_custkey, min(v) AS component FROM reach GROUP BY u"),
+    // Day-2 of the lifecycle loop serves the same %3==0 slice against
+    // day0 ∪ day1 — and its labels must equal the one-big-run closure,
+    // so the oracle is q_cluster_cc_serve's, verbatim.
+    "q_cluster_cc_day2" ->
+      ("WITH RECURSIVE e AS (" +
+        "SELECT a.c_custkey AS u, b.c_custkey AS v FROM customer a JOIN customer b " +
+        "ON levenshtein(a.c_name, b.c_name) <= 1), " +
+        "reach(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u) " +
+        "SELECT u AS c_custkey, min(v) AS component FROM reach " +
+        "WHERE u % 3 = 0 GROUP BY u"),
     "q_text_stats" -> sqlTextStats,
     // Retention curve replay: same quality formula + whitespace token
     // count, same floor(q*10) bucketing (identical IEEE tree both
