@@ -143,13 +143,17 @@ object Dedup {
     * q_dedup_incr_appended shares the monolithic form's oracle).
     */
   def appendKeyIndexBucketed(novelBatch: DataFrame, key: String,
-                             tableName: String,
-                             numBuckets: Int = 8): Unit =
+                             tableName: String): Unit = {
+    // bucket count comes from the TABLE, not a parameter — the appended
+    // files must carry the publish-time spec whatever it was
+    val numBuckets = graft.sources.Layout.bucketCountOf(
+      novelBatch.sparkSession, tableName)
     novelBatch.select(key).distinct()
       .repartition(numBuckets, col(key))
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, key).sortBy(key)
       .saveAsTable(tableName)
+  }
 
   /** COMPACTION — the fourth lifecycle verb (publish / serve / append /
     * compact): each [[appendKeyIndexBucketed]] lays down one file per

@@ -533,10 +533,13 @@ object EditDistanceJoin {
     * regardless.
     */
   def appendVariantIndexBucketed(batch: DataFrame, idCol: String,
-                                 keyCol: String, tablePrefix: String,
-                                 numBuckets: Int = 8): Unit = {
+                                 keyCol: String, tablePrefix: String): Unit = {
     val spark = batch.sparkSession
     val maxDist = spark.table(s"${tablePrefix}_meta").head().getInt(0)
+    // bucket counts come from the TABLES, not a parameter — the appended
+    // files must carry each table's publish-time spec whatever it was
+    def buckets(t: String): Int =
+      graft.sources.Layout.bucketCountOf(spark, s"${tablePrefix}_$t")
     val bk = batch.select(col(idCol).as("id"), col(keyCol).as("key"))
       .filter(col("key").isNotNull)
     // Novelty is PINNED before any table mutates: the anti join reads
@@ -544,23 +547,26 @@ object EditDistanceJoin {
     // look standing (nothing novel -> postings silently skipped).
     val novel = novelKeysAgainstMembers(bk, tablePrefix)
       .localCheckpoint(true)
-    bk.repartition(numBuckets, col("key"))
+    val mB = buckets("members")
+    bk.repartition(mB, col("key"))
       .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "key").sortBy("key")
+      .bucketBy(mB, "key").sortBy("key")
       .saveAsTable(s"${tablePrefix}_members")
-    novel.repartition(numBuckets, col("gid"))
+    val kB = buckets("keys")
+    novel.repartition(kB, col("gid"))
       .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "gid").sortBy("gid")
+      .bucketBy(kB, "gid").sortBy("gid")
       .saveAsTable(s"${tablePrefix}_keys")
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pB = buckets("postings")
     novel.repartition(nPart, col("gid"))
       .withColumn("__len", length(col("key")))
       .select(col("gid"), col("__len"),
         explode(graft.functions.deletion_variant_hashes(col("key"), maxDist))
           .as("__v"))
-      .repartition(numBuckets, col("__v"))
+      .repartition(pB, col("__v"))
       .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "__v").sortBy("__v")
+      .bucketBy(pB, "__v").sortBy("__v")
       .saveAsTable(s"${tablePrefix}_postings")
   }
 

@@ -441,18 +441,23 @@ object NearDup {
     * its rows — exact dedup upstream owns identity).
     */
   def appendBandIndexBucketed(batch: DataFrame, idCol: String,
-                              textCol: String, n: Int, tablePrefix: String,
-                              numBuckets: Int = 8): Unit = {
+                              textCol: String, n: Int,
+                              tablePrefix: String): Unit = {
+    // bucket counts come from the TABLES, not a parameter — the appended
+    // files must carry each table's publish-time spec whatever it was
+    val spark = batch.sparkSession
     val sh = shingles(batch, idCol, textCol, n).localCheckpoint(true)
     minhashSignatures(sh)
       .select(col("id"), explode(array(bandKeyCols(
         k => col(s"h$k")): _*)).as("bkey"))
       .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .bucketBy(graft.sources.Layout.bucketCountOf(
+        spark, s"${tablePrefix}_postings"), "bkey").sortBy("bkey")
       .saveAsTable(s"${tablePrefix}_postings")
     sh.groupBy("id").agg(sort_array(collect_set(col("shingle"))).as("ss"))
       .write.mode("append").format("parquet")
-      .bucketBy(numBuckets, "id").sortBy("id")
+      .bucketBy(graft.sources.Layout.bucketCountOf(
+        spark, s"${tablePrefix}_sets"), "id").sortBy("id")
       .saveAsTable(s"${tablePrefix}_sets")
   }
 

@@ -77,6 +77,21 @@ object Layout {
     * the same nightly maintenance window as the appends it cleans up
     * after. Returns the data file count after compaction.
     */
+  /** Bucket count of a bucketed catalog table. The append verbs derive
+    * their write-side spec from the TABLE's own metadata instead of
+    * trusting a caller-supplied count — Spark rejects a mismatch loudly,
+    * but an append verb that can only ever write the table's real spec
+    * has no knob to get wrong (found by the empty-batch append spec: a
+    * 4-bucket table with the old default-8 parameter failed every
+    * append until the caller re-supplied the publish-time count).
+    */
+  def bucketCountOf(spark: SparkSession, tableName: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$tableName has no bucket spec — the bucketed append verbs " +
+          "serve bucketed catalog tables only")).numBuckets
+
   def compactBucketed(spark: SparkSession, tableName: String): Int = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(

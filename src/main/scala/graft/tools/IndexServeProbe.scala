@@ -237,6 +237,32 @@ object IndexServeProbe {
       println(f"[compact] lsh_bands serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
         f" | compact ${cSec}%.2f s -> ($pf, ${sf_}) files | after ${sAfter}%.2f s")
     }
+    locally {
+      val c = Tables.customer(spark, sfDir)
+      EditDistanceJoin.writeVariantIndexBucketed(
+        c.filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", 1, s"$scratch/var_cmp", "idxprobe_var_cmp")
+      val batch = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("did"), col("c_name").as("dname"))
+      def srvVar = serveMin(3)(EditDistanceJoin.pairsAgainstIndexBucketed(
+        batch, "did", "dname", 1, "idxprobe_var_cmp"))
+      val s0 = srvVar
+      (1 to 20).foreach { i =>
+        EditDistanceJoin.appendVariantIndexBucketed(
+          c.filter(col("c_custkey") % 3 === 0)
+            .select((col("c_custkey") + lit(i.toLong * 1000000000L))
+              .as("c_custkey"),
+              concat(col("c_name"), lit("Q"), lit(i)).as("c_name")),
+          "c_custkey", "c_name", "idxprobe_var_cmp")
+      }
+      val s20 = srvVar
+      val (cSec, (pf, kf, mf)) = time(
+        EditDistanceJoin.compactVariantIndexBucketed(spark, "idxprobe_var_cmp"))
+      val sAfter = srvVar
+      println(f"[compact] variant   serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
+        f" | compact ${cSec}%.2f s -> ($pf, $kf, $mf) files | after ${sAfter}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -45,8 +45,7 @@ class LayoutSpec extends SparkSpec {
     (2 to 6).foreach { i =>
       val day = fp.filter(col("source") === s"src$i").select("doc_id", "fp")
       Dedup.appendKeyIndexBucketed(
-        Dedup.incrementalAgainstIndex(day, "fp", tbl), "fp", tbl,
-        numBuckets = 4)
+        Dedup.incrementalAgainstIndex(day, "fp", tbl), "fp", tbl)
     }
     val batch = fp.filter(col("source") === "src0").select("doc_id", "fp")
     val before = Dedup.incrementalAgainstIndex(batch, "fp", tbl)
@@ -216,6 +215,65 @@ class LayoutSpec extends SparkSpec {
       graft.functions.hilbert_order(lit(3L), lit(5L)).as("b"))
       .as[(Long, Long)].head()
     assert(m._1 == m._2)
+  }
+
+  // Appending NOTHING must change nothing: every tier's nightly job can
+  // legitimately receive an empty accepted batch (a day where dedup
+  // admitted no novel rows), and the verbs must neither corrupt the
+  // standing tables nor disturb the serve output. Pins the empty-input
+  // behavior of all three bucketed append verbs, including the variant
+  // tier's novelty anti join (an empty batch yields an empty novel set —
+  // the keys/postings writers see zero rows and the table's bucket spec
+  // must still validate).
+  test("append verbs: an empty batch leaves serve output unchanged") {
+    import graft.operators.{Dedup, EditDistanceJoin, NearDup, TextOps}
+    val dir = tmpDir("emptyapp")
+    // exact tier
+    val fp = Tables.documents(spark, sf0001).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val corpus = fp.filter(col("doc_id") % 2 === 0)
+    val batch = fp.filter(col("doc_id") % 2 =!= 0)
+    Dedup.writeKeyIndexBucketed(corpus.select("fp"), "fp",
+      s"$dir/fp", "graft_spec_empty_fp", numBuckets = 4)
+    def srvFp = Dedup.incrementalAgainstIndex(batch, "fp",
+      "graft_spec_empty_fp").collect().toSet
+    val fp0 = srvFp
+    Dedup.appendKeyIndexBucketed(batch.filter(lit(false)).select("fp"),
+      "fp", "graft_spec_empty_fp")
+    assert(srvFp == fp0)
+    // LSH tier (empty batch flows through shingles + minhash + explode)
+    val docs = Tables.documents(spark, sf0001)
+    NearDup.writeBandIndexBucketed(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", 3, s"$dir/lsh", "graft_spec_empty_lsh",
+      numBuckets = 4)
+    def srvLsh = NearDup.incrementalNearDupPairsBucketed(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", 3, 0.5,
+        "graft_spec_empty_lsh").collect().toSet
+    val lsh0 = srvLsh
+    NearDup.appendBandIndexBucketed(docs.filter(lit(false)),
+      "doc_id", "text", 3, "graft_spec_empty_lsh")
+    assert(srvLsh == lsh0)
+    // variant tier (empty batch exercises the novelty anti join too)
+    val c = Tables.customer(spark, sf0001)
+    EditDistanceJoin.writeVariantIndexBucketed(
+      c.filter(col("c_custkey") % 2 === 0).select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", 1, s"$dir/vr", "graft_spec_empty_vr",
+      numBuckets = 4)
+    val dirty = c.filter(col("c_custkey") % 2 =!= 0)
+      .select(col("c_custkey").as("did"), col("c_name").as("dname"))
+    def srvVr = EditDistanceJoin.pairsAgainstIndexBucketed(
+      dirty, "did", "dname", 1, "graft_spec_empty_vr").collect().toSet
+    val vr0 = srvVr
+    EditDistanceJoin.appendVariantIndexBucketed(
+      c.filter(lit(false)).select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name", "graft_spec_empty_vr")
+    assert(srvVr == vr0)
+    assert(vr0.nonEmpty && lsh0.nonEmpty, "fixtures must serve something")
+    Seq("graft_spec_empty_fp", "graft_spec_empty_lsh_postings",
+      "graft_spec_empty_lsh_sets", "graft_spec_empty_vr_postings",
+      "graft_spec_empty_vr_keys", "graft_spec_empty_vr_members",
+      "graft_spec_empty_vr_meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("writeHilbertOrdered envelopes are at least as tight as Z-order's") {
