@@ -70,13 +70,67 @@ object SparkEntry {
     * nonce, so a later session can never serve it — every JVM's first
     * use rebuilds with current code and registers its own exit cleanup —
     * and two concurrent JVMs write disjoint dirs, so there is no
-    * cross-process race to lock against. Orphans from crashed JVMs sit
-    * inert under target/graft-scratch until a `sbt clean` (scratch
-    * space, never read).
+    * cross-process race to lock against. Orphans from crashed JVMs are
+    * swept by [[sweepOrphanPublishes]] on this JVM's first use; any that
+    * survive the sweep (pid still alive) sit inert until `sbt clean`
+    * (scratch space, never read).
     */
+  /** Startup sweep for publish dirs orphaned by crashed JVMs: a killed
+    * process's exit hook never runs, so its `pub_*` dir stays under
+    * target/graft-scratch forever on a long-lived box. Any dir whose
+    * nonce isn't this JVM's is unreachable by THIS process (the nonce is
+    * in the path), but it may belong to a CONCURRENT live JVM — deleting
+    * those would break the disjoint-dirs guarantee above — so the sweep
+    * only removes dirs whose embedded pid no longer exists. A pid-reused
+    * orphan (dead JVM, pid now owned by something else) survives until
+    * that pid frees or `sbt clean`; rare, bounded, and erring on the
+    * side of never touching a live process's publish. Runs once per JVM
+    * under [[publishLock]].
+    */
+  private lazy val sweepOrphanPublishes: Unit =
+    sweepStalePublishDirs(
+      java.nio.file.Paths.get("target", "graft-scratch"), jvmNonce)
+  /** The sweep itself, parameterized for the spec: under `base`, delete
+    * every `pub_*` directory that (a) doesn't carry `ownNonce` and
+    * (b) whose embedded pid is not a live process. Returns the deleted
+    * directory names.
+    */
+  private[graft] def sweepStalePublishDirs(
+      base: java.nio.file.Path, ownNonce: String): Seq[String] = {
+    if (!java.nio.file.Files.isDirectory(base)) return Seq.empty
+    val candidates = scala.util.Using(java.nio.file.Files.list(base)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .filter(_.getFileName.toString.startsWith("pub_"))
+        .filterNot(_.getFileName.toString.endsWith(s"_$ownNonce"))
+        .toSeq
+    }.getOrElse(Seq.empty)
+    candidates.flatMap { p =>
+      // name = pub_<key>_<sfLeaf>_<pid>_<jvmStartMs>; pid is the
+      // second-to-last '_' token (key/leaf may themselves contain '_').
+      // Delete only on POSITIVE evidence of death: a parsed pid with no
+      // live process. A live pid (concurrent JVM, or pid reuse) and an
+      // unparseable name (not ours to reason about) both survive.
+      val parts = p.getFileName.toString.split('_')
+      val deadPid = parts.length >= 2 &&
+        parts(parts.length - 2).toLongOption
+          .exists(pid => !ProcessHandle.of(pid).isPresent)
+      if (!deadPid) None
+      else {
+        scala.util.Using(java.nio.file.Files.walk(p)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+        Some(p.getFileName.toString)
+      }
+    }
+  }
   private def cachedPublish(key: String, sfDir: String)
                            (body: String => Unit): String =
     publishLock.synchronized {
+      sweepOrphanPublishes
       val leaf = java.nio.file.Paths.get(sfDir).getFileName.toString
       val base = java.nio.file.Paths.get("target", "graft-scratch",
         s"pub_${key}_${leaf}_$jvmNonce")
@@ -2322,6 +2376,26 @@ object SparkEntry {
         col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model))
     }),
 
+    // ---- The ANN tier's COST-BASED DISPATCH (Ann.pqSearchAuto —
+    // similarityPairsAuto's pattern on PQ): serving point chosen from
+    // corpus size and the PqTune frontier instead of hand-picked per
+    // call site. Here the standing index is published and the
+    // exhaustive bound is deliberately forced UNDER the fixture corpus
+    // (500 ≰ 100), so the dispatch exercises its scale-path composite —
+    // indexed source + nProbe=8 probed form — and the result must equal
+    // q_pq_probe's (the branch-pinning spec in AnnSpec covers the other
+    // three combinations; publish re-paid in-bench by fixture
+    // convention).
+    "q_pq_search_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_pq_auto").toString
+      Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model, tmp,
+        Some(IvfFixture.model))
+      Ann.pqSearchAuto(emb, "vec_id", "embedding", PqFixture.model,
+        col("vec_id") % 50 === 0, 5, Some(IvfFixture.model),
+        indexDir = Some(tmp), maxExhaustiveVectors = 100L)
+    }),
+
     // ---- IVFPQ search with the PRODUCTION probe bound (nProbe=8 of 16
     // cells): LUTs built only for each query's best coarse cells, so
     // unprobed vectors never enter the distance sum — the sublinear
@@ -4173,6 +4247,17 @@ object SparkEntry {
     // — the sublinear serving form next to q_pq_search's exhaustive
     // scan.
     "q_pq_probe" ->
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(8))} " +
+        "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
+        "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // pqSearchAuto with the exhaustive bound forced under the fixture
+    // corpus: the dispatch must land on the indexed nProbe=8 point, so
+    // the closure is q_pq_probe's own — equality proves the auto chose
+    // (and correctly served) the probed branch.
+    "q_pq_search_auto" ->
       (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(8))} " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +

@@ -875,6 +875,99 @@ object Ann {
     pqCodesLong(embBatch, idCol, embCol, model, coarse)
       .write.mode("append").parquet(dir)
 
+  /** The production probe bound for [[pqSearchAuto]]'s bounded branch:
+    * nProbe=8 of the 16-cell coarse quantizer — the PqTune frontier's
+    * chosen serving point (recall@5 0.86 on the frozen sf0.01 fixtures;
+    * 4 was rejected at 0.70, below any defensible floor; AnnSpec pins
+    * the bounded path's recall ≥ 0.80 so a codebook refreeze can't
+    * silently degrade it).
+    */
+  val PqProbeServingPoint: Int = 8
+
+  /** Default corpus-size bound for [[pqSearchAuto]]'s exhaustive branch
+    * — MEASURED, not modeled (PqServeSweep, round 14, local[32], frozen
+    * fixtures, fixed 40-query batch, indexed serve, corpus replicated):
+    *
+    *   corpus   exhaustive_s  probed8_s  ratio
+    *     2000       2.49        2.24     1.11
+    *    20000       2.77        2.23     1.24
+    *   100000       4.83        4.00     1.21
+    *
+    * Both serving forms scan all codes single-node (the LUT join drops
+    * unprobed cells only after the scan), so they grow together and
+    * the exhaustive premium is the joined-row volume: ~10-25% in ratio,
+    * under a second in absolute terms through 10^5 vectors — recall
+    * 1.000 at that price is the right default. Past the bound the
+    * premium compounds with corpus scale while the bounded point's
+    * 0.86 recall stands pinned — and at cluster scale the standing
+    * codes partition by coarse cell, where nProbe prunes the SCAN
+    * itself (nProbe/nCells of the bytes — the genuinely sublinear path
+    * the bound exists for, which no single-directory local measurement
+    * can exhibit).
+    */
+  val PqExhaustiveCrossover: Long = 100000L
+
+  /** Which serving point [[pqSearchAuto]] picks, exposed for the
+    * branch-pinning spec: (source, form) where source is "indexed"
+    * (standing code table) or "fused" (encode-at-query), and form is
+    * "exhaustive" (all cells — recall 1.000) or "probed" (nProbe=8 —
+    * the frontier's bounded point). A corpus past `maxExhaustive` with
+    * no coarse quantizer has no cells to bound, so raw-PQ corpora serve
+    * exhaustive at any size (the honest fallback: still a compressed
+    * linear scan, never an error — mirroring similarityPairsAuto's
+    * rule that an auto planner must not fail on inputs one of its
+    * branches computes exactly).
+    */
+  private[graft] def pqServeBranch(corpusN: Long, hasIndex: Boolean,
+                                   hasCoarse: Boolean,
+                                   maxExhaustive: Long): (String, String) = {
+    val source = if (hasIndex) "indexed" else "fused"
+    val form =
+      if (corpusN <= maxExhaustive || !hasCoarse) "exhaustive" else "probed"
+    (source, form)
+  }
+
+  /** Cost-based serving-point dispatch for the PQ tier —
+    * [[Linker.similarityPairsAuto]]'s pattern applied to ANN: the
+    * caller states WHAT (top-k neighbors of the query sample under the
+    * frozen codebooks) and the chooser picks the serving point from
+    * corpus size and the PqTune frontier, instead of every call site
+    * hand-picking among [[pqSearch]] / probe-bounded / [[pqSearchIndexed]]:
+    *
+    *  - source: a standing [[writePqIndex]] dir when given (`indexDir`)
+    *    — reading published codes is never worse than re-encoding the
+    *    corpus at query time (IndexServeProbe prices the saved encode);
+    *    fused otherwise;
+    *  - form: exhaustive (all cells, recall 1.000) while the corpus is
+    *    within `maxExhaustiveVectors` ([[PqExhaustiveCrossover]] —
+    *    measured by PqServeSweep) or when there is no coarse quantizer
+    *    to bound by; past the bound, the frontier's pinned nProbe=8
+    *    point ([[PqProbeServingPoint]], recall 0.86 ≥ the 0.80 AnnSpec
+    *    floor).
+    *
+    * The corpus count is one map-side-combinable aggregate — noise
+    * against either branch's serve (the similarityPairsAuto argument).
+    * Branch choice is pinned in AnnSpec via [[pqServeBranch]]; both
+    * forms are oracled independently (q_pq_search / q_pq_probe), and
+    * q_pq_search_auto runs the dispatch end-to-end against the probed
+    * oracle with the bound deliberately forced under the fixture size.
+    */
+  def pqSearchAuto(emb: DataFrame, idCol: String, embCol: String,
+                   model: PqModel, queryPred: Column, k: Int,
+                   coarse: Option[IvfModel] = None,
+                   indexDir: Option[String] = None,
+                   maxExhaustiveVectors: Long = PqExhaustiveCrossover): DataFrame = {
+    val (_, form) = pqServeBranch(emb.count(), indexDir.isDefined,
+      coarse.isDefined, maxExhaustiveVectors)
+    val nProbe = if (form == "probed") PqProbeServingPoint else Int.MaxValue
+    indexDir match {
+      case Some(d) => pqSearchIndexed(emb, idCol, embCol, model, queryPred,
+        k, d, coarse, nProbe)
+      case None => pqSearch(emb, idCol, embCol, model, queryPred, k,
+        coarse, nProbe)
+    }
+  }
+
   /** [[pqSearch]] served from a persisted [[writePqIndex]] — the corpus
     * contributes one code scan per query batch, never a re-encode.
     * Result-identical to the fused form (same codes, same LUT, same

@@ -77,21 +77,6 @@ object Layout {
     * the same nightly maintenance window as the appends it cleans up
     * after. Returns the data file count after compaction.
     */
-  /** Bucket count of a bucketed catalog table. The append verbs derive
-    * their write-side spec from the TABLE's own metadata instead of
-    * trusting a caller-supplied count — Spark rejects a mismatch loudly,
-    * but an append verb that can only ever write the table's real spec
-    * has no knob to get wrong (found by the empty-batch append spec: a
-    * 4-bucket table with the old default-8 parameter failed every
-    * append until the caller re-supplied the publish-time count).
-    */
-  def bucketCountOf(spark: SparkSession, tableName: String): Int =
-    spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-      .bucketSpec.getOrElse(throw new IllegalArgumentException(
-        s"$tableName has no bucket spec — the bucketed append verbs " +
-          "serve bucketed catalog tables only")).numBuckets
-
   def compactBucketed(spark: SparkSession, tableName: String): Int = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(
@@ -117,6 +102,64 @@ object Layout {
     fs.listStatus(new org.apache.hadoop.fs.Path(location)).count(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Bucket count of a bucketed catalog table. The append verbs derive
+    * their write-side spec from the TABLE's own metadata instead of
+    * trusting a caller-supplied count — Spark rejects a mismatch loudly,
+    * but an append verb that can only ever write the table's real spec
+    * has no knob to get wrong (found by the empty-batch append spec: a
+    * 4-bucket table with the old default-8 parameter failed every
+    * append until the caller re-supplied the publish-time count).
+    */
+  def bucketCountOf(spark: SparkSession, tableName: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$tableName has no bucket spec — the bucketed append verbs " +
+          "serve bucketed catalog tables only")).numBuckets
+
+  /** Data-file count per bucket of a bucketed catalog table — the
+    * compaction-trigger signal. Each bucketed append lays down one file
+    * set under the table's spec, so files-per-bucket ≈ appends since the
+    * last publish/compaction; [[compactBucketedIfNeeded]] compares this
+    * against a threshold. Counts data files from the table location and
+    * divides by the catalog's bucket count (appends write exactly one
+    * file per non-empty bucket per batch, so the ratio is the depth of
+    * the deepest-possible bucket, not an average that hides skew).
+    */
+  def filesPerBucket(spark: SparkSession, tableName: String): Double = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val location = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(location).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    files.toDouble / bucketCountOf(spark, tableName)
+  }
+
+  /** The compaction POLICY to [[compactBucketed]]'s mechanism: compact
+    * when the table has accumulated more than `maxFilesPerBucket` data
+    * files per bucket, else do nothing. Returns Some(fileCountAfter) if
+    * compaction ran, None if the table was under the threshold.
+    *
+    * The default threshold of 16 is cited to measurement, not taste:
+    * IndexServeProbe prices the serve drift at ~20 appends as the point
+    * where the small-files overhead becomes visible next to the serve's
+    * own work (README "index lifecycle" ledger — serve at 20 appends
+    * reads ~20× the file count for the same bytes), while a nightly
+    * append cadence means 16 files ≈ two weeks of batches — compaction
+    * then costs two rewrites of the table against ~14 days of
+    * accumulated scan overhead. Call this from the same nightly job
+    * that runs the append verbs; it is deliberately NOT called inside
+    * the appends themselves, because an append that sometimes costs
+    * 2× the table size would make the measured flat append exponents
+    * (ScaleProbe) unpredictable for the scheduler.
+    */
+  def compactBucketedIfNeeded(spark: SparkSession, tableName: String,
+                              maxFilesPerBucket: Int = 16): Option[Int] =
+    if (filesPerBucket(spark, tableName) > maxFilesPerBucket)
+      Some(compactBucketed(spark, tableName))
+    else None
 
   /** Write `df` range-clustered on `cols`: repartitionByRange gives each
     * output file a disjoint key range (sampled range boundaries — one

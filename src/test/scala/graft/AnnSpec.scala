@@ -624,4 +624,67 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(served == fused)
   }
+
+  // pqSearchAuto's dispatch table, pinned: the four (source, form)
+  // combinations as a function of (corpus size vs bound, index
+  // presence, coarse presence) — so a refactor can't silently move the
+  // crossover or drop the raw-PQ exhaustive fallback.
+  test("pqServeBranch pins the serving-point dispatch table") {
+    import graft.operators.Ann
+    val bound = 100L
+    // within bound: exhaustive whatever else holds
+    assert(Ann.pqServeBranch(100, hasIndex = false, hasCoarse = true,
+      bound) == ("fused", "exhaustive"))
+    assert(Ann.pqServeBranch(50, hasIndex = true, hasCoarse = true,
+      bound) == ("indexed", "exhaustive"))
+    // past bound with cells to bound by: the frontier's probed point
+    assert(Ann.pqServeBranch(101, hasIndex = false, hasCoarse = true,
+      bound) == ("fused", "probed"))
+    assert(Ann.pqServeBranch(101, hasIndex = true, hasCoarse = true,
+      bound) == ("indexed", "probed"))
+    // past bound with NO coarse quantizer: no cells to bound — the
+    // honest exhaustive fallback, never an error
+    assert(Ann.pqServeBranch(1000000, hasIndex = false, hasCoarse = false,
+      bound) == ("fused", "exhaustive"))
+    // defaults exposed as named constants
+    assert(Ann.PqProbeServingPoint == 8)
+    assert(Ann.PqExhaustiveCrossover == 100000L)
+  }
+
+  // ... and the dispatch end-to-end: forcing the bound under the
+  // fixture size must route to the probed point (result-identical to
+  // the direct nProbe=8 call), leaving it at the default must route to
+  // exhaustive (result-identical to the unbounded call) — on both
+  // sources.
+  test("pqSearchAuto routes to the branch pqServeBranch names, result-identical to the direct calls") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val pred = col("vec_id") % 50 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    // fused source
+    val exAuto = rows(Ann.pqSearchAuto(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, Some(IvfFixture.model)))
+    val exDirect = rows(Ann.pqSearch(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, Some(IvfFixture.model)))
+    assert(exAuto == exDirect)
+    val prAuto = rows(Ann.pqSearchAuto(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, Some(IvfFixture.model),
+      maxExhaustiveVectors = 10L))
+    val prDirect = rows(Ann.pqSearch(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, Some(IvfFixture.model), nProbe = 8))
+    assert(prAuto == prDirect)
+    assert(prAuto != exAuto,
+      "fixture must distinguish probed from exhaustive or the routing " +
+        "assertions are vacuous")
+    // indexed source
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_auto").toString
+    Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model, dir,
+      Some(IvfFixture.model))
+    assert(rows(Ann.pqSearchAuto(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, Some(IvfFixture.model),
+      indexDir = Some(dir))) == exDirect)
+    assert(rows(Ann.pqSearchAuto(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, Some(IvfFixture.model),
+      indexDir = Some(dir), maxExhaustiveVectors = 10L)) == prDirect)
+  }
 }

@@ -366,4 +366,105 @@ class EditDistanceJoinSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS ${p}_$t"))
     }
   }
+
+  // The rep-id edge case of appendVariantIndexBucketed, as a PROPERTY
+  // (the Scaladoc at EditDistanceJoin.appendVariantIndexBucketed
+  // documents it in prose; this keeps it true under refactors): for ANY
+  // split of (id, key) rows into a standing corpus and a new-ids batch —
+  // including the adversarial orderings where a batch id UNDERCUTS a
+  // standing key's minimum, which day-N batches normally never do —
+  //  (1) the id-level serve after append is IDENTICAL to a monolithic
+  //      rebuild over corpus ∪ batch, and
+  //  (2) the reps serve equals the monolithic one after remapping each
+  //      key's rep through the documented rule: an existing key keeps
+  //      its STANDING min id (even when a batch id undercuts it), a
+  //      novel key gets its batch min — so every rep is a true member
+  //      of its key's group and the divergence from the monolithic gid
+  //      (= global min) is EXACTLY the undercut case, nothing else.
+  // Fixed seed so the undercut-coverage assertion below is stable.
+  test("property: variant append reps diverge from monolithic ONLY by the documented undercut rule") {
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val genKey = for {
+      n <- Gen.choose(3, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    // ids drawn from one shared pool and RANDOMLY split between corpus
+    // and batch — batch ids land below standing minima about half the
+    // time, which is the adversarial ordering under test
+    val genScenario = for {
+      keys <- Gen.listOfN(6, genKey).map(_.distinct)
+      nCorpus <- Gen.choose(2, 8)
+      nBatch <- Gen.choose(1, 6)
+      ids <- Gen.pick(nCorpus + nBatch, 1L to 500L)
+      corpusKeys <- Gen.listOfN(nCorpus, Gen.oneOf(keys))
+      batchKeys <- Gen.listOfN(nBatch, Gen.oneOf(keys))
+    } yield (ids.take(nCorpus).zip(corpusKeys),
+             ids.drop(nCorpus).zip(batchKeys))
+    var undercutSeen = 0
+    var sample = 0
+    val prop = forAll(genScenario) { case (corpus, batch) =>
+      sample += 1
+      val pfx = s"graft_spec_vprop_$sample"
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_vprop_$sample").toString
+      try {
+        val cDf = corpus.toSeq.toDF("id", "key")
+        val bDf = batch.toSeq.toDF("id", "key")
+        val uDf = cDf.unionByName(bDf)
+        EditDistanceJoin.writeVariantIndexBucketed(cDf, "id", "key", 1,
+          s"$dir/a", pfx, numBuckets = 2)
+        EditDistanceJoin.appendVariantIndexBucketed(bDf, "id", "key", pfx)
+        EditDistanceJoin.writeVariantIndexBucketed(uDf, "id", "key", 1,
+          s"$dir/m", s"${pfx}_mono", numBuckets = 2)
+        // probe with every distinct key of the universe: dist-0 self
+        // matches plus whatever dist-1 neighbors the alphabet induces
+        val probe = uDf.select(col("id").as("did"), col("key").as("dname"))
+          .distinct()
+        def pairs(t: String) = EditDistanceJoin.pairsAgainstIndexBucketed(
+            probe, "did", "dname", 1, t)
+          .select("left_id", "right_id", "right_key", "dist")
+          .as[(Long, Long, String, Int)].collect().toSet
+        def reps(t: String) = EditDistanceJoin.repsAgainstIndexBucketed(
+            probe, "did", "dname", 1, t)
+          .select("left_id", "right_rep_id", "right_key", "dist")
+          .as[(Long, Long, String, Int)].collect().toSet
+        val corpusMin = corpus.groupBy(_._2).map { case (k, rs) =>
+          k -> rs.map(_._1).min }
+        val batchMin = batch.groupBy(_._2).map { case (k, rs) =>
+          k -> rs.map(_._1).min }
+        // the documented rule, computed independently of the engine
+        val expectedRep: String => Long =
+          k => corpusMin.getOrElse(k, batchMin(k))
+        val monoRep: String => Long =
+          k => math.min(corpusMin.getOrElse(k, Long.MaxValue),
+                        batchMin.getOrElse(k, Long.MaxValue))
+        if (corpusMin.exists { case (k, m) =>
+              batchMin.get(k).exists(_ < m) }) undercutSeen += 1
+        val idParity = pairs(pfx) == pairs(s"${pfx}_mono")
+        val repsApp = reps(pfx)
+        val repsMono = reps(s"${pfx}_mono")
+        val repRule = repsApp == repsMono.map { case (l, _, k, d) =>
+          (l, expectedRep(k), k, d) }
+        // sanity on the oracle itself: monolithic reps follow global min
+        val monoRule = repsMono.forall { case (_, r, k, _) => r == monoRep(k) }
+        (Prop(idParity) :| "id-level serve must be append-invariant") &&
+          (Prop(repRule) :| "reps must diverge only by the undercut rule") &&
+          (Prop(monoRule) :| "monolithic rep must be the global min")
+      } finally {
+        Seq(pfx, s"${pfx}_mono").foreach { p =>
+          Seq("postings", "keys", "members", "meta").foreach(t =>
+            spark.sql(s"DROP TABLE IF EXISTS ${p}_$t"))
+        }
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+    assert(undercutSeen >= 1,
+      s"no sample exercised the undercut case (seen=$undercutSeen) — " +
+        "the property run was vacuous on its edge case")
+  }
 }

@@ -79,6 +79,49 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  // The policy to the mechanism above: fires only past the threshold,
+  // and a firing is exactly one compactBucketed (one file per bucket,
+  // serve unchanged). Thresholds chosen so the SAME table exercises both
+  // branches: 5 appends → 6 file sets → 6.0 files/bucket sits between
+  // maxFilesPerBucket=8 (no-op) and =4 (fires).
+  test("compactBucketedIfNeeded fires past the files-per-bucket threshold, no-ops under it") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sf0001)
+    val fp = docs.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val dir = tmpDir("bpol")
+    val tbl = "graft_spec_compact_policy"
+    Dedup.writeKeyIndexBucketed(fp.filter(col("source") === "src1")
+      .select("fp"), "fp", s"$dir/t", tbl, numBuckets = 4)
+    (2 to 6).foreach { i =>
+      val day = fp.filter(col("source") === s"src$i").select("doc_id", "fp")
+      Dedup.appendKeyIndexBucketed(
+        Dedup.incrementalAgainstIndex(day, "fp", tbl), "fp", tbl)
+    }
+    val depth = Layout.filesPerBucket(spark, tbl)
+    assert(depth > 4 && depth <= 8, s"filesPerBucket=$depth")
+    val filesBefore = parquetFiles(s"$dir/t").size
+    val batch = fp.filter(col("source") === "src0").select("doc_id", "fp")
+    val before = Dedup.incrementalAgainstIndex(batch, "fp", tbl)
+      .as[(String, Long)].collect().toSet
+    assert(before.nonEmpty)
+    // under threshold: no-op, files untouched
+    assert(Layout.compactBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 8).isEmpty)
+    assert(parquetFiles(s"$dir/t").size == filesBefore)
+    // over threshold: fires, one file per bucket, serve unchanged
+    assert(Layout.compactBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 4).contains(4))
+    assert(parquetFiles(s"$dir/t").size == 4)
+    val after = Dedup.incrementalAgainstIndex(batch, "fp", tbl)
+      .as[(String, Long)].collect().toSet
+    assert(after == before)
+    // idempotent: a second nightly call sees 1 file/bucket and no-ops
+    assert(Layout.compactBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 4).isEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("compactBandIndexBucketed: LSH serve identical across append + compact") {
     import graft.operators.NearDup
     val docs = Tables.documents(spark, sf0001)
@@ -268,7 +311,8 @@ class LayoutSpec extends SparkSpec {
       c.filter(lit(false)).select(col("c_custkey"), col("c_name")),
       "c_custkey", "c_name", "graft_spec_empty_vr")
     assert(srvVr == vr0)
-    assert(vr0.nonEmpty && lsh0.nonEmpty, "fixtures must serve something")
+    assert(fp0.nonEmpty && vr0.nonEmpty && lsh0.nonEmpty,
+      "fixtures must serve something")
     Seq("graft_spec_empty_fp", "graft_spec_empty_lsh_postings",
       "graft_spec_empty_lsh_sets", "graft_spec_empty_vr_postings",
       "graft_spec_empty_vr_keys", "graft_spec_empty_vr_members",
