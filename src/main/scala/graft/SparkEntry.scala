@@ -2376,6 +2376,25 @@ object SparkEntry {
         col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model))
     }),
 
+    // ---- The CELL-PARTITIONED standing code layout
+    // (Ann.writePqIndexByCell): codes land under cell=N directories and
+    // the probe-bounded serve turns its probed-cell union into a static
+    // IN partition filter — unprobed cells' files are never read
+    // (PqServeSweep: 8/16 files, 67% byte cut for a single query; this
+    // row's 40-query batch probes every cell, so here the filter is
+    // exercised at full width). Result-identical to the flat probed
+    // serve — shares q_pq_probe's oracle. Publish re-paid in-bench by
+    // fixture convention.
+    "q_pq_probe_pruned" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_pq_cidx").toString
+      Ann.writePqIndexByCell(emb, "vec_id", "embedding", PqFixture.model,
+        tmp, IvfFixture.model)
+      Ann.pqSearchIndexed(emb, "vec_id", "embedding", PqFixture.model,
+        col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model),
+        nProbe = 8)
+    }),
+
     // ---- The ANN tier's COST-BASED DISPATCH (Ann.pqSearchAuto —
     // similarityPairsAuto's pattern on PQ): serving point chosen from
     // corpus size and the PqTune frontier instead of hand-picked per
@@ -4247,6 +4266,16 @@ object SparkEntry {
     // — the sublinear serving form next to q_pq_search's exhaustive
     // scan.
     "q_pq_probe" ->
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(8))} " +
+        "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
+        "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // Cell-partitioned code layout, probe-bounded serve: the static
+    // partition filter changes WHICH FILES are read, never which rows
+    // survive the ADC join — so the closure is q_pq_probe's own.
+    "q_pq_probe_pruned" ->
       (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(8))} " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +

@@ -852,6 +852,40 @@ object Ann {
     pqCodesLong(emb, idCol, embCol, model, coarse)
       .write.mode("overwrite").parquet(dir)
 
+  /** [[writePqIndex]] with the codes PARTITIONED BY COARSE CELL — the
+    * layout that makes the nProbe bound genuinely sublinear in I/O: in
+    * the flat layout every probe-bounded serve still SCANS all codes
+    * and drops unprobed cells at the LUT join ([[pqSearchWith]]), so
+    * nProbe only discounts joined-row volume; under cell partitioning
+    * the serve turns the batch's probed-cell union into a literal IN
+    * partition filter (static pruning — see [[pqSearchWith]] for why
+    * not Spark's dynamic partition pruning) and unprobed cells' FILES
+    * are never read. Measured (PqServeSweep, round 14, 16-cell
+    * quantizer): a single query at nProbe=8 reads 8 of 16 files and
+    * 33% of the flat layout's code bytes (67% cut — half from pruning,
+    * the rest from the partition column leaving the data files);
+    * a 40-query diverse batch probes every cell, so its cut is the
+    * compression-only 23-33% — the pruning win scales with how
+    * cell-clustered the query batch is, which is the serving story a
+    * 100 TB code table needs (route queries to their cells, each
+    * serving task reads nProbe/nCells of the bytes). Local wall time
+    * at fixture sizes is compute-bound and does NOT improve (3.9 vs
+    * 3.0 s at 100k vectors — the extra probe-set collect and per-file
+    * overhead outweigh KB-scale I/O savings); this layout is for
+    * scan-dominated deployments, not small corpora. Other trade-offs
+    * vs flat: one shuffle at publish (repartition by cell so each cell
+    * lands as one file, not one per input task — the small-files
+    * guard), and nCells as a files-per-append floor. Requires `coarse`
+    * (no cells to partition by otherwise). Serve through the standard
+    * [[pqSearchIndexed]] — the reader detects the layout.
+    */
+  def writePqIndexByCell(emb: DataFrame, idCol: String, embCol: String,
+                         model: PqModel, dir: String,
+                         coarse: IvfModel): Unit =
+    pqCodesLong(emb, idCol, embCol, model, Some(coarse))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+
   /** INCREMENTAL PUBLISH for the ANN tier — the append verb the exact
     * ([[Dedup.appendKeyIndexBucketed]]), LSH
     * ([[NearDup.appendBandIndexBucketed]]) and variant
@@ -874,6 +908,25 @@ object Ann {
                     coarse: Option[IvfModel] = None): Unit =
     pqCodesLong(embBatch, idCol, embCol, model, coarse)
       .write.mode("append").parquet(dir)
+
+  /** [[appendPqIndex]] for the cell-partitioned layout
+    * ([[writePqIndexByCell]]): same batch-only encode, same contracts
+    * (new ids; published codebooks — a refreeze rebuilds), appended
+    * UNDER the cell directories so the pruning layout survives growth.
+    * Each append lays down at most one file per touched cell (the
+    * pre-write repartition) — after N appends a probed cell scans N
+    * files, the same small-files drift every bucketed tier has; compact
+    * by re-publishing ([[writePqIndexByCell]] is corpus × m·ks work) or
+    * rewriting the code table in place (codes-sized, no re-encode):
+    * read the dir, repartition by cell, overwrite through a staging dir
+    * (the [[graft.sources.Layout.compactBucketed]] dance).
+    */
+  def appendPqIndexByCell(embBatch: DataFrame, idCol: String,
+                          embCol: String, model: PqModel, dir: String,
+                          coarse: IvfModel): Unit =
+    pqCodesLong(embBatch, idCol, embCol, model, Some(coarse))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(dir)
 
   /** The production probe bound for [[pqSearchAuto]]'s bounded branch:
     * nProbe=8 of the 16-cell coarse quantizer — the PqTune frontier's
@@ -976,15 +1029,39 @@ object Ann {
   def pqSearchIndexed(emb: DataFrame, idCol: String, embCol: String,
                       model: PqModel, queryPred: Column, k: Int,
                       indexDir: String, coarse: Option[IvfModel] = None,
-                      nProbe: Int = Int.MaxValue): DataFrame =
-    pqSearchWith(emb.sparkSession.read.parquet(indexDir),
-      emb, idCol, embCol, model, queryPred, k, coarse, nProbe)
+                      nProbe: Int = Int.MaxValue): DataFrame = {
+    val (codes, partitioned) = readCodeIndex(emb.sparkSession, indexDir)
+    pqSearchWith(codes, emb, idCol, embCol, model, queryPred, k, coarse,
+      nProbe, cellPartitioned = partitioned)
+  }
+
+  /** Standing-code reader for both layouts; returns (codes, isCellPartitioned).
+    * A [[writePqIndexByCell]] dir re-infers its `cell` partition column
+    * as INT from the directory names — which is also how the layout is
+    * DETECTED (the flat writer stores cell as a long data column) —
+    * and the re-read with the long type the writer had keeps the ADC
+    * join key cast-free, so the static cell filter prunes at the
+    * partition level.
+    */
+  private def readCodeIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): (DataFrame, Boolean) = {
+    val raw = spark.read.parquet(indexDir)
+    if (raw.schema.exists(f => f.name == "cell" &&
+        f.dataType != org.apache.spark.sql.types.LongType)) {
+      val fixed = org.apache.spark.sql.types.StructType(raw.schema.map(f =>
+        if (f.name == "cell")
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+      (spark.read.schema(fixed).parquet(indexDir), true)
+    } else (raw, false)
+  }
 
   private def pqSearchWith(codes: DataFrame,
                            emb: DataFrame, idCol: String, embCol: String,
                            model: PqModel, queryPred: Column, k: Int,
                            coarse: Option[IvfModel],
-                           nProbe: Int): DataFrame = {
+                           nProbe: Int,
+                           cellPartitioned: Boolean = false): DataFrame = {
     val meta = codeMeta(emb.sparkSession, model)
     val scored = coarse match {
       case None =>
@@ -1061,7 +1138,25 @@ object Ann {
           .select(col("query_id"), col("cell"), col("j"), col("c"),
             round(lit(1.0e12) * d2Col(sub, col("w"), model.subDim))
               .cast("long").as("d2_e12"))
-        codeLong.join(broadcast(lut), Seq("cell", "j", "c"))
+        // STATIC cell pruning for the partitioned layout: the batch's
+        // probed-cell union is bounded by contract (≤ |queries|·nProbe —
+        // the same bound that lets the LUT broadcast at all), so one
+        // tiny driver collect turns it into a literal IN partition
+        // filter and unprobed cells' FILES are never read (nProbe/nCells
+        // of the bytes — DppCheck measured the cut; chosen over dynamic
+        // partition pruning, which planned the subquery here but
+        // degraded to dynamicpruningexpression(true) at AQE runtime
+        // because the ADC join's three-key broadcast never matched the
+        // pruning subquery's reuse pattern). Flat layouts skip it: the
+        // filter would prune nothing and the collect would be a wasted
+        // job.
+        val prunedCodes =
+          if (cellPartitioned && nProbe < ivf.centroids.length) {
+            val cells = probed.select(col("cell")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            codeLong.filter(col("cell").isin(cells: _*))
+          } else codeLong
+        prunedCodes.join(broadcast(lut), Seq("cell", "j", "c"))
           .groupBy("query_id", "vec_id")
           .agg(sum(col("d2_e12")).as("ad2_e12"))
     }

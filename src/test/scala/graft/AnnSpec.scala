@@ -625,6 +625,60 @@ class AnnSpec extends SparkSpec {
     assert(served == fused)
   }
 
+  // The cell-partitioned code layout: the probe-bounded serve must
+  // (a) be result-identical to the fused form, and (b) actually PRUNE —
+  // the batch's probed-cell union becomes a literal IN partition filter
+  // on the code scan, so unprobed cells' files are never read (the flat
+  // layout scans everything and drops unprobed cells at the join; and
+  // Spark's own DPP planned here but degraded to
+  // dynamicpruningexpression(true) at AQE runtime — which is WHY the
+  // pruning is static, and why these assertions demand the IN list, not
+  // a dynamicpruning marker). The append verb must preserve both.
+  test("writePqIndexByCell: probed cells prune the scan statically, serve and append result-identical") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val pred = col("vec_id") % 50 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_cell").toString
+    Ann.writePqIndexByCell(emb, "vec_id", "embedding", PqFixture.model,
+      s"$dir/mono", IvfFixture.model)
+    val pruned = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, s"$dir/mono", Some(IvfFixture.model),
+      nProbe = 8)
+    val fused = rows(Ann.pqSearch(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, Some(IvfFixture.model), nProbe = 8))
+    assert(rows(pruned) == fused)
+    // a SINGLE query probes exactly nProbe=8 cells, so the partition
+    // filter must be an 8-value IN list on the bare (uncast) partition
+    // column — the file-level pruning PqServeSweep measures as a 67%
+    // byte cut
+    val one = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, col("vec_id") === 0, 5, s"$dir/mono",
+      Some(IvfFixture.model), nProbe = 8)
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(raw"PartitionFilters: \[cell#\d+L IN \((\d+,){7}\d+\)".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("cast(cell"), plan)
+    // exhaustive serve must NOT pay the pruning collect (no bound to
+    // prune by): no IN filter
+    val ex = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, col("vec_id") === 0, 5, s"$dir/mono",
+      Some(IvfFixture.model))
+    assert(!ex.queryExecution.analyzed.toString.contains(" IN "))
+    // append under the cell directories: grown == monolithic, still
+    // pruned, same serve
+    Ann.writePqIndexByCell(emb.filter(col("vec_id") % 8 =!= 0), "vec_id",
+      "embedding", PqFixture.model, s"$dir/grown", IvfFixture.model)
+    Ann.appendPqIndexByCell(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+      "embedding", PqFixture.model, s"$dir/grown", IvfFixture.model)
+    val grownServe = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, s"$dir/grown", Some(IvfFixture.model),
+      nProbe = 8)
+    assert(rows(grownServe) == fused)
+  }
+
   // pqSearchAuto's dispatch table, pinned: the four (source, form)
   // combinations as a function of (corpus size vs bound, index
   // presence, coarse presence) — so a refactor can't silently move the
