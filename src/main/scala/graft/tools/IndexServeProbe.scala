@@ -210,11 +210,25 @@ object IndexServeProbe {
           "fp", "idxprobe_fp_cmp")
       }
       val s20 = srvFp
-      val (cSec, files) = time(
-        Dedup.compactKeyIndexBucketed(spark, "idxprobe_fp_cmp"))
+      // round 14: compaction driven through the POLICY, not the bare
+      // verb — 20 appends sit past the 16-files/bucket default
+      // threshold, so compactBucketedIfNeeded must fire here, and must
+      // no-op immediately after (one file per bucket again). This is
+      // the probe row that shows the trigger firing at the measured
+      // drift point.
+      val depth = graft.sources.Layout.filesPerBucket(spark, "idxprobe_fp_cmp")
+      val (cSec, fired) = time(
+        graft.sources.Layout.compactBucketedIfNeeded(spark, "idxprobe_fp_cmp"))
+      val files = fired.getOrElse(
+        sys.error(s"policy must fire at 20 appends (depth $depth)"))
+      require(graft.sources.Layout
+        .compactBucketedIfNeeded(spark, "idxprobe_fp_cmp").isEmpty,
+        "policy must no-op right after compaction")
       val sAfter = srvFp
       println(f"[compact] fp_exact  serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
-        f" | compact ${cSec}%.2f s -> $files files | after ${sAfter}%.2f s")
+        f" | policy fired at ${depth}%.1f files/bucket (>16): " +
+        f"compact ${cSec}%.2f s -> $files files | after ${sAfter}%.2f s" +
+        " | immediate re-check: no-op")
     }
     locally {
       NearDup.writeBandIndexBucketed(docs.filter(col("source") =!= "src0"),
