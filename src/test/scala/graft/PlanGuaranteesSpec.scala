@@ -57,6 +57,14 @@ class PlanGuaranteesSpec extends SparkSpec {
       // same LUT shape over the APPENDED code table — identical plan
       // family to q_pq_search_indexed, only the scan's file list differs
       "q_pq_search_appended",
+      // cell-partitioned layout: the probed-cell LUT crossJoins the SAME
+      // constant-sized codeword meta (Ann.scala:1137); pruning changes
+      // which code FILES are read, not the join family
+      "q_pq_probe_pruned",
+      // the auto dispatcher ROUTES to one of the whitelisted PQ serves
+      // (indexed/fused x exhaustive/probed) — every branch is the same
+      // LUT shape; branch choice itself is pinned in AnnSpec
+      "q_pq_search_auto",
       // the tc row combines TWO one-row aggregates (component pair count
       // x truth catch count) — constant-attach, build side is one row
       "q_link_snm_tc_recall")
