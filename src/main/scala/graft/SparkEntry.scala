@@ -1231,6 +1231,14 @@ object SparkEntry {
     "q_lsh_recall" -> ((s, dir) =>
       NearDup.lshRecallEval(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- Banding POLICY table: balanced S-curve error mass per (bands,
+    // rows) factorization of the 16-hash signature at the engine's
+    // operating threshold 0.5 — the derivation that makes 4x4 a decision,
+    // not a constant (argmin row = LshTune.tune(16, 0.5) = (4, 4)).
+    // e12 fixed point over an exactly-rounded multiply tree so the same
+    // numbers fall out of DuckDB. See LshTune.
+    "q_lsh_tune" -> ((s, _) => LshTune.bandingErrorTable(s, 16, 0.5)),
+
     // ---- North-star composite: corpus dedup = MinHash-LSH pairs →
     // connected components → canonical doc per cluster.
     "q_near_dedup" -> ((s, dir) =>
@@ -3327,6 +3335,7 @@ object SparkEntry {
         "CAST(coalesce(sum(CASE WHEN c.cid_a IS NOT NULL THEN 1 END), 0) AS DOUBLE) / count(*) " +
         "END AS recall " +
         "FROM truth t LEFT JOIN cands c ON c.cid_a = t.id_a AND c.cid_b = t.id_b"),
+    "q_lsh_tune" -> LshTune.bandingErrorSql(16, 0.5),
     "q_near_dedup" ->
       (s"WITH RECURSIVE $sqlNearDedupCtes " +
         "SELECT doc_id, component, doc_id = component AS is_canonical FROM comp"),

@@ -523,6 +523,13 @@ object NearDup {
 
   // ---------------------------------------------------------------- MinHash
 
+  /** 16 hashes in 4 bands of 4 — not arbitrary: (4, 4) is
+    * [[LshTune.tune]]'s error-mass argmin over the divisor pairs of 16 at
+    * the engine's operating threshold 0.5 (derivation oracled as
+    * q_lsh_tune; recall it predicts measured by q_lsh_recall). Pinned as
+    * constants because the DuckDB oracle SQL mirrors the banding layout
+    * hash-for-hash — retune via [[LshTune]] if the threshold regime moves.
+    */
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
