@@ -613,6 +613,25 @@ object EditDistanceJoin {
      graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_keys"),
      graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_members"))
 
+  /** The compaction POLICY over this tier's three tables — the
+    * multi-table twin of
+    * [[graft.sources.Layout.compactBucketedIfNeeded]]: one nightly call
+    * per tier. Each table decides on its own files-per-bucket depth
+    * (appends write one file set per table per batch, but a batch can
+    * miss buckets in one table and not another, so depths drift apart).
+    * Returns per-table Some(fileCountAfter)/None:
+    * (postings, keys, members).
+    */
+  def compactVariantIndexBucketedIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      maxFilesPerBucket: Int = 16): (Option[Int], Option[Int], Option[Int]) =
+    (graft.sources.Layout.compactBucketedIfNeeded(
+       spark, s"${tablePrefix}_postings", maxFilesPerBucket),
+     graft.sources.Layout.compactBucketedIfNeeded(
+       spark, s"${tablePrefix}_keys", maxFilesPerBucket),
+     graft.sources.Layout.compactBucketedIfNeeded(
+       spark, s"${tablePrefix}_members", maxFilesPerBucket))
+
   /** [[pairsAgainstIndex]] served from the BUCKETED tables
     * ([[writeVariantIndexBucketed]], possibly grown by
     * [[appendVariantIndexBucketed]]): result-identical, but the

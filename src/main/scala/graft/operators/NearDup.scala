@@ -475,6 +475,23 @@ object NearDup {
     (graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_postings"),
      graft.sources.Layout.compactBucketed(spark, s"${tablePrefix}_sets"))
 
+  /** The compaction POLICY over this tier's table pair — the multi-table
+    * twin of [[graft.sources.Layout.compactBucketedIfNeeded]], so the
+    * nightly job needs one call per TIER, not one per table. Each table
+    * decides on its own files-per-bucket depth (appends lay one file set
+    * on both tables per batch, but a batch whose rows miss some buckets
+    * skips those files, so depths can drift apart). Returns per-table
+    * Some(fileCountAfter) where the threshold fired, None where it
+    * didn't: (postings, sets).
+    */
+  def compactBandIndexBucketedIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      maxFilesPerBucket: Int = 16): (Option[Int], Option[Int]) =
+    (graft.sources.Layout.compactBucketedIfNeeded(
+       spark, s"${tablePrefix}_postings", maxFilesPerBucket),
+     graft.sources.Layout.compactBucketedIfNeeded(
+       spark, s"${tablePrefix}_sets", maxFilesPerBucket))
+
   /** [[incrementalNearDupPairs]] served from the BUCKETED index tables
     * ([[writeBandIndexBucketed]]): result-identical, but the candidate
     * join consumes the postings' bucket layout — no index-side shuffle.

@@ -245,11 +245,18 @@ object IndexServeProbe {
           "doc_id", "text", 3, "idxprobe_lsh_cmp")
       }
       val s20 = srvLsh
-      val (cSec, (pf, sf_)) = time(
-        NearDup.compactBandIndexBucketed(spark, "idxprobe_lsh_cmp"))
+      // through the tier POLICY: 20 appends must trip both tables
+      val (cSec, (pfO, sfO)) = time(
+        NearDup.compactBandIndexBucketedIfNeeded(spark, "idxprobe_lsh_cmp"))
+      val pf = pfO.getOrElse(sys.error("lsh policy must fire: postings"))
+      val sf_ = sfO.getOrElse(sys.error("lsh policy must fire: sets"))
+      require(NearDup.compactBandIndexBucketedIfNeeded(spark,
+        "idxprobe_lsh_cmp") == ((None, None)),
+        "lsh policy must no-op right after compaction")
       val sAfter = srvLsh
       println(f"[compact] lsh_bands serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
-        f" | compact ${cSec}%.2f s -> ($pf, ${sf_}) files | after ${sAfter}%.2f s")
+        f" | compact ${cSec}%.2f s -> ($pf, ${sf_}) files | after ${sAfter}%.2f s" +
+        " | immediate re-check: no-op")
     }
     locally {
       val c = Tables.customer(spark, sfDir)
@@ -271,11 +278,20 @@ object IndexServeProbe {
           "c_custkey", "c_name", "idxprobe_var_cmp")
       }
       val s20 = srvVar
-      val (cSec, (pf, kf, mf)) = time(
-        EditDistanceJoin.compactVariantIndexBucketed(spark, "idxprobe_var_cmp"))
+      // through the tier POLICY: 20 appends must trip all three tables
+      val (cSec, (pfO, kfO, mfO)) = time(
+        EditDistanceJoin.compactVariantIndexBucketedIfNeeded(
+          spark, "idxprobe_var_cmp"))
+      val pf = pfO.getOrElse(sys.error("variant policy must fire: postings"))
+      val kf = kfO.getOrElse(sys.error("variant policy must fire: keys"))
+      val mf = mfO.getOrElse(sys.error("variant policy must fire: members"))
+      require(EditDistanceJoin.compactVariantIndexBucketedIfNeeded(spark,
+        "idxprobe_var_cmp") == ((None, None, None)),
+        "variant policy must no-op right after compaction")
       val sAfter = srvVar
       println(f"[compact] variant   serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
-        f" | compact ${cSec}%.2f s -> ($pf, $kf, $mf) files | after ${sAfter}%.2f s")
+        f" | compact ${cSec}%.2f s -> ($pf, $kf, $mf) files | after ${sAfter}%.2f s" +
+        " | immediate re-check: no-op")
     }
     spark.stop()
   }

@@ -135,14 +135,59 @@ class LayoutSpec extends SparkSpec {
     val before = NearDup.incrementalNearDupPairsBucketed(batch, "doc_id",
         "text", 3, 0.3, tbl)
       .as[(Long, Long, Long, Double)].collect().toSet
-    val (pFiles, sFiles) = NearDup.compactBandIndexBucketed(spark, tbl)
+    // tier POLICY: 1 append = 2 file sets/bucket — under a threshold of 8
+    // neither table fires; at 1 both do (and compact to 1 file/bucket)
+    assert(NearDup.compactBandIndexBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 8) == ((None, None)))
+    val (pFilesO, sFilesO) =
+      NearDup.compactBandIndexBucketedIfNeeded(spark, tbl,
+        maxFilesPerBucket = 1)
+    val (pFiles, sFiles) = (pFilesO.getOrElse(fail("postings must fire")),
+      sFilesO.getOrElse(fail("sets must fire")))
     assert(pFiles == 8 && sFiles == 8, s"($pFiles, $sFiles)")
+    // idempotent: immediately after, 1 file/bucket no-ops even at 1
+    assert(NearDup.compactBandIndexBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 1) == ((None, None)))
     val after = NearDup.incrementalNearDupPairsBucketed(batch, "doc_id",
         "text", 3, 0.3, tbl)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(after == before)
     assert(before.nonEmpty)
     Seq("postings", "sets").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_$t"))
+  }
+
+  test("variant tier policy: fires on all three tables past threshold, serve identical") {
+    import graft.operators.EditDistanceJoin
+    val c = Tables.customer(spark, sf0001)
+    val dir = tmpDir("varpol")
+    val tbl = "graft_spec_compact_var_policy"
+    EditDistanceJoin.writeVariantIndexBucketed(
+      c.filter($"c_custkey" % 3 =!= 0).select($"c_custkey", $"c_name"),
+      "c_custkey", "c_name", 1, s"$dir/t", tbl, numBuckets = 4)
+    EditDistanceJoin.appendVariantIndexBucketed(
+      c.filter($"c_custkey" % 3 === 0)
+        .select(($"c_custkey" + 1000000000L).as("c_custkey"), $"c_name"),
+      "c_custkey", "c_name", tbl)
+    val batch = c.filter($"c_custkey" % 3 === 0)
+      .select($"c_custkey".as("did"), $"c_name".as("dname"))
+    def serve = EditDistanceJoin.pairsAgainstIndexBucketed(
+        batch, "did", "dname", 1, tbl)
+      .collect().map(_.toString).toSet
+    val before = serve
+    assert(before.nonEmpty)
+    // 1 append = 2 file sets/bucket: no-op at 8, all three fire at 1
+    assert(EditDistanceJoin.compactVariantIndexBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 8) == ((None, None, None)))
+    val (pO, kO, mO) =
+      EditDistanceJoin.compactVariantIndexBucketedIfNeeded(spark, tbl,
+        maxFilesPerBucket = 1)
+    assert(pO.nonEmpty && kO.nonEmpty && mO.nonEmpty, (pO, kO, mO))
+    // idempotent, and nothing a serve can observe changed
+    assert(EditDistanceJoin.compactVariantIndexBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 1) == ((None, None, None)))
+    assert(serve == before)
+    Seq("postings", "keys", "members", "meta").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_$t"))
   }
 
