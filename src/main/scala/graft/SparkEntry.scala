@@ -1140,6 +1140,14 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) =>
       NearDup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
 
+    // ---- The DISPATCHED form: plain posting join vs PPJoin prefix from
+    // the corpus's own candidate-mass/posting ratio (M/P = 4.9 here →
+    // plain; the boilerplate regime routes prefix — PrefixDemo). Both
+    // branches are exact, so the oracle is q_jaccard_pairs' own closure
+    // whichever way it routes. See NearDup.jaccardPairsAuto.
+    "q_jaccard_auto" -> ((s, dir) =>
+      NearDup.jaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)),
+
     // ---- Incremental near-dedup: today's batch (src0) Jaccard-paired
     // against the standing corpus (everything else) — batch-postings x
     // corpus-postings equi-join, never corpus x corpus. The exact-match
@@ -3150,6 +3158,15 @@ object SparkEntry {
         "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id " +
         "LEFT JOIN s3 ON s1.user_id = s3.user_id"),
     "q_jaccard_pairs" ->
+      (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
+        "SELECT id_a, id_b, n_common, " +
+        "CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc " +
+        "FROM inter JOIN counts ca ON ca.doc_id = id_a " +
+        "JOIN counts cb ON cb.doc_id = id_b " +
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
+    // dispatch never changes the answer — the auto query's oracle IS the
+    // exact-join closure
+    "q_jaccard_auto" ->
       (s"WITH $sqlToksCte, $sqlShCte, $sqlCountsCte, $sqlInterCte " +
         "SELECT id_a, id_b, n_common, " +
         "CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc " +

@@ -219,10 +219,19 @@ object NearDup {
     * hot shingles is acceptable instead of exact.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-                         n: Int, threshold: Double): DataFrame = {
+                         n: Int, threshold: Double): DataFrame =
     // consumed three times (doc-frequency agg, prefix build, verify) —
     // same localCheckpoint lifecycle reasoning as shinglesWithSkewGuard
-    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    jaccardPairsPrefixFromShingles(
+      shingles(df, idCol, textCol, n).localCheckpoint(true), threshold)
+
+  /** [[jaccardPairsPrefix]] over pre-materialized (id, shingle) postings
+    * (MUST be checkpointed/stable — consumed three times), so
+    * [[jaccardPairsAuto]] can reuse one posting build across the
+    * decision statistic and either branch.
+    */
+  private[graft] def jaccardPairsPrefixFromShingles(
+      sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // Prefix = each doc's klim = |x| - ceil(t·|x|) + 1 RAREST shingles
@@ -248,7 +257,7 @@ object NearDup {
     if (maxK > Int.MaxValue) throw new IllegalArgumentException(
       s"prefix cap $maxK exceeds Int.MaxValue — threshold $threshold is " +
         "too low for this corpus's largest document")
-    graft.Graft.enableOptimizations(df.sparkSession)
+    graft.Graft.enableOptimizations(sh.sparkSession)
     val prefix =
       if (maxK == 0L) withLim.filter(lit(false)).select("id", "shingle")
       else graft.plans.TopKPerKey.topKPerKey(withLim, Seq("id"),
@@ -280,6 +289,72 @@ object NearDup {
           (size(col("sa.ss")) + size(col("sb.ss")) - inter)).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
+
+  /** Decision boundary for [[jaccardPairsAuto]]: route to the prefix
+    * form when the plain posting join's candidate mass exceeds
+    * `factor ×` its linear posting floor. Measured regimes sit orders
+    * of magnitude from the default boundary (see [[jaccardPairsAuto]]),
+    * so the exact factor is not load-bearing between them.
+    */
+  private[graft] def jaccardAutoBranch(candMass: Double, postings: Long,
+                                       factor: Double): String =
+    if (candMass > factor * postings) "prefix" else "plain"
+
+  /** Cost-based dispatch between the two EXACT Jaccard pair joins —
+    * [[Linker.similarityPairsAuto]]'s pattern applied to set-similarity:
+    * the caller states WHAT (all pairs with jacc ≥ threshold) and the
+    * chooser picks [[jaccardPairs]]' plain posting join or
+    * [[jaccardPairsPrefix]]'s PPJoin from the corpus's own
+    * doc-frequency profile, instead of every call site knowing the
+    * boilerplate trade table. Both branches are result-identical (both
+    * exact — the oracle for q_jaccard_auto is the same closure as
+    * q_jaccard_pairs), so the dispatch can never change an answer, only
+    * a wall time.
+    *
+    * Decision statistic: candidate mass M = Σ_shingle df·(df−1)/2 — the
+    * EXACT number of candidate rows the plain self-join emits — against
+    * the posting count P (the linear floor every branch pays to scan).
+    * M ≤ `hotKeyFactor`·P means candidates are join-shaped (a few per
+    * posting): plain wins, the prefix machinery (checkpoint, dfreq
+    * join, grouped top-k, set-array verify) is pure overhead — measured
+    * 2.7 s plain vs 7.6 s prefix on the clean sf0.1 corpus at t=0.5,
+    * M/P = 4.9 (PrefixDemo). M ≫ P means hot shingles dominate
+    * (boilerplate regime: one shared paragraph puts d² rows through
+    * the plain join) and the prefix form drops exactly those keys —
+    * measured 68.5 s plain vs 11.1 s prefix at M/P = 1296 (PrefixDemo's
+    * 60-token shared paragraph, t=0.8). The default factor 32 sits
+    * 6.5× above the measured clean ratio and 40× under the measured
+    * hot one; the auto rows in the same window read 1.6 s clean (plain
+    * route) and 10.7 s boilerplate (prefix route).
+    *
+    * Cost of deciding: the postings build is shared with whichever
+    * branch runs (checkpointed once), so the decision adds ONE
+    * map-side-combinable aggregate over the postings — the dfreq agg
+    * the prefix branch needs anyway, and noise next to the plain
+    * branch's self-join.
+    */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       hotKeyFactor: Double = JaccardHotKeyFactor): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint(true)
+    val r = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df")), lit(0L)).as("p"),
+        coalesce(sum(col("df").cast("double") * (col("df") - 1L) / 2.0),
+          lit(0.0)).as("m"))
+      .collect()(0)
+    jaccardAutoBranch(r.getDouble(1), r.getLong(0), hotKeyFactor) match {
+      case "prefix" => jaccardPairsPrefixFromShingles(sh, threshold)
+      case _        => jaccardPairsFromShingles(sh, threshold)
+    }
+  }
+
+  /** See [[jaccardPairsAuto]]: candidate-mass-to-posting ratio above
+    * which the plain posting join is hot-key-bound and the PPJoin
+    * prefix form wins. Between the two PrefixDemo-measured regimes
+    * (clean M/P = 4.9, shared-paragraph boilerplate M/P = 1296) with
+    * multiples of slack on each side.
+    */
+  val JaccardHotKeyFactor: Double = 32.0
 
   /** Directed n-gram containment pairs: containment of A in B is
     * |shingles(A) ∩ shingles(B)| / |shingles(A)| — the asymmetric cousin

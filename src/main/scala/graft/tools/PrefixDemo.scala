@@ -59,6 +59,27 @@ object PrefixDemo {
     time("boilerplate/prefix t=0.8") {
       NearDup.jaccardPairsPrefix(boiled, "doc_id", "text", 3, 0.8).count()
     }
+
+    // the jaccardPairsAuto decision statistic on both corpora: candidate
+    // mass M = Σ df·(df−1)/2 vs posting count P — the measured regime
+    // separation the JaccardHotKeyFactor default is cited to
+    def stat(label: String, d: org.apache.spark.sql.DataFrame): Unit = {
+      val r = NearDup.shingles(d, "doc_id", "text", 3)
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df")).as("p"),
+          sum(col("df").cast("double") * (col("df") - 1L) / 2.0).as("m"))
+        .collect()(0)
+      println(f"[prefix-demo] $label%-28s postings=${r.getLong(0)}%d " +
+        f"candMass=${r.getDouble(1)}%.3e ratio=${r.getDouble(1) / r.getLong(0)}%.1f")
+    }
+    stat("clean M/P", docs)
+    stat("boilerplate M/P", boiled)
+    time("clean/auto t=0.5") {
+      NearDup.jaccardPairsAuto(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("boilerplate/auto t=0.8") {
+      NearDup.jaccardPairsAuto(boiled, "doc_id", "text", 3, 0.8).count()
+    }
     spark.stop()
   }
 }

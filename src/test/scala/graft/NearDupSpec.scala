@@ -134,6 +134,35 @@ class NearDupSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("jaccardPairsAuto: boundary pinned, both routes run and agree with jaccardPairs") {
+    // the boundary function itself: prefix strictly above factor×postings
+    assert(NearDup.jaccardAutoBranch(10.0, 100L, 32.0) == "plain")
+    assert(NearDup.jaccardAutoBranch(3200.0, 100L, 32.0) == "plain")
+    assert(NearDup.jaccardAutoBranch(3201.0, 100L, 32.0) == "prefix")
+    val real = Tables.documents(spark, sf0001)
+    val plain = NearDup.jaccardPairs(real, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty)
+    // force each route via the factor and pin it by plan shape (the
+    // prefix route rides TopKPerKey, the plain route never does),
+    // then assert both give the exact join's answer
+    val forcedPrefix = NearDup.jaccardPairsAuto(real, "doc_id", "text",
+      3, 0.5, hotKeyFactor = 0.0)
+    assert(forcedPrefix.queryExecution.executedPlan.toString
+      .contains("TopKPerKey"))
+    assert(forcedPrefix.as[(Long, Long, Long, Double)].collect().toSet
+      == plain)
+    val forcedPlain = NearDup.jaccardPairsAuto(real, "doc_id", "text",
+      3, 0.5, hotKeyFactor = Double.MaxValue)
+    assert(!forcedPlain.queryExecution.executedPlan.toString
+      .contains("TopKPerKey"))
+    assert(forcedPlain.as[(Long, Long, Long, Double)].collect().toSet
+      == plain)
+    // the default factor routes SOMEWHERE and still agrees
+    assert(NearDup.jaccardPairsAuto(real, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet == plain)
+  }
+
   test("containmentPairs: subset duplication both directions, Jaccard blind spot") {
     val corpus = Seq(
       (1L, "a b c d e f"),                       // 4 3-grams, all inside doc 2
