@@ -707,7 +707,21 @@ object ScaleProbe {
             .as("vec_id"), col("embedding"))
         Ann.appendPqIndex(batch, "vec_id", "embedding", PqFixture.model, dir,
           Some(IvfFixture.model))
-      })
+      }),
+      // ANN tier, CELL-PARTITIONED layout (round 14): same batch-only
+      // encode, but the codes land under cell=N directories — the
+      // partitioned write must stay batch-shaped too
+      "pq_cell_append" -> (() =>
+        appendProbe("pq_cell_append", replicateEmb) { (d, dir, _) =>
+          Ann.writePqIndexByCell(d, "vec_id", "embedding", PqFixture.model,
+            dir, IvfFixture.model)
+        } { (dir, _, i) =>
+          val batch = embBase.filter(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + lit(750000000L) + lit(i) * 1000000L)
+              .as("vec_id"), col("embedding"))
+          Ann.appendPqIndexByCell(batch, "vec_id", "embedding",
+            PqFixture.model, dir, IvfFixture.model)
+        })
     )
     val appendResults = appendProbes
       .filter(p => only.isEmpty || only(p._1)).map(_._2())
