@@ -18,14 +18,21 @@ object SparkEntry {
     */
   private val exitCleanupDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  /** Depth-first best-effort delete of `root`. Returns true only when the
+    * walk completed and the root is actually gone — callers must never
+    * report a failed or partial delete as done (a concurrent sweep or an
+    * undeletable file leaves the tree in place with a Failure).
+    */
+  private def deleteTree(root: java.nio.file.Path): Boolean =
+    scala.util.Using(java.nio.file.Files.walk(root)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }.isSuccess && !java.nio.file.Files.exists(root)
+
   private lazy val exitCleanupHook: Unit = sys.addShutdownHook {
-    exitCleanupDirs.forEach { root =>
-      scala.util.Using(java.nio.file.Files.walk(root)) { st =>
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    exitCleanupDirs.forEach(root => deleteTree(root))
   }
   private def cleanupAtExit(p: java.nio.file.Path): Unit = {
     exitCleanupHook
@@ -47,14 +54,29 @@ object SparkEntry {
   }
 
   private val publishLock = new Object
+  /** Hostname token for [[jvmNonce]], sanitized so it can never contain
+    * the '_' the dir-name parse splits on. The host rides in the nonce
+    * because the sweep's liveness test (ProcessHandle.of(pid)) only sees
+    * THIS host's pid table: a publish dir written by another host (shared
+    * filesystem) or another pid namespace (sibling container on a bind
+    * mount) would look "dead" here while its owner is alive — the sweep
+    * therefore only reasons about dirs carrying its OWN host token.
+    */
+  private[graft] lazy val publishHost: String =
+    scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .getOrElse("unknownhost").replaceAll("[^A-Za-z0-9-]", "-")
   /** Process-unique suffix for [[cachedPublish]] dirs: pid alone could be
     * reused by a later JVM after a crash orphans a dir, so the JVM start
     * time rides along — two distinct JVMs can never resolve to the same
-    * publish path.
+    * publish path. The leading host token scopes the orphan sweep (see
+    * [[publishHost]]); two containers that share BOTH the mount and the
+    * hostname while isolating pid namespaces remain the one deployment
+    * the sweep's liveness test cannot tell from a crash — don't run the
+    * bench that way, or point the JVMs at disjoint working dirs.
     */
   private lazy val jvmNonce: String = {
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
-    s"${ProcessHandle.current().pid()}_${rt.getStartTime}"
+    s"${publishHost}_${ProcessHandle.current().pid()}_${rt.getStartTime}"
   }
   /** JVM-cached publish directory for the SERVE-ONLY bench rows
     * (q_cluster_cc_serve): unlike [[scratchDir]] (fresh per call, so
@@ -81,23 +103,31 @@ object SparkEntry {
     * nonce isn't this JVM's is unreachable by THIS process (the nonce is
     * in the path), but it may belong to a CONCURRENT live JVM — deleting
     * those would break the disjoint-dirs guarantee above — so the sweep
-    * only removes dirs whose embedded pid no longer exists. A pid-reused
-    * orphan (dead JVM, pid now owned by something else) survives until
-    * that pid frees or `sbt clean`; rare, bounded, and erring on the
-    * side of never touching a live process's publish. Runs once per JVM
-    * under [[publishLock]].
+    * only removes dirs carrying THIS host's token whose embedded pid no
+    * longer exists here (a foreign host's pids are invisible to this
+    * process — its dirs are never touched). A pid-reused orphan (dead
+    * JVM, pid now owned by something else) survives until that pid
+    * frees or `sbt clean`; rare, bounded, and erring on the side of
+    * never touching a live process's publish. Runs once per JVM under
+    * [[publishLock]].
     */
   private lazy val sweepOrphanPublishes: Unit =
     sweepStalePublishDirs(
       java.nio.file.Paths.get("target", "graft-scratch"), jvmNonce)
   /** The sweep itself, parameterized for the spec: under `base`, delete
-    * every `pub_*` directory that (a) doesn't carry `ownNonce` and
-    * (b) whose embedded pid is not a live process. Returns the deleted
-    * directory names.
+    * every `pub_*` directory that (a) doesn't carry `ownNonce`, (b)
+    * carries THIS host's token (a foreign host's pid table is invisible
+    * to ProcessHandle, so foreign dirs are never reasoned about — the
+    * shared-filesystem case), and (c) whose embedded pid is not a live
+    * process here. Returns the names of directories actually deleted —
+    * a delete that failed or only partially completed is NOT reported
+    * (and will be retried by the next JVM's sweep).
     */
   private[graft] def sweepStalePublishDirs(
       base: java.nio.file.Path, ownNonce: String): Seq[String] = {
     if (!java.nio.file.Files.isDirectory(base)) return Seq.empty
+    // nonce = <host>_<pid>_<startMs>; host is sanitized to contain no '_'
+    val ownHost = ownNonce.split('_').dropRight(2).mkString("_")
     val candidates = scala.util.Using(java.nio.file.Files.list(base)) { st =>
       import scala.jdk.CollectionConverters._
       st.iterator().asScala
@@ -107,24 +137,18 @@ object SparkEntry {
         .toSeq
     }.getOrElse(Seq.empty)
     candidates.flatMap { p =>
-      // name = pub_<key>_<sfLeaf>_<pid>_<jvmStartMs>; pid is the
-      // second-to-last '_' token (key/leaf may themselves contain '_').
-      // Delete only on POSITIVE evidence of death: a parsed pid with no
-      // live process. A live pid (concurrent JVM, or pid reuse) and an
-      // unparseable name (not ours to reason about) both survive.
+      // name = pub_<key>_<sfLeaf>_<host>_<pid>_<jvmStartMs>; parse from
+      // the RIGHT (key/leaf may themselves contain '_'). Delete only on
+      // POSITIVE evidence of death: our own host token AND a parsed pid
+      // with no live process. A live pid (concurrent JVM, or pid reuse),
+      // a foreign or legacy host token, and an unparseable name all
+      // survive — never ours to reason about.
       val parts = p.getFileName.toString.split('_')
-      val deadPid = parts.length >= 2 &&
+      val deadLocal = parts.length >= 3 && ownHost.nonEmpty &&
+        parts(parts.length - 3) == ownHost &&
         parts(parts.length - 2).toLongOption
           .exists(pid => !ProcessHandle.of(pid).isPresent)
-      if (!deadPid) None
-      else {
-        scala.util.Using(java.nio.file.Files.walk(p)) { st =>
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        }
-        Some(p.getFileName.toString)
-      }
+      if (deadLocal && deleteTree(p)) Some(p.getFileName.toString) else None
     }
   }
   private def cachedPublish(key: String, sfDir: String)
@@ -142,11 +166,7 @@ object SparkEntry {
         try body(base.toString)
         catch {
           case e: Throwable =>
-            scala.util.Using(java.nio.file.Files.walk(base)) { st =>
-              import scala.jdk.CollectionConverters._
-              st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-                .foreach(p => java.nio.file.Files.deleteIfExists(p))
-            }
+            deleteTree(base)
             throw e
         }
       }

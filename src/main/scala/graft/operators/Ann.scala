@@ -1010,7 +1010,11 @@ object Ann {
                    coarse: Option[IvfModel] = None,
                    indexDir: Option[String] = None,
                    maxExhaustiveVectors: Long = PqExhaustiveCrossover): DataFrame = {
-    val (_, form) = pqServeBranch(emb.count(), indexDir.isDefined,
+    // the corpus count can only matter when a coarse quantizer exists to
+    // bound by (no coarse → exhaustive regardless), so the raw-PQ path
+    // never pays a corpus-scale count action for an unused answer
+    val corpusN = if (coarse.isDefined) emb.count() else 0L
+    val (_, form) = pqServeBranch(corpusN, indexDir.isDefined,
       coarse.isDefined, maxExhaustiveVectors)
     val nProbe = if (form == "probed") PqProbeServingPoint else Int.MaxValue
     indexDir match {
@@ -1124,10 +1128,16 @@ object Ann {
         // the per-cell LUT fan-out compute sits after this exchange
         val nPart = emb.sparkSession.conf
           .get("spark.sql.shuffle.partitions").toInt
-        val probed = probed0.select(col("query_id"),
+        val probedRaw = probed0.select(col("query_id"),
             col("__c.cid").cast("long").as("cell"),
             zip_with(col("emb_d"), col("__c.cv"), (x, y) => x - y).as("qr"))
           .repartition(nPart, col("query_id"))
+        // when the static cell pruning below will collect the probed-cell
+        // union, pin the probed set first — it is |queries|·nProbe rows
+        // by contract, and without the pin the collect and the LUT would
+        // each re-run the whole query-side scan + ranking
+        val pruning = cellPartitioned && nProbe < ivf.centroids.length
+        val probed = if (pruning) probedRaw.localCheckpoint(true) else probedRaw
         // LUT via the (j, c, w) codeword meta table cross-joined onto
         // the probed (query, cell) residuals — ONE codegen'd d2 per LUT
         // row. The cross join is bounded by construction:
@@ -1151,7 +1161,7 @@ object Ann {
         // filter would prune nothing and the collect would be a wasted
         // job.
         val prunedCodes =
-          if (cellPartitioned && nProbe < ivf.centroids.length) {
+          if (pruning) {
             val cells = probed.select(col("cell")).distinct()
               .collect().map(_.getLong(0)).sorted
             codeLong.filter(col("cell").isin(cells: _*))

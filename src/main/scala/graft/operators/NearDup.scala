@@ -329,9 +329,13 @@ object NearDup {
     *
     * Cost of deciding: the postings build is shared with whichever
     * branch runs (checkpointed once), so the decision adds ONE
-    * map-side-combinable aggregate over the postings — the dfreq agg
-    * the prefix branch needs anyway, and noise next to the plain
-    * branch's self-join.
+    * map-side-combinable aggregate over the checkpointed postings —
+    * noise next to either branch's joins. (The prefix route recomputes
+    * its own dfreq from the same checkpoint rather than reusing this
+    * one: deduplicating them would mean eagerly materializing the
+    * distinct-shingle table before the route is even known, taxing the
+    * plain route with a corpus-vocabulary-sized write to save the hot
+    * route one cheap re-agg.)
     */
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,

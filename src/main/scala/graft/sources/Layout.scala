@@ -130,11 +130,14 @@ object Layout {
   def filesPerBucket(spark: SparkSession, tableName: String): Double = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val buckets = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableName has no bucket spec — the bucketed append verbs " +
+        "serve bucketed catalog tables only")).numBuckets
     val location = new org.apache.hadoop.fs.Path(meta.location)
     val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(location).count(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
-    files.toDouble / bucketCountOf(spark, tableName)
+    files.toDouble / buckets
   }
 
   /** The compaction POLICY to [[compactBucketed]]'s mechanism: compact

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{GraftLocalDir, Tables}
 import graft.operators.{ConnectedComponents, EditDistanceJoin}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -29,17 +29,14 @@ object Day2JobAudit {
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.enableOptimizations(spark)
     val jobsByGroup = scala.collection.mutable.Map.empty[String, Int]
-    val groupOfJob = scala.collection.mutable.Map.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobsByGroup.synchronized {
           val g = Option(j.properties)
             .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
             .getOrElse("(none)")
-          groupOfJob(j.jobId) = g
           jobsByGroup(g) = jobsByGroup.getOrElse(g, 0) + 1
         }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
     })
     val phaseWall = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def phase[T](name: String)(body: => T): T = {
