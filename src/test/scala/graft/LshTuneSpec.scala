@@ -47,6 +47,15 @@ class LshTuneSpec extends SparkSpec {
     assert(rs.zip(rs.tail).forall { case (lo, hi) => lo <= hi }, rs)
   }
 
+  test("tune always returns a valid factorization with a finite error mass") {
+    for (n <- 1 to 64; t <- Seq(0.1, 0.35, 0.5, 0.75, 0.9)) {
+      val (b, r) = LshTune.tune(n, t)
+      assert(b * r == n && b >= 1 && r >= 1, s"n=$n t=$t -> ($b,$r)")
+      val e = LshTune.errorMass(b, r, t)
+      assert(e >= 0.0 && e <= 1.0, s"n=$n t=$t err=$e")
+    }
+  }
+
   test("the oracled Spark table agrees with the driver chooser") {
     val rows = LshTune.bandingErrorTable(spark, 16, 0.5).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
