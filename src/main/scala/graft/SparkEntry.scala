@@ -714,6 +714,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("quality"))
     }),
 
+    // ---- The same pipeline as a RETENTION LEDGER: one row per
+    // cumulative stage (raw → exact dedup → lang → quality → length)
+    // with surviving doc/token counts — the dataset-release funnel
+    // table, in one corpus pass. See Profiler.curationFunnel.
+    "q_curation_funnel" -> ((s, dir) =>
+      Profiler.curationFunnel(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- Vocabulary build: global token frequencies, top 500 — the seed
     // step of any tokenizer/BPE training run. explode + hash aggregate,
     // then ORDER BY + LIMIT plans as TakeOrderedAndProject (bounded heap
@@ -3214,6 +3221,45 @@ object SparkEntry {
         "FROM surv JOIN s ON surv.doc_id = s.doc_id " +
         "JOIN lang ON surv.doc_id = lang.doc_id " +
         "WHERE s.quality >= 0.5 AND lang.lang_pred = 'en'"),
+    "q_curation_funnel" ->
+      ("WITH fps AS (SELECT doc_id, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
+        "sv AS (SELECT doc_id, " +
+        "(row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1) AS surv FROM fps), " +
+        s"s AS ($sqlTextStats), " +
+        "lang AS (SELECT doc_id, " +
+        "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
+        "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
+        "ELSE 'xx' END AS lang_pred " +
+        "FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+        "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, " +
+        s"${sqlStopHits(TextOps.stopwords("de"))} AS s_de, " +
+        s"${sqlStopHits(TextOps.stopwords("en"))} AS s_en, " +
+        s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
+        s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
+        "FROM documents))), " +
+        "f AS (SELECT s.n_tokens AS nt, sv.surv AS k1, " +
+        "(sv.surv AND lang.lang_pred = 'en') AS k2, " +
+        "(sv.surv AND lang.lang_pred = 'en' AND s.quality >= 0.5) AS k3, " +
+        "(sv.surv AND lang.lang_pred = 'en' AND s.quality >= 0.5 " +
+        "AND s.n_tokens >= 5) AS k4 " +
+        "FROM s JOIN sv ON s.doc_id = sv.doc_id " +
+        "JOIN lang ON s.doc_id = lang.doc_id), " +
+        "a AS (SELECT count(*) AS d0, " +
+        "CAST(coalesce(sum(nt), 0) AS BIGINT) AS t0, " +
+        "CAST(coalesce(sum(CASE WHEN k1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1, " +
+        "CAST(coalesce(sum(CASE WHEN k1 THEN nt ELSE 0 END), 0) AS BIGINT) AS t1, " +
+        "CAST(coalesce(sum(CASE WHEN k2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2, " +
+        "CAST(coalesce(sum(CASE WHEN k2 THEN nt ELSE 0 END), 0) AS BIGINT) AS t2, " +
+        "CAST(coalesce(sum(CASE WHEN k3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d3, " +
+        "CAST(coalesce(sum(CASE WHEN k3 THEN nt ELSE 0 END), 0) AS BIGINT) AS t3, " +
+        "CAST(coalesce(sum(CASE WHEN k4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d4, " +
+        "CAST(coalesce(sum(CASE WHEN k4 THEN nt ELSE 0 END), 0) AS BIGINT) AS t4 FROM f) " +
+        "SELECT 0 AS stage_ord, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM a " +
+        "UNION ALL SELECT 1, 'exact_dedup', d1, t1 FROM a " +
+        "UNION ALL SELECT 2, 'lang_en', d2, t2 FROM a " +
+        "UNION ALL SELECT 3, 'quality', d3, t3 FROM a " +
+        "UNION ALL SELECT 4, 'min_tokens', d4, t4 FROM a"),
     "q_vocab_top" ->
       ("WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
         "FROM documents WHERE length(trim(text)) > 0), " +

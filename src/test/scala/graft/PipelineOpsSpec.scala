@@ -392,6 +392,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(empty.length == 3 && empty.forall(t => t._2 == 0L && t._3 == 0L && t._4 == 0L))
   }
 
+  test("curationFunnel: 5 cumulative stages, exact raw totals, monotone, stage-3 = composite") {
+    val real = Tables.documents(spark, sf0001)
+    val rows = graft.operators.Profiler.curationFunnel(real, "doc_id", "text")
+      .orderBy("stage_ord").as[(Int, String, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((0, "raw"),
+      (1, "exact_dedup"), (2, "lang_en"), (3, "quality"), (4, "min_tokens")))
+    assert(rows(0)._3 == real.count())
+    assert(rows(0)._4 ==
+      real.select(sum(TextOps.tokenCount(col("text")))).head.getLong(0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"not monotone at stage ${b._1}")
+    }
+    // sf0.001's documents are fingerprint-unique (its duplicates are
+    // NEAR-dups), so exact dedup keeps everything here — the genuine-drop
+    // case is covered below on a constructed frame
+    assert(rows(1)._3 == rows(0)._3 && rows(1)._3 > 0)
+    // constructed exact dup: one cloned text must drop exactly one doc
+    // at stage 1 and both its token copies from the stage-1 token mass
+    val dup = real.limit(1).select(col("text")).as[String].head()
+    val funnel2 = graft.operators.Profiler.curationFunnel(
+        real.select(col("doc_id"), col("text"))
+          .unionByName(Seq((900000L, dup)).toDF("doc_id", "text")),
+        "doc_id", "text")
+      .orderBy("stage_ord").as[(Int, String, Long, Long)].collect()
+    assert(funnel2(0)._3 == rows(0)._3 + 1)
+    assert(funnel2(1)._3 == rows(1)._3)
+    // the 'quality' stage count IS the q_curation_pipeline survivor count
+    // (same gates, same order) — the ledger and the composite can't drift
+    assert(rows(3)._3 ==
+      SparkEntry.queries("q_curation_pipeline")(spark, sf0001).count())
+  }
+
   test("bigram stats: counts with multiplicity, unigram joins, top-N tie-break") {
     val df = Seq(
       (1L, "a b a b c"),     // bigrams: "a b","b a","a b","b c"
