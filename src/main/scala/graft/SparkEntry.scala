@@ -151,6 +151,12 @@ object SparkEntry {
       if (deadLocal && deleteTree(p)) Some(p.getFileName.toString) else None
     }
   }
+  /** Publish dirs whose body threw AND whose teardown failed to remove
+    * the tree: still on disk, but must not satisfy [[cachedPublish]]'s
+    * existence check. JVM-local is sufficient — the dir is nonce-scoped,
+    * so no other JVM can ever resolve to it.
+    */
+  private val poisonedPublishes = scala.collection.mutable.Set.empty[String]
   private def cachedPublish(key: String, sfDir: String)
                            (body: String => Unit): String =
     publishLock.synchronized {
@@ -158,15 +164,22 @@ object SparkEntry {
       val leaf = java.nio.file.Paths.get(sfDir).getFileName.toString
       val base = java.nio.file.Paths.get("target", "graft-scratch",
         s"pub_${key}_${leaf}_$jvmNonce")
-      if (!java.nio.file.Files.exists(base)) {
+      if (!java.nio.file.Files.exists(base) ||
+          poisonedPublishes(base.toString)) {
         java.nio.file.Files.createDirectories(base)
         cleanupAtExit(base)
         // A half-written publish must not satisfy the existence check on
-        // the next call: tear the dir down before rethrowing.
-        try body(base.toString)
-        catch {
+        // the next call: tear the dir down before rethrowing — and if
+        // even the teardown fails (undeletable file), poison the path so
+        // the next call re-runs body over the remnants (every publish
+        // body writes overwrite-mode artifacts from scratch) instead of
+        // serving them as a completed publish.
+        try {
+          body(base.toString)
+          poisonedPublishes -= base.toString
+        } catch {
           case e: Throwable =>
-            deleteTree(base)
+            if (!deleteTree(base)) poisonedPublishes += base.toString
             throw e
         }
       }
@@ -2726,17 +2739,8 @@ object SparkEntry {
         "CAST(ceil(length(regexp_replace(text, '\\s+', '', 'g')) / 4.0) AS BIGINT) AS n_subwords_est " +
         "FROM documents"),
     "q_text_lang" ->
-      ("SELECT doc_id, s_de, s_en, s_es, s_fr, " +
-        "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
-        "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
-        "ELSE 'xx' END AS lang_pred " +
-        "FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
-        "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, " +
-        s"${sqlStopHits(TextOps.stopwords("de"))} AS s_de, " +
-        s"${sqlStopHits(TextOps.stopwords("en"))} AS s_en, " +
-        s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
-        s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
-        "FROM documents))"),
+      (s"SELECT doc_id, s_de, s_en, s_es, s_fr, $sqlLangPredCase " +
+        s"FROM ($sqlLangScores)"),
     // Code-switch replay: 20-token windows, per-window stopword-hit
     // language argmax, lag-based switch count, modal-language min_by
     // (row_number spelling).
@@ -3201,43 +3205,19 @@ object SparkEntry {
         "JOIN counts cb ON cb.doc_id = id_b " +
         "WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5"),
     "q_curation_pipeline" ->
-      ("WITH fps AS (SELECT doc_id, " +
-        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
+      (s"WITH $sqlFpsCte, " +
         "surv AS (SELECT doc_id FROM (SELECT doc_id, " +
         "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps) WHERE rn = 1), " +
-        s"s AS ($sqlTextStats), " +
-        "lang AS (SELECT doc_id, " +
-        "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
-        "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
-        "ELSE 'xx' END AS lang_pred " +
-        "FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
-        "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, " +
-        s"${sqlStopHits(TextOps.stopwords("de"))} AS s_de, " +
-        s"${sqlStopHits(TextOps.stopwords("en"))} AS s_en, " +
-        s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
-        s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
-        "FROM documents))) " +
+        s"s AS ($sqlTextStats), $sqlLangCte " +
         "SELECT s.doc_id, lang.lang_pred, s.quality " +
         "FROM surv JOIN s ON surv.doc_id = s.doc_id " +
         "JOIN lang ON surv.doc_id = lang.doc_id " +
         "WHERE s.quality >= 0.5 AND lang.lang_pred = 'en'"),
     "q_curation_funnel" ->
-      ("WITH fps AS (SELECT doc_id, " +
-        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
+      (s"WITH $sqlFpsCte, " +
         "sv AS (SELECT doc_id, " +
         "(row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1) AS surv FROM fps), " +
-        s"s AS ($sqlTextStats), " +
-        "lang AS (SELECT doc_id, " +
-        "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
-        "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
-        "ELSE 'xx' END AS lang_pred " +
-        "FROM (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
-        "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, " +
-        s"${sqlStopHits(TextOps.stopwords("de"))} AS s_de, " +
-        s"${sqlStopHits(TextOps.stopwords("en"))} AS s_en, " +
-        s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
-        s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
-        "FROM documents))), " +
+        s"s AS ($sqlTextStats), $sqlLangCte, " +
         "f AS (SELECT s.n_tokens AS nt, sv.surv AS k1, " +
         "(sv.surv AND lang.lang_pred = 'en') AS k2, " +
         "(sv.surv AND lang.lang_pred = 'en' AND s.quality >= 0.5) AS k3, " +
@@ -4749,6 +4729,39 @@ object SparkEntry {
     "round((CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 ELSE 0.5 END) * 0.4 " +
       " + (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)) * 0.3 " +
       " + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3, 6)"
+
+  /** Per-doc stopword-hit scores for the four stopword languages plus
+    * their max — the shared inner table of every lang-pred oracle
+    * (mirrors TextOps.languageScores). One source: q_text_lang,
+    * q_curation_pipeline and q_curation_funnel all interpolate this, so
+    * a change to the scoring can't drift the oracles apart.
+    */
+  private lazy val sqlLangScores: String =
+    "SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+      "greatest(s_de, s_en, s_es, s_fr) AS m FROM (SELECT doc_id, " +
+      s"${sqlStopHits(TextOps.stopwords("de"))} AS s_de, " +
+      s"${sqlStopHits(TextOps.stopwords("en"))} AS s_en, " +
+      s"${sqlStopHits(TextOps.stopwords("es"))} AS s_es, " +
+      s"${sqlStopHits(TextOps.stopwords("fr"))} AS s_fr " +
+      "FROM documents)"
+
+  /** Alphabetical-first argmax tie-break (mirrors languageScores' fold). */
+  private lazy val sqlLangPredCase: String =
+    "CASE WHEN s_de = m AND m > 0 THEN 'de' WHEN s_en = m AND m > 0 THEN 'en' " +
+      "WHEN s_es = m AND m > 0 THEN 'es' WHEN s_fr = m AND m > 0 THEN 'fr' " +
+      "ELSE 'xx' END AS lang_pred"
+
+  /** `lang(doc_id, lang_pred)` CTE over the documents table. */
+  private lazy val sqlLangCte: String =
+    s"lang AS (SELECT doc_id, $sqlLangPredCase FROM ($sqlLangScores))"
+
+  /** `fps(doc_id, fp)` CTE: the content fingerprint (mirrors
+    * TextOps.fingerprint — md5 over whitespace-normalized lowercase).
+    */
+  private lazy val sqlFpsCte: String =
+    "fps AS (SELECT doc_id, " +
+      "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+      "FROM documents)"
 
   private lazy val sqlTextStats: String =
     s"SELECT doc_id, n_tokens, n_chars, n_subwords_est, n_punct, n_stop_en, " +

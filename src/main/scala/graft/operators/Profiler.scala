@@ -63,8 +63,13 @@ object Profiler {
     import org.apache.spark.sql.expressions.Window
     val flagged = TextOps.languageScores(
         docs.withColumn("__fp", TextOps.fingerprint(col(textCol))), textCol)
-      .withColumn("__surv",
-        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("__fp"))))
+      // row_number, not id === min(id): a min-equality flag would keep
+      // EVERY row tied at the min id, double-counting when idCol isn't
+      // unique (a sharded union re-profiled) — row_number keeps exactly
+      // one per fingerprint group, matching Dedup.canonical and the
+      // DuckDB oracle's row_number() = 1 spelling
+      .withColumn("__surv", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col(idCol))) === 1)
       .withColumn("__nt", TextOps.tokenCount(col(textCol)))
       .withColumn("__q", TextOps.qualityScore(col(textCol)))
     val k1 = col("__surv")

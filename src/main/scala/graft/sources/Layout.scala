@@ -77,13 +77,22 @@ object Layout {
     * the same nightly maintenance window as the appends it cleans up
     * after. Returns the data file count after compaction.
     */
-  def compactBucketed(spark: SparkSession, tableName: String): Int = {
-    val cat = spark.sessionState.catalog
-    val meta = cat.getTableMetadata(
+  /** Catalog metadata of `tableName`, with its bucket spec required —
+    * the shared precondition of every bucketed-table verb here (one
+    * error message, one metadata fetch per caller).
+    */
+  private def bucketedMeta(spark: SparkSession, tableName: String)
+      : (org.apache.spark.sql.catalyst.catalog.CatalogTable,
+         org.apache.spark.sql.catalyst.catalog.BucketSpec) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$tableName has no bucket spec; compactBucketed is for bucketed " +
-        "tables — use compact(inDir, outDir) for plain parquet"))
+    (meta, meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableName has no bucket spec — this verb serves bucketed catalog " +
+        "tables only (use compact(inDir, outDir) for plain parquet)")))
+  }
+
+  def compactBucketed(spark: SparkSession, tableName: String): Int = {
+    val (meta, spec) = bucketedMeta(spark, tableName)
     val location = meta.location.toString
     val staging = location.stripSuffix("/") + "__compact_staging"
     spark.table(tableName).write.mode(SaveMode.Overwrite).parquet(staging)
@@ -112,11 +121,7 @@ object Layout {
     * append until the caller re-supplied the publish-time count).
     */
   def bucketCountOf(spark: SparkSession, tableName: String): Int =
-    spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-      .bucketSpec.getOrElse(throw new IllegalArgumentException(
-        s"$tableName has no bucket spec — the bucketed append verbs " +
-          "serve bucketed catalog tables only")).numBuckets
+    bucketedMeta(spark, tableName)._2.numBuckets
 
   /** Data-file count per bucket of a bucketed catalog table — the
     * compaction-trigger signal. Each bucketed append lays down one file
@@ -128,11 +133,8 @@ object Layout {
     * the deepest-possible bucket, not an average that hides skew).
     */
   def filesPerBucket(spark: SparkSession, tableName: String): Double = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-    val buckets = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$tableName has no bucket spec — the bucketed append verbs " +
-        "serve bucketed catalog tables only")).numBuckets
+    val (meta, spec) = bucketedMeta(spark, tableName)
+    val buckets = spec.numBuckets
     val location = new org.apache.hadoop.fs.Path(meta.location)
     val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(location).count(s =>

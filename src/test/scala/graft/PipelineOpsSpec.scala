@@ -418,6 +418,16 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("stage_ord").as[(Int, String, Long, Long)].collect()
     assert(funnel2(0)._3 == rows(0)._3 + 1)
     assert(funnel2(1)._3 == rows(1)._3)
+    // duplicate doc_id (a shard unioned twice): the survivor flag must
+    // keep exactly ONE row of the tied fingerprint group — an
+    // id === min(id) spelling would keep both and double-count
+    val funnel3 = graft.operators.Profiler.curationFunnel(
+        real.select(col("doc_id"), col("text"))
+          .unionByName(real.select(col("doc_id"), col("text")).limit(1)),
+        "doc_id", "text")
+      .orderBy("stage_ord").as[(Int, String, Long, Long)].collect()
+    assert(funnel3(0)._3 == rows(0)._3 + 1)
+    assert(funnel3(1)._3 == rows(1)._3)
     // the 'quality' stage count IS the q_curation_pipeline survivor count
     // (same gates, same order) — the ledger and the composite can't drift
     assert(rows(3)._3 ==
