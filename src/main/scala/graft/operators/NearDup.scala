@@ -314,18 +314,24 @@ object NearDup {
     * Decision statistic: candidate mass M = Σ_shingle df·(df−1)/2 — the
     * EXACT number of candidate rows the plain self-join emits — against
     * the posting count P (the linear floor every branch pays to scan).
-    * M ≤ `hotKeyFactor`·P means candidates are join-shaped (a few per
-    * posting): plain wins, the prefix machinery (checkpoint, dfreq
-    * join, grouped top-k, set-array verify) is pure overhead — measured
-    * 2.7 s plain vs 7.6 s prefix on the clean sf0.1 corpus at t=0.5,
-    * M/P = 4.9 (PrefixDemo). M ≫ P means hot shingles dominate
-    * (boilerplate regime: one shared paragraph puts d² rows through
-    * the plain join) and the prefix form drops exactly those keys —
-    * measured 68.5 s plain vs 11.1 s prefix at M/P = 1296 (PrefixDemo's
-    * 60-token shared paragraph, t=0.8). The default factor 32 sits
-    * 6.5× above the measured clean ratio and 40× under the measured
-    * hot one; the auto rows in the same window read 1.6 s clean (plain
-    * route) and 10.7 s boilerplate (prefix route).
+    * The boundary is cited to a FOUR-cell measurement (PrefixDemo, sf0.1
+    * documents, boilerplate paragraph on 0/10/20/100% of docs):
+    *
+    *   regime       M/P     plain     prefix    winner
+    *   clean         4.9     3.0 s     8.1 s    plain
+    *   mixed-10%    29.3     1.9 s     9.1 s    plain
+    *   mixed-20%    94.4     2.2 s     8.2 s    plain
+    *   boilerplate  1296    77.4 s    16.7 s    prefix
+    *
+    * Plain's wall tracks the candidate mass near-linearly (3.0e7 pairs
+    * → 2.2 s, 7.3e8 → 77 s ≈ 1e7 verified pairs/s/32 cores) while the
+    * prefix machinery (checkpoint, dfreq join, grouped top-k,
+    * set-array verify) costs a near-constant ~8–17 s here — so the true
+    * crossover mass is ~1e8 pairs ≈ M/P of a few hundred on this
+    * posting count, between the measured 94 (plain wins 3.7×) and 1296
+    * (prefix wins 4.6×). The default factor 256 routes every measured
+    * cell to its winner; near the boundary the branches converge, so a
+    * mis-route there costs little by construction.
     *
     * Cost of deciding: the postings build is shared with whichever
     * branch runs (checkpointed once), so the decision adds ONE
@@ -354,11 +360,17 @@ object NearDup {
 
   /** See [[jaccardPairsAuto]]: candidate-mass-to-posting ratio above
     * which the plain posting join is hot-key-bound and the PPJoin
-    * prefix form wins. Between the two PrefixDemo-measured regimes
-    * (clean M/P = 4.9, shared-paragraph boilerplate M/P = 1296) with
-    * multiples of slack on each side.
+    * prefix form wins. Set from the four-cell PrefixDemo sweep: plain
+    * still wins 3.7× at the measured M/P = 94 (its wall tracks
+    * candidate mass at ~1e7 verified pairs/s/32-core while the prefix
+    * machinery is near-constant), prefix wins 4.6× at M/P = 1296; the
+    * mass-linearity estimate puts the true crossover at a few hundred.
+    * 256 routes every measured cell to its winner. (An earlier draft
+    * used 32 — the mid-skew cells showed that mis-routes M/P ≈ 94 to a
+    * 3.7×-slower branch, which is why the boundary is measured, not
+    * modeled.)
     */
-  val JaccardHotKeyFactor: Double = 32.0
+  val JaccardHotKeyFactor: Double = 256.0
 
   /** Directed n-gram containment pairs: containment of A in B is
     * |shingles(A) ∩ shingles(B)| / |shingles(A)| — the asymmetric cousin

@@ -80,6 +80,27 @@ object PrefixDemo {
     time("boilerplate/auto t=0.8") {
       NearDup.jaccardPairsAuto(boiled, "doc_id", "text", 3, 0.8).count()
     }
+
+    // MID-SKEW cells: boilerplate on only a fraction of the corpus —
+    // the regimes that land nearest the factor-32 boundary, bracketing
+    // it from both sides (does the route the boundary picks actually
+    // win there?)
+    for (pct <- Seq(10, 20)) {
+      val mixed = docs.withColumn("text",
+        when(col("doc_id") % 100 < pct, concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")))
+      mixed.count()
+      stat(s"mixed$pct%% M/P", mixed)
+      time(s"mixed$pct%%/plain t=0.8") {
+        NearDup.jaccardPairs(mixed, "doc_id", "text", 3, 0.8).count()
+      }
+      time(s"mixed$pct%%/prefix t=0.8") {
+        NearDup.jaccardPairsPrefix(mixed, "doc_id", "text", 3, 0.8).count()
+      }
+      time(s"mixed$pct%%/auto t=0.8") {
+        NearDup.jaccardPairsAuto(mixed, "doc_id", "text", 3, 0.8).count()
+      }
+    }
     spark.stop()
   }
 }
