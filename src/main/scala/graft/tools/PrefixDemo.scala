@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * document (threshold 0.8 keeps the output near-dup-sized — with a large
   * shared block, 0.5 would pair every pair of short documents, which is a
   * statement about the corpus, not the join).
+  *
+  * The MID-SKEW cells (paragraph on 10% / 20% of docs) bracket
+  * [[graft.operators.NearDup.JaccardHotKeyFactor]]'s decision boundary
+  * from both sides: they are where a wrong factor shows up as a
+  * measured mis-route (the factor-32 draft sent M/P = 94 to the
+  * 3.7×-slower branch — this sweep is what caught it), and the stat
+  * lines print the M/P ratio the dispatcher would see.
   */
 object PrefixDemo {
   def main(args: Array[String]): Unit = {
