@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query (or the subset named in
@@ -19,6 +20,50 @@ import org.apache.spark.sql.SparkSession
   * stderr warning so the artifact can't masquerade as a serve figure.
   */
 object Bench {
+
+  /** Stage-level profile of every bench attempt, bucketed by the
+    * per-attempt job group (`<query>#<attemptIdx>`). Round-14 verdict:
+    * two rounds of quiet-window re-measures of q_cluster_cc_incremental
+    * failed to transfer to the driver's full-suite window, so the
+    * evidence has to come from INSIDE the suite — this listener captures
+    * the per-stage run/cpu/GC/shuffle/spill split of the inflated
+    * attempt itself, and the post-suite recheck attempts of the same row
+    * land in the same dump for a like-for-like comparison. Listener cost
+    * is a map insert per stage — noise against any query's own work.
+    */
+  private final class StageProfiler extends SparkListener {
+    final case class StageRow(group: String, stageId: Int, name: String,
+      durMs: Long, tasks: Int, runMs: Long, cpuMs: Long, gcMs: Long,
+      inMb: Double, shReadMb: Double, shWriteMb: Double, spillMb: Double)
+    private val stageGroup = scala.collection.mutable.Map.empty[Int, String]
+    private val jobsPerGroup = scala.collection.mutable.Map.empty[String, Int]
+    private val rows = scala.collection.mutable.ArrayBuffer.empty[StageRow]
+    override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
+      val g = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .getOrElse("(none)")
+      jobsPerGroup(g) = jobsPerGroup.getOrElse(g, 0) + 1
+      j.stageIds.foreach(id => stageGroup(id) = g)
+    }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val i = s.stageInfo
+        val g = stageGroup.getOrElse(i.stageId, "(none)")
+        val dur = (for (a <- i.submissionTime; b <- i.completionTime)
+          yield b - a).getOrElse(0L)
+        val m = i.taskMetrics
+        if (m != null) rows += StageRow(g, i.stageId, i.name.take(120), dur,
+          i.numTasks, m.executorRunTime, m.executorCpuTime / 1000000L,
+          m.jvmGCTime, m.inputMetrics.bytesRead / 1e6,
+          m.shuffleReadMetrics.totalBytesRead / 1e6,
+          m.shuffleWriteMetrics.bytesWritten / 1e6,
+          (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6)
+      }
+    def jobs(group: String): Int = synchronized(jobsPerGroup.getOrElse(group, 0))
+    def stagesOf(group: String): Seq[StageRow] =
+      synchronized(rows.filter(_.group == group).toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,8 +119,14 @@ object Bench {
     // projection actually cost 5.9s — found by StageAudit). The
     // noop sink consumes every row of the full result, which is
     // what a real downstream consumer pays.
-    def attempt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    val profiler = new StageProfiler
+    spark.sparkContext.addSparkListener(profiler)
+    def attempt(group: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      // per-attempt job group: how StageProfiler buckets stages. Thread-
+      // local, and every job of the attempt runs on this thread.
+      spark.sparkContext.setJobGroup(group, group)
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -84,7 +135,7 @@ object Bench {
         case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").take(160))
-      }
+      } finally spark.sparkContext.clearJobGroup()
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val attemptsByQuery =
@@ -93,7 +144,7 @@ object Bench {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String])]
       while (buf.length < nRuns &&
              (buf.isEmpty || buf.last._1 <= repeatCutoffSec)) {
-        buf += attempt(fn)
+        buf += attempt(s"$name#${buf.length}", fn)
       }
       // Nudge the ContextCleaner: shuffle files and broadcasts are only
       // released when their owning objects are GC'd, and with a large heap
@@ -137,7 +188,8 @@ object Bench {
       val fn = selected(name)
       var extra = 0
       while (extra < maxRechecks && isOutlier(name)) {
-        attemptsByQuery(name) = attemptsByQuery(name) :+ attempt(fn)
+        attemptsByQuery(name) =
+          attemptsByQuery(name) :+ attempt(s"$name#${attemptsByQuery(name).length}", fn)
         System.gc()
         extra += 1
       }
@@ -182,6 +234,46 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_full write failed: ${e.getMessage}") }
+    // Stage-profile dump for every row the noise path FLAGGED (pre-
+    // recheck outliers — the inflated in-suite attempts are the evidence
+    // the quiet-window re-measures could never carry), plus any names
+    // forced via SPARK_GRAFT_BENCH_PROFILE (comma-separated). Attempts
+    // 0..nRuns-1 ran in suite order; later indices are the post-suite
+    // rechecks — the same dump therefore holds the in-suite/fresh-state
+    // comparison per stage.
+    val forcedProfiles = sys.env.get("SPARK_GRAFT_BENCH_PROFILE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val watch = (outliers ++ forcedProfiles).distinct.sorted
+      .filter(attemptsByQuery.contains)
+    if (watch.nonEmpty) {
+      Thread.sleep(1000) // listener bus drain: stage events are async
+      def stageJson(r: profiler.StageRow): String =
+        s"""{"stage":${r.stageId},"name":${jstr(r.name)},"dur_ms":${r.durMs},""" +
+          s""""tasks":${r.tasks},"run_ms":${r.runMs},"cpu_ms":${r.cpuMs},""" +
+          s""""gc_ms":${r.gcMs},"in_mb":${f"${r.inMb}%.1f"},""" +
+          s""""sh_read_mb":${f"${r.shReadMb}%.1f"},"sh_write_mb":${f"${r.shWriteMb}%.1f"},""" +
+          s""""spill_mb":${f"${r.spillMb}%.1f"}}"""
+      val profJson = watch.map { name =>
+        val attempts = attemptsByQuery(name).zipWithIndex.map {
+          case ((wall, err), i) =>
+            val g = s"$name#$i"
+            val stages = profiler.stagesOf(g).sortBy(-_.durMs).take(100)
+            s"""{"attempt":$i,"wall_s":${f"$wall%.2f"},"jobs":${profiler.jobs(g)},""" +
+              s""""err":${err.map(jstr).getOrElse("null")},""" +
+              s""""stages":${stages.map(stageJson).mkString("[", ",", "]")}}"""
+        }
+        s"${jstr(name)}:{" +
+          s""""baseline_s":${baseline.get(name).map(_.toString).getOrElse("null")},""" +
+          s""""attempts":${attempts.mkString("[", ",", "]")}}"""
+      }.mkString("{", ",", "}")
+      val profOut =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE_OUT", "bench_profiles.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(profOut),
+        (profJson + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench_profiles write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

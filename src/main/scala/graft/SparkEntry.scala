@@ -61,10 +61,27 @@ object SparkEntry {
     * filesystem) or another pid namespace (sibling container on a bind
     * mount) would look "dead" here while its owner is alive — the sweep
     * therefore only reasons about dirs carrying its OWN host token.
+    *
+    * When hostname resolution FAILS, a constant fallback would hand two
+    * resolution-failing hosts on a shared filesystem the same sweep
+    * token — the same one-deletes-the-other's-live-publish hazard as the
+    * documented shared-hostname container case, minus the documentation —
+    * so the fallback is salted with the kernel's per-boot id: distinct
+    * machines hold distinct kernels, so their tokens can never collide
+    * (and a boot id is exactly the scope a pid table is valid for).
+    * Same-kernel containers sharing hostname AND mount while isolating
+    * pid namespaces remain the one don't-run-it-that-way deployment (see
+    * [[jvmNonce]]) whichever branch produced the token.
     */
   private[graft] lazy val publishHost: String =
     scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
-      .getOrElse("unknownhost").replaceAll("[^A-Za-z0-9-]", "-")
+      .getOrElse {
+        val bootId = scala.util.Try(new String(java.nio.file.Files
+            .readAllBytes(java.nio.file.Paths.get(
+              "/proc/sys/kernel/random/boot_id")), "UTF-8").trim)
+          .getOrElse("")
+        s"unknownhost-$bootId"
+      }.replaceAll("[^A-Za-z0-9-]", "-")
   /** Process-unique suffix for [[cachedPublish]] dirs: pid alone could be
     * reused by a later JVM after a crash orphans a dir, so the JVM start
     * time rides along — two distinct JVMs can never resolve to the same
@@ -391,10 +408,19 @@ object SparkEntry {
       val c = Tables.customer(s, dir)
       val corpus = c.filter(col("c_custkey") % 3 =!= 0)
       val batch = c.filter(col("c_custkey") % 3 === 0)
+      // standing labels PINNED (eager checkpoint), mirroring day2's
+      // standing1 pin and what a real publish does (write once, serve
+      // reads the artifact): un-pinned, the labels' final join re-ran
+      // on every downstream consumer — label-condense (×2 sides) and
+      // vertex derivation — and that re-evaluation is where the
+      // driver-window inflation lived (README noise log, round 15).
+      // The publish is still paid in-band once per attempt, per the
+      // fixture convention.
       val standing = ConnectedComponents.run(
         corpus.select(col("c_custkey").as("id")),
         EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
           .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .localCheckpoint(true)
       val tmp = scratchDir("graft_cc_var_idx").toString
       EditDistanceJoin.writeVariantIndex(
         corpus.select(col("c_custkey"), col("c_name")),
@@ -3213,6 +3239,15 @@ object SparkEntry {
         "FROM surv JOIN s ON surv.doc_id = s.doc_id " +
         "JOIN lang ON surv.doc_id = lang.doc_id " +
         "WHERE s.quality >= 0.5 AND lang.lang_pred = 'en'"),
+    // UNIQUE-doc_id ASSUMPTION: the three doc_id equi-joins below (s ×
+    // sv × lang) are one-row-per-doc only because the fixture's doc_id
+    // is unique — on a sharded-union corpus with duplicated ids they
+    // would fan out (2 dups → 8 joined rows) and diverge from the Spark
+    // side, whose survivor flag was hardened to row_number for exactly
+    // that case (Profiler.curationFunnel). The oracle keeps the join
+    // form because it reuses the shared stats/lang CTEs verbatim (one
+    // source of truth); a dup-id fixture would need the flags computed
+    // in one CTE pass like the Spark side.
     "q_curation_funnel" ->
       (s"WITH $sqlFpsCte, " +
         "sv AS (SELECT doc_id, " +

@@ -905,9 +905,17 @@ object Ann {
     */
   def appendPqIndex(embBatch: DataFrame, idCol: String, embCol: String,
                     model: PqModel, dir: String,
-                    coarse: Option[IvfModel] = None): Unit =
-    pqCodesLong(embBatch, idCol, embCol, model, coarse)
-      .write.mode("append").parquet(dir)
+                    coarse: Option[IvfModel] = None): Unit = {
+    val codes = pqCodesLong(embBatch, idCol, embCol, model, coarse)
+    // empty-batch guard: a plain (unpartitioned, unbucketed) append of an
+    // empty plan still lays down ONE empty data file — FileFormatWriter
+    // emits it so a fresh dir stays schema-readable — and on an append
+    // that file is a stray the serve re-opens forever. The probe is a
+    // limit-1 job over the batch, not a count (AnnSpec's empty-batch
+    // case caught the stray; the partitioned verbs skip empties at the
+    // pre-write shuffle and need no guard).
+    if (!codes.isEmpty) codes.write.mode("append").parquet(dir)
+  }
 
   /** [[appendPqIndex]] for the cell-partitioned layout
     * ([[writePqIndexByCell]]): same batch-only encode, same contracts
@@ -915,11 +923,9 @@ object Ann {
     * UNDER the cell directories so the pruning layout survives growth.
     * Each append lays down at most one file per touched cell (the
     * pre-write repartition) — after N appends a probed cell scans N
-    * files, the same small-files drift every bucketed tier has; compact
-    * by re-publishing ([[writePqIndexByCell]] is corpus × m·ks work) or
-    * rewriting the code table in place (codes-sized, no re-encode):
-    * read the dir, repartition by cell, overwrite through a staging dir
-    * (the [[graft.sources.Layout.compactBucketed]] dance).
+    * files, the same small-files drift every bucketed tier has; run
+    * [[compactPqIndexByCellIfNeeded]] from the same nightly job, like
+    * every other tier.
     */
   def appendPqIndexByCell(embBatch: DataFrame, idCol: String,
                           embCol: String, model: PqModel, dir: String,
@@ -927,6 +933,88 @@ object Ann {
     pqCodesLong(embBatch, idCol, embCol, model, Some(coarse))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(dir)
+
+  /** Data-file count of the DEEPEST cell of a cell-partitioned code
+    * index — the compaction-trigger signal, same shape as
+    * [[graft.sources.Layout.filesPerBucket]]'s skew-honest form: appends
+    * touch only the cells their batch lands in, so the deepest cell
+    * (where probe-bounded serves pay the per-file overhead) can run well
+    * ahead of the table-wide average. Groups data files by their
+    * `cell=K` parent directory and returns the max.
+    */
+  def pqFilesPerCell(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Double = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val perCell = scala.collection.mutable.Map.empty[String, Int]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        val cell = f.getPath.getParent.getName
+        perCell(cell) = perCell.getOrElse(cell, 0) + 1
+      }
+    }
+    if (perCell.isEmpty) 0.0 else perCell.values.max.toDouble
+  }
+
+  /** Compact a cell-partitioned code index in place — the maintenance
+    * verb the PQ tier's append story needs for symmetry with
+    * [[graft.sources.Layout.compactBucketed]]: rewrite the code table
+    * (codes-sized — never a re-encode; the codebooks don't enter) back
+    * to one file per cell, changing nothing a serve can observe (the
+    * layout stays partition-pruned; AnnSpec pins serve parity). The
+    * [[graft.sources.Layout.compactBucketed]] dance, directory-shaped:
+    * materialize to a staging dir first (an overwrite deletes the very
+    * files its job would read), then swap staging into place. Returns
+    * the data file count after compaction.
+    */
+  def compactPqIndexByCell(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Int = {
+    val (codes, partitioned) = readCodeIndex(spark, dir)
+    require(partitioned,
+      s"$dir is not a cell-partitioned PQ index (no cell= directories); " +
+        "flat indexes compact with graft.sources.Layout.compact")
+    val staging = dir.stripSuffix("/") + "__compact_staging"
+    codes.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.delete(root, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root))
+      throw new java.io.IOException(
+        s"compactPqIndexByCell: rename $staging -> $dir failed; " +
+          "compacted index left at staging")
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** The compaction POLICY to [[compactPqIndexByCell]]'s mechanism —
+    * [[graft.sources.Layout.compactBucketedIfNeeded]]'s rule applied to
+    * the cell tier: compact when the DEEPEST cell has accumulated more
+    * than `maxFilesPerCell` data files ([[pqFilesPerCell]]), else do
+    * nothing. Same default threshold of 16, cited to the same
+    * IndexServeProbe drift measurement (files-per-unit-of-layout is the
+    * serve overhead in both layouts; a probed serve reads nProbe cells'
+    * files, so per-cell depth is exactly its per-file cost multiplier).
+    * Call from the nightly append job; deliberately not from inside
+    * [[appendPqIndexByCell]] (the append-cost-predictability argument).
+    */
+  def compactPqIndexByCellIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String,
+                                   maxFilesPerCell: Int = 16): Option[Int] =
+    if (pqFilesPerCell(spark, dir) > maxFilesPerCell)
+      Some(compactPqIndexByCell(spark, dir))
+    else None
 
   /** The production probe bound for [[pqSearchAuto]]'s bounded branch:
     * nProbe=8 of the 16-cell coarse quantizer — the PqTune frontier's
@@ -1005,6 +1093,38 @@ object Ann {
     * q_pq_search_auto runs the dispatch end-to-end against the probed
     * oracle with the bound deliberately forced under the fixture size.
     */
+  /** Vector count of a standing code index, from parquet FOOTERS — a
+    * driver-side metadata read, no Spark job and no data pages touched.
+    * The code table holds exactly m rows per vector (one per subspace,
+    * both layouts), so footer row counts / m IS the corpus size; the
+    * file count a listing walks is what the compaction policy bounds
+    * ([[compactPqIndexByCellIfNeeded]]), so the walk stays thousands of
+    * footers at worst, not corpus-scale. This is how [[pqSearchAuto]]
+    * prices its dispatch against a standing index: the whole point of
+    * the probed branch is sublinear I/O, so the chooser deciding FOR it
+    * must not itself pay a corpus-scale action (round-14 verdict).
+    */
+  private[graft] def indexVecCount(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String, m: Int): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var rows = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try rows += rd.getRecordCount finally rd.close()
+      }
+    }
+    rows / m
+  }
+
   def pqSearchAuto(emb: DataFrame, idCol: String, embCol: String,
                    model: PqModel, queryPred: Column, k: Int,
                    coarse: Option[IvfModel] = None,
@@ -1012,8 +1132,17 @@ object Ann {
                    maxExhaustiveVectors: Long = PqExhaustiveCrossover): DataFrame = {
     // the corpus count can only matter when a coarse quantizer exists to
     // bound by (no coarse → exhaustive regardless), so the raw-PQ path
-    // never pays a corpus-scale count action for an unused answer
-    val corpusN = if (coarse.isDefined) emb.count() else 0L
+    // never pays a count for an unused answer; and with a STANDING index
+    // the count comes from its parquet footers ([[indexVecCount]] — the
+    // index's m-rows-per-vector contract), so the indexed dispatch path
+    // runs no corpus-scale action at all. Only the fused-serve path
+    // (about to re-encode the whole corpus anyway) pays emb.count().
+    val corpusN =
+      if (!coarse.isDefined) 0L
+      else indexDir match {
+        case Some(d) => indexVecCount(emb.sparkSession, d, model.m)
+        case None    => emb.count()
+      }
     val (_, form) = pqServeBranch(corpusN, indexDir.isDefined,
       coarse.isDefined, maxExhaustiveVectors)
     val nProbe = if (form == "probed") PqProbeServingPoint else Int.MaxValue

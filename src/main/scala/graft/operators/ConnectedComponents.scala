@@ -187,9 +187,21 @@ object ConnectedComponents {
               "output); found label > id")),
           col("__slabel"), col(end)))
         .drop("__sid", "__slabel")
+    // PIN the condensed edges before handing them to run(): ce is
+    // consumed at least twice per action — once as run()'s initial edge
+    // frame and once through the vertex derivation below (run()
+    // materializes `ids` in its final join) — and every UN-pinned
+    // evaluation re-runs the whole upstream edge pipeline (the batch's
+    // candidate join against the standing index) plus both condense
+    // joins against the standing labels. ce is batch-bounded by the
+    // serve contract (≤ |batchEdges| rows, condense is 1:1), so the
+    // eager materialization is batch-scale; what it removes is
+    // re-evaluation work whose cost is box-state-dependent (the
+    // q_cluster_cc_incremental driver-window inflation — README noise
+    // log, round 15, before/after stage profiles).
     val ce = condense(condense(
       batchEdges.select(col("src").cast("long"), col("dst").cast("long")),
-      "src"), "dst")
+      "src"), "dst").localCheckpoint(true)
     val verts = ce.select(col("src").as("id"))
       .unionByName(ce.select(col("dst").as("id")))
       .distinct()

@@ -51,6 +51,20 @@ object Layout {
       s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Catalog metadata of `tableName`, with its bucket spec required —
+    * the shared precondition of every bucketed-table verb here (one
+    * error message, one metadata fetch per caller).
+    */
+  private def bucketedMeta(spark: SparkSession, tableName: String)
+      : (org.apache.spark.sql.catalyst.catalog.CatalogTable,
+         org.apache.spark.sql.catalyst.catalog.BucketSpec) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    (meta, meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableName has no bucket spec — this verb serves bucketed catalog " +
+        "tables only (use compact(inDir, outDir) for plain parquet)")))
+  }
+
   /** Compact a BUCKETED catalog table in place — the maintenance verb
     * the incremental-publish tiers need
     * ([[graft.operators.Dedup.appendKeyIndexBucketed]],
@@ -77,20 +91,6 @@ object Layout {
     * the same nightly maintenance window as the appends it cleans up
     * after. Returns the data file count after compaction.
     */
-  /** Catalog metadata of `tableName`, with its bucket spec required —
-    * the shared precondition of every bucketed-table verb here (one
-    * error message, one metadata fetch per caller).
-    */
-  private def bucketedMeta(spark: SparkSession, tableName: String)
-      : (org.apache.spark.sql.catalyst.catalog.CatalogTable,
-         org.apache.spark.sql.catalyst.catalog.BucketSpec) = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-    (meta, meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$tableName has no bucket spec — this verb serves bucketed catalog " +
-        "tables only (use compact(inDir, outDir) for plain parquet)")))
-  }
-
   def compactBucketed(spark: SparkSession, tableName: String): Int = {
     val (meta, spec) = bucketedMeta(spark, tableName)
     val location = meta.location.toString
@@ -123,23 +123,37 @@ object Layout {
   def bucketCountOf(spark: SparkSession, tableName: String): Int =
     bucketedMeta(spark, tableName)._2.numBuckets
 
-  /** Data-file count per bucket of a bucketed catalog table — the
-    * compaction-trigger signal. Each bucketed append lays down one file
-    * set under the table's spec, so files-per-bucket ≈ appends since the
-    * last publish/compaction; [[compactBucketedIfNeeded]] compares this
-    * against a threshold. Counts data files from the table location and
-    * divides by the catalog's bucket count (appends write exactly one
-    * file per non-empty bucket per batch, so the ratio is the depth of
-    * the deepest-possible bucket, not an average that hides skew).
+  /** Spark's bucketed data-file naming embeds the bucket id as the last
+    * `_NNNNN` group before the extensions (`part-00000-<uuid>_00003
+    * .c000.snappy.parquet` → bucket 3); same pattern Spark's own
+    * BucketingUtils parses (that object is private[sql]).
+    */
+  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+
+  /** Data-file count of the DEEPEST bucket of a bucketed catalog table —
+    * the compaction-trigger signal. Each bucketed append lays down one
+    * file per NON-EMPTY bucket per batch, so when batches systematically
+    * miss buckets (skewed keys) the deepest bucket's file count exceeds
+    * the table-wide average — and the deepest bucket is exactly where the
+    * small-files serve drift is worst. Parses the bucket id out of each
+    * data file's name ([[BucketedFileName]]) and takes the per-bucket
+    * MAX, so [[compactBucketedIfNeeded]] fires on the bucket that
+    * actually hurts, not on an average that hides skew (LayoutSpec's
+    * skewed-append case: every batch hitting one bucket fires the policy
+    * at the same depth as uniform appends would).
     */
   def filesPerBucket(spark: SparkSession, tableName: String): Double = {
-    val (meta, spec) = bucketedMeta(spark, tableName)
-    val buckets = spec.numBuckets
+    val (meta, _) = bucketedMeta(spark, tableName)
     val location = new org.apache.hadoop.fs.Path(meta.location)
     val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(location).count(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-    files.toDouble / buckets
+    val perBucket = fs.listStatus(location).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .groupBy(_.getPath.getName match {
+        case BucketedFileName(id) => id.toInt
+        case _                    => -1 // non-bucketed stray; still counted
+      })
+      .values.map(_.size)
+    if (perBucket.isEmpty) 0.0 else perBucket.max.toDouble
   }
 
   /** The compaction POLICY to [[compactBucketed]]'s mechanism: compact

@@ -293,6 +293,38 @@ object IndexServeProbe {
         f" | compact ${cSec}%.2f s -> ($pf, $kf, $mf) files | after ${sAfter}%.2f s" +
         " | immediate re-check: no-op")
     }
+    // round 15: the CELL-PARTITIONED PQ tier's compaction, through its
+    // policy — per-cell file depth is the probe-bounded serve's per-file
+    // cost multiplier (a serve reads nProbe cells' files), so this row
+    // prices the same 0-vs-20-append drift and what compactPqIndexByCell
+    // buys back, completing the verb-symmetry table.
+    locally {
+      val dir = s"$scratch/pq_cell_cmp"
+      Ann.writePqIndexByCell(emb, "vec_id", "embedding", PqFixture.model,
+        dir, IvfFixture.model)
+      def srvPq = serveMin(3)(Ann.pqSearchIndexed(emb, "vec_id",
+        "embedding", PqFixture.model, col("vec_id") % 50 === 0, 5, dir,
+        Some(IvfFixture.model), nProbe = 8))
+      val s0 = srvPq
+      (1 to 20).foreach { i =>
+        Ann.appendPqIndexByCell(
+          emb.select((col("vec_id") + lit(i.toLong * 1000000000L))
+            .as("vec_id"), col("embedding")),
+          "vec_id", "embedding", PqFixture.model, dir, IvfFixture.model)
+      }
+      val s20 = srvPq
+      val depth = Ann.pqFilesPerCell(spark, dir)
+      val (cSec, fired) = time(Ann.compactPqIndexByCellIfNeeded(spark, dir))
+      val files = fired.getOrElse(
+        sys.error(s"pq-cell policy must fire at 20 appends (depth $depth)"))
+      require(Ann.compactPqIndexByCellIfNeeded(spark, dir).isEmpty,
+        "pq-cell policy must no-op right after compaction")
+      val sAfter = srvPq
+      println(f"[compact] pq_cell   serve 0app ${s0}%.2f s | 20app ${s20}%.2f s" +
+        f" | policy fired at ${depth}%.1f files/cell (>16): " +
+        f"compact ${cSec}%.2f s -> $files files | after ${sAfter}%.2f s" +
+        " | immediate re-check: no-op")
+    }
     spark.stop()
   }
 }

@@ -97,14 +97,14 @@ object PrefixDemo {
         when(col("doc_id") % 100 < pct, concat(col("text"), lit(" " + boiler)))
           .otherwise(col("text")))
       mixed.count()
-      stat(s"mixed$pct%% M/P", mixed)
-      time(s"mixed$pct%%/plain t=0.8") {
+      stat(s"mixed$pct% M/P", mixed)
+      time(s"mixed$pct%/plain t=0.8") {
         NearDup.jaccardPairs(mixed, "doc_id", "text", 3, 0.8).count()
       }
-      time(s"mixed$pct%%/prefix t=0.8") {
+      time(s"mixed$pct%/prefix t=0.8") {
         NearDup.jaccardPairsPrefix(mixed, "doc_id", "text", 3, 0.8).count()
       }
-      time(s"mixed$pct%%/auto t=0.8") {
+      time(s"mixed$pct%/auto t=0.8") {
         NearDup.jaccardPairsAuto(mixed, "doc_id", "text", 3, 0.8).count()
       }
     }

@@ -741,4 +741,116 @@ class AnnSpec extends SparkSpec {
       PqFixture.model, pred, 5, Some(IvfFixture.model),
       indexDir = Some(dir), maxExhaustiveVectors = 10L)) == prDirect)
   }
+
+  private def pqDataFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).filter(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+  }
+
+  // The indexed dispatch path must price its branch from the standing
+  // index's parquet footers, not a corpus-scale count action (round-14
+  // verdict #5): indexVecCount must equal the corpus count on both
+  // layouts, and keep tracking it across appends — that equality is what
+  // keeps pqSearchAuto's branch choice identical to the emb.count() form
+  // it replaced (the routing test above runs against the same bound).
+  test("indexVecCount reads the corpus size from footers on both layouts, across appends") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val n = emb.count()
+    val nOld = emb.filter(col("vec_id") % 8 =!= 0).count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_cnt").toString
+    val m = PqFixture.model.m
+    Ann.writePqIndex(emb.filter(col("vec_id") % 8 =!= 0), "vec_id",
+      "embedding", PqFixture.model, s"$dir/flat", Some(IvfFixture.model))
+    assert(Ann.indexVecCount(spark, s"$dir/flat", m) == nOld)
+    Ann.appendPqIndex(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+      "embedding", PqFixture.model, s"$dir/flat", Some(IvfFixture.model))
+    assert(Ann.indexVecCount(spark, s"$dir/flat", m) == n)
+    Ann.writePqIndexByCell(emb, "vec_id", "embedding", PqFixture.model,
+      s"$dir/cell", IvfFixture.model)
+    assert(Ann.indexVecCount(spark, s"$dir/cell", m) == n)
+  }
+
+  // Empty batches are legal on every append verb (the OPERATIONS.md
+  // contract, spec'd per tier — LayoutSpec covers the fp/LSH/variant
+  // tiers; these are the PQ tiers' cases): no stray files or partitions,
+  // serve output unchanged.
+  test("PQ appends: an empty batch leaves files and serve output unchanged on both layouts") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val none = emb.filter(col("vec_id") < 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_mt").toString
+    Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model,
+      s"$dir/flat", Some(IvfFixture.model))
+    Ann.writePqIndexByCell(emb, "vec_id", "embedding", PqFixture.model,
+      s"$dir/cell", IvfFixture.model)
+    val flatBefore = pqDataFiles(s"$dir/flat").map(_.getPath).toSet
+    val cellBefore = pqDataFiles(s"$dir/cell").map(_.getPath).toSet
+    val serveBefore = rows(Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, s"$dir/cell", Some(IvfFixture.model),
+      nProbe = 8))
+    Ann.appendPqIndex(none, "vec_id", "embedding", PqFixture.model,
+      s"$dir/flat", Some(IvfFixture.model))
+    Ann.appendPqIndexByCell(none, "vec_id", "embedding", PqFixture.model,
+      s"$dir/cell", IvfFixture.model)
+    assert(pqDataFiles(s"$dir/flat").map(_.getPath).toSet == flatBefore)
+    assert(pqDataFiles(s"$dir/cell").map(_.getPath).toSet == cellBefore)
+    assert(rows(Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, s"$dir/cell", Some(IvfFixture.model),
+      nProbe = 8)) == serveBefore)
+  }
+
+  // The cell tier's compaction verb + policy, completing the per-tier
+  // verb symmetry (publish/serve/append/compact — round-14 verdict #6):
+  // appends deepen only the touched cells, the policy fires on the
+  // DEEPEST cell ([[Ann.pqFilesPerCell]] — same skew-honesty rule as
+  // Layout.filesPerBucket), and a firing restores one file per cell
+  // while changing nothing a serve can observe, pruning included.
+  test("compactPqIndexByCell: policy fires on the deepest cell, serve and pruning survive") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val dir0 = java.nio.file.Files.createTempDirectory("graft_pq_cmp").toString
+    val dir = s"$dir0/t"
+    Ann.writePqIndexByCell(emb.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", PqFixture.model, dir, IvfFixture.model)
+    (1 to 3).foreach { r =>
+      Ann.appendPqIndexByCell(emb.filter(col("vec_id") % 4 === r),
+        "vec_id", "embedding", PqFixture.model, dir, IvfFixture.model)
+    }
+    val depth = Ann.pqFilesPerCell(spark, dir)
+    assert(depth > 1 && depth <= 4, s"filesPerCell=$depth")
+    val serveBefore = rows(Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, dir, Some(IvfFixture.model), nProbe = 8))
+    // under threshold: no-op, files untouched
+    val filesBefore = pqDataFiles(dir).map(_.getPath).toSet
+    assert(Ann.compactPqIndexByCellIfNeeded(spark, dir,
+      maxFilesPerCell = 8).isEmpty)
+    assert(pqDataFiles(dir).map(_.getPath).toSet == filesBefore)
+    // over threshold: fires, one file per NON-EMPTY cell, serve
+    // identical and still statically pruned (the layout survives)
+    val nCells = pqDataFiles(dir).map(_.getParentFile.getName).toSet.size
+    val afterOpt = Ann.compactPqIndexByCellIfNeeded(spark, dir,
+      maxFilesPerCell = 1)
+    assert(afterOpt.contains(nCells), s"$afterOpt vs $nCells cells")
+    assert(Ann.pqFilesPerCell(spark, dir) == 1.0)
+    val served = Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, col("vec_id") === 0, 5, dir,
+      Some(IvfFixture.model), nProbe = 8)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(raw"PartitionFilters: \[cell#\d+L IN \((\d+,){7}\d+\)".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(rows(Ann.pqSearchIndexed(emb, "vec_id", "embedding",
+      PqFixture.model, pred, 5, dir, Some(IvfFixture.model),
+      nProbe = 8)) == serveBefore)
+    // idempotent: the nightly call right after sees 1 file/cell, no-ops
+    assert(Ann.compactPqIndexByCellIfNeeded(spark, dir,
+      maxFilesPerCell = 1).isEmpty)
+  }
 }

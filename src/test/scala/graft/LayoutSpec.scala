@@ -122,6 +122,45 @@ class LayoutSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  // Skew-honesty of the trigger signal: appends that systematically hit
+  // ONE bucket must fire the policy at that bucket's depth. Spark's bucket
+  // assignment is pmod(murmur3(key), numBuckets) and SQL hash() is the
+  // same murmur3(seed=42), so the test selects keys of a single bucket
+  // up front. 5 single-bucket appends onto a 4-bucket table → deepest
+  // bucket 6 files, table average (4+5)/4 ≈ 2.2 — a threshold of 4 fires
+  // under max semantics and would silently no-op under averaging.
+  test("filesPerBucket reports the deepest bucket, so skewed appends fire compaction") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sf0001)
+    val fp = docs.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("bucket", pmod(hash(col("fp")), lit(4)))
+    val dir = tmpDir("bskew")
+    val tbl = "graft_spec_compact_skew"
+    // publish from a spread of all buckets so every bucket starts at 1 file
+    Dedup.writeKeyIndexBucketed(fp.filter(col("doc_id") % 7 === 0)
+      .select("fp"), "fp", s"$dir/t", tbl, numBuckets = 4)
+    // five appends, every key from bucket 0 → only bucket 0 deepens
+    val oneBucket = fp.filter(col("bucket") === 0 && col("doc_id") % 7 =!= 0)
+      .select("doc_id", "fp")
+    (0 until 5).foreach { i =>
+      val day = oneBucket.filter(col("doc_id") % 5 === i)
+      val novel = Dedup.incrementalAgainstIndex(day, "fp", tbl)
+      assert(novel.count() > 0, s"skew batch $i must carry novel keys")
+      Dedup.appendKeyIndexBucketed(novel, "fp", tbl)
+    }
+    val depth = Layout.filesPerBucket(spark, tbl)
+    assert(depth == 6.0, s"deepest bucket should hold 1+5 files, saw $depth")
+    val avg = parquetFiles(s"$dir/t").size.toDouble / 4
+    assert(avg < 4.0, s"table average $avg must sit under the threshold " +
+      "for this test to distinguish max from average")
+    // fires on the deepest bucket where averaging would have no-op'd
+    assert(Layout.compactBucketedIfNeeded(spark, tbl,
+      maxFilesPerBucket = 4).contains(4))
+    assert(Layout.filesPerBucket(spark, tbl) == 1.0)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("compactBandIndexBucketed: LSH serve identical across append + compact") {
     import graft.operators.NearDup
     val docs = Tables.documents(spark, sf0001)
