@@ -2477,6 +2477,31 @@ object SparkEntry {
         nProbe = 8)
     }),
 
+    // ---- The cell tier's FULL LIFECYCLE as one oracled row (publish →
+    // append → compact → probed serve), the ANN counterpart of
+    // q_cluster_cc_day2: 7/8 of the corpus publishes by cell, the %8==0
+    // slice appends under the cell directories, the compaction POLICY
+    // fires (threshold forced under the append depth — the policy run,
+    // not just the bare verb) and rewrites to one file per cell, and
+    // the probe-bounded serve runs against the compacted index. Neither
+    // the append nor the compact may change anything the ADC join can
+    // observe, so the closure is q_pq_probe's own. Publish + append +
+    // compact re-paid in-bench by fixture convention.
+    "q_pq_cell_day2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_pq_celld2").toString
+      Ann.writePqIndexByCell(emb.filter(col("vec_id") % 8 =!= 0),
+        "vec_id", "embedding", PqFixture.model, tmp, IvfFixture.model)
+      Ann.appendPqIndexByCell(emb.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", PqFixture.model, tmp, IvfFixture.model)
+      require(Ann.compactPqIndexByCellIfNeeded(s, tmp,
+        maxFilesPerCell = 1).nonEmpty,
+        "cell compaction policy must fire at depth 2")
+      Ann.pqSearchIndexed(emb, "vec_id", "embedding", PqFixture.model,
+        col("vec_id") % 50 === 0, 5, tmp, Some(IvfFixture.model),
+        nProbe = 8)
+    }),
+
     // ---- The ANN tier's COST-BASED DISPATCH (Ann.pqSearchAuto —
     // similarityPairsAuto's pattern on PQ): serving point chosen from
     // corpus size and the PqTune frontier instead of hand-picked per
@@ -4383,6 +4408,18 @@ object SparkEntry {
     // partition filter changes WHICH FILES are read, never which rows
     // survive the ADC join — so the closure is q_pq_probe's own.
     "q_pq_probe_pruned" ->
+      (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(8))} " +
+        "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
+        "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY ad2 ASC, vec_id) AS BIGINT) AS rank FROM sc) " +
+        "WHERE rank <= 5"),
+    // Cell-tier lifecycle (publish → append → compact → probed serve):
+    // the append reconstructs the monolithic code table row-for-row and
+    // the compaction rewrites files without touching rows, so the
+    // closure is q_pq_probe's own — equality proves the whole verb
+    // chain is serve-invisible.
+    "q_pq_cell_day2" ->
       (s"WITH $sqlCentsCte, $sqlPqCbCte, $sqlPqAsnCte, ${sqlPqLutCtes(Some(8))} " +
         "SELECT query_id, rank, vec_id, ad2_e12 FROM " +
         "(SELECT query_id, vec_id, CAST(ad2 AS BIGINT) AS ad2_e12, " +

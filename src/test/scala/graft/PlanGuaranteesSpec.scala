@@ -61,6 +61,9 @@ class PlanGuaranteesSpec extends SparkSpec {
       // constant-sized codeword meta (Ann.scala:1137); pruning changes
       // which code FILES are read, not the join family
       "q_pq_probe_pruned",
+      // the cell tier's lifecycle row serves through the exact same
+      // probed path as q_pq_probe_pruned after its append+compact
+      "q_pq_cell_day2",
       // the auto dispatcher ROUTES to one of the whitelisted PQ serves
       // (indexed/fused x exhaustive/probed) — every branch is the same
       // LUT shape; branch choice itself is pinned in AnnSpec
