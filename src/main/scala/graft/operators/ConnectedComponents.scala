@@ -112,7 +112,7 @@ object ConnectedComponents {
     * touched supernodes — cost scales with the batch and the components
     * it touches, never with the corpus (MEASURED: ScaleProbe
     * cc_assign_serve holds the batch fixed and grows the standing
-    * corpus 4x/10x — serve time ratios 0.91x/1.02x, flat; the full
+    * corpus 4x/10x — serve time ratios 0.75x/0.82x post-pin (0.91x/1.02x pre-pin), flat; the full
     * recompute at the same sizes costs 1.5x more at 3:1 corpus:batch
     * and 3.3x more at 30:1).
     *
