@@ -258,8 +258,16 @@ object Bench {
         val attempts = attemptsByQuery(name).zipWithIndex.map {
           case ((wall, err), i) =>
             val g = s"$name#$i"
-            val stages = profiler.stagesOf(g).sortBy(-_.durMs).take(100)
+            val all = profiler.stagesOf(g)
+            val stages = all.sortBy(-_.durMs).take(100)
+            // headline totals: when stage_dur_ms is far under wall_s the
+            // attempt's cost is driver-side (planning/scheduling), not
+            // task work — the q_epoch_mix diagnosis, pre-computed
             s"""{"attempt":$i,"wall_s":${f"$wall%.2f"},"jobs":${profiler.jobs(g)},""" +
+              s""""n_stages":${all.size},""" +
+              s""""stage_dur_ms":${all.map(_.durMs).sum},""" +
+              s""""run_ms":${all.map(_.runMs).sum},"gc_ms":${all.map(_.gcMs).sum},""" +
+              s""""spill_mb":${f"${all.map(_.spillMb).sum}%.1f"},""" +
               s""""err":${err.map(jstr).getOrElse("null")},""" +
               s""""stages":${stages.map(stageJson).mkString("[", ",", "]")}}"""
         }
