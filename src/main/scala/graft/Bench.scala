@@ -62,6 +62,17 @@ object Bench {
     def jobs(group: String): Int = synchronized(jobsPerGroup.getOrElse(group, 0))
     def stagesOf(group: String): Seq[StageRow] =
       synchronized(rows.filter(_.group == group).toSeq)
+    def totalRows: Int = synchronized(rows.size)
+  }
+
+  /** Locale-independent fixed-decimal formatting for the profile JSON:
+    * the f interpolator delegates to String.format under the DEFAULT
+    * locale, which on a comma-decimal locale would emit `1,5` and break
+    * the artifact's JSON. Double.toString is locale-free.
+    */
+  private def dec(x: Double, places: Int): String = {
+    val p = math.pow(10, places)
+    (math.rint(x * p) / p).toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -244,16 +255,33 @@ object Bench {
     val forcedProfiles = sys.env.get("SPARK_GRAFT_BENCH_PROFILE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // a typo'd forced name must not vanish silently (same rule as the
+    // args check above): say which names matched nothing
+    val droppedProfiles = forcedProfiles.filterNot(attemptsByQuery.contains)
+    if (droppedProfiles.nonEmpty)
+      System.err.println("[bench] SPARK_GRAFT_BENCH_PROFILE names matched " +
+        s"no executed query, dropped: ${droppedProfiles.mkString(", ")}")
     val watch = (outliers ++ forcedProfiles).distinct.sorted
       .filter(attemptsByQuery.contains)
     if (watch.nonEmpty) {
-      Thread.sleep(1000) // listener bus drain: stage events are async
+      // Listener-bus drain: stage events are async, and a fixed sleep
+      // can undercount on a loaded host (low stage totals would then
+      // masquerade as the driver-overhead diagnosis). Poll until the
+      // profiler's row count is stable for two consecutive reads.
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 10000) {
+        Thread.sleep(250); waited += 250
+        val now = profiler.totalRows
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
       def stageJson(r: profiler.StageRow): String =
         s"""{"stage":${r.stageId},"name":${jstr(r.name)},"dur_ms":${r.durMs},""" +
           s""""tasks":${r.tasks},"run_ms":${r.runMs},"cpu_ms":${r.cpuMs},""" +
-          s""""gc_ms":${r.gcMs},"in_mb":${f"${r.inMb}%.1f"},""" +
-          s""""sh_read_mb":${f"${r.shReadMb}%.1f"},"sh_write_mb":${f"${r.shWriteMb}%.1f"},""" +
-          s""""spill_mb":${f"${r.spillMb}%.1f"}}"""
+          s""""gc_ms":${r.gcMs},"in_mb":${dec(r.inMb, 1)},""" +
+          s""""sh_read_mb":${dec(r.shReadMb, 1)},"sh_write_mb":${dec(r.shWriteMb, 1)},""" +
+          s""""spill_mb":${dec(r.spillMb, 1)}}"""
       val profJson = watch.map { name =>
         val attempts = attemptsByQuery(name).zipWithIndex.map {
           case ((wall, err), i) =>
@@ -263,11 +291,11 @@ object Bench {
             // headline totals: when stage_dur_ms is far under wall_s the
             // attempt's cost is driver-side (planning/scheduling), not
             // task work — the q_epoch_mix diagnosis, pre-computed
-            s"""{"attempt":$i,"wall_s":${f"$wall%.2f"},"jobs":${profiler.jobs(g)},""" +
+            s"""{"attempt":$i,"wall_s":${dec(wall, 2)},"jobs":${profiler.jobs(g)},""" +
               s""""n_stages":${all.size},""" +
               s""""stage_dur_ms":${all.map(_.durMs).sum},""" +
               s""""run_ms":${all.map(_.runMs).sum},"gc_ms":${all.map(_.gcMs).sum},""" +
-              s""""spill_mb":${f"${all.map(_.spillMb).sum}%.1f"},""" +
+              s""""spill_mb":${dec(all.map(_.spillMb).sum, 1)},""" +
               s""""err":${err.map(jstr).getOrElse("null")},""" +
               s""""stages":${stages.map(stageJson).mkString("[", ",", "]")}}"""
         }

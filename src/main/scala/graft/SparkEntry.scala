@@ -69,18 +69,23 @@ object SparkEntry {
     * so the fallback is salted with the kernel's per-boot id: distinct
     * machines hold distinct kernels, so their tokens can never collide
     * (and a boot id is exactly the scope a pid table is valid for).
-    * Same-kernel containers sharing hostname AND mount while isolating
-    * pid namespaces remain the one don't-run-it-that-way deployment (see
-    * [[jvmNonce]]) whichever branch produced the token.
+    * Where the boot id is unreadable too (no /proc), the salt is a
+    * per-JVM random UUID — that JVM's own orphans then wait for `sbt
+    * clean` rather than its sweep (no other token ever matches), which
+    * errs on never deleting a live publish. Same-kernel containers
+    * sharing hostname AND mount while isolating pid namespaces remain
+    * the one don't-run-it-that-way deployment (see [[jvmNonce]])
+    * whichever branch produced the token.
     */
   private[graft] lazy val publishHost: String =
     scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
       .getOrElse {
-        val bootId = scala.util.Try(new String(java.nio.file.Files
+        val salt = scala.util.Try(new String(java.nio.file.Files
             .readAllBytes(java.nio.file.Paths.get(
               "/proc/sys/kernel/random/boot_id")), "UTF-8").trim)
-          .getOrElse("")
-        s"unknownhost-$bootId"
+          .filter(_.nonEmpty)
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        s"unknownhost-$salt"
       }.replaceAll("[^A-Za-z0-9-]", "-")
   /** Process-unique suffix for [[cachedPublish]] dirs: pid alone could be
     * reused by a later JVM after a crash orphans a dir, so the JVM start

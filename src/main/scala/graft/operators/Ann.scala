@@ -906,15 +906,19 @@ object Ann {
   def appendPqIndex(embBatch: DataFrame, idCol: String, embCol: String,
                     model: PqModel, dir: String,
                     coarse: Option[IvfModel] = None): Unit = {
-    val codes = pqCodesLong(embBatch, idCol, embCol, model, coarse)
     // empty-batch guard: a plain (unpartitioned, unbucketed) append of an
     // empty plan still lays down ONE empty data file — FileFormatWriter
     // emits it so a fresh dir stays schema-readable — and on an append
-    // that file is a stray the serve re-opens forever. The probe is a
-    // limit-1 job over the batch, not a count (AnnSpec's empty-batch
-    // case caught the stray; the partitioned verbs skip empties at the
-    // pre-write shuffle and need no guard).
-    if (!codes.isEmpty) codes.write.mode("append").parquet(dir)
+    // that file is a stray the serve re-opens forever. The probe runs on
+    // the INPUT, not the code plan: codes is empty iff the batch is, and
+    // a take(1) on the raw batch scans at most one split, while the same
+    // probe above the encode's aggregate would execute the whole
+    // map-side encode once and the write would then re-run it (AnnSpec's
+    // empty-batch case caught the stray; the partitioned verbs skip
+    // empties at the pre-write shuffle and need no guard).
+    if (!embBatch.isEmpty)
+      pqCodesLong(embBatch, idCol, embCol, model, coarse)
+        .write.mode("append").parquet(dir)
   }
 
   /** [[appendPqIndex]] for the cell-partitioned layout
@@ -934,30 +938,49 @@ object Ann {
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(dir)
 
+  /** Recursive listing of a code index's parquet DATA files (committer
+    * sidecars excluded) — the one walk [[pqFilesPerCell]],
+    * [[indexVecCount]] and [[compactPqIndexByCell]]'s post-rename count
+    * all share, so their file filters can never drift apart.
+    */
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val it = root.getFileSystem(conf).listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) buf += f.getPath
+    }
+    buf.toSeq
+  }
+
   /** Data-file count of the DEEPEST cell of a cell-partitioned code
     * index — the compaction-trigger signal, same shape as
     * [[graft.sources.Layout.filesPerBucket]]'s skew-honest form: appends
     * touch only the cells their batch lands in, so the deepest cell
     * (where probe-bounded serves pay the per-file overhead) can run well
     * ahead of the table-wide average. Groups data files by their
-    * `cell=K` parent directory and returns the max.
+    * `cell=K` parent directory and returns the max. REJECTS a flat
+    * [[writePqIndex]] dir loudly (all files would share the root parent,
+    * so the "deepest cell" would be the total file count and the
+    * compaction policy would fire data-dependently around append ~17,
+    * then crash in the verb's own layout check — better to fail at the
+    * first nightly call with the routing answer).
     */
   def pqFilesPerCell(spark: org.apache.spark.sql.SparkSession,
                      dir: String): Double = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    val perCell = scala.collection.mutable.Map.empty[String, Int]
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith(".")) {
-        val cell = f.getPath.getParent.getName
-        perCell(cell) = perCell.getOrElse(cell, 0) + 1
-      }
+    val files = listDataFiles(spark, dir)
+    val perCell = files.groupBy(_.getParent.getName).map {
+      case (parent, fs) => (parent, fs.size)
     }
+    require(perCell.keys.forall(_.startsWith("cell=")),
+      s"$dir is not a cell-partitioned PQ index (data files outside " +
+        "cell= directories); flat indexes compact with " +
+        "graft.sources.Layout.compact")
     if (perCell.isEmpty) 0.0 else perCell.values.max.toDouble
   }
 
@@ -989,13 +1012,7 @@ object Ann {
       throw new java.io.IOException(
         s"compactPqIndexByCell: rename $staging -> $dir failed; " +
           "compacted index left at staging")
-    val it = fs.listFiles(root, true)
-    var n = 0
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) n += 1
-    }
-    n
+    listDataFiles(spark, dir).size
   }
 
   /** The compaction POLICY to [[compactPqIndexByCell]]'s mechanism —
@@ -1107,20 +1124,11 @@ object Ann {
   private[graft] def indexVecCount(spark: org.apache.spark.sql.SparkSession,
                                    indexDir: String, m: Int): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
     var rows = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith(".")) {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            f.getPath, conf))
-        try rows += rd.getRecordCount finally rd.close()
-      }
+    listDataFiles(spark, indexDir).foreach { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try rows += rd.getRecordCount finally rd.close()
     }
     rows / m
   }

@@ -149,8 +149,12 @@ object Layout {
     val perBucket = fs.listStatus(location).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .groupBy(_.getPath.getName match {
-        case BucketedFileName(id) => id.toInt
-        case _                    => -1 // non-bucketed stray; still counted
+        // toLongOption, not toInt: the regex accepts ANY trailing digit
+        // group, so a stray file with a timestamp-style name (13+ digits)
+        // must land in the stray bucket rather than crash the nightly
+        // policy call with a NumberFormatException
+        case BucketedFileName(id) => id.toLongOption.getOrElse(-1L)
+        case _                    => -1L // non-bucketed stray; still counted
       })
       .values.map(_.size)
     if (perBucket.isEmpty) 0.0 else perBucket.max.toDouble

@@ -852,5 +852,15 @@ class AnnSpec extends SparkSpec {
     // idempotent: the nightly call right after sees 1 file/cell, no-ops
     assert(Ann.compactPqIndexByCellIfNeeded(spark, dir,
       maxFilesPerCell = 1).isEmpty)
+    // a FLAT index mis-pointed at the cell policy must fail at the FIRST
+    // nightly call with the routing answer — not fire data-dependently
+    // once total files cross the threshold and then crash in the verb
+    val flat = s"$dir0/flat"
+    Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model, flat,
+      Some(IvfFixture.model))
+    val e = intercept[IllegalArgumentException] {
+      Ann.compactPqIndexByCellIfNeeded(spark, flat)
+    }
+    assert(e.getMessage.contains("Layout.compact"), e.getMessage)
   }
 }
