@@ -863,4 +863,71 @@ class AnnSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("Layout.compact"), e.getMessage)
   }
+
+  // The round-15 dispatch-cost contract, pinned at the job level: with a
+  // standing index, pqSearchAuto's branch decision must run NO Spark job
+  // (indexVecCount is a driver-side footer read), while the fused path
+  // pays exactly its documented emb.count(). DataFrame CONSTRUCTION is
+  // where the dispatch executes, so jobs-during-construction is the
+  // precise observable.
+  test("pqSearchAuto's indexed dispatch adds no Spark job over the plain serve; fused pays its count") {
+    import graft.operators.{Ann, IvfFixture, PqFixture}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_nojob").toString
+    Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model, dir,
+      Some(IvfFixture.model))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // listener events are async and the bus API is private[spark]:
+      // drain by polling the counter until it is stable twice over
+      def drain(): Unit = {
+        var last = -1; var stable = 0
+        while (stable < 2) {
+          Thread.sleep(150)
+          val n = jobs.get()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+      }
+      def constructionJobs(body: => Unit): Int = {
+        drain()
+        val before = jobs.get()
+        body
+        drain()
+        jobs.get() - before
+      }
+      // differential form: spark.read.parquet itself may launch a small
+      // footer-inference job (bounded by FILE count, the same metadata
+      // class as indexVecCount), so the pin is that auto's dispatch adds
+      // ZERO jobs over the plain indexed serve's construction — the
+      // decision itself is metadata-priced
+      val plain = constructionJobs {
+        Ann.pqSearchIndexed(emb, "vec_id", "embedding", PqFixture.model,
+          pred, 5, dir, Some(IvfFixture.model), nProbe = 8)
+      }
+      val indexed = constructionJobs {
+        Ann.pqSearchAuto(emb, "vec_id", "embedding", PqFixture.model,
+          pred, 5, Some(IvfFixture.model), indexDir = Some(dir),
+          maxExhaustiveVectors = 10L)
+      }
+      assert(indexed == plain,
+        s"indexed dispatch must add no job over the plain serve " +
+          s"($indexed vs $plain)")
+      val fusedPlain = constructionJobs {
+        Ann.pqSearch(emb, "vec_id", "embedding", PqFixture.model, pred,
+          5, Some(IvfFixture.model), nProbe = 8)
+      }
+      val fused = constructionJobs {
+        Ann.pqSearchAuto(emb, "vec_id", "embedding", PqFixture.model,
+          pred, 5, Some(IvfFixture.model), maxExhaustiveVectors = 10L)
+      }
+      assert(fused > fusedPlain,
+        s"fused dispatch pays its documented corpus count at " +
+          s"construction ($fused vs $fusedPlain)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
