@@ -994,6 +994,14 @@ object Ann {
     * materialize to a staging dir first (an overwrite deletes the very
     * files its job would read), then swap staging into place. Returns
     * the data file count after compaction.
+    *
+    * Crash window: the delete→rename swap is not atomic — a crash
+    * between the two leaves the index ABSENT at `dir` with the full
+    * compacted copy intact at `dir__compact_staging` (recover by
+    * renaming it back). Run from the nightly maintenance window like
+    * every compact verb (OPERATIONS.md step 4, after the serves): a
+    * serve concurrent with any in-place rewrite would read vanishing
+    * files under either implementation.
     */
   def compactPqIndexByCell(spark: org.apache.spark.sql.SparkSession,
                            dir: String): Int = {
