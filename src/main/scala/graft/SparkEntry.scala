@@ -179,6 +179,18 @@ object SparkEntry {
     * so no other JVM can ever resolve to it.
     */
   private val poisonedPublishes = scala.collection.mutable.Set.empty[String]
+  /** Monotone count of [[cachedPublish]] bodies this JVM has executed —
+    * the serve-pricing signal Bench's attempt scheduler reads (round-15
+    * verdict: the repeat cutoff denied q_cluster_cc_serve its post-publish
+    * attempt because the publish-laden FIRST attempt ran past the 60 s
+    * wall; the cutoff can only reason about attempts whose wall time is
+    * all query — this counter tells Bench which ones weren't). Snapshot
+    * before/after an attempt; a delta means the attempt paid a one-time
+    * standing publish on top of its serve. Contract: OPERATIONS.md
+    * "Serve-pricing convention".
+    */
+  private val publishBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+  def publishBuildCount: Long = publishBuilds.get()
   private def cachedPublish(key: String, sfDir: String)
                            (body: String => Unit): String =
     publishLock.synchronized {
@@ -188,6 +200,7 @@ object SparkEntry {
         s"pub_${key}_${leaf}_$jvmNonce")
       if (!java.nio.file.Files.exists(base) ||
           poisonedPublishes(base.toString)) {
+        publishBuilds.incrementAndGet()
         java.nio.file.Files.createDirectories(base)
         cleanupAtExit(base)
         // A half-written publish must not satisfy the existence check on

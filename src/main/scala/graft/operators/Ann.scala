@@ -1015,7 +1015,14 @@ object Ann {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
-    fs.delete(root, true)
+    // A failed delete must be loud: on HDFS-semantics filesystems a
+    // rename into a still-existing directory nests staging INSIDE it and
+    // returns true, so old and compacted copies would coexist while the
+    // verb reports success with an inflated file count.
+    if (fs.exists(root) && !fs.delete(root, true))
+      throw new java.io.IOException(
+        s"compactPqIndexByCell: delete of $dir failed; " +
+          "compacted index left at staging")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root))
       throw new java.io.IOException(
         s"compactPqIndexByCell: rename $staging -> $dir failed; " +
@@ -1138,6 +1145,13 @@ object Ann {
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try rows += rd.getRecordCount finally rd.close()
     }
+    // The m-rows-per-vector contract is the whole basis of this count:
+    // a non-multiple total means the dir is not a code index (or holds
+    // leftovers of a partially-committed write) — integer division would
+    // silently truncate and hand pqSearchAuto a wrong dispatch input.
+    require(rows % m == 0,
+      s"indexVecCount: $indexDir holds $rows code rows, not a multiple " +
+        s"of m=$m — not a code index for this model, or a partial write")
     rows / m
   }
 

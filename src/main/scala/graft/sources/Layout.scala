@@ -147,12 +147,21 @@ object Layout {
     val location = new org.apache.hadoop.fs.Path(meta.location)
     val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val perBucket = fs.listStatus(location).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .filter { s =>
+        val n = s.getPath.getName
+        // Exclude hidden/in-progress files (._*, _SUCCESS-style): a
+        // reader never scans them, so counting them (they'd group into
+        // the stray -1 bucket) could spuriously fire nightly compaction
+        // on files that cost no serve anything.
+        s.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
       .groupBy(_.getPath.getName match {
         // toLongOption, not toInt: the regex accepts ANY trailing digit
-        // group, so a stray file with a timestamp-style name (13+ digits)
-        // must land in the stray bucket rather than crash the nightly
-        // policy call with a NumberFormatException
+        // group, so a stray file whose name ends in a huge digit run
+        // (longer than Long's 19 digits) must land in the stray bucket
+        // rather than crash the nightly policy call; timestamp-style
+        // 13-digit groups parse fine and form their own singleton bucket
         case BucketedFileName(id) => id.toLongOption.getOrElse(-1L)
         case _                    => -1L // non-bucketed stray; still counted
       })

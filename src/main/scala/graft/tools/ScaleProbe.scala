@@ -726,6 +726,104 @@ object ScaleProbe {
     val appendResults = appendProbes
       .filter(p => only.isEmpty || only(p._1)).map(_._2())
 
+    // ---- PQ cell-tier LIFECYCLE exponent (round 16): pq_cell_append
+    // prices the append alone and pq_idx_serve prices serving a one-shot
+    // flat publish; this one prices the index the NIGHTLY CYCLE actually
+    // produces — publish base by cell, append a GROWN fraction, compact,
+    // serve — and verifies the layout's defining claim as that cycle
+    // scales: a probe-bounded serve's cost tracks the PROBED cells'
+    // bytes, with the exhaustive serve (nProbe=16 = every cell = corpus
+    // bytes) priced alongside as the corpus-size yardstick. The measured
+    // quantity is BYTES READ (task inputMetrics), not wall: at fixture
+    // sizes the serve is compute/overhead-bound (writePqIndexByCell's
+    // own Scaladoc: 3.9 vs 3.0 s at 100k vectors), so wall can't carry
+    // the I/O claim — bytes can, and bytes are what dominate at 100 TB.
+    // A single pinned query keeps the probed-cell union at exactly
+    // nProbe=8 of 16 cells (a diverse batch probes every cell and the
+    // cut collapses to compression-only — the OPERATIONS.md layout
+    // table's second row). Post-compaction every cell is one file at
+    // every size, so the file-count term is constant by construction.
+    // Expected: probed bytes ≈ half the exhaustive bytes at EVERY
+    // appended factor (the cut is corpus-size-independent), both growing
+    // linearly with the appended fraction.
+    val lifeResults = if (only.isEmpty || only("pq_cell_lifecycle")) {
+      val inBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = s.stageInfo.taskMetrics
+            if (m != null) inBytes.addAndGet(m.inputMetrics.bytesRead)
+          }
+        })
+      // stage events are async: settle the bus (two stable reads) before
+      // and after the measured action so its bytes are attributed to it
+      def settle(): Unit = {
+        var last = -1L; var stable = 0
+        while (stable < 2) {
+          Thread.sleep(200)
+          val now = inBytes.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      }
+      def measured[A](f: => A): (Double, Double) = {
+        settle(); val b0 = inBytes.get
+        val t0 = System.nanoTime(); f
+        val wall = (System.nanoTime() - t0) / 1e9
+        settle(); (wall, (inBytes.get - b0) / 1e6)
+      }
+      def dirMb(path: String): Double = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next(); val n = f.getPath.getName
+          if (f.isFile && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith(".")) b += f.getLen
+        }
+        b / 1e6
+      }
+      val queryId = embBase.agg(min(col("vec_id"))).first().getLong(0)
+      println("[scale] pq_cell_lifecycle: publish base by cell, append %3" +
+        "-slice grown Rx (fresh ids), compact, then serve ONE pinned " +
+        "query at nProbe=8 vs exhaustive 16")
+      val rows = factors.map { r =>
+        val dir = s"$idxScratch/pq_cell_life_$r"
+        Ann.writePqIndexByCell(embBase, "vec_id", "embedding",
+          PqFixture.model, dir, IvfFixture.model)
+        val batch = embBase.filter(col("vec_id") % 3 === 0)
+          .crossJoin(broadcast(spark.range(r).select(col("id").as("copy"))))
+          .select((col("vec_id") + lit(650000000L) +
+            col("copy") * 10000000L).as("vec_id"), col("embedding"))
+        Ann.appendPqIndexByCell(batch, "vec_id", "embedding",
+          PqFixture.model, dir, IvfFixture.model)
+        val nFiles = Ann.compactPqIndexByCell(spark, dir)
+        val idxMb = dirMb(dir)
+        def serve(nProbe: Int): Long =
+          Ann.pqSearchIndexed(embBase, "vec_id", "embedding",
+            PqFixture.model, col("vec_id") === queryId, 5, dir,
+            Some(IvfFixture.model), nProbe).count()
+        serve(8) // warm-up (codegen/classloading), untimed
+        val (w8, mb8) = measured(serve(8))
+        val (w16, mb16) = measured(serve(16))
+        println(f"[scale] pq_cell_lifecycle     ${r}%2dx  files=$nFiles%3d " +
+          f"idx=$idxMb%7.2f MB  probed8 $w8%6.2f s $mb8%8.2f MB  " +
+          f"exhaustive16 $w16%6.2f s $mb16%8.2f MB  " +
+          f"byte_cut=${1 - mb8 / mb16}%5.2f")
+        (w8, mb8, mb16)
+      }
+      println(f"[scale] pq_cell_lifecycle     probed-byte ratios: " +
+        f"4x -> ${rows(1)._2 / rows(0)._2}%5.2f, " +
+        f"10x -> ${rows(2)._2 / rows(0)._2}%5.2f " +
+        f"(exhaustive: ${rows(1)._3 / rows(0)._3}%5.2f / " +
+        f"${rows(2)._3 / rows(0)._3}%5.2f)")
+      Seq(("pq_cell_probed_bytes", rows(1)._2 / rows(0)._2,
+            rows(2)._2 / rows(0)._2),
+          ("pq_cell_serve_wall", rows(1)._1 / rows(0)._1,
+            rows(2)._1 / rows(0)._1))
+    } else Seq.empty
+
     // ---- duplicate-key flood (the EditDistanceJoin skew guard): the
     // supplier corpus plus f exact copies of ONE name. The guarded join
     // dedupes keys before the variant explode, so its variant-join stage
@@ -813,7 +911,7 @@ object ScaleProbe {
     } else Seq.empty
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
     (results ++ embResults ++ evResults ++ graphResults ++ idxResults ++
-      appendResults ++ roResults).foreach { case (n, r4, r10) =>
+      appendResults ++ lifeResults ++ roResults).foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()
