@@ -144,6 +144,22 @@ import org.apache.spark.sql.functions._
   * (bucketed scan + in-bucket sort, no exchange, and the merge pin
   * keeps AQE from broadcasting a corpus-sized side — see
   * EditDistanceJoin.novelKeysAgainstMembers).
+  * Round-16 addition — pq_cell_lifecycle, the cell-partitioned PQ
+  * tier's full nightly cycle (publish base by cell → append a salted
+  * %3-slice grown 1x/4x/10x → compact → serve one pinned query at
+  * nProbe=8 vs exhaustive 16), measuring the code scan's PLANNED I/O
+  * (FileSourceScanExec numFiles/filesSize — the DppCheck method) rather
+  * than wall, which is overhead-bound at fixture sizes. Measured
+  * (sf0.1 base, 2026-08-16): numFiles pinned at 8 vs 16 at every size
+  * (compaction holds the one-file-per-cell layout through growth);
+  * byte_cut exactly 0.50 at 1x/4x/10x — the probed serve reads the 8
+  * probed cells' share of the index, corpus-size-INDEPENDENT; probed
+  * bytes grew 1.67x/3.00x against corpus row growth of 1.75x/3.25x —
+  * linear in probed bytes with nothing super-linear hiding in the
+  * append/compact cycle. This is the exponent form of the one-query
+  * 67% cut PqServeSweep measured at a single size: serve cost tracks
+  * probed bytes, not corpus size, and the appends don't erode it.
+  *
   * ro_blocked (diverse 40-word-vocab names, n = 2000·R)
   * measured 22.6x/66.0x at 4x/10x while emitted TRUE pairs grew
   * 11.9x/82.5x (the small vocabulary saturates, near-dup density rises
@@ -734,43 +750,42 @@ object ScaleProbe {
     // scales: a probe-bounded serve's cost tracks the PROBED cells'
     // bytes, with the exhaustive serve (nProbe=16 = every cell = corpus
     // bytes) priced alongside as the corpus-size yardstick. The measured
-    // quantity is BYTES READ (task inputMetrics), not wall: at fixture
-    // sizes the serve is compute/overhead-bound (writePqIndexByCell's
-    // own Scaladoc: 3.9 vs 3.0 s at 100k vectors), so wall can't carry
-    // the I/O claim — bytes can, and bytes are what dominate at 100 TB.
-    // A single pinned query keeps the probed-cell union at exactly
-    // nProbe=8 of 16 cells (a diverse batch probes every cell and the
-    // cut collapses to compression-only — the OPERATIONS.md layout
-    // table's second row). Post-compaction every cell is one file at
-    // every size, so the file-count term is constant by construction.
-    // Expected: probed bytes ≈ half the exhaustive bytes at EVERY
-    // appended factor (the cut is corpus-size-independent), both growing
-    // linearly with the appended fraction.
+    // quantity is the code scan's PLANNED I/O — FileSourceScanExec's
+    // numFiles/filesSize metrics on the executed plan, the DppCheck
+    // method — not wall and not task inputMetrics: at fixture sizes the
+    // serve is compute/overhead-bound (writePqIndexByCell's Scaladoc:
+    // 3.9 vs 3.0 s at 100k vectors) and task byte counters fold in the
+    // constant query-side scan, while filesSize is exactly the bytes a
+    // 1000-executor scan would have to move. Appended copies get a
+    // per-copy scalar salt on the vector (codes are NOT scale-invariant
+    // against frozen codebooks), so appended codes differ per copy and
+    // parquet can't RLE the growth away. A single pinned query keeps the
+    // probed-cell union at exactly nProbe=8 of 16 cells (a diverse batch
+    // probes every cell and the cut collapses to compression-only — the
+    // OPERATIONS.md layout table's second row). Post-compaction every
+    // cell is one file at every size, so the file-count term is constant
+    // by construction. Expected: probed filesSize ≈ probed-cells'
+    // fraction of the index at EVERY appended factor (the cut is
+    // corpus-size-independent), both growing with the appended fraction;
+    // numFiles pinned at 8 vs 16.
     val lifeResults = if (only.isEmpty || only("pq_cell_lifecycle")) {
-      val inBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            val m = s.stageInfo.taskMetrics
-            if (m != null) inBytes.addAndGet(m.inputMetrics.bytesRead)
-          }
-        })
-      // stage events are async: settle the bus (two stable reads) before
-      // and after the measured action so its bytes are attributed to it
-      def settle(): Unit = {
-        var last = -1L; var stable = 0
-        while (stable < 2) {
-          Thread.sleep(200)
-          val now = inBytes.get
-          if (now == last) stable += 1 else { stable = 0; last = now }
-        }
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(allScans)
       }
-      def measured[A](f: => A): (Double, Double) = {
-        settle(); val b0 = inBytes.get
-        val t0 = System.nanoTime(); f
-        val wall = (System.nanoTime() - t0) / 1e9
-        settle(); (wall, (inBytes.get - b0) / 1e6)
+      // (files, MB) planned for the scan(s) over the index dir, read off
+      // the EXECUTED plan so AQE's final stages are the ones inspected
+      def codeScan(df: DataFrame, dirPath: String): (Long, Double) = {
+        val leaf = new java.io.File(dirPath).getName
+        val scans = allScans(df.queryExecution.executedPlan).filter(
+          _.relation.location.rootPaths.exists(_.toString.contains(leaf)))
+        (scans.flatMap(_.metrics.get("numFiles").map(_.value)).sum,
+          scans.flatMap(_.metrics.get("filesSize").map(_.value)).sum / 1e6)
       }
       def dirMb(path: String): Double = {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -786,8 +801,8 @@ object ScaleProbe {
       }
       val queryId = embBase.agg(min(col("vec_id"))).first().getLong(0)
       println("[scale] pq_cell_lifecycle: publish base by cell, append %3" +
-        "-slice grown Rx (fresh ids), compact, then serve ONE pinned " +
-        "query at nProbe=8 vs exhaustive 16")
+        "-slice grown Rx (fresh ids, per-copy-salted vectors), compact, " +
+        "then serve ONE pinned query at nProbe=8 vs exhaustive 16")
       val rows = factors.map { r =>
         val dir = s"$idxScratch/pq_cell_life_$r"
         Ann.writePqIndexByCell(embBase, "vec_id", "embedding",
@@ -795,22 +810,33 @@ object ScaleProbe {
         val batch = embBase.filter(col("vec_id") % 3 === 0)
           .crossJoin(broadcast(spark.range(r).select(col("id").as("copy"))))
           .select((col("vec_id") + lit(650000000L) +
-            col("copy") * 10000000L).as("vec_id"), col("embedding"))
+            col("copy") * 10000000L).as("vec_id"),
+            transform(col("embedding"), e =>
+              (e * (lit(1.0f) + (col("copy") % 7 + 1).cast("float") *
+                lit(0.173f))).cast("float")).as("embedding"))
         Ann.appendPqIndexByCell(batch, "vec_id", "embedding",
           PqFixture.model, dir, IvfFixture.model)
         val nFiles = Ann.compactPqIndexByCell(spark, dir)
         val idxMb = dirMb(dir)
-        def serve(nProbe: Int): Long =
-          Ann.pqSearchIndexed(embBase, "vec_id", "embedding",
+        def serve(nProbe: Int): (Double, Long, Double) = {
+          val df = Ann.pqSearchIndexed(embBase, "vec_id", "embedding",
             PqFixture.model, col("vec_id") === queryId, 5, dir,
-            Some(IvfFixture.model), nProbe).count()
+            Some(IvfFixture.model), nProbe)
+          // collect, not count: count() runs a SEPARATE query execution,
+          // leaving df's own executedPlan (where the scan metrics live)
+          // unexecuted; the result is k rows, so the collect is free
+          val t0 = System.nanoTime(); df.collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val (nf, mb) = codeScan(df, dir)
+          (wall, nf, mb)
+        }
         serve(8) // warm-up (codegen/classloading), untimed
-        val (w8, mb8) = measured(serve(8))
-        val (w16, mb16) = measured(serve(16))
+        val (w8, f8, mb8) = serve(8)
+        val (w16, f16, mb16) = serve(16)
         println(f"[scale] pq_cell_lifecycle     ${r}%2dx  files=$nFiles%3d " +
-          f"idx=$idxMb%7.2f MB  probed8 $w8%6.2f s $mb8%8.2f MB  " +
-          f"exhaustive16 $w16%6.2f s $mb16%8.2f MB  " +
-          f"byte_cut=${1 - mb8 / mb16}%5.2f")
+          f"idx=$idxMb%7.2f MB  probed8 $w8%6.2f s $f8%2d files " +
+          f"$mb8%7.2f MB  exhaustive16 $w16%6.2f s $f16%2d files " +
+          f"$mb16%7.2f MB  byte_cut=${1 - mb8 / mb16}%5.2f")
         (w8, mb8, mb16)
       }
       println(f"[scale] pq_cell_lifecycle     probed-byte ratios: " +
