@@ -774,6 +774,21 @@ class AnnSpec extends SparkSpec {
     assert(Ann.indexVecCount(spark, s"$dir/cell", m) == n)
   }
 
+  // The count's whole basis is the m-rows-per-vector contract; a dir
+  // whose footer total is NOT a multiple of m is either not a code index
+  // for this model or holds leftovers of a partially-committed write —
+  // integer division would silently truncate and hand pqSearchAuto a
+  // wrong dispatch input (round-16 advice item).
+  test("indexVecCount fails loudly when footer rows are not a multiple of m") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_badcnt").toString
+    spark.range(7).selectExpr("id as vec_id", "cast(id % 4 as bigint) as j",
+      "cast(id as bigint) as c").write.parquet(s"$dir/notcodes")
+    val e = intercept[IllegalArgumentException](
+      Ann.indexVecCount(spark, s"$dir/notcodes", m = 2))
+    assert(e.getMessage.contains("not a multiple"), e.getMessage)
+  }
+
   // Empty batches are legal on every append verb (the OPERATIONS.md
   // contract, spec'd per tier — LayoutSpec covers the fp/LSH/variant
   // tiers; these are the PQ tiers' cases): no stray files or partitions,

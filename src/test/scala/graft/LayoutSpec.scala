@@ -161,6 +161,44 @@ class LayoutSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  // Round-16 advice item: hidden/in-progress files (._* and _* committer
+  // artifacts) are never read by a serve, so they must not count toward
+  // the compaction trigger — a few strays grouped into the phantom -1
+  // bucket could otherwise fire a nightly table rewrite over files that
+  // cost no serve anything. VISIBLE non-bucketed strays DO count (they
+  // are scanned), and a digit-run name that parses as a long forms its
+  // own singleton group rather than joining the stray bucket.
+  test("filesPerBucket ignores hidden/in-progress files; visible strays still count") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sf0001)
+    val fp = docs.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val dir = tmpDir("bhidden")
+    val tbl = "graft_spec_hidden_strays"
+    Dedup.writeKeyIndexBucketed(fp.select("fp"), "fp", s"$dir/t", tbl,
+      numBuckets = 4)
+    assert(Layout.filesPerBucket(spark, tbl) == 1.0)
+    val base = java.nio.file.Paths.get(dir, "t")
+    java.nio.file.Files.writeString(
+      base.resolve("._in_progress_00001.parquet"), "x")
+    java.nio.file.Files.writeString(base.resolve("_temp_00002.parquet"), "x")
+    java.nio.file.Files.writeString(base.resolve(".hidden_00003.parquet"), "x")
+    assert(Layout.filesPerBucket(spark, tbl) == 1.0,
+      "hidden/in-progress files must not deepen any bucket")
+    // a 13-digit (timestamp-style) trailing group parses fine and forms
+    // its own singleton bucket — depth still 1
+    java.nio.file.Files.writeString(
+      base.resolve("stray_1700000000000.parquet"), "x")
+    assert(Layout.filesPerBucket(spark, tbl) == 1.0)
+    // visible strays with NO parseable trailing digits group into the -1
+    // bucket and count: two of them make it the deepest
+    java.nio.file.Files.writeString(base.resolve("straya.parquet"), "x")
+    java.nio.file.Files.writeString(base.resolve("strayb.parquet"), "x")
+    assert(Layout.filesPerBucket(spark, tbl) == 2.0,
+      "visible unbucketed strays must count toward the trigger")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("compactBandIndexBucketed: LSH serve identical across append + compact") {
     import graft.operators.NearDup
     val docs = Tables.documents(spark, sf0001)
