@@ -1425,6 +1425,45 @@ object SparkEntry {
       Ann.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
         IvfFixture.model, col("vec_id") % 50 === 0, 5)),
 
+    // ---- ANN scale path 3: SQ8 two-stage serve (int8 scalar quantization
+    // + exact rerank — the train-free FAISS SQFlat+refine shape). Stage-1
+    // ranking is EXACT integer arithmetic (codegen dot_product_i8 kernel),
+    // so the whole serve is engine-reproducible and the oracle mirrors
+    // quantize → int-dot top-20 → cosine rerank top-5 verbatim. Recall
+    // floor pinned in AnnSpec (1.000 at candidates=20 on the fixture).
+    "q_sq8_search" -> ((s, dir) =>
+      Ann.sq8Search(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, 20)),
+
+    // ---- The same serve against a STANDING SQ8 code index (publish =
+    // quantize once; serve scans 4x fewer bytes and amortizes the scale
+    // aggregate). Indexed == fused is spec-pinned, so the fused oracle is
+    // exact; the in-bench publish re-pays per attempt by the *_indexed
+    // fixture convention.
+    "q_sq8_search_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_sq8_idx").toString
+      Ann.writeSq8Index(emb, "vec_id", "embedding", tmp)
+      Ann.sq8SearchIndexed(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, tmp, 20)
+    }),
+
+    // ---- Recall audit for the SQ8 serve vs the exact cosine truth on the
+    // same query tier — one row (n_true, n_caught, recall), q_ann_recall's
+    // SQ8 twin; the candidates knob is the recall lever this row prices.
+    "q_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5).select("query_id", "vec_id")
+      val approx = Ann.sq8Search(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, 20).select("query_id", "vec_id")
+      val caught = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_true")).crossJoin(
+          caught.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_true"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // ---- Embedding-cosine near-dup pairs: hyperplane-bucket candidates
     // (equi-join), exact sequential-fold cosine verify — the LSH-banding
     // shape applied to embeddings. Fully oracle-able: the ±1 planes are
@@ -3859,6 +3898,42 @@ object SparkEntry {
         "(SELECT qid, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
         "WHERE rank <= 5"),
+    // Mirrors Ann.sq8Search stage for stage (sqlSq8Ctes); stage 1 is
+    // exact integer arithmetic, stage 2 the q_ann_cosine fold.
+    "q_sq8_search" ->
+      (s"WITH ${sqlSq8Ctes(20)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM sq8rer) WHERE rank <= 5"),
+    // Indexed == fused is spec-pinned (the codes ARE sq8QuantCol's
+    // output under the same scale), so the fused oracle is exact.
+    "q_sq8_search_indexed" ->
+      (s"WITH ${sqlSq8Ctes(20)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM sq8rer) WHERE rank <= 5"),
+    // Recall audit: SQ8 top-5 vs the exact cosine top-5 on the same
+    // query tier — counts + one exact division.
+    "q_sq8_recall" ->
+      (s"WITH ${sqlSq8Ctes(20)}, " +
+        "sq8top AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
+        "vec_id) AS rn FROM sq8rer) WHERE rn <= 5), " +
+        "exq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+        "WHERE vec_id % 50 = 0), " +
+        s"exsc AS (SELECT qid, e.vec_id, ${sqlDot("exq.qe", "e.embedding")} / " +
+        s"(sqrt(${sqlDot("exq.qe", "exq.qe")}) * " +
+        s"sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+        "FROM exq, embeddings e), " +
+        "extop AS (SELECT qid AS query_id, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) " +
+        "AS rn FROM exsc) WHERE rn <= 5) " +
+        "SELECT n_true, n_caught, n_caught::DOUBLE / n_true AS recall FROM " +
+        "(SELECT (SELECT COUNT(*) FROM extop) AS n_true, " +
+        "(SELECT COUNT(*) FROM extop t JOIN sq8top a ON " +
+        "t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_caught)"),
     // Mirrors Ann.lshTopK end-to-end: per-vector plane-sign bucket
     // (sqlBucket — the same +/-1 plane literals), 37 multi-probe XOR
     // masks, bucket equi-join, sequential-fold cosine, dedup, top-5 rank.
@@ -4871,6 +4946,38 @@ object SparkEntry {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       s"$a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE), (acc, x) -> acc + x)"
+
+  /** Shared CTEs of the SQ8 oracle — mirrors [[Ann.sq8Search]] stage for
+    * stage: corpus-max-abs scale (a MAX, no accumulation, so both engines
+    * compute the identical double) → HALF_UP int8 quantization (BIGINT
+    * lists carry the same integers as the tinyint codes) → EXACT integer
+    * dot → top-`candidates` by (iscore DESC, vec_id) → exact cosine
+    * rerank via the same sequential-fold [[sqlDot]] as q_ann_cosine.
+    */
+  private def sqlSq8Ctes(candidates: Int): String =
+    "sq8s AS (SELECT max(list_max(list_transform(embedding, " +
+      "x -> abs(x::DOUBLE)))) AS s FROM embeddings), " +
+    // the scale rides in as a joined column: DuckDB forbids subqueries
+    // inside lambda bodies
+    "sq8c AS (SELECT vec_id, list_transform(embedding, x -> " +
+      "CAST(GREATEST(-127.0, LEAST(127.0, ROUND(x::DOUBLE * 127.0 / " +
+      "sq8s.s))) AS BIGINT)) AS qv FROM embeddings, sq8s), " +
+    "sq8q AS (SELECT vec_id AS query_id, qv AS qqv FROM sq8c " +
+      "WHERE vec_id % 50 = 0), " +
+    s"sq8sc AS (SELECT query_id, sq8c.vec_id, " +
+      s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
+      "qqv[CAST(i AS INT)] * qv[CAST(i AS INT)]), (acc, x) -> acc + x) " +
+      "AS iscore FROM sq8q, sq8c), " +
+    "sq8cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, " +
+      s"vec_id) AS rn FROM sq8sc) WHERE rn <= $candidates), " +
+    "sq8fq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
+      "WHERE vec_id % 50 = 0), " +
+    s"sq8rer AS (SELECT c.query_id, c.vec_id, " +
+      s"${sqlDot("q.qe", "e.embedding")} / (sqrt(${sqlDot("q.qe", "q.qe")}) " +
+      s"* sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+      "FROM sq8cand c JOIN embeddings e ON c.vec_id = e.vec_id " +
+      "JOIN sq8fq q ON q.query_id = c.query_id)"
 
   /** Hyperplane bucket id (mirrors Ann.bucketId): bit p = sign of the
     * sequential-fold projection onto the ±1 plane literal — exact FP parity

@@ -29,6 +29,17 @@ package object functions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Exact long-accumulated dot product of two `array<tinyint>` columns
+    * — the SQ8 candidate scorer's kernel as a native codegen expression
+    * (see [[DotProductI8]]); integer arithmetic, so the ranking it
+    * drives is engine-independent with no FP-parity argument.
+    */
+  def dot_product_i8(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DotProductI8(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** All space-joined n-grams of consecutive elements of a string-array
     * column — the shingling kernel as a native codegen expression (see
     * [[WordNGrams]]); semantics identical to the transform/slice/concat_ws

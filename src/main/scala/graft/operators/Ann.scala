@@ -1426,4 +1426,168 @@ object Ann {
     corpus.unpersist()
     PqModel(subDim, codebooks)
   }
+
+  // =========================================================================
+  // SQ8 tier — symmetric int8 scalar quantization + exact rerank, the
+  // train-free two-stage serve (public knowledge: FAISS's SQ8 flat index
+  // refined by an exact re-ranker). Complements IVFPQ on the other end of
+  // the compression/operability trade: no codebooks to train or refreeze
+  // against drift in SHAPE (only a single scalar scale), 4x byte cut on the
+  // stage-1 scan instead of PQ's ~16-32x, recall governed by ONE knob (the
+  // candidate count) instead of (m, ks, nProbe). Stage-1 ranking is EXACT
+  // integer arithmetic over the codes (codegen kernel
+  // [[graft.functions.dot_product_i8]]), so it is engine-reproducible with
+  // no FP-parity argument at all; stage 2 re-ranks only |Q|·candidates rows
+  // by exact float cosine fetched from the raw table — the FAISS refine
+  // economics: sequential scan of small codes, candidate-bounded fetch of
+  // floats.
+  // =========================================================================
+
+  /** Symmetric quantization scale for the SQ8 tier: the corpus-wide
+    * max |x|. Deliberately a MAX, not any accumulated statistic — the max
+    * over exact float→double widenings involves no summation, so Spark and
+    * the DuckDB oracle compute the identical double, and everything
+    * downstream of it is integer-exact. One map-side-combinable aggregate
+    * over the corpus (the same cost class as pqSearchAuto's fused count).
+    */
+  def sq8MaxAbs(emb: DataFrame, embCol: String): Double =
+    emb.agg(max(array_max(transform(toDouble(col(embCol)), x => abs(x)))))
+      .first().getDouble(0)
+
+  /** Elementwise int8 quantization under `scale`: round(x·127/scale)
+    * clamped to [-127, 127], stored as `array<tinyint>` — 4x fewer bytes
+    * than the float column, which is the standing index's whole point.
+    * round is HALF_UP on both engines; the clamp is what makes APPENDS
+    * under a frozen scale total (an out-of-range late vector saturates
+    * instead of wrapping — see [[appendSq8Index]]). The transform HOF is
+    * CodegenFallback, which is fine where this runs: once per publish in
+    * the indexed tier (the scale path), per serve only in the fused form
+    * — the O(|Q|·N) stage-1 scoring loop itself is the codegen kernel.
+    */
+  private def sq8QuantCol(c: Column, scale: Double): Column =
+    transform(toDouble(c), x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        round(x * lit(127.0) / lit(scale)))).cast("tinyint"))
+
+  /** Shared two-stage serve over prepared (corpus codes, query codes):
+    * stage 1 keeps `candidates` per query by exact int dot (ties by
+    * vec_id — integer scores tie often, so the tie-break is load-bearing
+    * for determinism); stage 2 re-ranks those candidates by exact float
+    * cosine (the [[cosineTopK]] formulation, so sims hash-match the
+    * cosine oracles'). Stage-1 selection goes through the bounded-heap
+    * [[graft.plans.TopKPerKey]] physical operator, NOT a row_number
+    * window: the scored stream is |Q|·N rows, and the window spelling
+    * would shuffle and sort ALL of them by query_id, while the heap's
+    * partial pass reduces map-side to ≤ candidates rows per (partition,
+    * query) before the exchange — the selected set is identical (same
+    * order, same tie-break), only the shuffle volume changes. The
+    * candidate set is |Q|·candidates rows — broadcast it, so the stage-2
+    * float fetch is one streamed scan of the raw table with a broadcast
+    * hash join, never a shuffle of the corpus.
+    */
+  private def sq8TwoStage(emb: DataFrame, idCol: String, embCol: String,
+                          queryPred: Column, k: Int, candidates: Int,
+                          corpusQ: DataFrame, queriesQ: DataFrame): DataFrame = {
+    val scored = broadcast(queriesQ).crossJoin(corpusQ)
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.dot_product_i8(col("qqv"), col("qv")).as("iscore"))
+    val cand = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("iscore" -> false, "vec_id" -> true), candidates)
+      .select("query_id", "vec_id")
+    val corpusF = withNorm(emb, embCol)
+      .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
+    val queriesF = corpusF.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
+        col("norm").as("q_norm"))
+    val rer = broadcast(cand)
+      .join(corpusF, "vec_id")
+      .join(broadcast(queriesF), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("emb_d")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sim")
+  }
+
+  /** Fused SQ8 serve: quantize corpus and queries in-flight (paying the
+    * scale aggregate + quantization per call), then the two-stage serve.
+    * The standing-index twin ([[sq8SearchIndexed]]) amortizes both.
+    */
+  def sq8Search(emb: DataFrame, idCol: String, embCol: String,
+                queryPred: Column, k: Int, candidates: Int = 20,
+                scale: Option[Double] = None): DataFrame = {
+    val s = scale.getOrElse(sq8MaxAbs(emb, embCol))
+    val renamed = emb.select(col(idCol).as("vec_id"), col(embCol))
+    val corpusQ = renamed.select(col("vec_id"),
+      sq8QuantCol(col(embCol), s).as("qv"))
+    val queriesQ = renamed.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        sq8QuantCol(col(embCol), s).as("qqv"))
+    sq8TwoStage(emb, idCol, embCol, queryPred, k, candidates, corpusQ, queriesQ)
+  }
+
+  /** Publish the SQ8 code index: int8 codes under `dir/codes`, the frozen
+    * scale under `dir/scale` (one-row parquet — the publish-time
+    * quantization grid every later append and serve MUST reuse; a grid
+    * change re-quantizes every code, i.e. a full rebuild, the same
+    * refreeze rule as the PQ codebooks in OPERATIONS.md). Returns the
+    * scale it froze.
+    */
+  def writeSq8Index(emb: DataFrame, idCol: String, embCol: String,
+                    dir: String): Double = {
+    val s = sq8MaxAbs(emb, embCol)
+    emb.select(col(idCol).as("vec_id"), sq8QuantCol(col(embCol), s).as("qv"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    emb.sparkSession.range(1).select(lit(s).as("scale"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
+    s
+  }
+
+  /** The published quantization grid of a standing SQ8 index — a one-row
+    * driver-side read, the dispatch-cost class of [[indexVecCount]].
+    */
+  def sq8IndexScale(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Double =
+    spark.read.parquet(s"$dir/scale").first().getDouble(0)
+
+  /** INCREMENTAL PUBLISH for the SQ8 tier: quantize ONLY the day's batch
+    * under the PUBLISHED scale and append its codes — batch-sized work,
+    * the standing side never opened (the same contract as
+    * [[appendPqIndex]]: new ids only; the frozen grid is what keeps old
+    * codes valid). An out-of-range late vector SATURATES at ±127 by the
+    * quantizer's clamp — lossy for that vector's stage-1 score but total
+    * and rerank-corrected; refreeze (full [[writeSq8Index]] rebuild) when
+    * the corpus' dynamic range has genuinely drifted. Same empty-batch
+    * guard as the flat PQ append (an empty unpartitioned append lays down
+    * a stray empty file the serve would re-open forever).
+    */
+  def appendSq8Index(embBatch: DataFrame, idCol: String, embCol: String,
+                     dir: String): Unit =
+    if (!embBatch.isEmpty) {
+      val s = sq8IndexScale(embBatch.sparkSession, dir)
+      embBatch.select(col(idCol).as("vec_id"),
+          sq8QuantCol(col(embCol), s).as("qv"))
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+
+  /** Serve against a standing SQ8 index: stage 1 scans the published
+    * int8 codes (4x fewer bytes than the float column, quantization
+    * amortized at publish), stage 2 fetches floats for the candidate set
+    * only. Queries quantize in-flight under the index's frozen scale —
+    * |Q| rows, noise.
+    */
+  def sq8SearchIndexed(emb: DataFrame, idCol: String, embCol: String,
+                       queryPred: Column, k: Int, dir: String,
+                       candidates: Int = 20): DataFrame = {
+    val spark = emb.sparkSession
+    val s = sq8IndexScale(spark, dir)
+    val corpusQ = spark.read.parquet(s"$dir/codes")
+    val queriesQ = emb.select(col(idCol).as("vec_id"), col(embCol))
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        sq8QuantCol(col(embCol), s).as("qqv"))
+    sq8TwoStage(emb, idCol, embCol, queryPred, k, candidates, corpusQ, queriesQ)
+  }
 }

@@ -774,6 +774,87 @@ class AnnSpec extends SparkSpec {
     assert(Ann.indexVecCount(spark, s"$dir/cell", m) == n)
   }
 
+  // ---- SQ8 tier (round 16): int8 scalar quantization + exact rerank.
+
+  test("sq8Search matches a driver-side replay of the two-stage algorithm") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val scale = vecs.flatMap(_._2).map(x => math.abs(x.toDouble)).max
+    def q8(x: Double): Long = {
+      val r = BigDecimal(x * 127.0 / scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      math.max(-127L, math.min(127L, r))
+    }
+    val quant = vecs.map { case (id, v) => id -> v.map(x => q8(x.toDouble)) }
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val fvecs = vecs.toMap
+    val expected = quant.filter(_._1 % 50 == 0).map { case (q, qq) =>
+      val cand = quant.map { case (v, vv) => (v, idot(qq, vv)) }
+        .sortBy { case (v, s) => (-s, v) }.take(20).map(_._1)
+      q -> cand.map(v => (v, cos(fvecs(q), fvecs(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = Ann.sq8Search(emb, "vec_id", "embedding", pred, 5, 20)
+      .orderBy("query_id", "rank").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("sq8 standing index: indexed serve == fused; append honors the frozen grid") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    val s = Ann.writeSq8Index(emb, "vec_id", "embedding", s"$dir/full")
+    assert(s == Ann.sq8IndexScale(spark, s"$dir/full"))
+    val fused = Ann.sq8Search(emb, "vec_id", "embedding", pred, 5, 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred, 5,
+      s"$dir/full", 20).orderBy("query_id", "rank").collect().toSeq
+    assert(indexed == fused)
+    // grown index: publish 7/8, append the %8 slice — codes carry the
+    // PUBLISH-time scale, so the equivalent fused form pins scale to it
+    // (a monolithic re-publish would re-derive the full-corpus scale:
+    // that is the refreeze, not the append)
+    val sOld = Ann.writeSq8Index(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", s"$dir/grown")
+    Ann.appendSq8Index(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/grown")
+    val grown = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred, 5,
+      s"$dir/grown", 20).orderBy("query_id", "rank").collect().toSeq
+    val fusedFrozen = Ann.sq8Search(emb, "vec_id", "embedding", pred, 5, 20,
+      scale = Some(sOld)).orderBy("query_id", "rank").collect().toSeq
+    assert(grown == fusedFrozen)
+    // empty batch: no stray files, serve unchanged
+    val filesBefore = new java.io.File(s"$dir/grown/codes").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    Ann.appendSq8Index(emb.filter(lit(false)), "vec_id", "embedding",
+      s"$dir/grown")
+    val filesAfter = new java.io.File(s"$dir/grown/codes").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(filesAfter == filesBefore)
+    val again = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred, 5,
+      s"$dir/grown", 20).orderBy("query_id", "rank").collect().toSeq
+    assert(again == grown)
+  }
+
+  test("sq8Search recall@5 vs exact cosine clears the serving floor on the fixture") {
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.sq8Search(emb, "vec_id", "embedding", pred, 5, 20)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"sq8 recall@5 (candidates=20): $recall%.3f")
+    assert(recall >= 0.90, f"recall $recall%.3f under the 0.90 floor")
+  }
+
   // The count's whole basis is the m-rows-per-vector contract; a dir
   // whose footer total is NOT a multiple of m is either not a code index
   // for this model or holds leftovers of a partially-committed write —

@@ -70,7 +70,12 @@ class PlanGuaranteesSpec extends SparkSpec {
       "q_pq_search_auto",
       // the tc row combines TWO one-row aggregates (component pair count
       // x truth catch count) — constant-attach, build side is one row
-      "q_link_snm_tc_recall")
+      "q_link_snm_tc_recall",
+      // SQ8 stage 1 is the cosineTopK scan-search shape over int8 codes:
+      // the broadcast side is the BOUNDED query batch's code rows (the
+      // declared |Q|xN compressed scan — TopKPerKey bounds what leaves
+      // it); q_sq8_recall additionally rides the q_ann_cosine exact side
+      "q_sq8_search", "q_sq8_search_indexed", "q_sq8_recall")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
