@@ -144,7 +144,11 @@ import org.apache.spark.sql.functions._
   * (bucketed scan + in-bucket sort, no exchange, and the merge pin
   * keeps AQE from broadcasting a corpus-sized side — see
   * EditDistanceJoin.novelKeysAgainstMembers).
-  * Round-16 addition — pq_cell_lifecycle, the cell-partitioned PQ
+  * Round-16 additions — sq8_idx_serve (the SQ8 tier's standing-index
+  * serve: pinned query batch, int8 code index grown 4x/10x) measured
+  * 1.01x/1.37x — sublinear like pq_idx_serve, the compressed scan-search
+  * shape riding the corpus scan with fixed overhead still dominating at
+  * fixture sizes. And pq_cell_lifecycle, the cell-partitioned PQ
   * tier's full nightly cycle (publish base by cell → append a salted
   * %3-slice grown 1x/4x/10x → compact → serve one pinned query at
   * nProbe=8 vs exhaustive 16), measuring the code scan's PLANNED I/O
@@ -177,6 +181,9 @@ object ScaleProbe {
       .config("spark.local.dir", GraftLocalDir.path)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // register the custom strategies (TopKPerKey etc.) — the probes run
+    // the same operator code paths Bench does, under the same planner
+    graft.Graft.enableOptimizations(spark)
     import spark.implicits._
 
     val base = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
@@ -576,6 +583,18 @@ object ScaleProbe {
         Ann.pqSearchIndexed(d, "vec_id", "embedding", PqFixture.model,
           col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
           Some(IvfFixture.model)).count()
+      }),
+      // SQ8 tier (round 16): standing int8 code index grows Rx, the query
+      // batch stays the base copy's slice. Stage 1 is the declared
+      // compressed scan (corpus-linear like pq_idx_serve, reading 1/4 of
+      // the float bytes), stage 2 a candidate-bounded float fetch — the
+      // exponent must track corpus size, never worse.
+      "sq8_idx_serve" -> (() => idxProbe("sq8_idx_serve", replicateEmb) { (d, dir, _) =>
+        Ann.writeSq8Index(d, "vec_id", "embedding", dir)
+      } { (d, dir, _) =>
+        Ann.sq8SearchIndexed(d, "vec_id", "embedding",
+          col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
+          20).count()
       }),
       // incremental CC assignment (the sixth serve tier): standing corpus
       // (labels + variant index) grows Rx as R INDEPENDENT copies of the
