@@ -1464,6 +1464,42 @@ object SparkEntry {
           (col("n_caught").cast("double") / col("n_true")).as("recall"))
     }),
 
+    // ---- ANN scale path 4: sign-bit (1-bit) two-stage serve — the
+    // extreme-compression end next to SQ8 and PQ: 64 dimension signs pack
+    // into ONE long (32x byte cut), stage 1 ranks by EXACT integer
+    // Hamming (built-in bit_count(xor), whole-stage codegen), stage 2 the
+    // shared exact-cosine refine. Nothing to train OR freeze — the tier
+    // with zero refreeze rules.
+    "q_hamming_search" -> ((s, dir) =>
+      Ann.hammingSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, 50)),
+
+    // ---- The same serve against a STANDING one-long-per-vector sign
+    // index. Indexed == fused is spec-pinned; in-bench publish re-pays
+    // per attempt by the *_indexed fixture convention.
+    "q_hamming_search_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_sign_idx").toString
+      Ann.writeSignIndex(emb, "vec_id", "embedding", tmp)
+      Ann.hammingSearchIndexed(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, tmp, 50)
+    }),
+
+    // ---- Recall audit: sign-bit top-5 vs the exact cosine truth — the
+    // candidates knob's price at 1 bit/dim (q_sq8_recall's 1-bit twin).
+    "q_hamming_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5).select("query_id", "vec_id")
+      val approx = Ann.hammingSearch(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, 50).select("query_id", "vec_id")
+      val caught = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_true")).crossJoin(
+          caught.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_true"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // ---- Embedding-cosine near-dup pairs: hyperplane-bucket candidates
     // (equi-join), exact sequential-fold cosine verify — the LSH-banding
     // shape applied to embeddings. Fully oracle-able: the ±1 planes are
@@ -3898,6 +3934,41 @@ object SparkEntry {
         "(SELECT qid, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank FROM scored) " +
         "WHERE rank <= 5"),
+    // Mirrors Ann.hammingSearch stage for stage (sqlHamCtes); stage 1 is
+    // exact integer Hamming over packed sign bits.
+    "q_hamming_search" ->
+      (s"WITH ${sqlHamCtes(50)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM hamrer) WHERE rank <= 5"),
+    // Indexed == fused is spec-pinned (the stored sigs ARE the fused
+    // expression's output), so the fused oracle is exact.
+    "q_hamming_search_indexed" ->
+      (s"WITH ${sqlHamCtes(50)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM hamrer) WHERE rank <= 5"),
+    // Recall audit: sign-bit top-5 vs the exact cosine top-5.
+    "q_hamming_recall" ->
+      (s"WITH ${sqlHamCtes(50)}, " +
+        "hamtop AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
+        "vec_id) AS rn FROM hamrer) WHERE rn <= 5), " +
+        "hexq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+        "WHERE vec_id % 50 = 0), " +
+        s"hexsc AS (SELECT qid, e.vec_id, ${sqlDot("hexq.qe", "e.embedding")} / " +
+        s"(sqrt(${sqlDot("hexq.qe", "hexq.qe")}) * " +
+        s"sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+        "FROM hexq, embeddings e), " +
+        "hextop AS (SELECT qid AS query_id, vec_id FROM (SELECT qid, vec_id, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) " +
+        "AS rn FROM hexsc) WHERE rn <= 5) " +
+        "SELECT n_true, n_caught, n_caught::DOUBLE / n_true AS recall FROM " +
+        "(SELECT (SELECT COUNT(*) FROM hextop) AS n_true, " +
+        "(SELECT COUNT(*) FROM hextop t JOIN hamtop a ON " +
+        "t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_caught)"),
     // Mirrors Ann.sq8Search stage for stage (sqlSq8Ctes); stage 1 is
     // exact integer arithmetic, stage 2 the q_ann_cosine fold.
     "q_sq8_search" ->
@@ -4946,6 +5017,38 @@ object SparkEntry {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       s"$a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE), (acc, x) -> acc + x)"
+
+  /** Shared CTEs of the sign-bit oracle — mirrors [[Ann.hammingSearch]]:
+    * 64 dimension signs packed into one BIGINT (bit i−1 from range's
+    * 1-based i = Spark transform's 0-based index), EXACT integer Hamming
+    * via bit_count(xor), top-`candidates` by (hd ASC, vec_id), exact
+    * cosine rerank via [[sqlDot]].
+    */
+  private def sqlHamCtes(candidates: Int): String = {
+    // two 32-bit halves, like the Spark side (signHalf's rationale: a
+    // single packed long's bit 63 overflows checked BIGINT shifts)
+    def half(off: Int): String =
+      s"list_reduce(list_transform(range($off, ${off + 32}), i -> " +
+        "CASE WHEN embedding[CAST(i AS INT)] >= 0 THEN " +
+        s"(1::BIGINT << (i - $off)) ELSE 0::BIGINT END), (a, b) -> a + b)"
+    s"hamc AS (SELECT vec_id, ${half(1)} AS sig_lo, ${half(33)} AS sig_hi " +
+      "FROM embeddings), " +
+    "hamq AS (SELECT vec_id AS query_id, sig_lo AS qsig_lo, " +
+      "sig_hi AS qsig_hi FROM hamc WHERE vec_id % 50 = 0), " +
+    "hamsc AS (SELECT query_id, hamc.vec_id, " +
+      "bit_count(xor(qsig_lo, sig_lo)) + bit_count(xor(qsig_hi, sig_hi)) " +
+      "AS hd FROM hamq, hamc), " +
+    "hamcand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, vec_id) " +
+      s"AS rn FROM hamsc) WHERE rn <= $candidates), " +
+    "hamfq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
+      "WHERE vec_id % 50 = 0), " +
+    s"hamrer AS (SELECT c.query_id, c.vec_id, " +
+      s"${sqlDot("q.qe", "e.embedding")} / (sqrt(${sqlDot("q.qe", "q.qe")}) " +
+      s"* sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+      "FROM hamcand c JOIN embeddings e ON c.vec_id = e.vec_id " +
+      "JOIN hamfq q ON q.query_id = c.query_id)"
+  }
 
   /** Shared CTEs of the SQ8 oracle — mirrors [[Ann.sq8Search]] stage for
     * stage: corpus-max-abs scale (a MAX, no accumulation, so both engines

@@ -1494,6 +1494,19 @@ object Ann {
     val cand = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
         Seq("iscore" -> false, "vec_id" -> true), candidates)
       .select("query_id", "vec_id")
+    rerankByCosine(emb, idCol, embCol, queryPred, k, cand)
+  }
+
+  /** Stage-2 refine shared by the quantized tiers ([[sq8Search]],
+    * [[hammingSearch]]): exact float cosine over a bounded candidate set
+    * — the [[cosineTopK]] formulation, so sims hash-match the cosine
+    * oracles'. `cand` is |Q|·candidates (query_id, vec_id) rows —
+    * broadcast it, so the float fetch is one streamed scan of the raw
+    * table with a broadcast hash join, never a shuffle of the corpus.
+    */
+  private def rerankByCosine(emb: DataFrame, idCol: String, embCol: String,
+                             queryPred: Column, k: Int,
+                             cand: DataFrame): DataFrame = {
     val corpusF = withNorm(emb, embCol)
       .select(col(idCol).as("vec_id"), col("emb_d"), col("norm"))
     val queriesF = corpusF.filter(queryPred)
@@ -1589,5 +1602,111 @@ object Ann {
       .select(col("vec_id").as("query_id"),
         sq8QuantCol(col(embCol), s).as("qqv"))
     sq8TwoStage(emb, idCol, embCol, queryPred, k, candidates, corpusQ, queriesQ)
+  }
+
+  // =========================================================================
+  // Sign-bit (1-bit) tier — the extreme-compression end of the quantized
+  // spectrum next to SQ8 (8-bit) and PQ (sub-byte product codes): each
+  // vector's 64 dimension signs pack into two 32-bit halves (16x fewer
+  // bytes than the float column; see signHalf for why not one long),
+  // stage 1 ranks by EXACT integer Hamming distance
+  // (bit_count(xor) — built-in, whole-stage-codegen, no custom kernel
+  // needed), stage 2 is the shared exact cosine refine. Public knowledge:
+  // sign-random-projection similarity is Charikar'02 SimHash; here the
+  // "projections" are the coordinate axes themselves (sign of each dim),
+  // the classic binary-hashing baseline. Operationally the simplest tier
+  // of all: signatures are SCALE-FREE — no codebooks, no quantization
+  // grid — so appends need nothing frozen and can never saturate.
+  // =========================================================================
+
+  /** Sign signature as TWO 32-bit halves (dims 1-32 → sig_lo bit i-1,
+    * dims 33-64 → sig_hi): bit set iff the dimension is >= 0. Two longs,
+    * not one: bit 63 of a single packed long is Long.MIN_VALUE, which
+    * Spark's shiftleft wraps silently but an engine with checked BIGINT
+    * arithmetic (the DuckDB oracle) refuses outright (1 << 63 overflow) —
+    * the 32-bit halves keep every shift and sum comfortably in-range on
+    * any engine, for a 16x byte cut instead of 32x. Built from the SQL
+    * lambda form (transform-with-index + aggregate) — HOFs are
+    * CodegenFallback, fine where this runs: once per publish in the
+    * indexed tier, per scan in the fused form; the O(|Q|·N) stage-1
+    * Hamming loop itself is built-in codegen. Requires the engine-wide
+    * [[Dim]] = 64; a wider embedding would need a signature array.
+    */
+  private def signHalf(offset1b: Int): Column =
+    expr(s"aggregate(transform(slice(__sig_in, $offset1b, 32), (x, i) -> " +
+      "IF(x >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+  private def sigLo: Column = signHalf(1)
+  private def sigHi: Column = signHalf(33)
+
+  /** Fused sign-bit serve: signature both sides in-flight, rank by
+    * Hamming ASC (ties by vec_id) through the bounded-heap
+    * [[graft.plans.TopKPerKey]], exact-cosine refine of the survivors.
+    * Lower recall per candidate than SQ8 (1 bit per dim) — the
+    * `candidates` default is wider accordingly; the recall/candidates
+    * trade is the tier's one knob, priced by q_hamming_recall.
+    */
+  def hammingSearch(emb: DataFrame, idCol: String, embCol: String,
+                    queryPred: Column, k: Int,
+                    candidates: Int = 50): DataFrame = {
+    val renamed = emb.select(col(idCol).as("vec_id"),
+      col(embCol).as("__sig_in"))
+    val corpusS = renamed.select(col("vec_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"))
+    val queriesS = renamed.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        sigLo.as("qsig_lo"), sigHi.as("qsig_hi"))
+    hammingTwoStage(emb, idCol, embCol, queryPred, k, candidates,
+      corpusS, queriesS)
+  }
+
+  private def hammingTwoStage(emb: DataFrame, idCol: String, embCol: String,
+                              queryPred: Column, k: Int, candidates: Int,
+                              corpusS: DataFrame, queriesS: DataFrame): DataFrame = {
+    val scored = broadcast(queriesS).crossJoin(corpusS)
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("qsig_lo").bitwiseXOR(col("sig_lo"))) +
+          bit_count(col("qsig_hi").bitwiseXOR(col("sig_hi")))).cast("long").as("hd"))
+    val cand = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("hd" -> true, "vec_id" -> true), candidates)
+      .select("query_id", "vec_id")
+    rerankByCosine(emb, idCol, embCol, queryPred, k, cand)
+  }
+
+  /** Publish the sign-signature index: one (vec_id, sig_lo, sig_hi) row
+    * per vector — 16x fewer bytes than the floats, and NOTHING else to
+    * freeze (no scale, no codebooks), so there are no refreeze rules:
+    * the only rebuild reason is layout hygiene.
+    */
+  def writeSignIndex(emb: DataFrame, idCol: String, embCol: String,
+                     dir: String): Unit =
+    emb.select(col(idCol).as("vec_id"), col(embCol).as("__sig_in"))
+      .select(col("vec_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Batch-only append — new ids, nothing frozen to honor (signatures
+    * are scale-free), same empty-batch stray-file guard as the other
+    * flat appends.
+    */
+  def appendSignIndex(embBatch: DataFrame, idCol: String, embCol: String,
+                      dir: String): Unit =
+    if (!embBatch.isEmpty)
+      embBatch.select(col(idCol).as("vec_id"), col(embCol).as("__sig_in"))
+        .select(col("vec_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"))
+        .write.mode("append").parquet(dir)
+
+  /** Serve against a standing sign index: stage 1 scans 16 bytes per
+    * corpus vector.
+    */
+  def hammingSearchIndexed(emb: DataFrame, idCol: String, embCol: String,
+                           queryPred: Column, k: Int, dir: String,
+                           candidates: Int = 50): DataFrame = {
+    val corpusS = emb.sparkSession.read.parquet(dir)
+    val queriesS = emb.select(col(idCol).as("vec_id"),
+        col(embCol).as("__sig_in"))
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        sigLo.as("qsig_lo"), sigHi.as("qsig_hi"))
+    hammingTwoStage(emb, idCol, embCol, queryPred, k, candidates,
+      corpusS, queriesS)
   }
 }

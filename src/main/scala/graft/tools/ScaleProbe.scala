@@ -148,7 +148,10 @@ import org.apache.spark.sql.functions._
   * serve: pinned query batch, int8 code index grown 4x/10x) measured
   * 1.01x/1.37x — sublinear like pq_idx_serve, the compressed scan-search
   * shape riding the corpus scan with fixed overhead still dominating at
-  * fixture sizes. And pq_cell_lifecycle, the cell-partitioned PQ
+  * fixture sizes; sign_idx_serve (the 1-bit tier, two longs per corpus
+  * vector) measured 0.74x/0.80x — FLAT, the 16-byte-per-vector scan is
+  * noise against the serve's fixed overhead even at 10x corpus. And
+  * pq_cell_lifecycle, the cell-partitioned PQ
   * tier's full nightly cycle (publish base by cell → append a salted
   * %3-slice grown 1x/4x/10x → compact → serve one pinned query at
   * nProbe=8 vs exhaustive 16), measuring the code scan's PLANNED I/O
@@ -595,6 +598,15 @@ object ScaleProbe {
         Ann.sq8SearchIndexed(d, "vec_id", "embedding",
           col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
           20).count()
+      }),
+      // sign-bit (1-bit) tier: same protocol, stage 1 reads two longs per
+      // corpus vector — the cheapest possible compressed scan
+      "sign_idx_serve" -> (() => idxProbe("sign_idx_serve", replicateEmb) { (d, dir, _) =>
+        Ann.writeSignIndex(d, "vec_id", "embedding", dir)
+      } { (d, dir, _) =>
+        Ann.hammingSearchIndexed(d, "vec_id", "embedding",
+          col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
+          50).count()
       }),
       // incremental CC assignment (the sixth serve tier): standing corpus
       // (labels + variant index) grows Rx as R INDEPENDENT copies of the

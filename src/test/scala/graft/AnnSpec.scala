@@ -845,6 +845,82 @@ class AnnSpec extends SparkSpec {
     assert(again == grown)
   }
 
+  // ---- Sign-bit (1-bit Hamming) tier (round 16).
+
+  test("hammingSearch matches a driver-side replay of the two-stage algorithm") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    def sig(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (v(i) >= 0) lo |= (1L << i)
+      for (i <- 32 until 64) if (v(i) >= 0) hi |= (1L << (i - 32))
+      (lo, hi)
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val fvecs = vecs.toMap
+    val expected = sigs.filter(_._1 % 50 == 0).map { case (q, qs) =>
+      val cand = sigs.map { case (v, vs) => (v, ham(qs, vs)) }
+        .sortBy { case (v, d) => (d, v) }.take(50).map(_._1)
+      q -> cand.map(v => (v, cos(fvecs(q), fvecs(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, 50)
+      .orderBy("query_id", "rank").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("sign index: indexed serve == fused; appends need nothing frozen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sign").toString
+    Ann.writeSignIndex(emb, "vec_id", "embedding", s"$dir/full")
+    val fused = Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, 50)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = Ann.hammingSearchIndexed(emb, "vec_id", "embedding", pred,
+      5, s"$dir/full", 50).orderBy("query_id", "rank").collect().toSeq
+    assert(indexed == fused)
+    // grown index: signatures are scale-free, so write(7/8) + append(1/8)
+    // IS the monolithic publish — no frozen-grid asterisk like SQ8's
+    Ann.writeSignIndex(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", s"$dir/grown")
+    Ann.appendSignIndex(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/grown")
+    val grown = Ann.hammingSearchIndexed(emb, "vec_id", "embedding", pred,
+      5, s"$dir/grown", 50).orderBy("query_id", "rank").collect().toSeq
+    assert(grown == fused)
+    // empty batch: no stray files, serve unchanged
+    val files = new java.io.File(s"$dir/grown").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    Ann.appendSignIndex(emb.filter(lit(false)), "vec_id", "embedding",
+      s"$dir/grown")
+    val filesAfter = new java.io.File(s"$dir/grown").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(filesAfter == files)
+  }
+
+  test("hammingSearch recall@5 vs exact cosine clears the 1-bit floor on the fixture") {
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, 50)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"sign-bit recall@5 (candidates=50): $recall%.3f")
+    // 1 bit/dim is the lossiest tier: measured 0.90 at sf0.01, floor set
+    // with headroom for fixture refreezes — the knob to raise it is
+    // candidates, priced by q_hamming_recall
+    assert(recall >= 0.75, f"recall $recall%.3f under the 0.75 floor")
+  }
+
   test("sq8Search recall@5 vs exact cosine clears the serving floor on the fixture") {
     val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

@@ -75,7 +75,9 @@ class PlanGuaranteesSpec extends SparkSpec {
       // the broadcast side is the BOUNDED query batch's code rows (the
       // declared |Q|xN compressed scan — TopKPerKey bounds what leaves
       // it); q_sq8_recall additionally rides the q_ann_cosine exact side
-      "q_sq8_search", "q_sq8_search_indexed", "q_sq8_recall")
+      "q_sq8_search", "q_sq8_search_indexed", "q_sq8_recall",
+      // same family over packed sign bits (1-bit tier)
+      "q_hamming_search", "q_hamming_search_indexed", "q_hamming_recall")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
