@@ -29,29 +29,35 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Attempt-scheduling decision, pure so BenchSchedulingSpec can pin it
-    * without a SparkSession. Rules, in order:
+    * without a SparkSession. The budget counts PRICED attempts —
+    * attempts that did not build a standing publish — so a serve row
+    * gets the same min-of-nRuns noise robustness as every other row
+    * (its publish-laden first attempt is not a valid price and does not
+    * consume budget). Rules, in order:
     *
     *  - attempt 0 always runs;
     *  - an attempt that BUILT a standing publish (cachedPublish body
     *    executed inside it) always earns a follow-up attempt, regardless
-    *    of the repeat cutoff AND of nRuns: its wall time priced
+    *    of the repeat cutoff AND of the budget: its wall time priced
     *    publish+serve, which is not the row's price, so the row still
-    *    owes a serve-priced attempt (round-15: the cutoff silently
+    *    owes its serve-priced attempts (round-15: the cutoff silently
     *    denied it and q_cluster_cc_serve recorded a 10x phantom). The
-    *    exemption is bounded at nRuns+1 total attempts so a POISONED
+    *    exemption is bounded at nRuns+1 TOTAL attempts so a POISONED
     *    publish (body throwing every call, hence rebuilding every call)
     *    cannot loop forever;
-    *  - otherwise, repeat while the attempt budget has room and the last
-    *    attempt finished under the cutoff — past it, the measurement is
-    *    signal and a repeat just re-pays minutes on the 20-40x slower
-    *    official host.
+    *  - otherwise, repeat while the PRICED-attempt budget has room and
+    *    the last attempt finished under the cutoff — past it, the
+    *    measurement is signal and a repeat just re-pays minutes on the
+    *    20-40x slower official host.
     */
-  private[graft] def shouldAttemptAgain(attemptsSoFar: Int, nRuns: Int,
+  private[graft] def shouldAttemptAgain(attemptsSoFar: Int,
+      publishAttemptsSoFar: Int, nRuns: Int,
       lastWallSec: Double, lastBuiltPublish: Boolean,
       cutoffSec: Double): Boolean =
     if (attemptsSoFar == 0) true
     else if (lastBuiltPublish) attemptsSoFar <= nRuns.max(1)
-    else attemptsSoFar < nRuns && lastWallSec <= cutoffSec
+    else (attemptsSoFar - publishAttemptsSoFar) < nRuns &&
+      lastWallSec <= cutoffSec
 
   /** Recheck-eligibility classification of one finished row, pure for
     * the spec. `Eligible` rows re-run after the suite; `OverCutoff`
@@ -235,7 +241,7 @@ object Bench {
     selected.foreach { case (name, fn) =>
       val buf =
         scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String], Boolean)]
-      while (shouldAttemptAgain(buf.length, nRuns,
+      while (shouldAttemptAgain(buf.length, buf.count(_._3), nRuns,
                buf.lastOption.map(_._1).getOrElse(0.0),
                buf.lastOption.exists(_._3), repeatCutoffSec)) {
         buf += attempt(s"$name#${buf.length}", fn)
@@ -349,10 +355,15 @@ object Bench {
     // Stage-profile dump for every row the noise path FLAGGED (pre-
     // recheck outliers — the inflated in-suite attempts are the evidence
     // the quiet-window re-measures could never carry), plus any names
-    // forced via SPARK_GRAFT_BENCH_PROFILE (comma-separated). Attempts
-    // 0..nRuns-1 ran in suite order; later indices are the post-suite
-    // rechecks — the same dump therefore holds the in-suite/fresh-state
-    // comparison per stage.
+    // forced via SPARK_GRAFT_BENCH_PROFILE (comma-separated). The main
+    // pass's attempts ran in suite order; trailing indices past it are
+    // the post-suite rechecks — the same dump therefore holds the
+    // in-suite/fresh-state comparison per stage. NOTE the main pass is
+    // nRuns attempts for ordinary rows but can run longer for
+    // publish-building rows (the shouldAttemptAgain exemption adds
+    // in-suite attempts that don't consume the priced budget) — use the
+    // artifact's publish_attempts field, not index arithmetic, to
+    // classify a serve row's attempts.
     val forcedProfiles = sys.env.get("SPARK_GRAFT_BENCH_PROFILE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)

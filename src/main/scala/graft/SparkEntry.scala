@@ -1453,15 +1453,11 @@ object SparkEntry {
     // SQ8 twin; the candidates knob is the recall lever this row prices.
     "q_sq8_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5).select("query_id", "vec_id")
-      val approx = Ann.sq8Search(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5, 20).select("query_id", "vec_id")
-      val caught = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_true")).crossJoin(
-          caught.agg(count(lit(1)).as("n_caught")))
-        .select(col("n_true"), col("n_caught"),
-          (col("n_caught").cast("double") / col("n_true")).as("recall"))
+      recallRow(
+        Ann.cosineTopK(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, 5).select("query_id", "vec_id"),
+        Ann.sq8Search(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, 5, 20).select("query_id", "vec_id"))
     }),
 
     // ---- ANN scale path 4: sign-bit (1-bit) two-stage serve — the
@@ -1489,15 +1485,11 @@ object SparkEntry {
     // candidates knob's price at 1 bit/dim (q_sq8_recall's 1-bit twin).
     "q_hamming_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5).select("query_id", "vec_id")
-      val approx = Ann.hammingSearch(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5, 50).select("query_id", "vec_id")
-      val caught = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_true")).crossJoin(
-          caught.agg(count(lit(1)).as("n_caught")))
-        .select(col("n_true"), col("n_caught"),
-          (col("n_caught").cast("double") / col("n_true")).as("recall"))
+      recallRow(
+        Ann.cosineTopK(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, 5).select("query_id", "vec_id"),
+        Ann.hammingSearch(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, 5, 50).select("query_id", "vec_id"))
     }),
 
     // ---- Embedding-cosine near-dup pairs: hyperplane-bucket candidates
@@ -3950,25 +3942,14 @@ object SparkEntry {
         "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
         "AS rank FROM hamrer) WHERE rank <= 5"),
-    // Recall audit: sign-bit top-5 vs the exact cosine top-5.
+    // Recall audit: sign-bit top-5 vs the exact cosine top-5
+    // (sqlRecallVsExactCosine — the shared recall tail).
     "q_hamming_recall" ->
       (s"WITH ${sqlHamCtes(50)}, " +
         "hamtop AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
         "vec_id) AS rn FROM hamrer) WHERE rn <= 5), " +
-        "hexq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
-        "WHERE vec_id % 50 = 0), " +
-        s"hexsc AS (SELECT qid, e.vec_id, ${sqlDot("hexq.qe", "e.embedding")} / " +
-        s"(sqrt(${sqlDot("hexq.qe", "hexq.qe")}) * " +
-        s"sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
-        "FROM hexq, embeddings e), " +
-        "hextop AS (SELECT qid AS query_id, vec_id FROM (SELECT qid, vec_id, " +
-        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) " +
-        "AS rn FROM hexsc) WHERE rn <= 5) " +
-        "SELECT n_true, n_caught, n_caught::DOUBLE / n_true AS recall FROM " +
-        "(SELECT (SELECT COUNT(*) FROM hextop) AS n_true, " +
-        "(SELECT COUNT(*) FROM hextop t JOIN hamtop a ON " +
-        "t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_caught)"),
+        sqlRecallVsExactCosine("hamtop")),
     // Mirrors Ann.sq8Search stage for stage (sqlSq8Ctes); stage 1 is
     // exact integer arithmetic, stage 2 the q_ann_cosine fold.
     "q_sq8_search" ->
@@ -3992,19 +3973,7 @@ object SparkEntry {
         "sq8top AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
         "vec_id) AS rn FROM sq8rer) WHERE rn <= 5), " +
-        "exq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
-        "WHERE vec_id % 50 = 0), " +
-        s"exsc AS (SELECT qid, e.vec_id, ${sqlDot("exq.qe", "e.embedding")} / " +
-        s"(sqrt(${sqlDot("exq.qe", "exq.qe")}) * " +
-        s"sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
-        "FROM exq, embeddings e), " +
-        "extop AS (SELECT qid AS query_id, vec_id FROM (SELECT qid, vec_id, " +
-        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) " +
-        "AS rn FROM exsc) WHERE rn <= 5) " +
-        "SELECT n_true, n_caught, n_caught::DOUBLE / n_true AS recall FROM " +
-        "(SELECT (SELECT COUNT(*) FROM extop) AS n_true, " +
-        "(SELECT COUNT(*) FROM extop t JOIN sq8top a ON " +
-        "t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_caught)"),
+        sqlRecallVsExactCosine("sq8top")),
     // Mirrors Ann.lshTopK end-to-end: per-vector plane-sign bucket
     // (sqlBucket — the same +/-1 plane literals), 37 multi-probe XOR
     // masks, bucket equi-join, sequential-fold cosine, dedup, top-5 rank.
@@ -5017,6 +4986,38 @@ object SparkEntry {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       s"$a[CAST(i AS INT)]::DOUBLE * $b[CAST(i AS INT)]::DOUBLE), (acc, x) -> acc + x)"
+
+  /** One-row recall audit over (query_id, vec_id) sets — the shape every
+    * quantized tier's recall row shares (round-16 review: it was
+    * copy-pasted per tier; any fix to the formulation now lands once).
+    */
+  private def recallRow(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val caught = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_true")).crossJoin(
+        caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_true"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true")).as("recall"))
+  }
+
+  /** SQL twin of [[recallRow]] against the exact-cosine top-5 truth on
+    * the %50 query tier: CTE chain (rexq/rexsc/rextop) + the final
+    * recall SELECT joining `approxTop` — append after the tier's own
+    * CTEs and its approx-top-5 CTE.
+    */
+  private def sqlRecallVsExactCosine(approxTop: String): String =
+    "rexq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+      "WHERE vec_id % 50 = 0), " +
+    s"rexsc AS (SELECT qid, e.vec_id, ${sqlDot("rexq.qe", "e.embedding")} / " +
+      s"(sqrt(${sqlDot("rexq.qe", "rexq.qe")}) * " +
+      s"sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+      "FROM rexq, embeddings e), " +
+    "rextop AS (SELECT qid AS query_id, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) " +
+      "AS rn FROM rexsc) WHERE rn <= 5) " +
+    "SELECT n_true, n_caught, n_caught::DOUBLE / n_true AS recall FROM " +
+    "(SELECT (SELECT COUNT(*) FROM rextop) AS n_true, " +
+    s"(SELECT COUNT(*) FROM rextop t JOIN $approxTop a ON " +
+    "t.query_id = a.query_id AND t.vec_id = a.vec_id) AS n_caught)"
 
   /** Shared CTEs of the sign-bit oracle — mirrors [[Ann.hammingSearch]]:
     * 64 dimension signs packed into one BIGINT (bit i−1 from range's

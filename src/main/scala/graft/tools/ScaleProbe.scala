@@ -842,8 +842,11 @@ object ScaleProbe {
           .crossJoin(broadcast(spark.range(r).select(col("id").as("copy"))))
           .select((col("vec_id") + lit(650000000L) +
             col("copy") * 10000000L).as("vec_id"),
+            // modulus > max replication factor: copy%7 would hand copies
+            // 7-9 the same salt as 0-2, re-creating the byte-identical
+            // codes the salt exists to prevent (round-16 review finding)
             transform(col("embedding"), e =>
-              (e * (lit(1.0f) + (col("copy") % 7 + 1).cast("float") *
+              (e * (lit(1.0f) + (col("copy") % 11 + 1).cast("float") *
                 lit(0.173f))).cast("float")).as("embedding"))
         Ann.appendPqIndexByCell(batch, "vec_id", "embedding",
           PqFixture.model, dir, IvfFixture.model)

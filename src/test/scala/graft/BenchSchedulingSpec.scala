@@ -11,52 +11,75 @@ import org.scalatest.funsuite.AnyFunSuite
   * recheck too — the rows most in need of a second look were the only
   * ones that couldn't get one. The two decisions live in
   * [[Bench.shouldAttemptAgain]] / [[Bench.recheckClass]] so these cases
-  * stay pinned without a SparkSession.
+  * stay pinned without a SparkSession. The budget counts PRICED
+  * attempts (publish-building attempts are excluded), so serve rows
+  * keep the same min-of-nRuns robustness as every other row.
   */
 class BenchSchedulingSpec extends AnyFunSuite {
 
   private val cutoff = 60.0
 
+  /** Drive the scheduler over a script of (wallSec, builtPublish)
+    * attempt outcomes; returns how many attempts ran. Mirrors Bench's
+    * main-pass loop exactly (buf.length, buf.count(built), last wall,
+    * last built).
+    */
+  private def runSchedule(nRuns: Int,
+      outcomes: LazyList[(Double, Boolean)]): Int = {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    val it = outcomes.iterator
+    while (Bench.shouldAttemptAgain(ran.length, ran.count(_._2), nRuns,
+             ran.lastOption.map(_._1).getOrElse(0.0),
+             ran.lastOption.exists(_._2), cutoff) && it.hasNext) {
+      ran += it.next()
+    }
+    ran.length
+  }
+
   // ---- shouldAttemptAgain ------------------------------------------------
 
   test("attempt 0 always runs, whatever the inputs say") {
-    assert(Bench.shouldAttemptAgain(0, 2, 999.0, lastBuiltPublish = false, cutoff))
-    assert(Bench.shouldAttemptAgain(0, 1, 0.0, lastBuiltPublish = false, 0.0))
+    assert(Bench.shouldAttemptAgain(0, 0, 2, 999.0,
+      lastBuiltPublish = false, cutoff))
+    assert(Bench.shouldAttemptAgain(0, 0, 1, 0.0,
+      lastBuiltPublish = false, 0.0))
   }
 
-  test("under-cutoff attempts repeat up to the nRuns budget") {
-    assert(Bench.shouldAttemptAgain(1, 2, 5.0, lastBuiltPublish = false, cutoff))
-    assert(!Bench.shouldAttemptAgain(2, 2, 5.0, lastBuiltPublish = false, cutoff))
+  test("ordinary rows: under-cutoff attempts repeat up to the nRuns budget") {
+    val fast = LazyList.continually((5.0, false))
+    assert(runSchedule(2, fast) == 2)
+    assert(runSchedule(3, fast) == 3)
   }
 
   test("over-cutoff non-publish attempt stops the row (signal, not noise)") {
-    assert(!Bench.shouldAttemptAgain(1, 2, 61.0, lastBuiltPublish = false, cutoff))
+    assert(runSchedule(2, LazyList((61.0, false), (5.0, false))) == 1)
   }
 
   test("publish-building attempt earns a follow-up even past the cutoff") {
     // the round-15 case: first attempt 61.25 s but it BUILT the publish —
     // its wall is publish+serve, not the row's price
-    assert(Bench.shouldAttemptAgain(1, 2, 61.25, lastBuiltPublish = true, cutoff))
+    assert(Bench.shouldAttemptAgain(1, 1, 2, 61.25,
+      lastBuiltPublish = true, cutoff))
+  }
+
+  test("serve rows get the FULL priced budget: publish attempt consumes none") {
+    // nRuns=2: attempt 0 builds the publish, attempts 1 and 2 are
+    // serve-priced — min-of-2 like every other row (the round-16 review
+    // finding: budget must count priced attempts, not raw attempts)
+    val outcomes = LazyList((12.7, true), (5.7, false), (5.8, false),
+      (5.6, false))
+    assert(runSchedule(2, outcomes) == 3)
   }
 
   test("publish-building attempt earns a follow-up even under BENCH_RUNS=1") {
-    // the budget counts priced attempts; a publish-laden attempt is not
-    // a valid price for a serve row, so nRuns=1 still yields 2 attempts
-    assert(Bench.shouldAttemptAgain(1, 1, 30.0, lastBuiltPublish = true, cutoff))
-    // ...and the serve-priced follow-up then ends the row
-    assert(!Bench.shouldAttemptAgain(2, 1, 5.0, lastBuiltPublish = false, cutoff))
+    val outcomes = LazyList((30.0, true), (5.0, false), (5.0, false))
+    assert(runSchedule(1, outcomes) == 2)
   }
 
-  test("poisoned publish (rebuilds every attempt) is bounded, not infinite") {
-    // each attempt reports lastBuiltPublish=true; the exemption caps at
-    // nRuns+1 total attempts
-    val n = 2
-    var attempts = 0
-    while (Bench.shouldAttemptAgain(attempts, n, 10.0,
-             lastBuiltPublish = attempts > 0, cutoff) && attempts < 50) {
-      attempts += 1
-    }
-    assert(attempts == n + 1)
+  test("poisoned publish (rebuilds every attempt) is bounded at nRuns+1, not infinite") {
+    val poisoned = LazyList.continually((10.0, true))
+    assert(runSchedule(2, poisoned) == 3)
+    assert(runSchedule(1, poisoned) == 2)
   }
 
   // ---- recheckClass ------------------------------------------------------
