@@ -150,8 +150,11 @@ import org.apache.spark.sql.functions._
   * shape riding the corpus scan with fixed overhead still dominating at
   * fixture sizes; sign_idx_serve (the 1-bit tier, two longs per corpus
   * vector) measured 0.74x/0.80x — FLAT, the 16-byte-per-vector scan is
-  * noise against the serve's fixed overhead even at 10x corpus. And
-  * pq_cell_lifecycle, the cell-partitioned PQ
+  * noise against the serve's fixed overhead even at 10x corpus. Their
+  * append verbs are probed flat too, as their shape demands (sq8_append
+  * 0.66x/0.57x — batch-only quantize under the one-row sidecar scale;
+  * sign_append 0.85x/0.78x — batch-only signatures, nothing standing
+  * read at all). And pq_cell_lifecycle, the cell-partitioned PQ
   * tier's full nightly cycle (publish base by cell → append a salted
   * %3-slice grown 1x/4x/10x → compact → serve one pinned query at
   * nProbe=8 vs exhaustive 16), measuring the code scan's PLANNED I/O
@@ -754,6 +757,28 @@ object ScaleProbe {
             .as("vec_id"), col("embedding"))
         Ann.appendPqIndex(batch, "vec_id", "embedding", PqFixture.model, dir,
           Some(IvfFixture.model))
+      }),
+      // SQ8 tier (round 16): the verb quantizes ONLY the batch under the
+      // published scale (one-row sidecar read) — FLAT is the only
+      // acceptable exponent
+      "sq8_append" -> (() => appendProbe("sq8_append", replicateEmb) { (d, dir, _) =>
+        Ann.writeSq8Index(d, "vec_id", "embedding", dir)
+      } { (dir, _, i) =>
+        val batch = embBase.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + lit(600000000L) + lit(i) * 1000000L)
+            .as("vec_id"), col("embedding"))
+        Ann.appendSq8Index(batch, "vec_id", "embedding", dir)
+      }),
+      // sign-bit tier (round 16): the verb signatures ONLY the batch and
+      // reads nothing standing at all — flat by construction, probed to
+      // keep the claim measured like every other tier's
+      "sign_append" -> (() => appendProbe("sign_append", replicateEmb) { (d, dir, _) =>
+        Ann.writeSignIndex(d, "vec_id", "embedding", dir)
+      } { (dir, _, i) =>
+        val batch = embBase.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + lit(550000000L) + lit(i) * 1000000L)
+            .as("vec_id"), col("embedding"))
+        Ann.appendSignIndex(batch, "vec_id", "embedding", dir)
       }),
       // ANN tier, CELL-PARTITIONED layout (round 14): same batch-only
       // encode, but the codes land under cell=N directories — the
