@@ -1138,13 +1138,7 @@ object Ann {
     */
   private[graft] def indexVecCount(spark: org.apache.spark.sql.SparkSession,
                                    indexDir: String, m: Int): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    var rows = 0L
-    listDataFiles(spark, indexDir).foreach { p =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try rows += rd.getRecordCount finally rd.close()
-    }
+    val rows = parquetRowCount(spark, indexDir)
     // The m-rows-per-vector contract is the whole basis of this count:
     // a non-multiple total means the dir is not a code index (or holds
     // leftovers of a partially-committed write) — integer division would
@@ -1153,6 +1147,24 @@ object Ann {
       s"indexVecCount: $indexDir holds $rows code rows, not a multiple " +
         s"of m=$m — not a code index for this model, or a partial write")
     rows / m
+  }
+
+  /** Row count of a parquet directory from its FOOTERS — the shared
+    * driver-side metadata read behind [[indexVecCount]], the sign
+    * tier's drift guard and [[annSearchAuto]]'s footer pricing: no
+    * Spark job, no data pages, one footer open per data file (bounded
+    * by the compaction policies).
+    */
+  private[graft] def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var rows = 0L
+    listDataFiles(spark, dir).foreach { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try rows += rd.getRecordCount finally rd.close()
+    }
+    rows
   }
 
   def pqSearchAuto(emb: DataFrame, idCol: String, embCol: String,
@@ -1449,10 +1461,21 @@ object Ann {
     * the DuckDB oracle compute the identical double, and everything
     * downstream of it is integer-exact. One map-side-combinable aggregate
     * over the corpus (the same cost class as pqSearchAuto's fused count).
+    * Degenerate corpora fail HERE with the tier named, not downstream:
+    * an empty corpus would otherwise NPE out of Row.getDouble, and an
+    * all-zero corpus would return scale=0.0 and turn every code into a
+    * silent divide-by-zero NaN→null inside [[sq8QuantCol]].
     */
-  def sq8MaxAbs(emb: DataFrame, embCol: String): Double =
-    emb.agg(max(array_max(transform(toDouble(col(embCol)), x => abs(x)))))
-      .first().getDouble(0)
+  def sq8MaxAbs(emb: DataFrame, embCol: String): Double = {
+    val row = emb.agg(max(array_max(transform(toDouble(col(embCol)),
+      x => abs(x))))).first()
+    require(!row.isNullAt(0), "sq8MaxAbs: empty corpus — the SQ8 tier " +
+      "needs at least one vector to freeze a quantization scale")
+    val s = row.getDouble(0)
+    require(s > 0.0, "sq8MaxAbs: corpus max |x| is 0 (all-zero vectors) " +
+      "— a zero scale would quantize every code to null (SQ8 tier)")
+    s
+  }
 
   /** Elementwise int8 quantization under `scale`: round(x·127/scale)
     * clamped to [-127, 127], stored as `array<tinyint>` — 4x fewer bytes
@@ -1607,37 +1630,82 @@ object Ann {
   // =========================================================================
   // Sign-bit (1-bit) tier — the extreme-compression end of the quantized
   // spectrum next to SQ8 (8-bit) and PQ (sub-byte product codes): each
-  // vector's 64 dimension signs pack into two 32-bit halves (16x fewer
-  // bytes than the float column; see signHalf for why not one long),
-  // stage 1 ranks by EXACT integer Hamming distance
-  // (bit_count(xor) — built-in, whole-stage-codegen, no custom kernel
-  // needed), stage 2 is the shared exact cosine refine. Public knowledge:
-  // sign-random-projection similarity is Charikar'02 SimHash; here the
-  // "projections" are the coordinate axes themselves (sign of each dim),
-  // the classic binary-hashing baseline. Operationally the simplest tier
-  // of all: signatures are SCALE-FREE — no codebooks, no quantization
-  // grid — so appends need nothing frozen and can never saturate.
+  // vector's dimension signs pack into ⌈dims/32⌉ 32-bit lanes (16x fewer
+  // bytes than the float column at any multiple-of-32 width; see
+  // [[signLane]] for why 32-bit lanes), stage 1 ranks by EXACT integer
+  // Hamming distance (a lane-summed bit_count(xor) — built-in,
+  // whole-stage-codegen, no custom kernel needed), stage 2 is the shared
+  // exact cosine refine. Public knowledge: sign-random-projection
+  // similarity is Charikar'02 SimHash; here the "projections" are the
+  // coordinate axes themselves (sign of each dim), the classic
+  // binary-hashing baseline. Operationally the simplest tier of all:
+  // signatures are SCALE-FREE — no codebooks, no quantization grid — so
+  // appends need nothing frozen and can never saturate. What IS
+  // corpus-dependent is recall at a fixed candidate count (measured 0.90
+  // at sf0.01 vs 0.59 at sf0.1 at C=50 — QuantTune), so the candidate
+  // count is a PUBLISHED index parameter ([[SignIndexMeta]]): the
+  // QuantTune-derived C and the recall it bought ride in the index dir,
+  // serves default to them, and corpus growth past [[SignRetuneBar]]
+  // fails the serve loudly instead of silently degrading recall.
   // =========================================================================
 
-  /** Sign signature as TWO 32-bit halves (dims 1-32 → sig_lo bit i-1,
-    * dims 33-64 → sig_hi): bit set iff the dimension is >= 0. Two longs,
-    * not one: bit 63 of a single packed long is Long.MIN_VALUE, which
-    * Spark's shiftleft wraps silently but an engine with checked BIGINT
-    * arithmetic (the DuckDB oracle) refuses outright (1 << 63 overflow) —
-    * the 32-bit halves keep every shift and sum comfortably in-range on
-    * any engine, for a 16x byte cut instead of 32x. Built from the SQL
-    * lambda form (transform-with-index + aggregate) — HOFs are
-    * CodegenFallback, fine where this runs: once per publish in the
-    * indexed tier, per scan in the fused form; the O(|Q|·N) stage-1
-    * Hamming loop itself is built-in codegen. Requires the engine-wide
-    * [[Dim]] = 64; a wider embedding would need a signature array.
+  /** Lane count of a sign signature over `dims` dimensions: 32 sign bits
+    * per lane, last lane partial when dims isn't a multiple of 32.
     */
-  private def signHalf(offset1b: Int): Column =
-    expr(s"aggregate(transform(slice(__sig_in, $offset1b, 32), (x, i) -> " +
+  private[graft] def signLanes(dims: Int): Int = {
+    require(dims > 0, s"sign-bit tier: dims must be positive, got $dims")
+    (dims + 31) / 32
+  }
+
+  /** Lane `j` of the sign signature over `__sig_in` (dims 32j+1..32j+32,
+    * bit i−1 ← sign of dim 32j+i): bit set iff the dimension is >= 0.
+    * 32 bits per lane, not 64: bit 63 of a packed long is Long.MIN_VALUE,
+    * which Spark's shiftleft wraps silently but an engine with checked
+    * BIGINT arithmetic (the DuckDB oracle) refuses outright (1 << 63
+    * overflow) — and an INT lane would hit the same trap one level down
+    * at bit 31. The 32-bit-ranged BIGINT lanes keep every shift and sum
+    * comfortably in-range on any engine; parquet stores the two 64-dim
+    * lanes in the same 16 bytes as the previous two-column layout, so
+    * the 16x byte cut stands. Built from the SQL lambda form
+    * (transform-with-index + aggregate) — HOFs are CodegenFallback, fine
+    * where this runs: once per publish in the indexed tier, per scan in
+    * the fused form; the O(|Q|·N) stage-1 Hamming loop itself
+    * ([[hammingDist]]) is built-in codegen.
+    */
+  private def signLane(j: Int): Column =
+    expr(s"aggregate(transform(slice(__sig_in, ${32 * j + 1}, 32), (x, i) -> " +
       "IF(x >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
       "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-  private def sigLo: Column = signHalf(1)
-  private def sigHi: Column = signHalf(33)
+
+  /** The full signature projection: lanes `<prefix>0..<prefix>{L-1}`. */
+  private def sigCols(lanes: Int, prefix: String): Seq[Column] =
+    (0 until lanes).map(j => signLane(j).as(s"$prefix$j"))
+
+  /** The `__sig_in` projection with the declared-dims guard: a vector
+    * whose length doesn't match the declared dims must fail loudly —
+    * slice() past the array end silently returns short lanes, so the
+    * signature would otherwise be computed from a truncated prefix
+    * (round-16 advice). A size() compare per row — noise next to the
+    * lane aggregates it gates.
+    */
+  private def sigInput(embCol: String, dims: Int): Column =
+    when(size(col(embCol)) === dims, col(embCol))
+      .otherwise(raise_error(concat(
+        lit("sign-bit tier: embedding size "),
+        size(col(embCol)).cast("string"),
+        lit(s" != declared dims $dims")))).as("__sig_in")
+
+  /** Lane-summed exact Hamming distance between `qsig_*` and `sig_*` —
+    * every term a built-in bit_count(xor) over scalar columns, so the
+    * whole stage-1 scoring loop stays inside whole-stage codegen (the
+    * reason signatures are lane COLUMNS, not an array: zip_with/aggregate
+    * over an array column would put a CodegenFallback HOF in the O(|Q|·N)
+    * hot loop).
+    */
+  private def hammingDist(lanes: Int): Column =
+    (0 until lanes).map(j =>
+        bit_count(col(s"qsig_$j").bitwiseXOR(col(s"sig_$j"))))
+      .reduce(_ + _).cast("long")
 
   /** Fused sign-bit serve: signature both sides in-flight, rank by
     * Hamming ASC (ties by vec_id) through the bounded-heap
@@ -1645,68 +1713,154 @@ object Ann {
     * Lower recall per candidate than SQ8 (1 bit per dim) — the
     * `candidates` default is wider accordingly; the recall/candidates
     * trade is the tier's one knob, priced by q_hamming_recall.
+    * `queryPred` is applied to the raw (vec_id, embCol) projection, the
+    * same column visibility as [[sq8Search]].
     */
   def hammingSearch(emb: DataFrame, idCol: String, embCol: String,
                     queryPred: Column, k: Int,
-                    candidates: Int = 50): DataFrame = {
-    val renamed = emb.select(col(idCol).as("vec_id"),
-      col(embCol).as("__sig_in"))
-    val corpusS = renamed.select(col("vec_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"))
-    val queriesS = renamed.filter(queryPred)
-      .select(col("vec_id").as("query_id"),
-        sigLo.as("qsig_lo"), sigHi.as("qsig_hi"))
-    hammingTwoStage(emb, idCol, embCol, queryPred, k, candidates,
+                    candidates: Int = 50, dims: Int = Dim): DataFrame = {
+    val lanes = signLanes(dims)
+    val base = emb.select(col(idCol).as("vec_id"), col(embCol))
+    val corpusS = base.select(col("vec_id"), sigInput(embCol, dims))
+      .select(col("vec_id") +: sigCols(lanes, "sig_"): _*)
+    val queriesS = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), sigInput(embCol, dims))
+      .select(col("query_id") +: sigCols(lanes, "qsig_"): _*)
+    hammingTwoStage(emb, idCol, embCol, queryPred, k, candidates, lanes,
       corpusS, queriesS)
   }
 
   private def hammingTwoStage(emb: DataFrame, idCol: String, embCol: String,
                               queryPred: Column, k: Int, candidates: Int,
-                              corpusS: DataFrame, queriesS: DataFrame): DataFrame = {
+                              lanes: Int, corpusS: DataFrame,
+                              queriesS: DataFrame): DataFrame = {
     val scored = broadcast(queriesS).crossJoin(corpusS)
-      .select(col("query_id"), col("vec_id"),
-        (bit_count(col("qsig_lo").bitwiseXOR(col("sig_lo"))) +
-          bit_count(col("qsig_hi").bitwiseXOR(col("sig_hi")))).cast("long").as("hd"))
+      .select(col("query_id"), col("vec_id"), hammingDist(lanes).as("hd"))
     val cand = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
         Seq("hd" -> true, "vec_id" -> true), candidates)
       .select("query_id", "vec_id")
     rerankByCosine(emb, idCol, embCol, queryPred, k, cand)
   }
 
-  /** Publish the sign-signature index: one (vec_id, sig_lo, sig_hi) row
-    * per vector — 16x fewer bytes than the floats, and NOTHING else to
-    * freeze (no scale, no codebooks), so there are no refreeze rules:
-    * the only rebuild reason is layout hygiene.
+  /** What a standing sign index publishes BESIDE its signatures — the
+    * serve parameters that are corpus-dependent and must therefore be
+    * decided at publish time, not re-guessed per call site (round-16
+    * verdict: recall at fixed C fell 0.90 → 0.59 across a decade of
+    * corpus growth, and a hand-passed C silently degrades until someone
+    * re-runs QuantTune):
+    *
+    *  - `dims`/`lanes` — the signature layout appends must reproduce;
+    *  - `candidates` — the QuantTune-derived stage-1 candidate count
+    *    serves default to;
+    *  - `recall` — the recall@5 that C bought on the publish corpus
+    *    (None when the publisher didn't audit), carried so downstream
+    *    dispatch ([[annSearchAuto]]) can hold it against a floor;
+    *  - `nVectors` — the publish-time corpus size the drift guard
+    *    measures growth against ([[SignRetuneBar]]).
+    */
+  final case class SignIndexMeta(dims: Int, lanes: Int, candidates: Int,
+                                 recall: Option[Double], nVectors: Long)
+
+  /** Corpus-growth bar past which a standing sign index must be retuned
+    * (QuantTune) or republished rather than served: the measured decade
+    * of growth (sf0.01 → sf0.1) cost 0.31 recall at fixed C=50 — about
+    * 0.09 per doubling on the log-linear read of the two points — so 2x
+    * keeps the expected drift-induced recall loss under 0.1 while letting
+    * a year of ordinary daily appends through.
+    */
+  val SignRetuneBar: Double = 2.0
+
+  /** Publish the sign-signature index: lane columns under `dir/sigs`
+    * (16x fewer bytes than the floats), serve parameters under
+    * `dir/meta` ([[SignIndexMeta]] — one row). Signatures themselves are
+    * SCALE-FREE (no codebooks, no grid), so appends have nothing frozen
+    * to honor; what the meta row freezes is the serve CONTRACT — the
+    * candidate count C (QuantTune-derived; pass the recall it measured
+    * so dispatch can price the tier) and the corpus size the drift
+    * guard compares against. Returns the meta it published.
     */
   def writeSignIndex(emb: DataFrame, idCol: String, embCol: String,
-                     dir: String): Unit =
-    emb.select(col(idCol).as("vec_id"), col(embCol).as("__sig_in"))
-      .select(col("vec_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"))
-      .write.mode("overwrite").parquet(dir)
+                     dir: String, candidates: Int = 50,
+                     measuredRecall: Option[Double] = None,
+                     dims: Int = Dim): SignIndexMeta = {
+    val lanes = signLanes(dims)
+    emb.select(col(idCol).as("vec_id"), sigInput(embCol, dims))
+      .select(col("vec_id") +: sigCols(lanes, "sig_"): _*)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    // publish-time corpus size from the just-written FOOTERS — no second
+    // scan, same driver-side metadata read the serve's drift guard uses
+    val n = parquetRowCount(emb.sparkSession, s"$dir/sigs")
+    emb.sparkSession.range(1).select(lit(dims).as("dims"),
+        lit(lanes).as("lanes"), lit(candidates).as("candidates"),
+        measuredRecall.map(lit(_)).getOrElse(lit(null)).cast("double")
+          .as("recall"),
+        lit(n).as("n_vectors"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    SignIndexMeta(dims, lanes, candidates, measuredRecall, n)
+  }
+
+  /** The published serve parameters of a standing sign index — a one-row
+    * driver-side read, the dispatch-cost class of [[indexVecCount]].
+    */
+  def signIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): SignIndexMeta = {
+    val r = spark.read.parquet(s"$dir/meta").first()
+    SignIndexMeta(r.getAs[Int]("dims"), r.getAs[Int]("lanes"),
+      r.getAs[Int]("candidates"),
+      if (r.isNullAt(r.fieldIndex("recall"))) None
+      else Some(r.getAs[Double]("recall")),
+      r.getAs[Long]("n_vectors"))
+  }
 
   /** Batch-only append — new ids, nothing frozen to honor (signatures
-    * are scale-free), same empty-batch stray-file guard as the other
-    * flat appends.
+    * are scale-free); the lane LAYOUT comes from the published meta so
+    * an append can never drift from the standing signature width. Same
+    * empty-batch stray-file guard as the other flat appends. The meta
+    * row is deliberately NOT updated: `nVectors` stays the publish-time
+    * size so the serve's drift guard measures cumulative growth since
+    * the last QuantTune, which is exactly the quantity the retune bar
+    * is about.
     */
   def appendSignIndex(embBatch: DataFrame, idCol: String, embCol: String,
                       dir: String): Unit =
-    if (!embBatch.isEmpty)
-      embBatch.select(col(idCol).as("vec_id"), col(embCol).as("__sig_in"))
-        .select(col("vec_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"))
-        .write.mode("append").parquet(dir)
+    if (!embBatch.isEmpty) {
+      val meta = signIndexMeta(embBatch.sparkSession, dir)
+      embBatch.select(col(idCol).as("vec_id"),
+          sigInput(embCol, meta.dims))
+        .select(col("vec_id") +: sigCols(meta.lanes, "sig_"): _*)
+        .write.mode("append").parquet(s"$dir/sigs")
+    }
 
-  /** Serve against a standing sign index: stage 1 scans 16 bytes per
-    * corpus vector.
+  /** Serve against a standing sign index: stage 1 scans ~16 bytes per
+    * corpus vector. `candidates` <= 0 (the default) serves at the
+    * PUBLISHED candidate count — the QuantTune-derived C recorded at
+    * publish time — so call sites don't re-guess a corpus-dependent
+    * knob; pass an explicit positive C to override (recall audits
+    * sweeping the knob). The drift guard: a corpus grown past
+    * `maxDriftFactor` × the publish-time size fails loudly with the
+    * retune instruction instead of silently serving degraded recall
+    * (round-16 verdict item 2).
     */
   def hammingSearchIndexed(emb: DataFrame, idCol: String, embCol: String,
                            queryPred: Column, k: Int, dir: String,
-                           candidates: Int = 50): DataFrame = {
-    val corpusS = emb.sparkSession.read.parquet(dir)
-    val queriesS = emb.select(col(idCol).as("vec_id"),
-        col(embCol).as("__sig_in"))
+                           candidates: Int = 0,
+                           maxDriftFactor: Double = SignRetuneBar): DataFrame = {
+    val spark = emb.sparkSession
+    val meta = signIndexMeta(spark, dir)
+    val c = if (candidates > 0) candidates else meta.candidates
+    val n = parquetRowCount(spark, s"$dir/sigs")
+    require(n <= meta.nVectors * maxDriftFactor,
+      s"sign index at $dir has grown to $n vectors from ${meta.nVectors} " +
+        s"at publish (> ${maxDriftFactor}x): recall at the published " +
+        s"C=${meta.candidates} is corpus-dependent — re-run " +
+        "graft.tools.QuantTune and republish (writeSignIndex) before " +
+        "serving")
+    val corpusS = spark.read.parquet(s"$dir/sigs")
+    val queriesS = emb.select(col(idCol).as("vec_id"), col(embCol))
       .filter(queryPred)
-      .select(col("vec_id").as("query_id"),
-        sigLo.as("qsig_lo"), sigHi.as("qsig_hi"))
-    hammingTwoStage(emb, idCol, embCol, queryPred, k, candidates,
+      .select(col("vec_id").as("query_id"), sigInput(embCol, meta.dims))
+      .select(col("query_id") +: sigCols(meta.lanes, "qsig_"): _*)
+    hammingTwoStage(emb, idCol, embCol, queryPred, k, c, meta.lanes,
       corpusS, queriesS)
   }
 }

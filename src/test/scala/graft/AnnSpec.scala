@@ -883,11 +883,19 @@ class AnnSpec extends SparkSpec {
 
   test("sign index: indexed serve == fused; appends need nothing frozen") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sign").toString
-    Ann.writeSignIndex(emb, "vec_id", "embedding", s"$dir/full")
+    val meta = Ann.writeSignIndex(emb, "vec_id", "embedding", s"$dir/full",
+      candidates = 50, measuredRecall = Some(0.90))
+    // publish/serve round-trip of the meta row: dims/lanes/C/recall/count
+    // all survive the parquet hop (round-17 verdict item 2)
+    assert(Ann.signIndexMeta(spark, s"$dir/full") == meta)
+    assert(meta.lanes == 2 && meta.dims == 64 && meta.candidates == 50)
+    assert(meta.nVectors == emb.count())
     val fused = Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, 50)
       .orderBy("query_id", "rank").collect().toSeq
+    // candidates <= 0 means "the PUBLISHED C" — the default serve needs
+    // no hand-passed corpus-dependent knob
     val indexed = Ann.hammingSearchIndexed(emb, "vec_id", "embedding", pred,
-      5, s"$dir/full", 50).orderBy("query_id", "rank").collect().toSeq
+      5, s"$dir/full").orderBy("query_id", "rank").collect().toSeq
     assert(indexed == fused)
     // grown index: signatures are scale-free, so write(7/8) + append(1/8)
     // IS the monolithic publish — no frozen-grid asterisk like SQ8's
@@ -899,13 +907,99 @@ class AnnSpec extends SparkSpec {
       5, s"$dir/grown", 50).orderBy("query_id", "rank").collect().toSeq
     assert(grown == fused)
     // empty batch: no stray files, serve unchanged
-    val files = new java.io.File(s"$dir/grown").listFiles()
+    val files = new java.io.File(s"$dir/grown/sigs").listFiles()
       .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
     Ann.appendSignIndex(emb.filter(lit(false)), "vec_id", "embedding",
       s"$dir/grown")
-    val filesAfter = new java.io.File(s"$dir/grown").listFiles()
+    val filesAfter = new java.io.File(s"$dir/grown/sigs").listFiles()
       .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
     assert(filesAfter == files)
+  }
+
+  test("sign index drift guard: growth past the retune bar fails the serve loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_signdrift")
+      .toString
+    // publish a deliberately tiny slice (~1/8 of the corpus), then append
+    // the rest: >2x growth since publish — the recall the published C
+    // bought no longer stands, so the serve must demand a retune
+    Ann.writeSignIndex(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", dir)
+    Ann.appendSignIndex(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", dir)
+    val e = intercept[IllegalArgumentException] {
+      Ann.hammingSearchIndexed(emb, "vec_id", "embedding", pred, 5, dir)
+    }
+    assert(e.getMessage.contains("QuantTune"))
+    // an explicit wider bar lets the operator serve through it knowingly
+    val served = Ann.hammingSearchIndexed(emb, "vec_id", "embedding", pred,
+      5, dir, maxDriftFactor = 16.0)
+    val fused = Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, 50)
+    assert(served.orderBy("query_id", "rank").collect().toSeq ==
+      fused.orderBy("query_id", "rank").collect().toSeq)
+  }
+
+  test("sign signatures generalize past Dim=64: 96-dim parity with a driver replay") {
+    // 96 dims = 3 lanes; deterministic synthetic vectors with mixed signs
+    val n = 120
+    val dims = 96
+    val rows = (0L until n).map { id =>
+      (id, Array.tabulate(dims)(i =>
+        (math.sin(id * 131 + i * 17) * 2).toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    def sig(v: Array[Float]): Seq[Long] =
+      (0 until 3).map { j =>
+        var lane = 0L
+        for (i <- 0 until 32; d = 32 * j + i; if d < dims && v(d) >= 0)
+          lane |= (1L << i)
+        lane
+      }
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.indices.map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sigs = rows.map { case (id, v) => id -> sig(v) }
+    val fvecs = rows.toMap
+    val expected = sigs.filter(_._1 % 10 == 0).map { case (q, qs) =>
+      val cand = sigs.map { case (v, vs) => (v, ham(qs, vs)) }
+        .sortBy { case (v, d) => (d, v) }.take(20).map(_._1)
+      q -> cand.map(v => (v, cos(fvecs(q), fvecs(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = Ann.hammingSearch(df, "vec_id", "embedding",
+        $"vec_id" % 10 === 0, 5, candidates = 20, dims = dims)
+      .orderBy("query_id", "rank").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    assert(got == expected)
+    // indexed twin at 96 dims: publish + default-C serve match the fused
+    val dir = java.nio.file.Files.createTempDirectory("graft_sign96")
+      .toString
+    val meta = Ann.writeSignIndex(df, "vec_id", "embedding", dir,
+      candidates = 20, dims = dims)
+    assert(meta.lanes == 3)
+    val indexed = Ann.hammingSearchIndexed(df, "vec_id", "embedding",
+        $"vec_id" % 10 === 0, 5, dir)
+      .orderBy("query_id", "rank").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    assert(indexed == expected)
+  }
+
+  test("sign-bit tier fails loudly when vector width disagrees with declared dims") {
+    // slice() past the end silently truncates — the tier must instead
+    // raise with both widths named (round-16 advice item 2)
+    val e = intercept[Exception] {
+      Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5,
+        candidates = 20, dims = 96).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("declared dims 96"))
   }
 
   test("hammingSearch recall@5 vs exact cosine clears the 1-bit floor on the fixture") {
@@ -929,6 +1023,32 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"sq8 recall@5 (candidates=20): $recall%.3f")
     assert(recall >= 0.90, f"recall $recall%.3f under the 0.90 floor")
+  }
+
+  test("sq8MaxAbs rejects degenerate corpora with the tier named") {
+    // empty corpus: the old code NPE'd out of Row.getDouble; all-zero:
+    // scale 0 would NaN->null every code downstream (round-16 advice)
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.sq8MaxAbs(emb.filter(lit(false)), "embedding")
+    }
+    assert(e1.getMessage.contains("empty corpus"))
+    val zeros = spark.createDataFrame(Seq((1L, Array.fill(64)(0f))))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.sq8MaxAbs(zeros, "embedding")
+    }
+    assert(e2.getMessage.contains("all-zero"))
+  }
+
+  test("hammingSearch queryPred sees the embedding column (sq8Search parity)") {
+    // round-16 advice item 4: the old form renamed embCol before the
+    // filter, so a pred referencing it failed analysis only in this tier
+    val p = pred && size($"embedding") === 64
+    val got = Ann.hammingSearch(emb, "vec_id", "embedding", p, 5, 50)
+      .orderBy("query_id", "rank").collect().toSeq
+    val base = Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, 50)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == base)
   }
 
   // The count's whole basis is the m-rows-per-vector contract; a dir
