@@ -1504,6 +1504,49 @@ object SparkEntry {
           col("vec_id") % 50 === 0, 5, tmp).select("query_id", "vec_id"))
     }),
 
+    // ---- The SQ8 tier's FULL LIFECYCLE as one oracled row (publish →
+    // append → compact → serve), q_pq_cell_day2's flat-tier twin
+    // (round-17 item 3): 7/8 of the corpus publishes (freezing the
+    // scale on THAT subset — the frozen-grid append contract), the
+    // %8==0 slice appends its codes under the published scale, the flat
+    // compaction POLICY fires (threshold forced under the append depth —
+    // the policy run, not just the bare verb) and rewrites the code dir
+    // to sized files, and the indexed serve runs against the compacted
+    // codes. Neither append nor compact may change anything stage 1 can
+    // observe, so the oracle is the fused form with the scale pinned to
+    // the publish subset. Publish + append + compact re-paid in-bench
+    // by fixture convention.
+    "q_sq8_day2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_sq8_day2").toString
+      Ann.writeSq8Index(emb.filter(col("vec_id") % 8 =!= 0), "vec_id",
+        "embedding", tmp)
+      Ann.appendSq8Index(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+        "embedding", tmp)
+      require(Ann.compactSq8IndexIfNeeded(s, tmp, maxFiles = 1).nonEmpty,
+        "flat compaction policy must fire at depth 2")
+      Ann.sq8SearchIndexed(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, tmp, 20)
+    }),
+
+    // ---- The sign tier's lifecycle twin: publish 7/8 (C=50 recorded in
+    // the meta row), append the %8 slice (scale-free — nothing frozen to
+    // honor; 8/7 growth stays under the retune bar), compact the sig
+    // dir, serve at the PUBLISHED C. Signatures are append-invariant, so
+    // the oracle is exactly q_hamming_search's fused form.
+    "q_hamming_day2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_sign_day2").toString
+      Ann.writeSignIndex(emb.filter(col("vec_id") % 8 =!= 0), "vec_id",
+        "embedding", tmp, candidates = 50)
+      Ann.appendSignIndex(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+        "embedding", tmp)
+      require(Ann.compactSignIndexIfNeeded(s, tmp, maxFiles = 1).nonEmpty,
+        "flat compaction policy must fire at depth 2")
+      Ann.hammingSearchIndexed(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, tmp)
+    }),
+
     // ---- Embedding-cosine near-dup pairs: hyperplane-bucket candidates
     // (equi-join), exact sequential-fold cosine verify — the LSH-banding
     // shape applied to embeddings. Fully oracle-able: the ±1 planes are
@@ -3978,6 +4021,24 @@ object SparkEntry {
         "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
         "AS rank FROM sq8rer) WHERE rank <= 5"),
+    // Day-2 lifecycle: append+compact change nothing stage 1 observes,
+    // so the oracle is the fused form with the quantization scale pinned
+    // to the PUBLISH subset (vec_id % 8 <> 0) — the frozen-grid append
+    // contract made visible in SQL.
+    "q_sq8_day2" ->
+      (s"WITH ${sqlSq8Ctes(20, "WHERE vec_id % 8 <> 0")} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM sq8rer) WHERE rank <= 5"),
+    // Day-2 lifecycle: signatures are scale-free and compaction rewrites
+    // the same rows, so the oracle is exactly the fused sign serve.
+    "q_hamming_day2" ->
+      (s"WITH ${sqlHamCtes(50)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM hamrer) WHERE rank <= 5"),
     // Recall audit: SQ8 top-5 vs the exact cosine top-5 on the same
     // query tier — counts + one exact division.
     "q_sq8_recall" ->
@@ -5069,10 +5130,13 @@ object SparkEntry {
     * lists carry the same integers as the tinyint codes) → EXACT integer
     * dot → top-`candidates` by (iscore DESC, vec_id) → exact cosine
     * rerank via the same sequential-fold [[sqlDot]] as q_ann_cosine.
+    * `scaleWhere` restricts the corpus the scale derives from — the
+    * day-2 row freezes it on the PUBLISH-time subset while codes cover
+    * the appended corpus too (the frozen-grid append contract).
     */
-  private def sqlSq8Ctes(candidates: Int): String =
+  private def sqlSq8Ctes(candidates: Int, scaleWhere: String = ""): String =
     "sq8s AS (SELECT max(list_max(list_transform(embedding, " +
-      "x -> abs(x::DOUBLE)))) AS s FROM embeddings), " +
+      s"x -> abs(x::DOUBLE)))) AS s FROM embeddings $scaleWhere), " +
     // the scale rides in as a joined column: DuckDB forbids subqueries
     // inside lambda bodies
     "sq8c AS (SELECT vec_id, list_transform(embedding, x -> " +

@@ -1608,6 +1608,28 @@ object Ann {
         .write.mode("append").parquet(s"$dir/codes")
     }
 
+  /** Compact the SQ8 tier's standing codes in place — the flat-index
+    * counterpart of [[compactPqIndexByCell]] (round-17 item 3: the flat
+    * appends accumulate one parquet file per batch forever, so the
+    * serve's stage-1 scan pays N file opens for the same bytes). Wraps
+    * [[graft.sources.Layout.compactDir]] onto `dir/codes`; the one-row
+    * scale sidecar never accumulates and is left alone. Codes-sized,
+    * never a re-encode (the frozen scale doesn't enter); changes nothing
+    * a serve can observe (AnnSpec pins serve parity). Nightly-window
+    * rules and crash recovery as documented on compactDir.
+    */
+  def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Int =
+    graft.sources.Layout.compactDir(spark, s"$dir/codes")
+
+  /** [[graft.sources.Layout.compactDirIfNeeded]]'s policy on the SQ8
+    * code dir — same measured 16-file threshold, same call-from-the-
+    * nightly-append-job contract as every other tier's policy verb.
+    */
+  def compactSq8IndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, maxFiles: Int = 16): Option[Int] =
+    graft.sources.Layout.compactDirIfNeeded(spark, s"$dir/codes", maxFiles)
+
   /** Serve against a standing SQ8 index: stage 1 scans the published
     * int8 codes (4x fewer bytes than the float column, quantization
     * amortized at publish), stage 2 fetches floats for the candidate set
@@ -1830,6 +1852,24 @@ object Ann {
         .select(col("vec_id") +: sigCols(meta.lanes, "sig_"): _*)
         .write.mode("append").parquet(s"$dir/sigs")
     }
+
+  /** Compact the sign tier's standing signature files in place —
+    * [[compactSq8Index]]'s twin on `dir/sigs` (the one-row meta sidecar
+    * never accumulates). Signature-sized, nothing recomputed; serve
+    * parity and the drift guard's footer count are both unaffected
+    * (compaction rewrites the same rows into fewer files).
+    */
+  def compactSignIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Int =
+    graft.sources.Layout.compactDir(spark, s"$dir/sigs")
+
+  /** [[graft.sources.Layout.compactDirIfNeeded]]'s policy on the sign
+    * signature dir — same measured 16-file threshold, same nightly-job
+    * contract.
+    */
+  def compactSignIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, maxFiles: Int = 16): Option[Int] =
+    graft.sources.Layout.compactDirIfNeeded(spark, s"$dir/sigs", maxFiles)
 
   /** Serve against a standing sign index: stage 1 scans ~16 bytes per
     * corpus vector. `candidates` <= 0 (the default) serves at the

@@ -51,6 +51,81 @@ object Layout {
       s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Data-file count of a plain (flat, unpartitioned) parquet dir — the
+    * compaction-trigger signal for the flat standing indexes (SQ8 codes,
+    * sign signatures): every batch append lays down one file, so after N
+    * daily appends a serve's stage-1 scan opens N files for the same
+    * bytes — the identical small-files drift [[filesPerBucket]] measures
+    * for bucketed tables, minus the bucket dimension (a flat dir IS one
+    * bucket).
+    */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Compact a plain parquet dir IN PLACE — the shared flat-index
+    * maintenance verb ([[graft.operators.Ann.compactSq8Index]] /
+    * [[Ann.compactSignIndex]] wrap it onto their code/sig subdirs;
+    * [[compact]] stays the two-dir form for tables whose callers manage
+    * locations). Same sizing rule as [[compact]] (~`targetBytes` files
+    * from the ACTUAL on-disk byte size, coalesce when shrinking), same
+    * staging-swap dance as [[compactBucketed]] and
+    * [[Ann.compactPqIndexByCell]]: an overwrite would delete the very
+    * files its job reads, so materialize to `dir__compact_staging`
+    * first, then delete-and-rename into place — with the loud-delete
+    * guard (a false-returning delete on HDFS semantics would nest
+    * staging INSIDE the stale dir and report success). Crash window as
+    * documented on the PQ verb: between delete and rename the index is
+    * absent at `dir` with the full compacted copy intact at staging —
+    * recover by renaming it back; run from the nightly maintenance
+    * window, never concurrent with serves. Returns the data file count
+    * after compaction.
+    */
+  def compactDir(spark: SparkSession, dir: String,
+                 targetBytes: Long = 128L << 20): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(root).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = dir.stripSuffix("/") + "__compact_staging"
+    val df = spark.read.parquet(dir)
+    val sized =
+      if (df.rdd.getNumPartitions >= nFiles) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    sized.write.mode(SaveMode.Overwrite).parquet(staging)
+    if (fs.exists(root) && !fs.delete(root, true))
+      throw new java.io.IOException(
+        s"compactDir: delete of $dir failed; compacted copy left at staging")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root))
+      throw new java.io.IOException(
+        s"compactDir: rename $staging -> $dir failed; " +
+          "compacted copy left at staging")
+    dataFileCount(spark, dir)
+  }
+
+  /** The compaction POLICY to [[compactDir]]'s mechanism — the
+    * [[compactBucketedIfNeeded]] rule applied to flat dirs: compact when
+    * more than `maxFiles` data files have accumulated, else do nothing.
+    * Same default threshold of 16, cited to the same IndexServeProbe
+    * drift measurement (a flat serve reads EVERY file of the dir, so the
+    * dir's file count is exactly its per-file cost multiplier). Call
+    * from the nightly append job; deliberately not from inside the
+    * appends (append-cost predictability — the ScaleProbe exponents).
+    */
+  def compactDirIfNeeded(spark: SparkSession, dir: String,
+                         maxFiles: Int = 16,
+                         targetBytes: Long = 128L << 20): Option[Int] =
+    if (dataFileCount(spark, dir) > maxFiles)
+      Some(compactDir(spark, dir, targetBytes))
+    else None
+
   /** Catalog metadata of `tableName`, with its bucket spec required —
     * the shared precondition of every bucketed-table verb here (one
     * error message, one metadata fetch per caller).

@@ -909,6 +909,100 @@ object ScaleProbe {
             rows(2)._1 / rows(0)._1))
     } else Seq.empty
 
+    // ---- FLAT-tier lifecycle exponents (round 17 item 3): the SQ8 and
+    // sign standing indexes' full nightly cycle — publish base → append
+    // a salted %3-slice grown 1x/4x/10x (fresh ids) → compact via the
+    // POLICY verb (threshold forced under the append depth, so the
+    // staging-swap actually runs) → indexed serve of ONE pinned query —
+    // measuring the stage-1 scan's PLANNED I/O (FileSourceScanExec
+    // numFiles/filesSize, the DppCheck method) next to wall. Flat tiers
+    // scan ALL codes by design (the compression IS the cut; there is no
+    // probe bound), so the expected shape is: post-compact numFiles
+    // pinned at the byte-targeted count regardless of append history,
+    // scanned bytes LINEAR in the appended corpus, nothing super-linear
+    // hiding in the append/compact cycle. The sign serve passes an
+    // explicit wide drift bar: the probe grows the corpus 4-10x past
+    // publish on purpose, which is exactly what the guard exists to
+    // refuse in production.
+    val flatLifeResults = if (only.isEmpty || only("flat_lifecycle")) {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(allScans)
+      }
+      def idxScan(df: DataFrame, sub: String): (Long, Double) = {
+        val scans = allScans(df.queryExecution.executedPlan).filter(
+          _.relation.location.rootPaths.exists(_.toString.endsWith(sub)))
+        (scans.flatMap(_.metrics.get("numFiles").map(_.value)).sum,
+          scans.flatMap(_.metrics.get("filesSize").map(_.value)).sum / 1e6)
+      }
+      val queryId = embBase.agg(min(col("vec_id"))).first().getLong(0)
+      def saltedBatch(r: Int, idBase: Long): DataFrame =
+        embBase.filter(col("vec_id") % 3 === 0)
+          .crossJoin(broadcast(spark.range(r).select(col("id").as("copy"))))
+          .select((col("vec_id") + lit(idBase) +
+            col("copy") * 10000000L).as("vec_id"),
+            transform(col("embedding"), e =>
+              (e * (lit(1.0f) + (col("copy") % 11 + 1).cast("float") *
+                lit(0.173f))).cast("float")).as("embedding"))
+      final case class FlatTier(name: String, sub: String,
+        publish: (DataFrame, String) => Unit,
+        append: (DataFrame, String) => Unit,
+        compactIfNeeded: String => Option[Int],
+        serve: String => DataFrame)
+      val tiers = Seq(
+        FlatTier("sq8_lifecycle", "codes",
+          (d, dir) => { Ann.writeSq8Index(d, "vec_id", "embedding", dir); () },
+          (d, dir) => Ann.appendSq8Index(d, "vec_id", "embedding", dir),
+          dir => Ann.compactSq8IndexIfNeeded(spark, dir, maxFiles = 1),
+          dir => Ann.sq8SearchIndexed(embBase, "vec_id", "embedding",
+            col("vec_id") === queryId, 5, dir, 20)),
+        FlatTier("sign_lifecycle", "sigs",
+          (d, dir) => { Ann.writeSignIndex(d, "vec_id", "embedding", dir,
+            candidates = 50); () },
+          (d, dir) => Ann.appendSignIndex(d, "vec_id", "embedding", dir),
+          dir => Ann.compactSignIndexIfNeeded(spark, dir, maxFiles = 1),
+          dir => Ann.hammingSearchIndexed(embBase, "vec_id", "embedding",
+            col("vec_id") === queryId, 5, dir, candidates = 50,
+            maxDriftFactor = 1000.0)))
+      tiers.flatMap { tier =>
+        println(s"[scale] ${tier.name}: publish base, append %3-slice " +
+          "grown Rx (fresh ids, salted), compact (policy), indexed serve")
+        val rows = factors.map { r =>
+          val dir = s"$idxScratch/flat_${tier.name}_$r"
+          tier.publish(embBase, dir)
+          tier.append(saltedBatch(r, 850000000L), dir)
+          val nFiles = tier.compactIfNeeded(dir).getOrElse(
+            graft.sources.Layout.dataFileCount(spark, s"$dir/${tier.sub}"))
+          def serveOnce(): (Double, Long, Double) = {
+            val df = tier.serve(dir)
+            // collect, not count: count() runs a separate execution and
+            // leaves df's own executedPlan (where the metrics live) cold
+            val t0 = System.nanoTime(); df.collect()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val (nf, mb) = idxScan(df, tier.sub)
+            (wall, nf, mb)
+          }
+          serveOnce() // warm-up, untimed
+          val (w, nf, mb) = serveOnce()
+          println(f"[scale] ${tier.name}%-18s ${r}%2dx  files=$nFiles%3d  " +
+            f"serve $w%6.2f s  scan $nf%3d files $mb%8.3f MB")
+          (w, mb)
+        }
+        println(f"[scale] ${tier.name}%-18s scanned-byte ratios: " +
+          f"4x -> ${rows(1)._2 / rows(0)._2}%5.2f, " +
+          f"10x -> ${rows(2)._2 / rows(0)._2}%5.2f")
+        Seq((s"${tier.name}_bytes", rows(1)._2 / rows(0)._2,
+              rows(2)._2 / rows(0)._2),
+            (s"${tier.name}_wall", rows(1)._1 / rows(0)._1,
+              rows(2)._1 / rows(0)._1))
+      }
+    } else Seq.empty
+
     // ---- duplicate-key flood (the EditDistanceJoin skew guard): the
     // supplier corpus plus f exact copies of ONE name. The guarded join
     // dedupes keys before the variant explode, so its variant-join stage
@@ -996,7 +1090,8 @@ object ScaleProbe {
     } else Seq.empty
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
     (results ++ embResults ++ evResults ++ graphResults ++ idxResults ++
-      appendResults ++ lifeResults ++ roResults).foreach { case (n, r4, r10) =>
+      appendResults ++ lifeResults ++ flatLifeResults ++ roResults)
+      .foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }
     spark.stop()

@@ -916,6 +916,43 @@ class AnnSpec extends SparkSpec {
     assert(filesAfter == files)
   }
 
+  test("flat-index compaction: append depth fires the policy, serve parity on both tiers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flatcomp")
+      .toString
+    // SQ8: publish 7/8 (frozen scale), append the %8 slice — at least
+    // one extra file in codes/
+    Ann.writeSq8Index(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", s"$dir/sq8")
+    Ann.appendSq8Index(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/sq8")
+    val sq8Before = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred,
+      5, s"$dir/sq8", 20).orderBy("query_id", "rank").collect().toSeq
+    val sq8Files = graft.sources.Layout.dataFileCount(spark, s"$dir/sq8/codes")
+    assert(sq8Files >= 2)
+    // under threshold: no-op; past it: in-place rewrite, serve unchanged
+    assert(Ann.compactSq8IndexIfNeeded(spark, s"$dir/sq8",
+      maxFiles = 1000).isEmpty)
+    val n8 = Ann.compactSq8IndexIfNeeded(spark, s"$dir/sq8", maxFiles = 1)
+    assert(n8.nonEmpty && n8.get < sq8Files)
+    val sq8After = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred,
+      5, s"$dir/sq8", 20).orderBy("query_id", "rank").collect().toSeq
+    assert(sq8After == sq8Before)
+    // sign twin: meta (and therefore the published C and the drift
+    // guard's footer count) must survive compaction of sigs/
+    val meta = Ann.writeSignIndex(emb.filter($"vec_id" % 8 =!= 0),
+      "vec_id", "embedding", s"$dir/sign", candidates = 50)
+    Ann.appendSignIndex(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/sign")
+    val signBefore = Ann.hammingSearchIndexed(emb, "vec_id", "embedding",
+      pred, 5, s"$dir/sign").orderBy("query_id", "rank").collect().toSeq
+    val nS = Ann.compactSignIndexIfNeeded(spark, s"$dir/sign", maxFiles = 1)
+    assert(nS.nonEmpty)
+    assert(Ann.signIndexMeta(spark, s"$dir/sign") == meta)
+    val signAfter = Ann.hammingSearchIndexed(emb, "vec_id", "embedding",
+      pred, 5, s"$dir/sign").orderBy("query_id", "rank").collect().toSeq
+    assert(signAfter == signBefore)
+  }
+
   test("sign index drift guard: growth past the retune bar fails the serve loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_signdrift")
       .toString

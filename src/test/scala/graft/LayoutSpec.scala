@@ -31,6 +31,28 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(compacted).count() == c.count())
   }
 
+  test("compactDir rewrites a flat dir in place: content parity, staging gone, policy thresholds") {
+    val dir = tmpDir("flat")
+    val c = Tables.customer(spark, sf0001)
+    c.repartition(8).write.mode("overwrite").parquet(dir)
+    // simulate an append drift: one more batch, one more file set
+    c.limit(10).repartition(1).write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("c_custkey").collect().toSeq
+    assert(Layout.dataFileCount(spark, dir) >= 9)
+    // under threshold: the policy must not touch the dir
+    assert(Layout.compactDirIfNeeded(spark, dir, maxFiles = 100).isEmpty)
+    assert(Layout.dataFileCount(spark, dir) >= 9)
+    // past threshold: one in-place rewrite to the byte-targeted count
+    val n = Layout.compactDirIfNeeded(spark, dir, maxFiles = 4)
+    assert(n.nonEmpty && n.get == Layout.dataFileCount(spark, dir))
+    assert(n.get < 9)
+    // content parity and no staging leftovers
+    val after = spark.read.parquet(dir).orderBy("c_custkey").collect().toSeq
+    assert(after == before)
+    assert(!new java.io.File(dir.stripSuffix("/") + "__compact_staging")
+      .exists())
+  }
+
   test("compactBucketed rewrites an appended bucketed table in place: same serve, one file per bucket") {
     import graft.operators.{Dedup, TextOps}
     val docs = Tables.documents(spark, sf0001)
