@@ -1504,6 +1504,30 @@ object SparkEntry {
           col("vec_id") % 50 === 0, 5, tmp).select("query_id", "vec_id"))
     }),
 
+    // ---- CROSS-TIER ANN DISPATCH (Ann.annSearchAuto — the OPERATIONS.md
+    // five-tier selection table as a verb, round-17 item 1): the caller
+    // states a recall floor and the chooser serves from the cheapest
+    // standing tier that clears it, priced from driver-side metadata
+    // only (listing bytes, the sign meta row). Here both cheap standing
+    // tiers are published and the floor (0.95) deliberately EXCLUDES the
+    // sign tier (its published QuantTune recall is 0.90), so the
+    // dispatch must route to the SQ8 index — the byte-cheaper sign index
+    // being passed over on recall is the selection table doing its job —
+    // and the result is q_sq8_search's own oracle. The other branches
+    // (exact at floor 1.0, sign at a clearable floor, PQ's would-serve
+    // form, fused fallback) are pinned in AnnSpec via annServeBranch.
+    // Publishes re-paid in-bench by the *_indexed fixture convention.
+    "q_ann_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_ann_auto").toString
+      Ann.writeSq8Index(emb, "vec_id", "embedding", s"$tmp/sq8")
+      Ann.writeSignIndex(emb, "vec_id", "embedding", s"$tmp/sign",
+        candidates = 50, measuredRecall = Some(0.90))
+      Ann.annSearchAuto(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, recallFloor = 0.95,
+        sq8Dir = Some(s"$tmp/sq8"), signDir = Some(s"$tmp/sign"))
+    }),
+
     // ---- The SQ8 tier's FULL LIFECYCLE as one oracled row (publish →
     // append → compact → serve), q_pq_cell_day2's flat-tier twin
     // (round-17 item 3): 7/8 of the corpus publishes (freezing the
@@ -4016,6 +4040,15 @@ object SparkEntry {
     // Indexed == fused is spec-pinned (the codes ARE sq8QuantCol's
     // output under the same scale), so the fused oracle is exact.
     "q_sq8_search_indexed" ->
+      (s"WITH ${sqlSq8Ctes(20)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM sq8rer) WHERE rank <= 5"),
+    // Cross-tier dispatch: the 0.95 floor excludes the sign tier's
+    // published 0.90, so the route is the standing SQ8 serve — the
+    // indexed==fused pin makes q_sq8_search's fused oracle exact here.
+    "q_ann_auto" ->
       (s"WITH ${sqlSq8Ctes(20)} " +
         "SELECT query_id, rank, vec_id, sim FROM " +
         "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +

@@ -1903,4 +1903,147 @@ object Ann {
     hammingTwoStage(emb, idCol, embCol, queryPred, k, c, meta.lanes,
       corpusS, queriesS)
   }
+
+  // =========================================================================
+  // Cross-tier ANN dispatch — the OPERATIONS.md tier-selection table as a
+  // verb (round-17 item 1): five serving tiers exist (exact, LSH, IVF/PQ,
+  // SQ8, sign-bit) and a 100 TB operator's real knob is WHICH tier, not a
+  // tier's internal parameters. annSearchAuto decides it from exactly
+  // what pqSearchAuto already prices — standing-index availability,
+  // footer/listing-priced bytes, and the frozen recall entries — so the
+  // dispatch itself runs no corpus-scale action. This is the engine-side
+  // answer to the reference's one-size similarity serve
+  // (soulutionOne.py:53-57): the caller states WHAT (top-k under a
+  // recall floor) and the chooser picks the serving point.
+  // =========================================================================
+
+  /** Frozen recall@5 of the SQ8 serve at its pinned C=20 — 1.000 on
+    * every fixture (QuantTune; AnnSpec pins the 0.90 floor). Used by
+    * [[annServeBranch]] as the tier's entry; a floor of exactly 1.0
+    * still routes to the exact tier, because a measured 1.000 is an
+    * estimate and "nothing less than ground truth" is a different ask.
+    */
+  val Sq8FrozenRecall: Double = 1.0
+
+  /** Frozen recall@5 of the probe-bounded PQ serve (nProbe=8, the PqTune
+    * frontier point; AnnSpec pins the 0.80 floor).
+    */
+  val PqProbedFrozenRecall: Double = 0.86
+
+  /** Which (tier, source) [[annSearchAuto]] picks, pure for the
+    * branch-pinning spec (the [[pqServeBranch]] pattern). `standing` is
+    * one (tier, indexBytes, frozenRecall) row per standing index the
+    * caller holds. Rules, in order:
+    *
+    *  - `recallFloor >= 1.0` is the audit ask — serve exact cosine
+    *    regardless of indexes (the recall rows that gate every other
+    *    tier are computed against exactly this);
+    *  - else the CHEAPEST standing index (by priced bytes; ties by tier
+    *    name for determinism) whose frozen/published recall clears the
+    *    floor — stage-1 scan bytes are the serve's scale cost, so
+    *    cheapest-qualifying is the whole selection table in one line.
+    *    A sign index published without a recall audit carries recall
+    *    0.0 here: an unaudited tier can't claim a floor;
+    *  - no qualifying standing index → fused SQ8, the OPERATIONS.md
+    *    default compressed serve (its 1.000 entry clears every sub-1.0
+    *    floor, and fusing pays one corpus quantization — the honest
+    *    fallback, never an error, mirroring similarityPairsAuto's rule).
+    */
+  private[graft] def annServeBranch(recallFloor: Double,
+      standing: Seq[(String, Long, Double)]): (String, String) =
+    if (recallFloor >= 1.0) ("exact", "fused")
+    else standing.filter(_._3 >= recallFloor)
+      .sortBy(t => (t._2, t._1)).headOption match {
+      case Some((tier, _, _)) => (tier, "indexed")
+      case None => ("sq8", "fused")
+    }
+
+  /** Total data-file bytes of an index dir, from the FS listing — the
+    * dispatch-time byte pricer ([[listDataFiles]]'s walk, getLen only;
+    * no footer opens, no Spark job).
+    */
+  private[graft] def dirDataBytes(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+    }
+    bytes
+  }
+
+  /** Cost/recall-aware cross-tier serve: top-k neighbors of the query
+    * set under `recallFloor`, served from the cheapest standing tier
+    * that clears it. Pass whichever standing indexes exist — none is
+    * required (the fallback is the fused SQ8 serve). Per-tier notes:
+    *
+    *  - `signDir`: the published recall (QuantTune-derived, recorded at
+    *    publish — [[SignIndexMeta]]) is what's held against the floor,
+    *    and the serve runs at the published C with the drift guard
+    *    active — the round-17 meta row is exactly what makes this tier
+    *    dispatchable without re-measuring;
+    *  - `sq8Dir`: the [[Sq8FrozenRecall]] entry at the pinned C=20;
+    *  - `pqDir` (+ `pqModel`, required together; `pqCoarse` optional):
+    *    the recall held against the floor is the entry of the branch
+    *    [[pqSearchAuto]] WOULD serve — probed (0.86) past the measured
+    *    exhaustive crossover when a coarse quantizer exists, 1.000
+    *    exhaustive otherwise — priced from the index footers like
+    *    pqSearchAuto itself.
+    *
+    * The dispatch inputs are all driver-side metadata (listing bytes,
+    * footer counts, one-row meta sidecars): choosing a tier whose point
+    * is sublinear I/O must not itself pay a corpus-scale action (the
+    * round-14 pqSearchAuto rule, held here too). Branch choice is
+    * pinned in AnnSpec via [[annServeBranch]]; q_ann_auto runs the
+    * dispatch end-to-end against the SQ8 oracle with the sign tier
+    * deliberately excluded by the floor.
+    */
+  def annSearchAuto(emb: DataFrame, idCol: String, embCol: String,
+                    queryPred: Column, k: Int,
+                    recallFloor: Double = 0.95,
+                    sq8Dir: Option[String] = None,
+                    signDir: Option[String] = None,
+                    pqDir: Option[String] = None,
+                    pqModel: Option[PqModel] = None,
+                    pqCoarse: Option[IvfModel] = None): DataFrame = {
+    val spark = emb.sparkSession
+    require(pqDir.isEmpty == pqModel.isEmpty,
+      "annSearchAuto: pqDir and pqModel come together (codes are " +
+        "unreadable without the codebooks that wrote them)")
+    val standing = Seq.newBuilder[(String, Long, Double)]
+    sq8Dir.foreach { d =>
+      standing += (("sq8", dirDataBytes(spark, s"$d/codes"), Sq8FrozenRecall))
+    }
+    signDir.foreach { d =>
+      val meta = signIndexMeta(spark, d)
+      standing += (("sign", dirDataBytes(spark, s"$d/sigs"),
+        meta.recall.getOrElse(0.0)))
+    }
+    pqDir.foreach { d =>
+      val n = indexVecCount(spark, d, pqModel.get.m)
+      val (_, form) = pqServeBranch(n, hasIndex = true, pqCoarse.isDefined,
+        PqExhaustiveCrossover)
+      val recall = if (form == "probed") PqProbedFrozenRecall else 1.0
+      standing += (("pq", dirDataBytes(spark, d), recall))
+    }
+    annServeBranch(recallFloor, standing.result()) match {
+      case ("exact", _) =>
+        cosineTopK(emb, idCol, embCol, queryPred, k)
+      case ("sign", _) =>
+        hammingSearchIndexed(emb, idCol, embCol, queryPred, k, signDir.get)
+      case ("sq8", "indexed") =>
+        sq8SearchIndexed(emb, idCol, embCol, queryPred, k, sq8Dir.get, 20)
+      case ("pq", _) =>
+        pqSearchAuto(emb, idCol, embCol, pqModel.get, queryPred, k,
+          pqCoarse, indexDir = pqDir)
+      case _ =>
+        sq8Search(emb, idCol, embCol, queryPred, k, 20)
+    }
+  }
 }

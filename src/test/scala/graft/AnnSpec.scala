@@ -1062,6 +1062,89 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.90, f"recall $recall%.3f under the 0.90 floor")
   }
 
+  test("annServeBranch pins the cross-tier dispatch table") {
+    val standing = Seq(("sign", 16L, 0.90), ("sq8", 64L, 1.0))
+    // audit ask: exact regardless of indexes
+    assert(Ann.annServeBranch(1.0, standing) == ("exact", "fused"))
+    // floor excludes the cheap tier -> the qualifying one wins
+    assert(Ann.annServeBranch(0.95, standing) == ("sq8", "indexed"))
+    // both qualify -> cheapest bytes wins
+    assert(Ann.annServeBranch(0.80, standing) == ("sign", "indexed"))
+    // no standing indexes -> fused SQ8 fallback
+    assert(Ann.annServeBranch(0.95, Seq.empty) == ("sq8", "fused"))
+    // an unaudited sign publish carries recall 0.0: can't claim a floor
+    assert(Ann.annServeBranch(0.5, Seq(("sign", 16L, 0.0))) ==
+      ("sq8", "fused"))
+    // PQ's would-serve entry competes like any other standing tier
+    assert(Ann.annServeBranch(0.85,
+      Seq(("pq", 8L, 0.86), ("sq8", 64L, 1.0))) == ("pq", "indexed"))
+    // byte tie broken by tier name for determinism
+    assert(Ann.annServeBranch(0.80,
+      Seq(("sq8", 16L, 1.0), ("sign", 16L, 0.90))) == ("sign", "indexed"))
+  }
+
+  test("annSearchAuto routes to the branch annServeBranch names, result-identical to the direct serves") {
+    import graft.operators.{IvfFixture, PqFixture}
+    val dir = java.nio.file.Files.createTempDirectory("graft_annauto")
+      .toString
+    Ann.writeSq8Index(emb, "vec_id", "embedding", s"$dir/sq8")
+    Ann.writeSignIndex(emb, "vec_id", "embedding", s"$dir/sign",
+      candidates = 50, measuredRecall = Some(0.90))
+    def run(floor: Double) = Ann.annSearchAuto(emb, "vec_id", "embedding",
+        pred, 5, recallFloor = floor,
+        sq8Dir = Some(s"$dir/sq8"), signDir = Some(s"$dir/sign"))
+      .orderBy("query_id", "rank").collect().toSeq
+    // floor 1.0 -> exact cosine
+    assert(run(1.0) == Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .orderBy("query_id", "rank").collect().toSeq)
+    // floor 0.95 -> standing SQ8 (sign's published 0.90 misses the bar)
+    assert(run(0.95) == Ann.sq8SearchIndexed(emb, "vec_id", "embedding",
+      pred, 5, s"$dir/sq8", 20).orderBy("query_id", "rank").collect().toSeq)
+    // floor 0.80 -> sign index (cheapest qualifying), at its published C
+    assert(run(0.80) == Ann.hammingSearchIndexed(emb, "vec_id", "embedding",
+      pred, 5, s"$dir/sign").orderBy("query_id", "rank").collect().toSeq)
+    // no indexes passed -> fused SQ8 fallback
+    assert(Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.95).orderBy("query_id", "rank").collect().toSeq ==
+      Ann.sq8Search(emb, "vec_id", "embedding", pred, 5, 20)
+        .orderBy("query_id", "rank").collect().toSeq)
+    // with a standing PQ index whose would-serve form is exhaustive
+    // (fixture corpus under the crossover), a 0.9 floor routes by bytes
+    // among ALL qualifiers — assert the dispatch result matches whatever
+    // branch the pure function names, so the two can never drift
+    Ann.writePqIndex(emb, "vec_id", "embedding", PqFixture.model,
+      s"$dir/pq", Some(IvfFixture.model))
+    val n = Ann.indexVecCount(spark, s"$dir/pq", PqFixture.model.m)
+    val (_, form) = Ann.pqServeBranch(n, hasIndex = true, hasCoarse = true,
+      Ann.PqExhaustiveCrossover)
+    val standing = Seq(
+      ("sq8", Ann.dirDataBytes(spark, s"$dir/sq8/codes"), Ann.Sq8FrozenRecall),
+      ("sign", Ann.dirDataBytes(spark, s"$dir/sign/sigs"), 0.90),
+      ("pq", Ann.dirDataBytes(spark, s"$dir/pq"),
+        if (form == "probed") Ann.PqProbedFrozenRecall else 1.0))
+    val (tier, _) = Ann.annServeBranch(0.9, standing)
+    val auto = Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.9, sq8Dir = Some(s"$dir/sq8"),
+        signDir = Some(s"$dir/sign"), pqDir = Some(s"$dir/pq"),
+        pqModel = Some(PqFixture.model), pqCoarse = Some(IvfFixture.model))
+      .orderBy("query_id", "rank").collect().toSeq
+    val direct = tier match {
+      case "sq8" => Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred,
+        5, s"$dir/sq8", 20)
+      case "sign" => Ann.hammingSearchIndexed(emb, "vec_id", "embedding",
+        pred, 5, s"$dir/sign")
+      case _ => Ann.pqSearchAuto(emb, "vec_id", "embedding",
+        PqFixture.model, pred, 5, Some(IvfFixture.model),
+        indexDir = Some(s"$dir/pq"))
+    }
+    assert(auto == direct.orderBy("query_id", "rank").collect().toSeq)
+    // pqDir without pqModel is a contract violation, not a silent skip
+    intercept[IllegalArgumentException] {
+      Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        pqDir = Some(s"$dir/pq"))
+    }
+  }
+
   test("sq8MaxAbs rejects degenerate corpora with the tier named") {
     // empty corpus: the old code NPE'd out of Row.getDouble; all-zero:
     // scale 0 would NaN->null every code downstream (round-16 advice)
