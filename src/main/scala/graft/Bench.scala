@@ -79,6 +79,33 @@ object Bench {
       case _ => RecheckClean
     }
 
+  /** Whether the query at main-pass position `pos` (0-based suite order)
+    * ran inside a HOT calibration bracket — pure for the spec. `series`
+    * is the window's calibration ticks as (afterQueries, seconds): the
+    * start probe at position 0, a mid-window tick every N queries
+    * (round-17 item 4: the r16 driver window's loadavg rose 4.55→11.55
+    * while the two-point calibration read flat 0.305/0.295 — the heat
+    * landed BETWEEN the endpoints, invisible), and the end probe at
+    * position nQueries. A query is bracketed by the last tick at or
+    * before its position and the first tick after it; the bracket is
+    * hot when either bounding tick exceeds `hotFactor` × the window's
+    * QUIETEST tick (the window's own baseline — an absolute threshold
+    * would mistake a slow host for a hot one). Suspects whose brackets
+    * were hot carry the attribution in the artifact
+    * (`suspect_hot_bracket`) so a driver diff separates "box was hot
+    * right there" from "code got slower" without a manual re-measure.
+    */
+  private[graft] def bracketIsHot(series: Seq[(Int, Double)], pos: Int,
+                                  hotFactor: Double): Boolean =
+    if (series.size < 2) false
+    else {
+      val sorted = series.sortBy(_._1)
+      val quiet = sorted.map(_._2).min
+      val before = sorted.filter(_._1 <= pos).lastOption.map(_._2)
+      val after = sorted.find(_._1 > pos).map(_._2)
+      (before.toSeq ++ after.toSeq).exists(_ > hotFactor * quiet)
+    }
+
   /** Stage-level profile of every bench attempt, bucketed by the
     * per-attempt job group (`<query>#<attemptIdx>`). Round-14 verdict:
     * two rounds of quiet-window re-measures of q_cluster_cc_incremental
@@ -217,6 +244,14 @@ object Bench {
     // which would make calib_start read "hot" on every run
     calibrate()
     val calibStart = calibrate()
+    // mid-window calibration ticks (round-17 item 4): the same fixed-cost
+    // probe every N queries, so heat that rises and falls BETWEEN the
+    // endpoints (the r16 blind spot) lands in the artifact. At ~0.3 s per
+    // tick, N=25 adds <1% to a 200-query window.
+    val calibEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_EVERY", "25").toInt
+    val calibTicks =
+      scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calibStart))
     def attempt(group: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String], Boolean) = {
@@ -252,6 +287,10 @@ object Bench {
       // earlier queries pile up under later timings.
       System.gc()
       attemptsByQuery(name) = buf.toSeq
+      // mid-window tick; the final boundary is calib_end, so skip there
+      if (calibEvery > 0 && attemptsByQuery.size % calibEvery == 0 &&
+          attemptsByQuery.size < selected.size)
+        calibTicks += ((attemptsByQuery.size, calibrate()))
     }
     // Noise-robust closing (round-11 postmortem: the committed artifact
     // landed on a noisy window and showed q_link_pairs_lev at 18.35 s —
@@ -305,6 +344,18 @@ object Bench {
       .filter(classOf_(_) == RecheckOverCutoff).toSeq.sorted
     val loadavgEnd = loadavg()
     val calibEnd = calibrate()
+    // end tick at position nQueries: rechecks ran just before it, so the
+    // tail bracket (last mid tick → end) is the recheck region's
+    calibTicks += ((attemptsByQuery.size, calibEnd))
+    val hotFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_HOT_FACTOR", "1.5").toDouble
+    val mainPos = attemptsByQuery.keys.toSeq.zipWithIndex.toMap
+    // a surviving suspect's min covers main-pass AND recheck attempts, so
+    // annotate hot if EITHER its main-pass bracket or the recheck-region
+    // tail bracket was hot
+    def suspectHot(name: String): Boolean =
+      bracketIsHot(calibTicks.toSeq, mainPos(name), hotFactor) ||
+        bracketIsHot(calibTicks.toSeq, attemptsByQuery.size - 1, hotFactor)
     // A query counts as failed if ANY attempt failed — a crash that
     // sometimes passes is a flake, not a success.
     val results = attemptsByQuery.map { case (name, attempts) =>
@@ -341,7 +392,11 @@ object Bench {
       case (k, attempts) if attempts.exists(_._3) =>
         s"\"$k\":${attempts.zipWithIndex.collect { case ((_, _, true), i) => i }.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"rechecked":$recheckedJson,"noise_suspect":$suspectJson,"over_cutoff":$overCutoffJson,"publish_attempts":$publishJson,"calib_start_s":${dec(calibStart, 3)},"calib_end_s":${dec(calibEnd, 3)},"loadavg_start":${jstr(loadavgStart)},"loadavg_end":${jstr(loadavgEnd)},"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}"""
+    val calibSeriesJson = calibTicks
+      .map { case (p, s) => s"[$p,${dec(s, 3)}]" }.mkString("[", ",", "]")
+    val suspectHotJson = noiseSuspect
+      .map(n => s"${jstr(n)}:${suspectHot(n)}").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"rechecked":$recheckedJson,"noise_suspect":$suspectJson,"suspect_hot_bracket":$suspectHotJson,"over_cutoff":$overCutoffJson,"publish_attempts":$publishJson,"calib_start_s":${dec(calibStart, 3)},"calib_end_s":${dec(calibEnd, 3)},"calib_series":$calibSeriesJson,"loadavg_start":${jstr(loadavgStart)},"loadavg_end":${jstr(loadavgEnd)},"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}"""
     println(line)
     // The driver's stdout capture tail-truncates past ~2000 chars, losing
     // most per-query timings from the artifact (round-7 verdict: only ~45

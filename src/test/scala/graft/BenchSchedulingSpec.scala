@@ -111,4 +111,35 @@ class BenchSchedulingSpec extends AnyFunSuite {
     assert(Bench.recheckClass(60.0, Some(5.0), 1.5, cutoff, failed = false)
       == Bench.RecheckEligible)
   }
+
+  // ---- bracketIsHot (mid-window calibration ticks, round 17) -------------
+
+  test("flat calibration series is never hot") {
+    val flat = Seq((0, 0.30), (25, 0.31), (50, 0.29), (60, 0.30))
+    assert(!Bench.bracketIsHot(flat, 10, 1.5))
+    assert(!Bench.bracketIsHot(flat, 40, 1.5))
+    assert(!Bench.bracketIsHot(flat, 59, 1.5))
+  }
+
+  test("the r16 blind spot: heat between flat endpoints is visible to its bracket only") {
+    // start 0.305 / end 0.295 read quiet; the mid-window tick caught the
+    // contention that inflated queries 25..49
+    val series = Seq((0, 0.305), (25, 0.90), (50, 0.31), (60, 0.295))
+    assert(Bench.bracketIsHot(series, 30, 1.5))  // bracketed 25..50: hot
+    assert(Bench.bracketIsHot(series, 24, 1.5))  // right-bounded by the hot tick
+    assert(!Bench.bracketIsHot(series, 55, 1.5)) // quiet tail bracket
+  }
+
+  test("bracket boundaries: a tick at exactly pos bounds on the left; hot scales off the quietest tick") {
+    val series = Seq((0, 0.30), (25, 0.60), (50, 0.30))
+    // pos 25 is bracketed by the tick AT 25 (left) and 50 (right)
+    assert(Bench.bracketIsHot(series, 25, 1.5))
+    // 0.60 vs quiet 0.30 = 2.0x: hot at factor 1.5, quiet at factor 2.5
+    assert(!Bench.bracketIsHot(series, 25, 2.5))
+  }
+
+  test("degenerate series (fewer than two ticks) can never classify hot") {
+    assert(!Bench.bracketIsHot(Seq.empty, 5, 1.5))
+    assert(!Bench.bracketIsHot(Seq((0, 0.9)), 5, 1.5))
+  }
 }
