@@ -77,7 +77,14 @@ class PlanGuaranteesSpec extends SparkSpec {
       // it); q_sq8_recall additionally rides the q_ann_cosine exact side
       "q_sq8_search", "q_sq8_search_indexed", "q_sq8_recall",
       // same family over packed sign bits (1-bit tier)
-      "q_hamming_search", "q_hamming_search_indexed", "q_hamming_recall")
+      "q_hamming_search", "q_hamming_search_indexed", "q_hamming_recall",
+      // the flat-tier lifecycle rows serve through the exact same
+      // two-stage paths as their *_indexed twins after append+compact
+      "q_sq8_day2", "q_hamming_day2",
+      // the cross-tier dispatcher ROUTES to one of the whitelisted
+      // serves (here: the standing SQ8 two-stage); tier choice itself
+      // is pinned in AnnSpec via annServeBranch
+      "q_ann_auto")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
