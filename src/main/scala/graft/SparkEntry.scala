@@ -1437,15 +1437,16 @@ object SparkEntry {
 
     // ---- The same serve against a STANDING SQ8 code index (publish =
     // quantize once; serve scans 4x fewer bytes and amortizes the scale
-    // aggregate). Indexed == fused is spec-pinned, so the fused oracle is
-    // exact; the in-bench publish re-pays per attempt by the *_indexed
-    // fixture convention.
+    // aggregate). The candidate count rides in the scale sidecar and the
+    // serve defaults to it (sign-tier symmetry, round 17). Indexed ==
+    // fused is spec-pinned, so the fused oracle is exact; the in-bench
+    // publish re-pays per attempt by the *_indexed fixture convention.
     "q_sq8_search_indexed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val tmp = scratchDir("graft_sq8_idx").toString
-      Ann.writeSq8Index(emb, "vec_id", "embedding", tmp)
+      Ann.writeSq8Index(emb, "vec_id", "embedding", tmp, candidates = 20)
       Ann.sq8SearchIndexed(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5, tmp, 20)
+        col("vec_id") % 50 === 0, 5, tmp)
     }),
 
     // ---- Recall audit for the SQ8 serve vs the exact cosine truth on the
@@ -1550,7 +1551,7 @@ object SparkEntry {
       require(Ann.compactSq8IndexIfNeeded(s, tmp, maxFiles = 1).nonEmpty,
         "flat compaction policy must fire at depth 2")
       Ann.sq8SearchIndexed(emb, "vec_id", "embedding",
-        col("vec_id") % 50 === 0, 5, tmp, 20)
+        col("vec_id") % 50 === 0, 5, tmp)
     }),
 
     // ---- The sign tier's lifecycle twin: publish 7/8 (C=50 recorded in

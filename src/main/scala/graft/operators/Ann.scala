@@ -1568,15 +1568,22 @@ object Ann {
     * scale under `dir/scale` (one-row parquet — the publish-time
     * quantization grid every later append and serve MUST reuse; a grid
     * change re-quantizes every code, i.e. a full rebuild, the same
-    * refreeze rule as the PQ codebooks in OPERATIONS.md). Returns the
-    * scale it froze.
+    * refreeze rule as the PQ codebooks in OPERATIONS.md). The serve's
+    * candidate count `candidates` rides in the same one-row sidecar
+    * (sign-tier symmetry, round 17): serves default to the published C,
+    * so no call site re-guesses the knob QuantTune tuned. SQ8's recall
+    * at the default C=20 is corpus-ROBUST (1.000 on every fixture — the
+    * reason this tier needs no drift guard where the sign tier does),
+    * so only C is published, not a recall or a corpus count. Returns
+    * the scale it froze.
     */
   def writeSq8Index(emb: DataFrame, idCol: String, embCol: String,
-                    dir: String): Double = {
+                    dir: String, candidates: Int = 20): Double = {
     val s = sq8MaxAbs(emb, embCol)
     emb.select(col(idCol).as("vec_id"), sq8QuantCol(col(embCol), s).as("qv"))
       .write.mode("overwrite").parquet(s"$dir/codes")
-    emb.sparkSession.range(1).select(lit(s).as("scale"))
+    emb.sparkSession.range(1).select(lit(s).as("scale"),
+        lit(candidates).as("candidates"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
     s
   }
@@ -1587,6 +1594,15 @@ object Ann {
   def sq8IndexScale(spark: org.apache.spark.sql.SparkSession,
                     dir: String): Double =
     spark.read.parquet(s"$dir/scale").first().getDouble(0)
+
+  /** The published (scale, candidates) of a standing SQ8 index — the
+    * same one-row read as [[sq8IndexScale]], both fields.
+    */
+  private def sq8IndexMeta(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): (Double, Int) = {
+    val r = spark.read.parquet(s"$dir/scale").first()
+    (r.getAs[Double]("scale"), r.getAs[Int]("candidates"))
+  }
 
   /** INCREMENTAL PUBLISH for the SQ8 tier: quantize ONLY the day's batch
     * under the PUBLISHED scale and append its codes — batch-sized work,
@@ -1634,19 +1650,23 @@ object Ann {
     * int8 codes (4x fewer bytes than the float column, quantization
     * amortized at publish), stage 2 fetches floats for the candidate set
     * only. Queries quantize in-flight under the index's frozen scale —
-    * |Q| rows, noise.
+    * |Q| rows, noise. `candidates` <= 0 (the default) serves at the
+    * PUBLISHED candidate count, the sign-tier contract applied here for
+    * API symmetry; pass an explicit positive C to override (recall
+    * audits sweeping the knob).
     */
   def sq8SearchIndexed(emb: DataFrame, idCol: String, embCol: String,
                        queryPred: Column, k: Int, dir: String,
-                       candidates: Int = 20): DataFrame = {
+                       candidates: Int = 0): DataFrame = {
     val spark = emb.sparkSession
-    val s = sq8IndexScale(spark, dir)
+    val (s, published) = sq8IndexMeta(spark, dir)
+    val c = if (candidates > 0) candidates else published
     val corpusQ = spark.read.parquet(s"$dir/codes")
     val queriesQ = emb.select(col(idCol).as("vec_id"), col(embCol))
       .filter(queryPred)
       .select(col("vec_id").as("query_id"),
         sq8QuantCol(col(embCol), s).as("qqv"))
-    sq8TwoStage(emb, idCol, embCol, queryPred, k, candidates, corpusQ, queriesQ)
+    sq8TwoStage(emb, idCol, embCol, queryPred, k, c, corpusQ, queriesQ)
   }
 
   // =========================================================================
@@ -2038,7 +2058,7 @@ object Ann {
       case ("sign", _) =>
         hammingSearchIndexed(emb, idCol, embCol, queryPred, k, signDir.get)
       case ("sq8", "indexed") =>
-        sq8SearchIndexed(emb, idCol, embCol, queryPred, k, sq8Dir.get, 20)
+        sq8SearchIndexed(emb, idCol, embCol, queryPred, k, sq8Dir.get)
       case ("pq", _) =>
         pqSearchAuto(emb, idCol, embCol, pqModel.get, queryPred, k,
           pqCoarse, indexDir = pqDir)

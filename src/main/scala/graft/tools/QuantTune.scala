@@ -38,7 +38,7 @@ object QuantTune {
       (exact & got).size.toDouble / exact.size
     }
     val cs = Seq(5, 10, 20, 50, 100, 200)
-    for (c <- cs) {
+    val sq8Points = cs.map { c =>
       // warm-up then timed, min-free single point (the sweep's signal is
       // the recall column; wall is indicative only)
       Ann.sq8Search(emb, "vec_id", "embedding", pred, 5, c).count()
@@ -46,13 +46,33 @@ object QuantTune {
       val r = recallOf(Ann.sq8Search(emb, "vec_id", "embedding", pred, 5, c))
       val w = (System.nanoTime() - t0) / 1e9
       println(f"[tune] sq8     C=$c%4d  recall@5 $r%.3f  wall $w%5.2f s")
+      (c, r)
     }
-    for (c <- cs) {
+    val signPoints = cs.map { c =>
       Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, c).count()
       val t0 = System.nanoTime()
       val r = recallOf(Ann.hammingSearch(emb, "vec_id", "embedding", pred, 5, c))
       val w = (System.nanoTime() - t0) / 1e9
       println(f"[tune] sign    C=$c%4d  recall@5 $r%.3f  wall $w%5.2f s")
+      (c, r)
+    }
+    // Close the tune→publish loop (round 17): print the publish calls
+    // that record THIS sweep's result in the index sidecars, per target
+    // floor — the C (and for the sign tier the recall it bought) is a
+    // published index parameter the serves default to, so the output of
+    // this tool is meant to be pasted into the publish job, not held in
+    // someone's head. The sign tier's figure is corpus-dependent — that
+    // is exactly why it must ride with the index it was measured on.
+    for (floor <- Seq(0.90, 0.95, 0.99)) {
+      val sq8C = sq8Points.find(_._2 >= floor).map(_._1)
+      val signC = signPoints.find(_._2 >= floor).map(_._1)
+      println(f"[tune] floor $floor%.2f: " +
+        sq8C.map(c => s"writeSq8Index(..., candidates = $c)")
+          .getOrElse("sq8 UNREACHABLE in sweep") + " ; " +
+        signC.map { c =>
+          val r = signPoints.find(_._1 == c).get._2
+          f"writeSignIndex(..., candidates = $c, measuredRecall = Some($r%.2f))"
+        }.getOrElse("sign UNREACHABLE in sweep (raise C past 200)"))
     }
     spark.stop()
   }

@@ -819,6 +819,11 @@ class AnnSpec extends SparkSpec {
     val indexed = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred, 5,
       s"$dir/full", 20).orderBy("query_id", "rank").collect().toSeq
     assert(indexed == fused)
+    // candidates <= 0 serves at the PUBLISHED C (20 by default) — the
+    // sign-tier contract applied to SQ8 for API symmetry (round 17)
+    val atPublished = Ann.sq8SearchIndexed(emb, "vec_id", "embedding",
+      pred, 5, s"$dir/full").orderBy("query_id", "rank").collect().toSeq
+    assert(atPublished == indexed)
     // grown index: publish 7/8, append the %8 slice — codes carry the
     // PUBLISH-time scale, so the equivalent fused form pins scale to it
     // (a monolithic re-publish would re-derive the full-corpus scale:
