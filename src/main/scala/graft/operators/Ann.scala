@@ -939,24 +939,31 @@ object Ann {
       .write.partitionBy("cell").mode("append").parquet(dir)
 
   /** Recursive listing of a code index's parquet DATA files (committer
-    * sidecars excluded) — the one walk [[pqFilesPerCell]],
-    * [[indexVecCount]] and [[compactPqIndexByCell]]'s post-rename count
-    * all share, so their file filters can never drift apart.
+    * sidecars excluded), as full statuses — the one walk
+    * [[pqFilesPerCell]], [[indexVecCount]], [[dirDataBytes]] and
+    * [[compactPqIndexByCell]]'s post-rename count all share, so their
+    * file filters can never drift apart.
     */
-  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Seq[org.apache.hadoop.fs.Path] = {
+  private def listDataFileStatuses(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val it = root.getFileSystem(conf).listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith(".")) buf += f.getPath
+          !name.startsWith("_") && !name.startsWith(".")) buf += f
     }
     buf.toSeq
   }
+
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[org.apache.hadoop.fs.Path] =
+    listDataFileStatuses(spark, dir).map(_.getPath)
 
   /** Data-file count of the DEEPEST cell of a cell-partitioned code
     * index — the compaction-trigger signal, same shape as
@@ -1578,12 +1585,21 @@ object Ann {
     * the scale it froze.
     */
   def writeSq8Index(emb: DataFrame, idCol: String, embCol: String,
-                    dir: String, candidates: Int = 20): Double = {
+                    dir: String, candidates: Int = 20,
+                    measuredRecall: Option[Double] = None): Double = {
+    // a non-positive C would publish fine and crash only at the first
+    // DEFAULT serve, inside TopKPerKey, naming neither dir nor sidecar —
+    // fail at the publish, where the mistake is (review round 17)
+    require(candidates > 0,
+      s"writeSq8Index: candidates must be positive, got $candidates " +
+        "(omit the parameter for the pinned default of 20)")
     val s = sq8MaxAbs(emb, embCol)
     emb.select(col(idCol).as("vec_id"), sq8QuantCol(col(embCol), s).as("qv"))
       .write.mode("overwrite").parquet(s"$dir/codes")
     emb.sparkSession.range(1).select(lit(s).as("scale"),
-        lit(candidates).as("candidates"))
+        lit(candidates).as("candidates"),
+        measuredRecall.map(lit(_)).getOrElse(lit(null)).cast("double")
+          .as("recall"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
     s
   }
@@ -1595,13 +1611,25 @@ object Ann {
                     dir: String): Double =
     spark.read.parquet(s"$dir/scale").first().getDouble(0)
 
-  /** The published (scale, candidates) of a standing SQ8 index — the
-    * same one-row read as [[sq8IndexScale]], both fields.
+  /** The published (scale, candidates, recall) of a standing SQ8 index —
+    * the same one-row read as [[sq8IndexScale]], all fields. TOLERANT of
+    * sidecars written before the candidates/recall columns existed
+    * (candidates defaults to the pinned 20, recall to None): the
+    * OPERATIONS.md contract is that only a GRID change forces a rebuild,
+    * so a sidecar-schema addition must not strand an old index
+    * (review round 17 — the strict read made every pre-round-17 index
+    * unservable while its appends kept succeeding).
     */
   private def sq8IndexMeta(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): (Double, Int) = {
+                           dir: String): (Double, Int, Option[Double]) = {
     val r = spark.read.parquet(s"$dir/scale").first()
-    (r.getAs[Double]("scale"), r.getAs[Int]("candidates"))
+    val fields = r.schema.fieldNames.toSet
+    val c = if (fields("candidates")) r.getAs[Int]("candidates") else 20
+    val rec =
+      if (fields("recall") && !r.isNullAt(r.fieldIndex("recall")))
+        Some(r.getAs[Double]("recall"))
+      else None
+    (r.getAs[Double]("scale"), c, rec)
   }
 
   /** INCREMENTAL PUBLISH for the SQ8 tier: quantize ONLY the day's batch
@@ -1659,7 +1687,7 @@ object Ann {
                        queryPred: Column, k: Int, dir: String,
                        candidates: Int = 0): DataFrame = {
     val spark = emb.sparkSession
-    val (s, published) = sq8IndexMeta(spark, dir)
+    val (s, published, _) = sq8IndexMeta(spark, dir)
     val c = if (candidates > 0) candidates else published
     val corpusQ = spark.read.parquet(s"$dir/codes")
     val queriesQ = emb.select(col(idCol).as("vec_id"), col(embCol))
@@ -1825,6 +1853,11 @@ object Ann {
                      dir: String, candidates: Int = 50,
                      measuredRecall: Option[Double] = None,
                      dims: Int = Dim): SignIndexMeta = {
+    // same publish-time guard as writeSq8Index: a non-positive C would
+    // crash only at the first default serve, far from the mistake
+    require(candidates > 0,
+      s"writeSignIndex: candidates must be positive, got $candidates " +
+        "(omit the parameter for the default of 50)")
     val lanes = signLanes(dims)
     emb.select(col(idCol).as("vec_id"), sigInput(embCol, dims))
       .select(col("vec_id") +: sigCols(lanes, "sig_"): _*)
@@ -1978,25 +2011,14 @@ object Ann {
       case None => ("sq8", "fused")
     }
 
-  /** Total data-file bytes of an index dir, from the FS listing — the
-    * dispatch-time byte pricer ([[listDataFiles]]'s walk, getLen only;
-    * no footer opens, no Spark job).
+  /** Total data-file bytes of an index dir — the dispatch-time byte
+    * pricer: the SHARED [[listDataFileStatuses]] walk (so the pricer's
+    * file filter can never drift from the footer counters'), getLen
+    * only; no footer opens, no Spark job.
     */
   private[graft] def dirDataBytes(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
-    }
-    bytes
-  }
+                                  dir: String): Long =
+    listDataFileStatuses(spark, dir).map(_.getLen).sum
 
   /** Cost/recall-aware cross-tier serve: top-k neighbors of the query
     * set under `recallFloor`, served from the cheapest standing tier
@@ -2038,7 +2060,16 @@ object Ann {
         "unreadable without the codebooks that wrote them)")
     val standing = Seq.newBuilder[(String, Long, Double)]
     sq8Dir.foreach { d =>
-      standing += (("sq8", dirDataBytes(spark, s"$d/codes"), Sq8FrozenRecall))
+      // the recall held against the floor must track the index's
+      // PUBLISHED configuration, because the serve runs at the published
+      // C: a publish-time measured recall wins; absent one, the frozen
+      // 1.000 entry applies only when the published C is at least the
+      // pinned 20 it was measured at — a narrower unaudited publish
+      // can't claim it (review round 17: the static claim let a C=5
+      // publish silently serve under a 0.99 floor)
+      val (_, c, rec) = sq8IndexMeta(spark, d)
+      val recall = rec.getOrElse(if (c >= 20) Sq8FrozenRecall else 0.0)
+      standing += (("sq8", dirDataBytes(spark, s"$d/codes"), recall))
     }
     signDir.foreach { d =>
       val meta = signIndexMeta(spark, d)

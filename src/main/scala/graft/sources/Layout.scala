@@ -91,8 +91,15 @@ object Layout {
                  targetBytes: Long = 128L << 20): Int = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(root).filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // same DATA-file predicate as dataFileCount: hidden/in-progress
+    // leftovers ('.'/'_'-prefixed) are invisible to the read below, so
+    // counting their bytes here would size the rewrite off files it
+    // won't rewrite (review round 17)
+    val totalBytes = fs.listStatus(root).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val staging = dir.stripSuffix("/") + "__compact_staging"
     val df = spark.read.parquet(dir)

@@ -67,8 +67,10 @@ object QuantTune {
       val sq8C = sq8Points.find(_._2 >= floor).map(_._1)
       val signC = signPoints.find(_._2 >= floor).map(_._1)
       println(f"[tune] floor $floor%.2f: " +
-        sq8C.map(c => s"writeSq8Index(..., candidates = $c)")
-          .getOrElse("sq8 UNREACHABLE in sweep") + " ; " +
+        sq8C.map { c =>
+          val r = sq8Points.find(_._1 == c).get._2
+          f"writeSq8Index(..., candidates = $c, measuredRecall = Some($r%.2f))"
+        }.getOrElse("sq8 UNREACHABLE in sweep") + " ; " +
         signC.map { c =>
           val r = signPoints.find(_._1 == c).get._2
           f"writeSignIndex(..., candidates = $c, measuredRecall = Some($r%.2f))"

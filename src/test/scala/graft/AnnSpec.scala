@@ -1150,6 +1150,53 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 sidecar is backward/forward tolerant; publish rejects non-positive C") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8meta")
+      .toString
+    val s = Ann.writeSq8Index(emb, "vec_id", "embedding", dir)
+    // simulate a PRE-round-17 sidecar: scale only, no candidates/recall
+    // columns — the index must stay servable (only a GRID change is a
+    // rebuild per OPERATIONS.md), defaulting to the pinned C=20
+    spark.range(1).select(lit(s).as("scale"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
+    val old = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred, 5, dir)
+      .orderBy("query_id", "rank").collect().toSeq
+    val explicit = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred,
+      5, dir, 20).orderBy("query_id", "rank").collect().toSeq
+    assert(old == explicit)
+    // non-positive C fails at the publish, where the mistake is
+    intercept[IllegalArgumentException] {
+      Ann.writeSq8Index(emb, "vec_id", "embedding", dir, candidates = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.writeSignIndex(emb, "vec_id", "embedding", dir, candidates = -1)
+    }
+  }
+
+  test("annSearchAuto's SQ8 recall claim tracks the published configuration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8claim")
+      .toString
+    // a C=5 publish WITHOUT a recall audit can't claim the frozen 1.000
+    // (measured at C=20): a 0.95 floor must fall back to the fused serve
+    Ann.writeSq8Index(emb, "vec_id", "embedding", s"$dir/narrow",
+      candidates = 5)
+    val viaNarrow = Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.95, sq8Dir = Some(s"$dir/narrow"))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaNarrow == Ann.sq8Search(emb, "vec_id", "embedding", pred, 5,
+      20).orderBy("query_id", "rank").collect().toSeq)
+    // the same narrow publish WITH its measured recall recorded is
+    // dispatchable and serves at its published C
+    Ann.writeSq8Index(emb, "vec_id", "embedding", s"$dir/audited",
+      candidates = 5, measuredRecall = Some(1.0))
+    val viaAudited = Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.95, sq8Dir = Some(s"$dir/audited"))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaAudited == Ann.sq8SearchIndexed(emb, "vec_id", "embedding",
+        pred, 5, s"$dir/audited", 5)
+      .orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("sq8MaxAbs rejects degenerate corpora with the tier named") {
     // empty corpus: the old code NPE'd out of Row.getDouble; all-zero:
     // scale 0 would NaN->null every code downstream (round-16 advice)
