@@ -2045,6 +2045,15 @@ object Ann {
     * pinned in AnnSpec via [[annServeBranch]]; q_ann_auto runs the
     * dispatch end-to-end against the SQ8 oracle with the sign tier
     * deliberately excluded by the floor.
+    *
+    * The table's other two tiers are deliberately NOT dispatch targets:
+    * hyperplane LSH ([[lshTopK]]) is a candidate GENERATOR for pair
+    * problems (its buckets bound which pairs exist, not a top-k
+    * ranking — OPERATIONS.md places it under dup-pair serving), and IVF
+    * ([[ivfSearch]]) publishes no compressed standing artifact at all —
+    * it prunes a float table that must already be hot, so "is the float
+    * table hot" is the caller's situation, not something a chooser can
+    * price from index metadata.
     */
   def annSearchAuto(emb: DataFrame, idCol: String, embCol: String,
                     queryPred: Column, k: Int,
