@@ -1505,6 +1505,41 @@ object SparkEntry {
           col("vec_id") % 50 === 0, 5, tmp).select("query_id", "vec_id"))
     }),
 
+    // ---- ANN scale path 5: IVF-SQ8 — the cell-partitioned SQ8 layout
+    // (round 17): the point between SQ8-flat (no pruning, one-scalar
+    // ops) and IVFPQ (pruned + max compression, codebook burden). Same
+    // int8 codes and frozen scale as q_sq8_search, published one
+    // directory per coarse cell; the probed serve (nProbe=8 of 16, the
+    // probed-PQ serving point — IvfSq8Tune reads the same 0.86 recall
+    // at sf0.01, the loss being pure routing) turns its probe set into
+    // a literal partition filter so unprobed cells' FILES are never
+    // read, then exact int8 dot through TopKPerKey + exact cosine
+    // rerank. Publish re-paid in-bench by the *_indexed convention.
+    "q_ivfsq8_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_ivfsq8").toString
+      Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", tmp,
+        IvfFixture.model, candidates = 20)
+      Ann.sq8SearchByCell(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, tmp, IvfFixture.model, nProbe = 8)
+    }),
+
+    // ---- Recall audit for the probed IVF-SQ8 serve vs the exact cosine
+    // truth: prices the ROUTING loss (IvfSq8Tune: recall identical at
+    // C=20 and C=50, so nProbe is the knob — 0.86 at 8, 1.000 at 16).
+    "q_ivfsq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_ivfsq8_rec").toString
+      Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", tmp,
+        IvfFixture.model, candidates = 20)
+      recallRow(
+        Ann.cosineTopK(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, 5).select("query_id", "vec_id"),
+        Ann.sq8SearchByCell(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, 5, tmp, IvfFixture.model, nProbe = 8)
+          .select("query_id", "vec_id"))
+    }),
+
     // ---- CROSS-TIER ANN DISPATCH (Ann.annSearchAuto — the OPERATIONS.md
     // five-tier selection table as a verb, round-17 item 1): the caller
     // states a recall floor and the chooser serves from the cheapest
@@ -4046,6 +4081,23 @@ object SparkEntry {
         "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
         "AS rank FROM sq8rer) WHERE rank <= 5"),
+    // IVF-SQ8: full stage-for-stage replay (sqlIvfSq8Ctes) — the
+    // q_ann_ivf routing chain composed with the q_sq8_search
+    // quantization chain; pruning is layout, not semantics, so the
+    // probed join IS the oracle's probed join.
+    "q_ivfsq8_search" ->
+      (s"WITH ${sqlIvfSq8Ctes(20, 8)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM i8rer) WHERE rank <= 5"),
+    // Recall audit: probed IVF-SQ8 top-5 vs the exact cosine top-5.
+    "q_ivfsq8_recall" ->
+      (s"WITH ${sqlIvfSq8Ctes(20, 8)}, " +
+        "i8top AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, " +
+        "vec_id) AS rn FROM i8rer) WHERE rn <= 5), " +
+        sqlRecallVsExactCosine("i8top")),
     // Cross-tier dispatch: the 0.95 floor excludes the sign tier's
     // published 0.90, so the route is the standing SQ8 serve — the
     // indexed==fused pin makes q_sq8_search's fused oracle exact here.
@@ -5192,6 +5244,52 @@ object SparkEntry {
       s"* sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
       "FROM sq8cand c JOIN embeddings e ON c.vec_id = e.vec_id " +
       "JOIN sq8fq q ON q.query_id = c.query_id)"
+
+  /** Shared CTEs of the IVF-SQ8 oracle — mirrors [[Ann.sq8SearchByCell]]
+    * stage for stage: the q_ann_ivf cell assignment (argmax of the
+    * sequential-fold cosine against the centroid literals — corpus rn=1,
+    * queries rn<=nProbe), the q_sq8_search quantization chain (corpus-max
+    * scale, HALF_UP int8), EXACT integer dot restricted to each query's
+    * probed cells (a vector lives in exactly one cell, so the probed
+    * join yields each (query, vec) at most once), top-`candidates` by
+    * (iscore DESC, vec_id), exact cosine rerank.
+    */
+  private def sqlIvfSq8Ctes(candidates: Int, nProbe: Int): String =
+    s"$sqlCentsCte, " +
+    "i8cor AS (SELECT vec_id, embedding, " +
+      s"sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings), " +
+    "i8asn AS (SELECT vec_id, cell FROM " +
+      "(SELECT c.vec_id, ct.cid AS cell, row_number() OVER (PARTITION BY c.vec_id " +
+      s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
+      "FROM i8cor c, cents ct) WHERE rn = 1), " +
+    "i8qp AS (SELECT query_id, cell FROM " +
+      "(SELECT c.vec_id AS query_id, ct.cid AS cell, " +
+      "row_number() OVER (PARTITION BY c.vec_id " +
+      s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
+      s"FROM i8cor c, cents ct WHERE c.vec_id % 50 = 0) WHERE rn <= $nProbe), " +
+    "i8s AS (SELECT max(list_max(list_transform(embedding, " +
+      "x -> abs(x::DOUBLE)))) AS s FROM embeddings), " +
+    "i8c AS (SELECT vec_id, list_transform(embedding, x -> " +
+      "CAST(GREATEST(-127.0, LEAST(127.0, ROUND(x::DOUBLE * 127.0 / " +
+      "i8s.s))) AS BIGINT)) AS qv FROM embeddings, i8s), " +
+    "i8q AS (SELECT vec_id AS query_id, qv AS qqv FROM i8c " +
+      "WHERE vec_id % 50 = 0), " +
+    "i8sc AS (SELECT p.query_id, a.vec_id, " +
+      s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
+      "qq.qqv[CAST(i AS INT)] * cc.qv[CAST(i AS INT)]), (acc, x) -> acc + x) " +
+      "AS iscore FROM i8qp p JOIN i8asn a ON p.cell = a.cell " +
+      "JOIN i8c cc ON cc.vec_id = a.vec_id " +
+      "JOIN i8q qq ON qq.query_id = p.query_id), " +
+    "i8cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, " +
+      s"vec_id) AS rn FROM i8sc) WHERE rn <= $candidates), " +
+    "i8fq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
+      "WHERE vec_id % 50 = 0), " +
+    "i8rer AS (SELECT c.query_id, c.vec_id, " +
+      s"${sqlDot("q.qe", "e.embedding")} / (sqrt(${sqlDot("q.qe", "q.qe")}) " +
+      s"* sqrt(${sqlDot("e.embedding", "e.embedding")})) AS sim " +
+      "FROM i8cand c JOIN embeddings e ON c.vec_id = e.vec_id " +
+      "JOIN i8fq q ON q.query_id = c.query_id)"
 
   /** Hyperplane bucket id (mirrors Ann.bucketId): bit p = sign of the
     * sequential-fold projection onto the ±1 plane literal — exact FP parity

@@ -1698,6 +1698,156 @@ object Ann {
   }
 
   // =========================================================================
+  // IVF-SQ8 — the cell-partitioned SQ8 layout (round 17): the point on
+  // the compression spectrum between SQ8-flat (no pruning, trivial ops)
+  // and IVFPQ (pruned AND maximally compressed, codebook burden). Same
+  // int8 codes and frozen scale as the flat tier, laid out one directory
+  // per coarse cell like [[writePqIndexByCell]], so a probed serve reads
+  // nProbe/nCells of the code FILES — IVFPQ's pruning economics at SQ8's
+  // ops burden. The refreeze surface is deliberately asymmetric: the
+  // scale gates code VALIDITY (a grid change rebuilds, exactly the flat
+  // tier's rule), while the centroids gate only ROUTING quality — a
+  // drifted centroid degrades recall gradually, it never invalidates a
+  // code. Public knowledge: FAISS's IVF-SQ index family.
+  // =========================================================================
+
+  /** Coarse-cell column as a pure pass-through projection — the
+    * [[assignedOver]]/[[pqCorpus]] argmax (cosine score DESC, lowest cid
+    * on ties; `greatest` over structs, codegen'd) kept column-generic so
+    * the cell publishers can carry their code columns through without a
+    * corpus self-join. Requires [[withNorm]]'s emb_d/norm on the input.
+    */
+  private def withCell(df: DataFrame,
+                       cs: Array[(Int, Seq[Double])]): DataFrame = {
+    val scored = cs.map { case (cid, v) =>
+      struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm"))
+        .as("score"), lit(-cid.toLong).as("ncid"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    df.withColumn("cell", -best.getField("ncid"))
+  }
+
+  /** Publish [[writeSq8Index]]'s codes CELL-PARTITIONED under `coarse`:
+    * same frozen scale, same sidecar contract (published C, optional
+    * measured recall), plus the coarse cell as the partition column —
+    * one publish-time shuffle (repartition by cell so each cell lands
+    * as one file, the [[writePqIndexByCell]] small-files guard). Serve
+    * with [[sq8SearchByCell]]; compact with
+    * [[compactSq8IndexByCellIfNeeded]]. Returns the scale it froze.
+    */
+  def writeSq8IndexByCell(emb: DataFrame, idCol: String, embCol: String,
+                          dir: String, coarse: IvfModel,
+                          candidates: Int = 20,
+                          measuredRecall: Option[Double] = None): Double = {
+    require(candidates > 0,
+      s"writeSq8IndexByCell: candidates must be positive, got $candidates")
+    val s = sq8MaxAbs(emb, embCol)
+    withCell(withNorm(emb, embCol), coarse.centroids)
+      .select(col(idCol).as("vec_id"), col("cell"),
+        sq8QuantCol(col(embCol), s).as("qv"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    emb.sparkSession.range(1).select(lit(s).as("scale"),
+        lit(candidates).as("candidates"),
+        measuredRecall.map(lit(_)).getOrElse(lit(null)).cast("double")
+          .as("recall"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
+    s
+  }
+
+  /** Batch-only append to a cell-partitioned SQ8 index: quantize under
+    * the PUBLISHED scale (saturating, the flat append's contract), route
+    * by the SAME centroids the publish used, append under the cell
+    * directories. One file per touched cell per batch — the same
+    * small-files drift as every partitioned tier, cleaned by
+    * [[compactSq8IndexByCellIfNeeded]] from the nightly job. The
+    * partitioned pre-write repartition skips empty batches, so no
+    * empty-batch guard is needed (the appendPqIndexByCell precedent).
+    */
+  def appendSq8IndexByCell(embBatch: DataFrame, idCol: String,
+                           embCol: String, dir: String,
+                           coarse: IvfModel): Unit = {
+    val s = sq8IndexScale(embBatch.sparkSession, dir)
+    withCell(withNorm(embBatch, embCol), coarse.centroids)
+      .select(col(idCol).as("vec_id"), col("cell"),
+        sq8QuantCol(col(embCol), s).as("qv"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+  }
+
+  /** The cell tier's compaction policy applied to the SQ8 cell dir —
+    * [[compactPqIndexByCellIfNeeded]] IS the mechanism (it is
+    * schema-agnostic: it rewrites whatever cell-partitioned rows the dir
+    * holds); this alias just routes it at the right subdir with the
+    * tier's name on it.
+    */
+  def compactSq8IndexByCellIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String,
+                                    maxFilesPerCell: Int = 16): Option[Int] =
+    compactPqIndexByCellIfNeeded(spark, s"$dir/codes", maxFilesPerCell)
+
+  /** Probed serve against a standing [[writeSq8IndexByCell]] index:
+    * rank the nProbe best cells per query by the SAME argmax score the
+    * publish routed with, turn the batch's probed-cell union into a
+    * literal partition filter (static pruning — the [[pqSearchWith]]
+    * decision, for the same AQE/DPP reason), then the standard SQ8 two
+    * stages over the surviving cells' codes only: exact int8 dot
+    * through the bounded-heap TopKPerKey, exact cosine refine. Stage-1
+    * I/O is nProbe/nCells of the code bytes — the sublinear path the
+    * layout exists for. `candidates` <= 0 serves at the published C.
+    * Recall now depends on (nProbe, C) jointly and is corpus-dependent
+    * through the routing — audit with q_ivfsq8_recall's shape and
+    * publish the figure via `measuredRecall`, the sign-tier rule.
+    */
+  def sq8SearchByCell(emb: DataFrame, idCol: String, embCol: String,
+                      queryPred: Column, k: Int, dir: String,
+                      coarse: IvfModel,
+                      nProbe: Int = PqProbeServingPoint,
+                      candidates: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val (s, published, _) = sq8IndexMeta(spark, dir)
+    val c = if (candidates > 0) candidates else published
+    val (codes, partitioned) = readCodeIndex(spark, s"$dir/codes")
+    require(partitioned,
+      s"$dir/codes is not cell-partitioned (no cell= directories) — " +
+        "serve flat SQ8 indexes with sq8SearchIndexed")
+    val q0 = withNorm(emb, embCol).filter(queryPred)
+      .select(col(idCol).as("query_id"), col("emb_d"), col("norm"),
+        sq8QuantCol(col(embCol), s).as("qqv"))
+    val exploded = q0.withColumn("__c", explode(centLit(coarse.centroids)))
+    val probed0 =
+      if (nProbe >= coarse.centroids.length) exploded
+      else {
+        // the ivfSearch probe ranking: score DESC, cid ASC
+        val wp = Window.partitionBy("query_id")
+          .orderBy((dot(col("emb_d"), col("__c.cv")) / col("norm")).desc,
+            col("__c.cid"))
+        exploded.withColumn("__rn", row_number().over(wp))
+          .filter(col("__rn") <= nProbe)
+      }
+    val probedRaw = probed0.select(col("query_id"), col("qqv"),
+      col("__c.cid").cast("long").as("cell"))
+    val pruning = nProbe < coarse.centroids.length
+    // pin before the pruning collect — |Q|·nProbe rows by contract;
+    // without it the collect and the scoring join each re-run the whole
+    // query-side scan + ranking (the pqSearchWith pin)
+    val probed = if (pruning) probedRaw.localCheckpoint(true) else probedRaw
+    val prunedCodes =
+      if (pruning) {
+        val cellsHit = probed.select("cell").distinct().collect()
+          .map(_.getLong(0))
+        codes.filter(col("cell").isin(cellsHit: _*))
+      } else codes
+    val scored = broadcast(probed).join(prunedCodes, "cell")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.dot_product_i8(col("qqv"), col("qv")).as("iscore"))
+    val cand = graft.plans.TopKPerKey.topKPerKey(scored, Seq("query_id"),
+        Seq("iscore" -> false, "vec_id" -> true), c)
+      .select("query_id", "vec_id")
+    rerankByCosine(emb, idCol, embCol, queryPred, k, cand)
+  }
+
+  // =========================================================================
   // Sign-bit (1-bit) tier — the extreme-compression end of the quantized
   // spectrum next to SQ8 (8-bit) and PQ (sub-byte product codes): each
   // vector's dimension signs pack into ⌈dims/32⌉ 32-bit lanes (16x fewer
@@ -2062,11 +2212,16 @@ object Ann {
                     signDir: Option[String] = None,
                     pqDir: Option[String] = None,
                     pqModel: Option[PqModel] = None,
-                    pqCoarse: Option[IvfModel] = None): DataFrame = {
+                    pqCoarse: Option[IvfModel] = None,
+                    ivfSq8Dir: Option[String] = None,
+                    ivfSq8Coarse: Option[IvfModel] = None): DataFrame = {
     val spark = emb.sparkSession
     require(pqDir.isEmpty == pqModel.isEmpty,
       "annSearchAuto: pqDir and pqModel come together (codes are " +
         "unreadable without the codebooks that wrote them)")
+    require(ivfSq8Dir.isEmpty == ivfSq8Coarse.isEmpty,
+      "annSearchAuto: ivfSq8Dir and ivfSq8Coarse come together (codes " +
+        "are unroutable without the centroids that partitioned them)")
     val standing = Seq.newBuilder[(String, Long, Double)]
     sq8Dir.foreach { d =>
       // the recall held against the floor must track the index's
@@ -2092,6 +2247,14 @@ object Ann {
       val recall = if (form == "probed") PqProbedFrozenRecall else 1.0
       standing += (("pq", dirDataBytes(spark, d), recall))
     }
+    ivfSq8Dir.foreach { d =>
+      // routed recall is corpus-dependent through the centroids, so only
+      // a publish-time measured figure can claim a floor — the sign-tier
+      // rule (an unaudited publish counts 0.0)
+      val (_, _, rec) = sq8IndexMeta(spark, d)
+      standing += (("ivfsq8", dirDataBytes(spark, s"$d/codes"),
+        rec.getOrElse(0.0)))
+    }
     annServeBranch(recallFloor, standing.result()) match {
       case ("exact", _) =>
         cosineTopK(emb, idCol, embCol, queryPred, k)
@@ -2102,6 +2265,9 @@ object Ann {
       case ("pq", _) =>
         pqSearchAuto(emb, idCol, embCol, pqModel.get, queryPred, k,
           pqCoarse, indexDir = pqDir)
+      case ("ivfsq8", _) =>
+        sq8SearchByCell(emb, idCol, embCol, queryPred, k, ivfSq8Dir.get,
+          ivfSq8Coarse.get)
       case _ =>
         sq8Search(emb, idCol, embCol, queryPred, k, 20)
     }

@@ -850,6 +850,132 @@ class AnnSpec extends SparkSpec {
     assert(again == grown)
   }
 
+  // ---- IVF-SQ8 cell-partitioned tier (round 17).
+
+  test("sq8SearchByCell matches a driver-side replay of route -> probe -> int-dot -> rerank") {
+    import graft.operators.IvfFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8")
+      .toString
+    Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", dir,
+      IvfFixture.model, candidates = 20)
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val scale = vecs.flatMap(_._2).map(x => math.abs(x.toDouble)).max
+    def q8(x: Double): Long = {
+      val r = BigDecimal(x * 127.0 / scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      math.max(-127L, math.min(127L, r))
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = IvfFixture.model.centroids
+    def cellOf(v: Array[Float]): Int = {
+      val vd = v.map(_.toDouble).toSeq
+      val n = math.sqrt(vd.map(x => x * x).sum)
+      cents.map { case (cid, cv) =>
+        (vd.indices.map(i => vd(i) * cv(i)).sum / n, cid)
+      }.maxBy { case (s, cid) => (s, -cid) }._2
+    }
+    def probeOf(v: Array[Float], nProbe: Int): Set[Int] = {
+      val vd = v.map(_.toDouble).toSeq
+      val n = math.sqrt(vd.map(x => x * x).sum)
+      cents.map { case (cid, cv) =>
+        (vd.indices.map(i => vd(i) * cv(i)).sum / n, cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nProbe).map(_._2).toSet
+    }
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val quant = vecs.map { case (id, v) => id -> v.map(x => q8(x.toDouble)) }
+    val fvecs = vecs.map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    val expected = vecs.filter(_._1 % 50 == 0).map { case (q, qv) =>
+      val probe = probeOf(qv, 8)
+      val qq = qv.map(x => q8(x.toDouble))
+      val cand = quant.filter { case (id, _) => probe(cells(id)) }
+        .map { case (id, cv) =>
+          (id, cv.indices.map(i => qq(i) * cv(i)).sum) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(20).map(_._1)
+      q -> cand.map(id => (id, cos(fvecs(q), fvecs(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5, dir,
+        IvfFixture.model, nProbe = 8)
+      .orderBy("query_id", "rank").select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("ivf-sq8 lifecycle: append routes by the published centroids, compact preserves the serve, C defaults published") {
+    import graft.operators.IvfFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8lc")
+      .toString
+    // grown index (publish 7/8 under the 7/8 scale + append the %8
+    // slice) must equal the same-scale fused composition — pin the
+    // equivalence against the MONOLITHIC publish only when scales match,
+    // so publish both sides from the same 7/8 corpus
+    Ann.writeSq8IndexByCell(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", s"$dir/grown", IvfFixture.model)
+    Ann.appendSq8IndexByCell(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/grown", IvfFixture.model)
+    val grown = Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5,
+        s"$dir/grown", IvfFixture.model, nProbe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    // compaction: the policy fires at depth 2 (publish + append files
+    // in the appended cells) and the serve is unchanged
+    assert(Ann.compactSq8IndexByCellIfNeeded(spark, s"$dir/grown",
+      maxFilesPerCell = 1).nonEmpty)
+    val afterCompact = Ann.sq8SearchByCell(emb, "vec_id", "embedding",
+        pred, 5, s"$dir/grown", IvfFixture.model, nProbe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterCompact == grown)
+    // published-C default == explicit C
+    val atPublished = Ann.sq8SearchByCell(emb, "vec_id", "embedding",
+        pred, 5, s"$dir/grown", IvfFixture.model, nProbe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val explicit = Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred,
+        5, s"$dir/grown", IvfFixture.model, nProbe = 8, candidates = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(atPublished == explicit)
+    // probing EVERY cell must equal the flat SQ8 serve under the same
+    // scale (pruning only ever removes cells, never reorders scores):
+    // publish flat from the identical corpus and compare
+    val sOld = Ann.writeSq8Index(emb.filter($"vec_id" % 8 =!= 0),
+      "vec_id", "embedding", s"$dir/flat")
+    Ann.appendSq8Index(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/flat")
+    val allCells = Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred,
+        5, s"$dir/grown", IvfFixture.model,
+        nProbe = IvfFixture.model.centroids.length)
+      .orderBy("query_id", "rank").collect().toSeq
+    val flat = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred, 5,
+        s"$dir/flat").orderBy("query_id", "rank").collect().toSeq
+    assert(allCells == flat)
+  }
+
+  test("ivf-sq8 probed recall@5 vs exact cosine clears the routed floor on the fixture") {
+    import graft.operators.IvfFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8r")
+      .toString
+    Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", dir,
+      IvfFixture.model)
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5,
+        dir, IvfFixture.model, nProbe = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ivf-sq8 recall@5 (nProbe=8, C=20): $recall%.3f")
+    // the loss vs flat SQ8's 1.000 is pure ROUTING: the IvfSq8Tune sweep
+    // reads identical recall at C=20 and C=50 on both small fixtures
+    // (0.76 here, 0.86 at sf0.01 — the probed-PQ entry — rising to 1.000
+    // at nProbe=16), so the knob that buys recall is nProbe, not C.
+    // Floor 0.70 with refreeze headroom on this 10-query fixture (each
+    // query is 0.02 of recall).
+    assert(recall >= 0.70, f"recall $recall%.3f under the 0.70 floor")
+  }
+
   // ---- Sign-bit (1-bit Hamming) tier (round 16).
 
   test("hammingSearch matches a driver-side replay of the two-stage algorithm") {
@@ -1147,6 +1273,22 @@ class AnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
         pqDir = Some(s"$dir/pq"))
+    }
+    // ivf-sq8 is dispatchable only with a PUBLISHED recall (routed
+    // recall is corpus-dependent); audited, it routes and serves at the
+    // probed-PQ serving point
+    Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", s"$dir/ivfsq8",
+      IvfFixture.model, candidates = 20, measuredRecall = Some(0.86))
+    val viaIvfSq8 = Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.85, ivfSq8Dir = Some(s"$dir/ivfsq8"),
+        ivfSq8Coarse = Some(IvfFixture.model))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaIvfSq8 == Ann.sq8SearchByCell(emb, "vec_id", "embedding",
+        pred, 5, s"$dir/ivfsq8", IvfFixture.model)
+      .orderBy("query_id", "rank").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        ivfSq8Dir = Some(s"$dir/ivfsq8"))
     }
   }
 

@@ -84,7 +84,11 @@ class PlanGuaranteesSpec extends SparkSpec {
       // the cross-tier dispatcher ROUTES to one of the whitelisted
       // serves (here: the standing SQ8 two-stage); tier choice itself
       // is pinned in AnnSpec via annServeBranch
-      "q_ann_auto")
+      "q_ann_auto",
+      // the IVF-SQ8 SERVE itself plans a broadcast equi-join on cell
+      // (no BNLJ — the pruned shape is the tier's point); only the
+      // recall row rides the q_ann_cosine exact-truth side
+      "q_ivfsq8_recall")
 
   test("no query plans a cartesian; BNLJ only in the documented baselines") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
