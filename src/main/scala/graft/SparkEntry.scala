@@ -5220,16 +5220,25 @@ object SparkEntry {
     * day-2 row freezes it on the PUBLISH-time subset while codes cover
     * the appended corpus too (the frozen-grid append contract).
     */
-  private def sqlSq8Ctes(candidates: Int, scaleWhere: String = ""): String =
-    "sq8s AS (SELECT max(list_max(list_transform(embedding, " +
+  /** The SQ8 quantization CTE chain (`{p}s` scale → `{p}c` int8 codes →
+    * `{p}q` query codes) under a name prefix — ONE home for the HALF_UP
+    * clamp formulation, shared by the flat and cell-partitioned oracles
+    * (round-17 review: the ivf-sq8 oracle had copy-pasted it, the exact
+    * per-tier duplication the round-16 recall-CTE factoring abolished).
+    * The scale rides in as a joined column: DuckDB forbids subqueries
+    * inside lambda bodies.
+    */
+  private def sqlSq8QuantCtes(p: String, scaleWhere: String = ""): String =
+    s"${p}s AS (SELECT max(list_max(list_transform(embedding, " +
       s"x -> abs(x::DOUBLE)))) AS s FROM embeddings $scaleWhere), " +
-    // the scale rides in as a joined column: DuckDB forbids subqueries
-    // inside lambda bodies
-    "sq8c AS (SELECT vec_id, list_transform(embedding, x -> " +
+    s"${p}c AS (SELECT vec_id, list_transform(embedding, x -> " +
       "CAST(GREATEST(-127.0, LEAST(127.0, ROUND(x::DOUBLE * 127.0 / " +
-      "sq8s.s))) AS BIGINT)) AS qv FROM embeddings, sq8s), " +
-    "sq8q AS (SELECT vec_id AS query_id, qv AS qqv FROM sq8c " +
-      "WHERE vec_id % 50 = 0), " +
+      s"${p}s.s))) AS BIGINT)) AS qv FROM embeddings, ${p}s), " +
+    s"${p}q AS (SELECT vec_id AS query_id, qv AS qqv FROM ${p}c " +
+      "WHERE vec_id % 50 = 0)"
+
+  private def sqlSq8Ctes(candidates: Int, scaleWhere: String = ""): String =
+    sqlSq8QuantCtes("sq8", scaleWhere) + ", " +
     s"sq8sc AS (SELECT query_id, sq8c.vec_id, " +
       s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       "qqv[CAST(i AS INT)] * qv[CAST(i AS INT)]), (acc, x) -> acc + x) " +
@@ -5267,13 +5276,7 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY c.vec_id " +
       s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
       s"FROM i8cor c, cents ct WHERE c.vec_id % 50 = 0) WHERE rn <= $nProbe), " +
-    "i8s AS (SELECT max(list_max(list_transform(embedding, " +
-      "x -> abs(x::DOUBLE)))) AS s FROM embeddings), " +
-    "i8c AS (SELECT vec_id, list_transform(embedding, x -> " +
-      "CAST(GREATEST(-127.0, LEAST(127.0, ROUND(x::DOUBLE * 127.0 / " +
-      "i8s.s))) AS BIGINT)) AS qv FROM embeddings, i8s), " +
-    "i8q AS (SELECT vec_id AS query_id, qv AS qqv FROM i8c " +
-      "WHERE vec_id % 50 = 0), " +
+    sqlSq8QuantCtes("i8") + ", " +
     "i8sc AS (SELECT p.query_id, a.vec_id, " +
       s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       "qq.qqv[CAST(i AS INT)] * cc.qv[CAST(i AS INT)]), (acc, x) -> acc + x) " +

@@ -197,7 +197,8 @@ object Ann {
         .collect()
       val updated = means.map { r =>
         val mm = r.getMap[Int, Double](1)
-        (r.getInt(0), unit((0 until Dim).map(i => mm.getOrElse(i, 0.0))))
+        // cell is BIGINT (the shared withCell definition)
+        (r.getLong(0).toInt, unit((0 until Dim).map(i => mm.getOrElse(i, 0.0))))
       }
       // keep unassigned (empty) cells' previous centroid
       val byId = updated.toMap
@@ -218,29 +219,16 @@ object Ann {
       struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
     }: _*)
 
-  /** Cell assignment — the ONE definition both training and search use
-    * (cell semantics drifting between the two directly costs recall).
-    * A PURE PROJECTION: per-row argmax over the (small, literal) centroid
-    * set — highest score, lowest cid on ties — instead of exploding
-    * corpus x nCells and shuffling through a window; each Lloyd iteration
-    * (and the final cell labeling) thus costs zero exchanges on the
-    * corpus side. The argmax is `greatest` over (score, -cid) structs —
-    * struct comparison is lexicographic and greatest is codegen'd, where
-    * an aggregate-over-array fold would run interpreted per corpus row.
-    * (Degenerate all-NaN scores — a zero vector — pick cell 0 here vs a
-    * fold's -1 sentinel; both are arbitrary, and no real embedding hits
-    * it.)
+  /** Cell assignment in the (vec_id, cell, emb_d) shape training and
+    * IVF search consume — a projection over [[withCell]], the ONE
+    * argmax definition (round-17 review: a third inline copy of the
+    * argmax had appeared; cell semantics drifting between publish-time
+    * routing and serve-time probing directly costs recall).
     */
   private def assignedOver(corpus: DataFrame,
-                           cs: Array[(Int, Seq[Double])]): DataFrame = {
-    val scored = cs.map { case (cid, v) =>
-      struct((dot(col("emb_d"), array(v.map(lit): _*)) / col("norm")).as("score"),
-        lit(-cid).as("ncid"))
-    }
-    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
-    corpus.withColumn("__b", best)
-      .select(col("vec_id"), (-col("__b.ncid")).as("cell"), col("emb_d"))
-  }
+                           cs: Array[(Int, Seq[Double])]): DataFrame =
+    withCell(corpus, cs)
+      .select(col("vec_id"), col("cell"), col("emb_d"))
 
   /** Probe-and-verify search against a trained [[IvfModel]]. */
   def ivfSearch(emb: DataFrame, idCol: String, embCol: String,
@@ -1225,6 +1213,23 @@ object Ann {
     * join key cast-free, so the static cell filter prunes at the
     * partition level.
     */
+  /** STATIC cell pruning shared by the probed cell-partitioned serves
+    * ([[pqSearchWith]]'s decision, applied by IVF-SQ8 too): collect the
+    * batch's probed-cell union (bounded by ≤ |queries|·nProbe — the same
+    * bound that lets the probe set broadcast at all, and `probed` must
+    * already be pinned by the caller so this collect doesn't re-run the
+    * query-side ranking) into a SORTED literal IN filter — sorted for a
+    * deterministic plan/filter literal order — so unprobed cells' FILES
+    * are never read. Chosen over Spark's dynamic partition pruning for
+    * the reason documented at the pqSearchWith call site.
+    */
+  private def filterToProbedCells(codes: DataFrame,
+                                  probed: DataFrame): DataFrame = {
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    codes.filter(col("cell").isin(cells: _*))
+  }
+
   private def readCodeIndex(spark: org.apache.spark.sql.SparkSession,
                             indexDir: String): (DataFrame, Boolean) = {
     val raw = spark.read.parquet(indexDir)
@@ -1339,11 +1344,7 @@ object Ann {
         // filter would prune nothing and the collect would be a wasted
         // job.
         val prunedCodes =
-          if (pruning) {
-            val cells = probed.select(col("cell")).distinct()
-              .collect().map(_.getLong(0)).sorted
-            codeLong.filter(col("cell").isin(cells: _*))
-          } else codeLong
+          if (pruning) filterToProbedCells(codeLong, probed) else codeLong
         prunedCodes.join(broadcast(lut), Seq("cell", "j", "c"))
           .groupBy("query_id", "vec_id")
           .agg(sum(col("d2_e12")).as("ad2_e12"))
@@ -1611,25 +1612,34 @@ object Ann {
                     dir: String): Double =
     spark.read.parquet(s"$dir/scale").first().getDouble(0)
 
-  /** The published (scale, candidates, recall) of a standing SQ8 index —
-    * the same one-row read as [[sq8IndexScale]], all fields. TOLERANT of
-    * sidecars written before the candidates/recall columns existed
-    * (candidates defaults to the pinned 20, recall to None): the
-    * OPERATIONS.md contract is that only a GRID change forces a rebuild,
-    * so a sidecar-schema addition must not strand an old index
-    * (review round 17 — the strict read made every pre-round-17 index
-    * unservable while its appends kept succeeding).
+  /** The published serve parameters of a standing SQ8-family index (flat
+    * or cell-partitioned): the frozen scale, the candidate count C, the
+    * optional audited recall, the probe width the recall was measured at
+    * (cell tier only — the flat tier has no cells to probe), and the
+    * publish-time corpus size the cell tier's drift guard compares
+    * against. TOLERANT of sidecars written before each column existed
+    * (candidates → the pinned 20, nProbe → the probed serving point,
+    * recall/nVectors → None): the OPERATIONS.md contract is that only a
+    * GRID change forces a rebuild, so a sidecar-schema addition must not
+    * strand an old index (review round 17 — the strict read made every
+    * pre-round-17 index unservable while its appends kept succeeding).
     */
+  private final case class Sq8Meta(scale: Double, candidates: Int,
+                                   recall: Option[Double], nProbe: Int,
+                                   nVectors: Option[Long])
+
   private def sq8IndexMeta(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): (Double, Int, Option[Double]) = {
+                           dir: String): Sq8Meta = {
     val r = spark.read.parquet(s"$dir/scale").first()
     val fields = r.schema.fieldNames.toSet
-    val c = if (fields("candidates")) r.getAs[Int]("candidates") else 20
-    val rec =
-      if (fields("recall") && !r.isNullAt(r.fieldIndex("recall")))
-        Some(r.getAs[Double]("recall"))
+    def opt[T](name: String)(get: => T): Option[T] =
+      if (fields(name) && !r.isNullAt(r.fieldIndex(name))) Some(get)
       else None
-    (r.getAs[Double]("scale"), c, rec)
+    Sq8Meta(r.getAs[Double]("scale"),
+      opt("candidates")(r.getAs[Int]("candidates")).getOrElse(20),
+      opt("recall")(r.getAs[Double]("recall")),
+      opt("n_probe")(r.getAs[Int]("n_probe")).getOrElse(PqProbeServingPoint),
+      opt("n_vectors")(r.getAs[Long]("n_vectors")))
   }
 
   /** INCREMENTAL PUBLISH for the SQ8 tier: quantize ONLY the day's batch
@@ -1687,13 +1697,13 @@ object Ann {
                        queryPred: Column, k: Int, dir: String,
                        candidates: Int = 0): DataFrame = {
     val spark = emb.sparkSession
-    val (s, published, _) = sq8IndexMeta(spark, dir)
-    val c = if (candidates > 0) candidates else published
+    val meta = sq8IndexMeta(spark, dir)
+    val c = if (candidates > 0) candidates else meta.candidates
     val corpusQ = spark.read.parquet(s"$dir/codes")
     val queriesQ = emb.select(col(idCol).as("vec_id"), col(embCol))
       .filter(queryPred)
       .select(col("vec_id").as("query_id"),
-        sq8QuantCol(col(embCol), s).as("qqv"))
+        sq8QuantCol(col(embCol), meta.scale).as("qqv"))
     sq8TwoStage(emb, idCol, embCol, queryPred, k, c, corpusQ, queriesQ)
   }
 
@@ -1711,11 +1721,22 @@ object Ann {
   // code. Public knowledge: FAISS's IVF-SQ index family.
   // =========================================================================
 
-  /** Coarse-cell column as a pure pass-through projection — the
-    * [[assignedOver]]/[[pqCorpus]] argmax (cosine score DESC, lowest cid
-    * on ties; `greatest` over structs, codegen'd) kept column-generic so
-    * the cell publishers can carry their code columns through without a
-    * corpus self-join. Requires [[withNorm]]'s emb_d/norm on the input.
+  /** THE cell-assignment definition (training via [[assignedOver]], IVF
+    * search, and the SQ8 cell publishers all route here — drift between
+    * any two of them directly costs recall): a column-generic pure
+    * pass-through PROJECTION adding `cell` (BIGINT) as the per-row
+    * argmax over the (small, literal) centroid set — highest cosine
+    * score, lowest cid on ties — instead of exploding corpus x nCells
+    * and shuffling through a window, so cell labeling costs zero
+    * exchanges on the corpus side. The argmax is `greatest` over
+    * (score, -cid) structs — struct comparison is lexicographic and
+    * greatest is codegen'd, where an aggregate-over-array fold would run
+    * interpreted per corpus row. (Degenerate all-NaN scores — a zero
+    * vector — pick cell 0 here vs a fold's -1 sentinel; both arbitrary,
+    * no real embedding hits it.) Requires [[withNorm]]'s emb_d/norm on
+    * the input. [[pqCorpus]]'s residual variant stays separate by
+    * necessity — its struct must also carry the winning centroid VECTOR
+    * for the residual subtraction — but states the same ordering.
     */
   private def withCell(df: DataFrame,
                        cs: Array[(Int, Seq[Double])]): DataFrame = {
@@ -1728,29 +1749,41 @@ object Ann {
   }
 
   /** Publish [[writeSq8Index]]'s codes CELL-PARTITIONED under `coarse`:
-    * same frozen scale, same sidecar contract (published C, optional
-    * measured recall), plus the coarse cell as the partition column —
+    * same frozen scale, plus the coarse cell as the partition column —
     * one publish-time shuffle (repartition by cell so each cell lands
-    * as one file, the [[writePqIndexByCell]] small-files guard). Serve
-    * with [[sq8SearchByCell]]; compact with
+    * as one file, the [[writePqIndexByCell]] small-files guard). The
+    * sidecar publishes the full serve CONTRACT: C, `nProbe` — the knob
+    * that actually governs this tier's recall (IvfSq8Tune: recall is
+    * C-independent, nProbe-driven), so a measured recall stays BOUND to
+    * the probe width it was measured at and the default serve runs at
+    * exactly that width (round-17 review: publishing the non-governing
+    * knob let a wide-probe audit claim a floor the default narrow serve
+    * didn't clear) — plus the publish-time corpus size for the drift
+    * guard (routing recall is corpus-dependent through the centroids,
+    * the sign-tier rule). Serve with [[sq8SearchByCell]]; compact with
     * [[compactSq8IndexByCellIfNeeded]]. Returns the scale it froze.
     */
   def writeSq8IndexByCell(emb: DataFrame, idCol: String, embCol: String,
                           dir: String, coarse: IvfModel,
                           candidates: Int = 20,
+                          nProbe: Int = PqProbeServingPoint,
                           measuredRecall: Option[Double] = None): Double = {
     require(candidates > 0,
       s"writeSq8IndexByCell: candidates must be positive, got $candidates")
+    require(nProbe > 0,
+      s"writeSq8IndexByCell: nProbe must be positive, got $nProbe")
     val s = sq8MaxAbs(emb, embCol)
     withCell(withNorm(emb, embCol), coarse.centroids)
       .select(col(idCol).as("vec_id"), col("cell"),
         sq8QuantCol(col(embCol), s).as("qv"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    val n = parquetRowCount(emb.sparkSession, s"$dir/codes")
     emb.sparkSession.range(1).select(lit(s).as("scale"),
         lit(candidates).as("candidates"),
         measuredRecall.map(lit(_)).getOrElse(lit(null)).cast("double")
-          .as("recall"))
+          .as("recall"),
+        lit(nProbe).as("n_probe"), lit(n).as("n_vectors"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
     s
   }
@@ -1794,50 +1827,64 @@ object Ann {
     * stages over the surviving cells' codes only: exact int8 dot
     * through the bounded-heap TopKPerKey, exact cosine refine. Stage-1
     * I/O is nProbe/nCells of the code bytes — the sublinear path the
-    * layout exists for. `candidates` <= 0 serves at the published C.
-    * Recall now depends on (nProbe, C) jointly and is corpus-dependent
-    * through the routing — audit with q_ivfsq8_recall's shape and
-    * publish the figure via `measuredRecall`, the sign-tier rule.
+    * layout exists for. `candidates` <= 0 serves at the published C and
+    * `nProbe` <= 0 (the default) at the PUBLISHED probe width — the
+    * knob that actually governs this tier's recall (IvfSq8Tune:
+    * C-independent, nProbe-driven), so the default serve IS the audited
+    * configuration the published recall was measured at (round-17
+    * review: publishing only the non-governing knob let a wide-probe
+    * audit claim a floor the default narrow serve didn't clear); pass
+    * explicit positives to override (recall sweeps). The drift guard: a
+    * corpus grown past `maxDriftFactor` × the publish-time size fails
+    * loudly — routing recall is corpus-dependent through the now-stale
+    * centroids (the sign-tier rule and bar).
     */
   def sq8SearchByCell(emb: DataFrame, idCol: String, embCol: String,
                       queryPred: Column, k: Int, dir: String,
                       coarse: IvfModel,
-                      nProbe: Int = PqProbeServingPoint,
-                      candidates: Int = 0): DataFrame = {
+                      nProbe: Int = 0,
+                      candidates: Int = 0,
+                      maxDriftFactor: Double = SignRetuneBar): DataFrame = {
     val spark = emb.sparkSession
-    val (s, published, _) = sq8IndexMeta(spark, dir)
-    val c = if (candidates > 0) candidates else published
+    val meta = sq8IndexMeta(spark, dir)
+    val c = if (candidates > 0) candidates else meta.candidates
+    val np = if (nProbe > 0) nProbe else meta.nProbe
+    meta.nVectors.foreach { published =>
+      val n = parquetRowCount(spark, s"$dir/codes")
+      require(n <= published * maxDriftFactor,
+        s"ivf-sq8 index at $dir has grown to $n vectors from $published " +
+          s"at publish (> ${maxDriftFactor}x): routed recall at the " +
+          "published (nProbe, C) is corpus-dependent through the " +
+          "centroids — re-run graft.tools.IvfSq8Tune and republish " +
+          "(writeSq8IndexByCell) before serving")
+    }
     val (codes, partitioned) = readCodeIndex(spark, s"$dir/codes")
     require(partitioned,
       s"$dir/codes is not cell-partitioned (no cell= directories) — " +
         "serve flat SQ8 indexes with sq8SearchIndexed")
     val q0 = withNorm(emb, embCol).filter(queryPred)
       .select(col(idCol).as("query_id"), col("emb_d"), col("norm"),
-        sq8QuantCol(col(embCol), s).as("qqv"))
+        sq8QuantCol(col(embCol), meta.scale).as("qqv"))
     val exploded = q0.withColumn("__c", explode(centLit(coarse.centroids)))
     val probed0 =
-      if (nProbe >= coarse.centroids.length) exploded
+      if (np >= coarse.centroids.length) exploded
       else {
         // the ivfSearch probe ranking: score DESC, cid ASC
         val wp = Window.partitionBy("query_id")
           .orderBy((dot(col("emb_d"), col("__c.cv")) / col("norm")).desc,
             col("__c.cid"))
         exploded.withColumn("__rn", row_number().over(wp))
-          .filter(col("__rn") <= nProbe)
+          .filter(col("__rn") <= np)
       }
     val probedRaw = probed0.select(col("query_id"), col("qqv"),
       col("__c.cid").cast("long").as("cell"))
-    val pruning = nProbe < coarse.centroids.length
+    val pruning = np < coarse.centroids.length
     // pin before the pruning collect — |Q|·nProbe rows by contract;
     // without it the collect and the scoring join each re-run the whole
     // query-side scan + ranking (the pqSearchWith pin)
     val probed = if (pruning) probedRaw.localCheckpoint(true) else probedRaw
     val prunedCodes =
-      if (pruning) {
-        val cellsHit = probed.select("cell").distinct().collect()
-          .map(_.getLong(0))
-        codes.filter(col("cell").isin(cellsHit: _*))
-      } else codes
+      if (pruning) filterToProbedCells(codes, probed) else codes
     val scored = broadcast(probed).join(prunedCodes, "cell")
       .select(col("query_id"), col("vec_id"),
         graft.functions.dot_product_i8(col("qqv"), col("qv")).as("iscore"))
@@ -2231,8 +2278,9 @@ object Ann {
       // pinned 20 it was measured at — a narrower unaudited publish
       // can't claim it (review round 17: the static claim let a C=5
       // publish silently serve under a 0.99 floor)
-      val (_, c, rec) = sq8IndexMeta(spark, d)
-      val recall = rec.getOrElse(if (c >= 20) Sq8FrozenRecall else 0.0)
+      val m = sq8IndexMeta(spark, d)
+      val recall = m.recall.getOrElse(
+        if (m.candidates >= 20) Sq8FrozenRecall else 0.0)
       standing += (("sq8", dirDataBytes(spark, s"$d/codes"), recall))
     }
     signDir.foreach { d =>
@@ -2250,10 +2298,18 @@ object Ann {
     ivfSq8Dir.foreach { d =>
       // routed recall is corpus-dependent through the centroids, so only
       // a publish-time measured figure can claim a floor — the sign-tier
-      // rule (an unaudited publish counts 0.0)
-      val (_, _, rec) = sq8IndexMeta(spark, d)
-      standing += (("ivfsq8", dirDataBytes(spark, s"$d/codes"),
-        rec.getOrElse(0.0)))
+      // rule (an unaudited publish counts 0.0). The serve runs at the
+      // PUBLISHED nProbe (the knob the figure was measured at), and the
+      // priced bytes are the PROBED share — nProbe/nCells of the code
+      // bytes is what stage 1 actually reads (round-17 review: pricing
+      // full bytes made the pruned tier lose every byte comparison to
+      // the flat tier it exists to undercut)
+      val m = sq8IndexMeta(spark, d)
+      val nCells = ivfSq8Coarse.get.centroids.length
+      val frac = math.min(1.0, m.nProbe.toDouble / nCells)
+      val probedBytes =
+        math.ceil(dirDataBytes(spark, s"$d/codes") * frac).toLong
+      standing += (("ivfsq8", probedBytes, m.recall.getOrElse(0.0)))
     }
     annServeBranch(recallFloor, standing.result()) match {
       case ("exact", _) =>

@@ -40,17 +40,8 @@ object DppCheck {
     val planStr = df.queryExecution.executedPlan.toString
     planStr.linesIterator.filter(l => l.contains("dynamicpruning") ||
       l.contains("PartitionFilters")).foreach(l => println("[dpp] " + l.trim.take(300)))
-    // final-plan scan metrics under AQE
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec => allScans(q.plan)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(allScans)
-    }
-    allScans(df.queryExecution.executedPlan).foreach { s =>
+    // final-plan scan metrics under AQE (shared walker)
+    PlanScans.allScans(df.queryExecution.executedPlan).foreach { s =>
       println(s"[scan] ${s.relation.location.rootPaths.head} " +
         s"numFiles=${s.metrics.get("numFiles").map(_.value)} " +
         s"filesSize=${s.metrics.get("filesSize").map(_.value)} " +

@@ -40,24 +40,13 @@ object IvfSq8Tune {
     // Planned stage-1 I/O of ONE pinned query (the DppCheck method:
     // FileSourceScanExec numFiles/filesSize off the EXECUTED plan — the
     // static pruning claim measured, not asserted): probed vs all-cells.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: QueryStageExec => allScans(q.plan)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(allScans)
-    }
     val queryId = emb.agg(min(col("vec_id"))).first().getLong(0)
     def scanOf(np: Int): (Long, Double) = {
       val df = Ann.sq8SearchByCell(emb, "vec_id", "embedding",
         col("vec_id") === queryId, 5, dir, IvfFixture.model, nProbe = np)
       df.collect() // collect, not count: metrics live on THIS plan
-      val scans = allScans(df.queryExecution.executedPlan)
-        .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("codes")))
-      (scans.flatMap(_.metrics.get("numFiles").map(_.value)).sum,
-        scans.flatMap(_.metrics.get("filesSize").map(_.value)).sum / 1e3)
+      val (nf, bytes) = PlanScans.scanOf(df, "codes")
+      (nf, bytes / 1e3)
     }
     val (f8, kb8) = scanOf(8)
     val (fAll, kbAll) = scanOf(IvfFixture.model.centroids.length)

@@ -611,6 +611,20 @@ object ScaleProbe {
           col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
           50).count()
       }),
+      // IVF-SQ8 (round 17): probed serve against the cell-partitioned
+      // codes — the exponent should sit at or under the flat SQ8 tier's
+      // (stage 1 reads the probed cells' share of the code bytes; the
+      // query batch is diverse, so the pruning component shrinks with R
+      // the same way the pq-cell table documents)
+      "ivfsq8_idx_serve" -> (() =>
+        idxProbe("ivfsq8_idx_serve", replicateEmb) { (d, dir, _) =>
+          Ann.writeSq8IndexByCell(d, "vec_id", "embedding", dir,
+            IvfFixture.model)
+        } { (d, dir, _) =>
+          Ann.sq8SearchByCell(d, "vec_id", "embedding",
+            col("vec_id") % 20 === 0 && col("vec_id") < 10000000L, 5, dir,
+            IvfFixture.model).count()
+        }),
       // incremental CC assignment (the sixth serve tier): standing corpus
       // (labels + variant index) grows Rx as R INDEPENDENT copies of the
       // customer graph (per-copy salts are mutually lev>1, so no cross-
@@ -825,23 +839,12 @@ object ScaleProbe {
     // corpus-size-independent), both growing with the appended fraction;
     // numFiles pinned at 8 vs 16.
     val lifeResults = if (only.isEmpty || only("pq_cell_lifecycle")) {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-        case q: QueryStageExec => allScans(q.plan)
-        case s: FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(allScans)
-      }
       // (files, MB) planned for the scan(s) over the index dir, read off
       // the EXECUTED plan so AQE's final stages are the ones inspected
+      // (PlanScans — the shared AQE walker)
       def codeScan(df: DataFrame, dirPath: String): (Long, Double) = {
-        val leaf = new java.io.File(dirPath).getName
-        val scans = allScans(df.queryExecution.executedPlan).filter(
-          _.relation.location.rootPaths.exists(_.toString.contains(leaf)))
-        (scans.flatMap(_.metrics.get("numFiles").map(_.value)).sum,
-          scans.flatMap(_.metrics.get("filesSize").map(_.value)).sum / 1e6)
+        val (nf, bytes) = PlanScans.scanOf(df, new java.io.File(dirPath).getName)
+        (nf, bytes / 1e6)
       }
       def dirMb(path: String): Double = {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -925,20 +928,9 @@ object ScaleProbe {
     // publish on purpose, which is exactly what the guard exists to
     // refuse in production.
     val flatLifeResults = if (only.isEmpty || only("flat_lifecycle")) {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-        case q: QueryStageExec => allScans(q.plan)
-        case s: FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(allScans)
-      }
       def idxScan(df: DataFrame, sub: String): (Long, Double) = {
-        val scans = allScans(df.queryExecution.executedPlan).filter(
-          _.relation.location.rootPaths.exists(_.toString.endsWith(sub)))
-        (scans.flatMap(_.metrics.get("numFiles").map(_.value)).sum,
-          scans.flatMap(_.metrics.get("filesSize").map(_.value)).sum / 1e6)
+        val (nf, bytes) = PlanScans.scanOf(df, sub)
+        (nf, bytes / 1e6)
       }
       val queryId = embBase.agg(min(col("vec_id"))).first().getLong(0)
       def saltedBatch(r: Int, idBase: Long): DataFrame =

@@ -954,6 +954,45 @@ class AnnSpec extends SparkSpec {
     assert(allCells == flat)
   }
 
+  test("ivf-sq8 publish binds the probe width; corpus drift past the bar refuses the serve") {
+    import graft.operators.IvfFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8np")
+      .toString
+    // publish audited at the WIDE probe: the default serve must run at
+    // exactly that width — the published recall is bound to the nProbe
+    // it was measured at (round-17 review: publishing only C let a
+    // wide-probe audit claim a floor the narrow default didn't clear)
+    Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", s"$dir/wide",
+      IvfFixture.model, nProbe = 16, measuredRecall = Some(1.0))
+    val byDefault = Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred,
+        5, s"$dir/wide", IvfFixture.model)
+      .orderBy("query_id", "rank").collect().toSeq
+    val at16 = Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5,
+        s"$dir/wide", IvfFixture.model, nProbe = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(byDefault == at16)
+    // the dispatcher therefore serves the audited configuration
+    val auto = Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.95, ivfSq8Dir = Some(s"$dir/wide"),
+        ivfSq8Coarse = Some(IvfFixture.model))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(auto == at16)
+    // drift guard: tiny publish + >2x append -> the serve demands a
+    // retune instead of silently serving stale-centroid routing
+    Ann.writeSq8IndexByCell(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/drift", IvfFixture.model)
+    Ann.appendSq8IndexByCell(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", s"$dir/drift", IvfFixture.model)
+    val e = intercept[IllegalArgumentException] {
+      Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5,
+        s"$dir/drift", IvfFixture.model)
+    }
+    assert(e.getMessage.contains("IvfSq8Tune"))
+    // an explicit wider bar serves through it knowingly
+    Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5,
+      s"$dir/drift", IvfFixture.model, maxDriftFactor = 16.0).collect()
+  }
+
   test("ivf-sq8 probed recall@5 vs exact cosine clears the routed floor on the fixture") {
     import graft.operators.IvfFixture
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8r")
