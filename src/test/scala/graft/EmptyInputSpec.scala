@@ -270,6 +270,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(Bpe.train(noDocs, "text", 3, batchM = 2).count() == 0)
   }
 
+  test("round-17 quantized serves tolerate an empty QUERY batch") {
+    // an empty query set is routine (a tenant with no traffic this
+    // batch); every serve must return zero rows, not throw — including
+    // the probed tier, whose pruning collect sees zero probed cells and
+    // must produce an empty (not failing) isin filter
+    import graft.operators.IvfFixture
+    val emb = Seq((1L, Array.fill(Ann.Dim)(0.5f)), (2L, Array.fill(Ann.Dim)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val noneMatch = col("vec_id") < 0
+    assert(Ann.sq8Search(emb, "vec_id", "embedding", noneMatch, 5, 20)
+      .count() == 0)
+    assert(Ann.hammingSearch(emb, "vec_id", "embedding", noneMatch, 5, 50)
+      .count() == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptyq")
+      .toString
+    Ann.writeSq8Index(emb, "vec_id", "embedding", s"$dir/sq8")
+    assert(Ann.sq8SearchIndexed(emb, "vec_id", "embedding", noneMatch, 5,
+      s"$dir/sq8").count() == 0)
+    Ann.writeSignIndex(emb, "vec_id", "embedding", s"$dir/sign")
+    assert(Ann.hammingSearchIndexed(emb, "vec_id", "embedding", noneMatch,
+      5, s"$dir/sign").count() == 0)
+    Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", s"$dir/ivfsq8",
+      IvfFixture.model)
+    assert(Ann.sq8SearchByCell(emb, "vec_id", "embedding", noneMatch, 5,
+      s"$dir/ivfsq8", IvfFixture.model).count() == 0)
+    assert(Ann.annSearchAuto(emb, "vec_id", "embedding", noneMatch, 5,
+      recallFloor = 0.95, sq8Dir = Some(s"$dir/sq8")).count() == 0)
+  }
+
   test("sampling/packing/clustering tolerate empty input") {
     assert(Sampling.hashSample(noDocs, "doc_id", 200).count() == 0)
     assert(Sampling.weightedSample(
