@@ -59,6 +59,18 @@ object Bench {
     else (attemptsSoFar - publishAttemptsSoFar) < nRuns &&
       lastWallSec <= cutoffSec
 
+  /** Positional parse of the provenance map's per-entry window count —
+    * the freeze tooling (tools/freeze_baseline.py) fixes each entry's
+    * key order to (frozen_s, n_windows, ...) precisely so this grep
+    * needs no JSON parser; BaselineProvenanceSpec pins it against a
+    * real JSON read so tool and grep can never drift.
+    */
+  private[graft] def parseBaselineWindows(txt: String): Map[String, Int] =
+    ("\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"frozen_s\"\\s*:\\s*" +
+      "[0-9.eE+-]+\\s*,\\s*\"n_windows\"\\s*:\\s*(\\d+)").r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+
   /** Recheck-eligibility classification of one finished row, pure for
     * the spec. `Eligible` rows re-run after the suite; `OverCutoff`
     * rows are inflated vs baseline but too big to re-run — they must be
@@ -309,6 +321,16 @@ object Bench {
       "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Window count behind each frozen entry, from the machine-readable
+    // provenance map (round-18 item 5: freeze_baseline.py fixes the key
+    // order to frozen_s, n_windows — so a positional grep suffices and a
+    // provenance-free baseline file degrades to an empty map). A suspect
+    // against a 2-window entry and one against a 40-window entry are
+    // different claims; the artifact says which is which.
+    val baselineWindows: Map[String, Int] = try {
+      parseBaselineWindows(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val noiseFactor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_FACTOR", "1.5").toDouble
     val maxRechecks =
@@ -396,7 +418,12 @@ object Bench {
       .map { case (p, s) => s"[$p,${dec(s, 3)}]" }.mkString("[", ",", "]")
     val suspectHotJson = noiseSuspect
       .map(n => s"${jstr(n)}:${suspectHot(n)}").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"rechecked":$recheckedJson,"noise_suspect":$suspectJson,"suspect_hot_bracket":$suspectHotJson,"over_cutoff":$overCutoffJson,"publish_attempts":$publishJson,"calib_start_s":${dec(calibStart, 3)},"calib_end_s":${dec(calibEnd, 3)},"calib_series":$calibSeriesJson,"loadavg_start":${jstr(loadavgStart)},"loadavg_end":${jstr(loadavgEnd)},"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}"""
+    // the provenance weight of each surviving suspect's entry: how many
+    // recorded windows stand behind the baseline it is inflated against
+    val suspectWindowsJson = noiseSuspect
+      .map(n => s"${jstr(n)}:${baselineWindows.getOrElse(n, 0)}")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"n_runs":$nRuns,"rechecked":$recheckedJson,"noise_suspect":$suspectJson,"suspect_hot_bracket":$suspectHotJson,"suspect_baseline_windows":$suspectWindowsJson,"over_cutoff":$overCutoffJson,"publish_attempts":$publishJson,"calib_start_s":${dec(calibStart, 3)},"calib_end_s":${dec(calibEnd, 3)},"calib_series":$calibSeriesJson,"loadavg_start":${jstr(loadavgStart)},"loadavg_end":${jstr(loadavgEnd)},"sf":"$sfDir","total_s":$total,"n_queries":${results.size},"failed":$nFailed}"""
     println(line)
     // The driver's stdout capture tail-truncates past ~2000 chars, losing
     // most per-query timings from the artifact (round-7 verdict: only ~45

@@ -1607,6 +1607,84 @@ object SparkEntry {
         col("vec_id") % 50 === 0, 5, tmp)
     }),
 
+    // ---- The IVF-SQ8 tier's FULL LIFECYCLE as one oracled row
+    // (round-18 item 1 — the tier shipped its append/compact verbs in
+    // round 17 but, alone among the five standing tiers, no day-N row
+    // proving them end-to-end): 7/8 of the corpus publishes — freezing
+    // the scale on THAT subset AND binding the centroid fingerprint —
+    // the %8 slice appends under the published scale routed by the SAME
+    // centroids (the fingerprint guard passes), the PER-CELL compaction
+    // policy fires (threshold forced under the append depth — the
+    // policy run, not the bare verb) and rewrites each cell to sized
+    // files, the drift guard passes (8/7 growth < the 2x bar), and the
+    // serve runs at the PUBLISHED (nProbe=8, C=20). Neither append nor
+    // compact may change anything stage 1 observes, so the oracle is
+    // the fused IVF-SQ8 replay with the scale pinned to the publish
+    // subset. Publish + append + compact re-paid in-bench by the
+    // fixture convention.
+    "q_ivfsq8_day2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_ivfsq8_day2").toString
+      Ann.writeSq8IndexByCell(emb.filter(col("vec_id") % 8 =!= 0), "vec_id",
+        "embedding", tmp, IvfFixture.model)
+      Ann.appendSq8IndexByCell(emb.filter(col("vec_id") % 8 === 0), "vec_id",
+        "embedding", tmp, IvfFixture.model)
+      require(
+        Ann.compactSq8IndexByCellIfNeeded(s, tmp, maxFilesPerCell = 1).nonEmpty,
+        "cell compaction policy must fire at depth 2")
+      Ann.sq8SearchByCell(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, tmp, IvfFixture.model)
+    }),
+
+    // ---- Cross-tier dispatch, PRUNED-TIER ARM (round-18 item 2: the
+    // pq/ivfsq8 dispatch arms — including the probed-byte pricing —
+    // were pinned only at the pure-function level, never driven through
+    // a real serve against the oracle): both the flat SQ8 index
+    // (recall 1.000) and the IVF-SQ8 index (audited 0.86 at the
+    // published nProbe=8) are standing, and the floor (0.80) clears
+    // both — so the dispatch is decided by PRICED BYTES, where the
+    // probed tier's nProbe/nCells share (half the code bytes at 8 of
+    // 16) undercuts the flat tier's full scan. The route must be the
+    // probed IVF-SQ8 serve at its published configuration; the oracle
+    // is q_ivfsq8_search's full replay.
+    "q_ann_auto_ivfsq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_ann_auto_i8").toString
+      Ann.writeSq8Index(emb, "vec_id", "embedding", s"$tmp/sq8")
+      Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", s"$tmp/ivfsq8",
+        IvfFixture.model, measuredRecall = Some(0.86))
+      Ann.annSearchAuto(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, recallFloor = 0.80,
+        sq8Dir = Some(s"$tmp/sq8"),
+        ivfSq8Dir = Some(s"$tmp/ivfsq8"),
+        ivfSq8Coarse = Some(IvfFixture.model))
+    }),
+
+    // ---- Cross-tier dispatch, DRIFT-EXCLUSION ARM (round-18 item 2):
+    // the IVF-SQ8 index publishes on the %8 slice (with an audited
+    // recall that WOULD clear the floor) and then grows 8x by appends —
+    // past the 2x retune bar, so its published recall is unclaimable
+    // and its own serve guard would fail it loudly. The dispatcher must
+    // EXCLUDE it (Ann.driftExcluded — a soft "pick me a tier" call
+    // must not route into a crash) and fall through to the flat SQ8
+    // index, the cheapest remaining qualifier: the result is
+    // q_sq8_search's own oracle, byte-cheaper probed tier passed over.
+    "q_ann_auto_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = scratchDir("graft_ann_auto_drift").toString
+      Ann.writeSq8Index(emb, "vec_id", "embedding", s"$tmp/sq8")
+      Ann.writeSq8IndexByCell(emb.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", s"$tmp/ivfsq8", IvfFixture.model,
+        measuredRecall = Some(0.86))
+      Ann.appendSq8IndexByCell(emb.filter(col("vec_id") % 8 =!= 0),
+        "vec_id", "embedding", s"$tmp/ivfsq8", IvfFixture.model)
+      Ann.annSearchAuto(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, 5, recallFloor = 0.80,
+        sq8Dir = Some(s"$tmp/sq8"),
+        ivfSq8Dir = Some(s"$tmp/ivfsq8"),
+        ivfSq8Coarse = Some(IvfFixture.model))
+    }),
+
     // ---- Embedding-cosine near-dup pairs: hyperplane-bucket candidates
     // (equi-join), exact sequential-fold cosine verify — the LSH-banding
     // shape applied to embeddings. Fully oracle-able: the ±1 planes are
@@ -4117,6 +4195,37 @@ object SparkEntry {
         "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
         "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
         "AS rank FROM sq8rer) WHERE rank <= 5"),
+    // Day-2 lifecycle: append+compact change nothing stage 1 observes
+    // (same codes, same cells, fewer files), so the oracle is the fused
+    // IVF-SQ8 replay with the quantization scale pinned to the PUBLISH
+    // subset — the frozen-grid append contract in SQL, the q_sq8_day2
+    // convention on the cell-partitioned tier.
+    "q_ivfsq8_day2" ->
+      (s"WITH ${sqlIvfSq8Ctes(20, 8, "WHERE vec_id % 8 <> 0")} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM i8rer) WHERE rank <= 5"),
+    // Dispatch pruned-tier arm: the 0.80 floor clears both standing
+    // tiers, so priced bytes decide — the probed nProbe/nCells share
+    // undercuts the flat scan and the route is the probed IVF-SQ8 serve
+    // at its published (nProbe=8, C=20): q_ivfsq8_search's replay.
+    "q_ann_auto_ivfsq8" ->
+      (s"WITH ${sqlIvfSq8Ctes(20, 8)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM i8rer) WHERE rank <= 5"),
+    // Dispatch drift-exclusion arm: the IVF-SQ8 index grew 8x past its
+    // publish (> the 2x bar), so the dispatcher must exclude it and
+    // serve the flat SQ8 index — q_sq8_search's fused oracle (the flat
+    // publish froze its scale on the FULL corpus).
+    "q_ann_auto_drift" ->
+      (s"WITH ${sqlSq8Ctes(20)} " +
+        "SELECT query_id, rank, vec_id, sim FROM " +
+        "(SELECT query_id, vec_id, sim, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) " +
+        "AS rank FROM sq8rer) WHERE rank <= 5"),
     // Day-2 lifecycle: signatures are scale-free and compaction rewrites
     // the same rows, so the oracle is exactly the fused sign serve.
     "q_hamming_day2" ->
@@ -5261,9 +5370,13 @@ object SparkEntry {
     * scale, HALF_UP int8), EXACT integer dot restricted to each query's
     * probed cells (a vector lives in exactly one cell, so the probed
     * join yields each (query, vec) at most once), top-`candidates` by
-    * (iscore DESC, vec_id), exact cosine rerank.
+    * (iscore DESC, vec_id), exact cosine rerank. `scaleWhere` pins the
+    * quantization scale to a publish SUBSET (the day-2 lifecycle rows'
+    * frozen-grid append contract made visible in SQL — append rows
+    * quantize under the publish scale, saturating at ±127).
     */
-  private def sqlIvfSq8Ctes(candidates: Int, nProbe: Int): String =
+  private def sqlIvfSq8Ctes(candidates: Int, nProbe: Int,
+                            scaleWhere: String = ""): String =
     s"$sqlCentsCte, " +
     "i8cor AS (SELECT vec_id, embedding, " +
       s"sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings), " +
@@ -5276,7 +5389,7 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY c.vec_id " +
       s"ORDER BY ${sqlDot("c.embedding", "ct.cv")} / c.nrm DESC, ct.cid) AS rn " +
       s"FROM i8cor c, cents ct WHERE c.vec_id % 50 = 0) WHERE rn <= $nProbe), " +
-    sqlSq8QuantCtes("i8") + ", " +
+    sqlSq8QuantCtes("i8", scaleWhere) + ", " +
     "i8sc AS (SELECT p.query_id, a.vec_id, " +
       s"list_reduce(list_transform(range(1, ${Ann.Dim + 1}), i -> " +
       "qq.qqv[CAST(i AS INT)] * cc.qv[CAST(i AS INT)]), (acc, x) -> acc + x) " +

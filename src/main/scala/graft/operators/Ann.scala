@@ -249,7 +249,13 @@ object Ann {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("__score").desc, col("__c.cid"))))
       .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("__c.cid").as("cell"))
+      // cast the probe side to BIGINT so the cell join is cast-free on
+      // BOTH sides (the readCodeIndex convention the other cell joins —
+      // sq8SearchByCell, pqSearchWith — already follow): the corpus side
+      // carries withCell's BIGINT cell, and an implicit cast on a join
+      // key is exactly what the repo's cast-free-join-key rule forbids
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("__c.cid").cast("long").as("cell"))
     val scored = broadcast(queries).join(indexed, "cell")
       .select(col("query_id"), col("vec_id"),
         (dot(col("q_emb"), col("emb_d")) / (col("q_norm") * col("norm"))).as("sim"))
@@ -870,9 +876,9 @@ object Ann {
   def writePqIndexByCell(emb: DataFrame, idCol: String, embCol: String,
                          model: PqModel, dir: String,
                          coarse: IvfModel): Unit =
-    pqCodesLong(emb, idCol, embCol, model, Some(coarse))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    StandingIndex.writeCells(
+      pqCodesLong(emb, idCol, embCol, model, Some(coarse)), dir,
+      "overwrite")
 
   /** INCREMENTAL PUBLISH for the ANN tier — the append verb the exact
     * ([[Dedup.appendKeyIndexBucketed]]), LSH
@@ -893,21 +899,13 @@ object Ann {
     */
   def appendPqIndex(embBatch: DataFrame, idCol: String, embCol: String,
                     model: PqModel, dir: String,
-                    coarse: Option[IvfModel] = None): Unit = {
-    // empty-batch guard: a plain (unpartitioned, unbucketed) append of an
-    // empty plan still lays down ONE empty data file — FileFormatWriter
-    // emits it so a fresh dir stays schema-readable — and on an append
-    // that file is a stray the serve re-opens forever. The probe runs on
-    // the INPUT, not the code plan: codes is empty iff the batch is, and
-    // a take(1) on the raw batch scans at most one split, while the same
-    // probe above the encode's aggregate would execute the whole
-    // map-side encode once and the write would then re-run it (AnnSpec's
-    // empty-batch case caught the stray; the partitioned verbs skip
-    // empties at the pre-write shuffle and need no guard).
-    if (!embBatch.isEmpty)
-      pqCodesLong(embBatch, idCol, embCol, model, coarse)
-        .write.mode("append").parquet(dir)
-  }
+                    coarse: Option[IvfModel] = None): Unit =
+    // empty-batch stray-file guard and probe placement:
+    // [[StandingIndex.appendFlat]] (AnnSpec's empty-batch case caught
+    // the stray; the partitioned verbs skip empties at the pre-write
+    // shuffle and need no guard)
+    StandingIndex.appendFlat(embBatch,
+      pqCodesLong(embBatch, idCol, embCol, model, coarse), dir)
 
   /** [[appendPqIndex]] for the cell-partitioned layout
     * ([[writePqIndexByCell]]): same batch-only encode, same contracts
@@ -922,36 +920,16 @@ object Ann {
   def appendPqIndexByCell(embBatch: DataFrame, idCol: String,
                           embCol: String, model: PqModel, dir: String,
                           coarse: IvfModel): Unit =
-    pqCodesLong(embBatch, idCol, embCol, model, Some(coarse))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("append").parquet(dir)
+    StandingIndex.writeCells(
+      pqCodesLong(embBatch, idCol, embCol, model, Some(coarse)), dir,
+      "append")
 
-  /** Recursive listing of a code index's parquet DATA files (committer
-    * sidecars excluded), as full statuses — the one walk
-    * [[pqFilesPerCell]], [[indexVecCount]], [[dirDataBytes]] and
-    * [[compactPqIndexByCell]]'s post-rename count all share, so their
-    * file filters can never drift apart.
-    */
-  private def listDataFileStatuses(
-      spark: org.apache.spark.sql.SparkSession, dir: String)
-      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val it = root.getFileSystem(conf).listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.hadoop.fs.LocatedFileStatus]
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith(".")) buf += f
-    }
-    buf.toSeq
-  }
-
+  // Data-file walks live in [[StandingIndex]] (the one walk the byte
+  // pricer, footer counters and compaction counters share, so their
+  // file filters can never drift apart); local alias for brevity.
   private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Seq[org.apache.hadoop.fs.Path] =
-    listDataFileStatuses(spark, dir).map(_.getPath)
+    StandingIndex.listDataFiles(spark, dir)
 
   /** Data-file count of the DEEPEST cell of a cell-partitioned code
     * index — the compaction-trigger signal, same shape as
@@ -985,18 +963,8 @@ object Ann {
     * (codes-sized — never a re-encode; the codebooks don't enter) back
     * to one file per cell, changing nothing a serve can observe (the
     * layout stays partition-pruned; AnnSpec pins serve parity). The
-    * [[graft.sources.Layout.compactBucketed]] dance, directory-shaped:
-    * materialize to a staging dir first (an overwrite deletes the very
-    * files its job would read), then swap staging into place. Returns
-    * the data file count after compaction.
-    *
-    * Crash window: the delete→rename swap is not atomic — a crash
-    * between the two leaves the index ABSENT at `dir` with the full
-    * compacted copy intact at `dir__compact_staging` (recover by
-    * renaming it back). Run from the nightly maintenance window like
-    * every compact verb (OPERATIONS.md step 4, after the serves): a
-    * serve concurrent with any in-place rewrite would read vanishing
-    * files under either implementation.
+    * staging-swap mechanism, crash window and nightly-window rule are
+    * [[StandingIndex.compactCellsStagingSwap]]'s.
     */
   def compactPqIndexByCell(spark: org.apache.spark.sql.SparkSession,
                            dir: String): Int = {
@@ -1004,25 +972,8 @@ object Ann {
     require(partitioned,
       s"$dir is not a cell-partitioned PQ index (no cell= directories); " +
         "flat indexes compact with graft.sources.Layout.compact")
-    val staging = dir.stripSuffix("/") + "__compact_staging"
-    codes.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(staging)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(conf)
-    // A failed delete must be loud: on HDFS-semantics filesystems a
-    // rename into a still-existing directory nests staging INSIDE it and
-    // returns true, so old and compacted copies would coexist while the
-    // verb reports success with an inflated file count.
-    if (fs.exists(root) && !fs.delete(root, true))
-      throw new java.io.IOException(
-        s"compactPqIndexByCell: delete of $dir failed; " +
-          "compacted index left at staging")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), root))
-      throw new java.io.IOException(
-        s"compactPqIndexByCell: rename $staging -> $dir failed; " +
-          "compacted index left at staging")
-    listDataFiles(spark, dir).size
+    StandingIndex.compactCellsStagingSwap(spark, dir, codes,
+      "compactPqIndexByCell")
   }
 
   /** The compaction POLICY to [[compactPqIndexByCell]]'s mechanism —
@@ -1151,16 +1102,8 @@ object Ann {
     * by the compaction policies).
     */
   private[graft] def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
-                                     dir: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    var rows = 0L
-    listDataFiles(spark, dir).foreach { p =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try rows += rd.getRecordCount finally rd.close()
-    }
-    rows
-  }
+                                     dir: String): Long =
+    StandingIndex.parquetRowCount(spark, dir)
 
   def pqSearchAuto(emb: DataFrame, idCol: String, embCol: String,
                    model: PqModel, queryPred: Column, k: Int,
@@ -1597,11 +1540,9 @@ object Ann {
     val s = sq8MaxAbs(emb, embCol)
     emb.select(col(idCol).as("vec_id"), sq8QuantCol(col(embCol), s).as("qv"))
       .write.mode("overwrite").parquet(s"$dir/codes")
-    emb.sparkSession.range(1).select(lit(s).as("scale"),
-        lit(candidates).as("candidates"),
-        measuredRecall.map(lit(_)).getOrElse(lit(null)).cast("double")
-          .as("recall"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
+    StandingIndex.publishMetaRow(emb.sparkSession, s"$dir/scale", Seq(
+      lit(s).as("scale"), lit(candidates).as("candidates"),
+      StandingIndex.optCol(measuredRecall, "recall")))
     s
   }
 
@@ -1626,21 +1567,30 @@ object Ann {
     */
   private final case class Sq8Meta(scale: Double, candidates: Int,
                                    recall: Option[Double], nProbe: Int,
-                                   nVectors: Option[Long])
+                                   nVectors: Option[Long],
+                                   centroidFp: Option[Long])
 
   private def sq8IndexMeta(spark: org.apache.spark.sql.SparkSession,
                            dir: String): Sq8Meta = {
-    val r = spark.read.parquet(s"$dir/scale").first()
-    val fields = r.schema.fieldNames.toSet
-    def opt[T](name: String)(get: => T): Option[T] =
-      if (fields(name) && !r.isNullAt(r.fieldIndex(name))) Some(get)
-      else None
-    Sq8Meta(r.getAs[Double]("scale"),
-      opt("candidates")(r.getAs[Int]("candidates")).getOrElse(20),
-      opt("recall")(r.getAs[Double]("recall")),
-      opt("n_probe")(r.getAs[Int]("n_probe")).getOrElse(PqProbeServingPoint),
-      opt("n_vectors")(r.getAs[Long]("n_vectors")))
+    val m = StandingIndex.readMetaRow(spark, s"$dir/scale")
+    Sq8Meta(m.get[Double]("scale"),
+      m.opt[Int]("candidates").getOrElse(20),
+      m.opt[Double]("recall"),
+      m.opt[Int]("n_probe").getOrElse(PqProbeServingPoint),
+      m.opt[Long]("n_vectors"),
+      m.opt[Long]("centroid_fp"))
   }
+
+  /** The serve/append-time centroid-binding guard
+    * ([[StandingIndex.requireCentroidFpMatch]] on this tier's sidecar):
+    * a published fingerprint must match the caller's model; a
+    * pre-round-18 sidecar (no fingerprint column) passes — the
+    * tolerant-sidecar rule.
+    */
+  private def requireCentroidsMatch(meta: Sq8Meta, coarse: IvfModel,
+                                    dir: String, verb: String): Unit =
+    StandingIndex.requireCentroidFpMatch(meta.centroidFp,
+      coarse.centroids, dir, verb)
 
   /** INCREMENTAL PUBLISH for the SQ8 tier: quantize ONLY the day's batch
     * under the PUBLISHED scale and append its codes — batch-sized work,
@@ -1655,12 +1605,11 @@ object Ann {
     */
   def appendSq8Index(embBatch: DataFrame, idCol: String, embCol: String,
                      dir: String): Unit =
-    if (!embBatch.isEmpty) {
-      val s = sq8IndexScale(embBatch.sparkSession, dir)
+    StandingIndex.appendFlat(embBatch,
       embBatch.select(col(idCol).as("vec_id"),
-          sq8QuantCol(col(embCol), s).as("qv"))
-        .write.mode("append").parquet(s"$dir/codes")
-    }
+        sq8QuantCol(col(embCol),
+          sq8IndexScale(embBatch.sparkSession, dir)).as("qv")),
+      s"$dir/codes")
 
   /** Compact the SQ8 tier's standing codes in place — the flat-index
     * counterpart of [[compactPqIndexByCell]] (round-17 item 3: the flat
@@ -1773,18 +1722,20 @@ object Ann {
     require(nProbe > 0,
       s"writeSq8IndexByCell: nProbe must be positive, got $nProbe")
     val s = sq8MaxAbs(emb, embCol)
-    withCell(withNorm(emb, embCol), coarse.centroids)
-      .select(col(idCol).as("vec_id"), col("cell"),
-        sq8QuantCol(col(embCol), s).as("qv"))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    StandingIndex.writeCells(
+      withCell(withNorm(emb, embCol), coarse.centroids)
+        .select(col(idCol).as("vec_id"), col("cell"),
+          sq8QuantCol(col(embCol), s).as("qv")),
+      s"$dir/codes", "overwrite")
     val n = parquetRowCount(emb.sparkSession, s"$dir/codes")
-    emb.sparkSession.range(1).select(lit(s).as("scale"),
-        lit(candidates).as("candidates"),
-        measuredRecall.map(lit(_)).getOrElse(lit(null)).cast("double")
-          .as("recall"),
-        lit(nProbe).as("n_probe"), lit(n).as("n_vectors"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
+    StandingIndex.publishMetaRow(emb.sparkSession, s"$dir/scale", Seq(
+      lit(s).as("scale"), lit(candidates).as("candidates"),
+      StandingIndex.optCol(measuredRecall, "recall"),
+      lit(nProbe).as("n_probe"), lit(n).as("n_vectors"),
+      // the centroid binding: serves/appends must present the SAME
+      // model this publish partitioned with (requireCentroidsMatch)
+      lit(StandingIndex.centroidFingerprint(coarse.centroids))
+        .as("centroid_fp")))
     s
   }
 
@@ -1800,12 +1751,13 @@ object Ann {
   def appendSq8IndexByCell(embBatch: DataFrame, idCol: String,
                            embCol: String, dir: String,
                            coarse: IvfModel): Unit = {
-    val s = sq8IndexScale(embBatch.sparkSession, dir)
-    withCell(withNorm(embBatch, embCol), coarse.centroids)
-      .select(col(idCol).as("vec_id"), col("cell"),
-        sq8QuantCol(col(embCol), s).as("qv"))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+    val meta = sq8IndexMeta(embBatch.sparkSession, dir)
+    requireCentroidsMatch(meta, coarse, dir, "appendSq8IndexByCell")
+    StandingIndex.writeCells(
+      withCell(withNorm(embBatch, embCol), coarse.centroids)
+        .select(col(idCol).as("vec_id"), col("cell"),
+          sq8QuantCol(col(embCol), meta.scale).as("qv")),
+      s"$dir/codes", "append")
   }
 
   /** The cell tier's compaction policy applied to the SQ8 cell dir —
@@ -1847,16 +1799,15 @@ object Ann {
                       maxDriftFactor: Double = SignRetuneBar): DataFrame = {
     val spark = emb.sparkSession
     val meta = sq8IndexMeta(spark, dir)
+    requireCentroidsMatch(meta, coarse, dir, "sq8SearchByCell")
     val c = if (candidates > 0) candidates else meta.candidates
     val np = if (nProbe > 0) nProbe else meta.nProbe
     meta.nVectors.foreach { published =>
-      val n = parquetRowCount(spark, s"$dir/codes")
-      require(n <= published * maxDriftFactor,
-        s"ivf-sq8 index at $dir has grown to $n vectors from $published " +
-          s"at publish (> ${maxDriftFactor}x): routed recall at the " +
-          "published (nProbe, C) is corpus-dependent through the " +
-          "centroids — re-run graft.tools.IvfSq8Tune and republish " +
-          "(writeSq8IndexByCell) before serving")
+      StandingIndex.requireWithinDriftBar(
+        parquetRowCount(spark, s"$dir/codes"), published, maxDriftFactor,
+        "ivf-sq8", dir, "routed recall at the published (nProbe, C) is " +
+          "corpus-dependent through the centroids",
+        "IvfSq8Tune", "writeSq8IndexByCell")
     }
     val (codes, partitioned) = readCodeIndex(spark, s"$dir/codes")
     require(partitioned,
@@ -2062,26 +2013,46 @@ object Ann {
     // publish-time corpus size from the just-written FOOTERS — no second
     // scan, same driver-side metadata read the serve's drift guard uses
     val n = parquetRowCount(emb.sparkSession, s"$dir/sigs")
-    emb.sparkSession.range(1).select(lit(dims).as("dims"),
-        lit(lanes).as("lanes"), lit(candidates).as("candidates"),
-        measuredRecall.map(lit(_)).getOrElse(lit(null)).cast("double")
-          .as("recall"),
-        lit(n).as("n_vectors"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    StandingIndex.publishMetaRow(emb.sparkSession, s"$dir/meta", Seq(
+      lit(dims).as("dims"), lit(lanes).as("lanes"),
+      lit(candidates).as("candidates"),
+      StandingIndex.optCol(measuredRecall, "recall"),
+      lit(n).as("n_vectors")))
     SignIndexMeta(dims, lanes, candidates, measuredRecall, n)
   }
 
   /** The published serve parameters of a standing sign index — a one-row
     * driver-side read, the dispatch-cost class of [[indexVecCount]].
+    * NAMES the pre-round-17 stranding instead of leaking a raw
+    * path-does-not-exist: the layout moved from flat signature files at
+    * the dir root (two sig_lo/sig_hi columns, no meta) to `dir/sigs` +
+    * a mandatory `dir/meta` contract row, and a legacy index CANNOT be
+    * migrated in place — the meta row's C/recall/nVectors are QuantTune
+    * measurements the old layout never recorded, so the only honest
+    * path is a republish (round-17 advice: the SQ8 sidecar got a
+    * tolerant read for the same stranding concern, but there the added
+    * columns had safe defaults; an invented recall here would let the
+    * dispatcher claim a floor nobody measured).
     */
   def signIndexMeta(spark: org.apache.spark.sql.SparkSession,
                     dir: String): SignIndexMeta = {
-    val r = spark.read.parquet(s"$dir/meta").first()
-    SignIndexMeta(r.getAs[Int]("dims"), r.getAs[Int]("lanes"),
-      r.getAs[Int]("candidates"),
-      if (r.isNullAt(r.fieldIndex("recall"))) None
-      else Some(r.getAs[Double]("recall")),
-      r.getAs[Long]("n_vectors"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(conf)
+    if (!fs.exists(metaPath) && fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+      val rootFiles = StandingIndex.listDataFileStatuses(spark, dir)
+        .filterNot(_.getPath.toString.contains("/sigs/"))
+      require(rootFiles.isEmpty,
+        s"sign index at $dir has the pre-round-17 flat layout " +
+          "(signature files at the dir root, no meta contract row) — " +
+          "the serve parameters (C, recall, corpus size) it needs were " +
+          "never published; re-run graft.tools.QuantTune and republish " +
+          "with writeSignIndex")
+    }
+    val m = StandingIndex.readMetaRow(spark, s"$dir/meta")
+    SignIndexMeta(m.get[Int]("dims"), m.get[Int]("lanes"),
+      m.get[Int]("candidates"), m.opt[Double]("recall"),
+      m.get[Long]("n_vectors"))
   }
 
   /** Batch-only append — new ids, nothing frozen to honor (signatures
@@ -2095,13 +2066,12 @@ object Ann {
     */
   def appendSignIndex(embBatch: DataFrame, idCol: String, embCol: String,
                       dir: String): Unit =
-    if (!embBatch.isEmpty) {
+    StandingIndex.appendFlat(embBatch, {
       val meta = signIndexMeta(embBatch.sparkSession, dir)
       embBatch.select(col(idCol).as("vec_id"),
           sigInput(embCol, meta.dims))
         .select(col("vec_id") +: sigCols(meta.lanes, "sig_"): _*)
-        .write.mode("append").parquet(s"$dir/sigs")
-    }
+    }, s"$dir/sigs")
 
   /** Compact the sign tier's standing signature files in place —
     * [[compactSq8Index]]'s twin on `dir/sigs` (the one-row meta sidecar
@@ -2138,13 +2108,11 @@ object Ann {
     val spark = emb.sparkSession
     val meta = signIndexMeta(spark, dir)
     val c = if (candidates > 0) candidates else meta.candidates
-    val n = parquetRowCount(spark, s"$dir/sigs")
-    require(n <= meta.nVectors * maxDriftFactor,
-      s"sign index at $dir has grown to $n vectors from ${meta.nVectors} " +
-        s"at publish (> ${maxDriftFactor}x): recall at the published " +
-        s"C=${meta.candidates} is corpus-dependent — re-run " +
-        "graft.tools.QuantTune and republish (writeSignIndex) before " +
-        "serving")
+    StandingIndex.requireWithinDriftBar(
+      parquetRowCount(spark, s"$dir/sigs"), meta.nVectors, maxDriftFactor,
+      "sign", dir,
+      s"recall at the published C=${meta.candidates} is corpus-dependent",
+      "QuantTune", "writeSignIndex")
     val corpusS = spark.read.parquet(s"$dir/sigs")
     val queriesS = emb.select(col(idCol).as("vec_id"), col(embCol))
       .filter(queryPred)
@@ -2208,14 +2176,16 @@ object Ann {
       case None => ("sq8", "fused")
     }
 
-  /** Total data-file bytes of an index dir — the dispatch-time byte
-    * pricer: the SHARED [[listDataFileStatuses]] walk (so the pricer's
-    * file filter can never drift from the footer counters'), getLen
-    * only; no footer opens, no Spark job.
-    */
-  private[graft] def dirDataBytes(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): Long =
-    listDataFileStatuses(spark, dir).map(_.getLen).sum
+  // The dispatch-side drift rule (excluded past the bar — the sign
+  // tier's measured 0.31 recall loss per decade is why the bar exists)
+  // and the dispatch-time byte pricer both live in [[StandingIndex]];
+  // local aliases keep the dispatch body readable.
+  private def driftExcluded(n: Long, published: Long, bar: Double)
+      : Boolean = StandingIndex.driftExcluded(n, published, bar)
+
+  private def dirDataBytes(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Long =
+    StandingIndex.dirDataBytes(spark, dir)
 
   /** Cost/recall-aware cross-tier serve: top-k neighbors of the query
     * set under `recallFloor`, served from the cheapest standing tier
@@ -2285,8 +2255,14 @@ object Ann {
     }
     signDir.foreach { d =>
       val meta = signIndexMeta(spark, d)
-      standing += (("sign", dirDataBytes(spark, s"$d/sigs"),
-        meta.recall.getOrElse(0.0)))
+      // drift exclusion ([[driftExcluded]]): past the retune bar the
+      // published recall is unclaimable AND the serve's own guard would
+      // throw — the tier stops qualifying instead (footer-count read,
+      // the same driver-side metadata the serve's guard uses)
+      if (!driftExcluded(parquetRowCount(spark, s"$d/sigs"),
+          meta.nVectors, SignRetuneBar))
+        standing += (("sign", dirDataBytes(spark, s"$d/sigs"),
+          meta.recall.getOrElse(0.0)))
     }
     pqDir.foreach { d =>
       val n = indexVecCount(spark, d, pqModel.get.m)
@@ -2305,11 +2281,24 @@ object Ann {
       // full bytes made the pruned tier lose every byte comparison to
       // the flat tier it exists to undercut)
       val m = sq8IndexMeta(spark, d)
+      // a mispaired model is a caller BUG, not drift — fail loudly here
+      // (the pqDir/pqModel pairing rule) rather than let the byte pricer
+      // rank a tier whose probes wouldn't match the code layout
+      requireCentroidsMatch(m, ivfSq8Coarse.get, d, "annSearchAuto")
       val nCells = ivfSq8Coarse.get.centroids.length
       val frac = math.min(1.0, m.nProbe.toDouble / nCells)
       val probedBytes =
         math.ceil(dirDataBytes(spark, s"$d/codes") * frac).toLong
-      standing += (("ivfsq8", probedBytes, m.recall.getOrElse(0.0)))
+      // drift exclusion, the sign tier's rule: routed recall is
+      // corpus-dependent through the now-stale centroids, so growth
+      // past the bar makes the published figure unclaimable (a
+      // pre-round-17 sidecar without n_vectors can't prove growth —
+      // it keeps qualifying, the tolerant-sidecar rule)
+      val drifted = m.nVectors.exists(pub =>
+        driftExcluded(parquetRowCount(spark, s"$d/codes"), pub,
+          SignRetuneBar))
+      if (!drifted)
+        standing += (("ivfsq8", probedBytes, m.recall.getOrElse(0.0)))
     }
     annServeBranch(recallFloor, standing.result()) match {
       case ("exact", _) =>

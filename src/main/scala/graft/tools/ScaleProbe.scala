@@ -912,6 +912,73 @@ object ScaleProbe {
             rows(2)._1 / rows(0)._1))
     } else Seq.empty
 
+    // ---- IVF-SQ8 lifecycle exponent (round 18 item 6): the probed
+    // serve's I/O claim — stage 1 reads nProbe/nCells of the code
+    // FILES — measured as the cycle scales, so the dispatcher's byte
+    // pricing (annSearchAuto prices the tier at the PROBED share of the
+    // listing bytes) rests on a measured, not asserted, fraction. The
+    // pq_cell_lifecycle protocol verbatim on the SQ8-by-cell tier:
+    // publish base by cell, append the salted %3-slice grown Rx,
+    // compact via the policy verb, then ONE pinned query at the
+    // published nProbe=8 vs exhaustive 16, reading the code scan's
+    // PLANNED filesSize off the executed plan (the DppCheck method).
+    // Expected: probed bytes ≈ the probed cells' share of the index at
+    // EVERY factor (the fraction is corpus-size-independent — one
+    // vector lives in one cell, so cells grow proportionally), both
+    // growing linearly with the appended corpus. The serve passes a
+    // wide drift bar: the probe grows the corpus 4-10x past publish on
+    // purpose, which is exactly what the guard refuses in production.
+    val ivfLifeResults = if (only.isEmpty || only("ivfsq8_lifecycle")) {
+      val queryId = embBase.agg(min(col("vec_id"))).first().getLong(0)
+      println("[scale] ivfsq8_lifecycle: publish base by cell, append %3" +
+        "-slice grown Rx (fresh ids, salted), compact (policy), serve " +
+        "ONE pinned query at nProbe=8 vs exhaustive 16")
+      val rows = factors.map { r =>
+        val dir = s"$idxScratch/ivfsq8_life_$r"
+        Ann.writeSq8IndexByCell(embBase, "vec_id", "embedding", dir,
+          IvfFixture.model)
+        val batch = embBase.filter(col("vec_id") % 3 === 0)
+          .crossJoin(broadcast(spark.range(r).select(col("id").as("copy"))))
+          .select((col("vec_id") + lit(750000000L) +
+            col("copy") * 10000000L).as("vec_id"),
+            transform(col("embedding"), e =>
+              (e * (lit(1.0f) + (col("copy") % 11 + 1).cast("float") *
+                lit(0.173f))).cast("float")).as("embedding"))
+        Ann.appendSq8IndexByCell(batch, "vec_id", "embedding", dir,
+          IvfFixture.model)
+        val nFiles = Ann.compactSq8IndexByCellIfNeeded(spark, dir,
+          maxFilesPerCell = 1).getOrElse(-1)
+        def serve(nProbe: Int): (Double, Long, Double) = {
+          val df = Ann.sq8SearchByCell(embBase, "vec_id", "embedding",
+            col("vec_id") === queryId, 5, dir, IvfFixture.model,
+            nProbe = nProbe, maxDriftFactor = 1000.0)
+          // collect, not count: count() runs a separate execution and
+          // leaves df's own executedPlan (where the metrics live) cold
+          val t0 = System.nanoTime(); df.collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val (nf, bytes) = PlanScans.scanOf(df, "codes")
+          (wall, nf, bytes / 1e6)
+        }
+        serve(8) // warm-up (codegen/classloading), untimed
+        val (w8, f8, mb8) = serve(8)
+        val (w16, f16, mb16) = serve(16)
+        println(f"[scale] ivfsq8_lifecycle     ${r}%2dx  files=$nFiles%3d " +
+          f"probed8 $w8%6.2f s $f8%2d files $mb8%7.2f MB  " +
+          f"exhaustive16 $w16%6.2f s $f16%2d files $mb16%7.2f MB  " +
+          f"byte_cut=${1 - mb8 / mb16}%5.2f")
+        (w8, mb8, mb16)
+      }
+      println(f"[scale] ivfsq8_lifecycle     probed-byte ratios: " +
+        f"4x -> ${rows(1)._2 / rows(0)._2}%5.2f, " +
+        f"10x -> ${rows(2)._2 / rows(0)._2}%5.2f " +
+        f"(exhaustive: ${rows(1)._3 / rows(0)._3}%5.2f / " +
+        f"${rows(2)._3 / rows(0)._3}%5.2f)")
+      Seq(("ivfsq8_probed_bytes", rows(1)._2 / rows(0)._2,
+            rows(2)._2 / rows(0)._2),
+          ("ivfsq8_serve_wall", rows(1)._1 / rows(0)._1,
+            rows(2)._1 / rows(0)._1))
+    } else Seq.empty
+
     // ---- FLAT-tier lifecycle exponents (round 17 item 3): the SQ8 and
     // sign standing indexes' full nightly cycle — publish base → append
     // a salted %3-slice grown 1x/4x/10x (fresh ids) → compact via the
@@ -1082,7 +1149,8 @@ object ScaleProbe {
     } else Seq.empty
     println("[scale] summary (time ratio vs data ratio; linear ops should sit at or below the data ratio once fixed overhead amortizes)")
     (results ++ embResults ++ evResults ++ graphResults ++ idxResults ++
-      appendResults ++ lifeResults ++ flatLifeResults ++ roResults)
+      appendResults ++ lifeResults ++ ivfLifeResults ++ flatLifeResults ++
+      roResults)
       .foreach { case (n, r4, r10) =>
       println(f"[scale]   $n%-22s 4x: ${r4}%5.2f  10x: ${r10}%5.2f")
     }

@@ -1015,6 +1015,129 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall $recall%.3f under the 0.70 floor")
   }
 
+  test("centroid fingerprint binds a standing ivf-sq8 index to its publish-time model") {
+    import graft.operators.IvfFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8fp")
+      .toString
+    // determinism + order-normalization: the same centroid set
+    // fingerprints identically regardless of array order; any value
+    // perturbation changes it
+    val fp = graft.operators.StandingIndex.centroidFingerprint(IvfFixture.model.centroids)
+    assert(fp == graft.operators.StandingIndex.centroidFingerprint(IvfFixture.model.centroids))
+    assert(fp == graft.operators.StandingIndex.centroidFingerprint(
+      IvfFixture.model.centroids.reverse))
+    val foreign = Ann.IvfModel(IvfFixture.model.centroids.map {
+      case (cid, v) => (cid, v.updated(0, v.head + 0.5))
+    })
+    assert(fp != graft.operators.StandingIndex.centroidFingerprint(foreign.centroids))
+    // serve, append, AND dispatch must all refuse a foreign model —
+    // probing with centroids the codes weren't partitioned by collapses
+    // recall silently, which no corpus-growth guard can see
+    Ann.writeSq8IndexByCell(emb, "vec_id", "embedding", dir,
+      IvfFixture.model, measuredRecall = Some(0.86))
+    val e = intercept[IllegalArgumentException] {
+      Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5, dir,
+        foreign)
+    }
+    assert(e.getMessage.contains("centroid fingerprint mismatch"))
+    intercept[IllegalArgumentException] {
+      Ann.appendSq8IndexByCell(emb.limit(1), "vec_id", "embedding", dir,
+        foreign)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.80, ivfSq8Dir = Some(dir),
+        ivfSq8Coarse = Some(foreign))
+    }
+    // a pre-round-18 sidecar (no fingerprint column) stays servable —
+    // the tolerant-sidecar rule; only the binding is lost, not the index
+    val meta = spark.read.parquet(s"$dir/scale")
+      .select("scale", "candidates", "recall", "n_probe", "n_vectors")
+      .collect().head
+    spark.createDataFrame(java.util.List.of(meta), meta.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scale")
+    Ann.sq8SearchByCell(emb, "vec_id", "embedding", pred, 5, dir,
+      IvfFixture.model).collect()
+  }
+
+  test("annSearchAuto drift-excludes grown indexes instead of routing into a crash") {
+    import graft.operators.IvfFixture
+    // the pure bar arithmetic the dispatch applies
+    assert(graft.operators.StandingIndex.driftExcluded(201L, 100L, 2.0))
+    assert(!graft.operators.StandingIndex.driftExcluded(200L, 100L, 2.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_autodrift")
+      .toString
+    Ann.writeSq8Index(emb, "vec_id", "embedding", s"$dir/sq8")
+    // ivf-sq8 grown 8x past its publish: its audited 0.86 would clear
+    // the 0.80 floor and its probed bytes undercut the flat tier — but
+    // its own serve guard would throw, so dispatch must EXCLUDE it and
+    // fall through to the flat SQ8 index
+    Ann.writeSq8IndexByCell(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/ivfsq8", IvfFixture.model,
+      measuredRecall = Some(0.86))
+    Ann.appendSq8IndexByCell(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", s"$dir/ivfsq8", IvfFixture.model)
+    val flat = Ann.sq8SearchIndexed(emb, "vec_id", "embedding", pred, 5,
+      s"$dir/sq8").orderBy("query_id", "rank").collect().toSeq
+    assert(Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.80, sq8Dir = Some(s"$dir/sq8"),
+        ivfSq8Dir = Some(s"$dir/ivfsq8"),
+        ivfSq8Coarse = Some(IvfFixture.model))
+      .orderBy("query_id", "rank").collect().toSeq == flat)
+    // same rule on the sign tier: a drifted sign index is byte-cheapest
+    // but unclaimable — dispatch must pass it over
+    Ann.writeSignIndex(emb.filter($"vec_id" % 8 === 0), "vec_id",
+      "embedding", s"$dir/sign", candidates = 50,
+      measuredRecall = Some(0.90))
+    Ann.appendSignIndex(emb.filter($"vec_id" % 8 =!= 0), "vec_id",
+      "embedding", s"$dir/sign")
+    assert(Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,
+        recallFloor = 0.80, sq8Dir = Some(s"$dir/sq8"),
+        signDir = Some(s"$dir/sign"))
+      .orderBy("query_id", "rank").collect().toSeq == flat)
+  }
+
+  test("the shared standing-index drift guard: one bar arithmetic, one message shape") {
+    import graft.operators.StandingIndex
+    // both corpus-dependent tiers (sign, ivf-sq8) now route their serve
+    // guard through this one function (round-18 item 4) — so the
+    // decision and the message shape are pinned ONCE, here, and the
+    // per-tier intercepts above only have to pin the tier parameters
+    val e = intercept[IllegalArgumentException] {
+      StandingIndex.requireWithinDriftBar(201L, 100L, 2.0, "sign", "/d",
+        "recall at the published C=50 is corpus-dependent",
+        "QuantTune", "writeSignIndex")
+    }
+    assert(e.getMessage.contains(
+      "sign index at /d has grown to 201 vectors from 100 at publish " +
+        "(> 2.0x): recall at the published C=50 is corpus-dependent " +
+        "— re-run graft.tools.QuantTune and republish " +
+        "(writeSignIndex) before serving"))
+    // AT the bar is within it — the guard fires strictly past it, the
+    // same predicate dispatch uses to exclude (Ann.driftExcluded)
+    StandingIndex.requireWithinDriftBar(200L, 100L, 2.0, "ivf-sq8", "/d",
+      "routing", "IvfSq8Tune", "writeSq8IndexByCell")
+  }
+
+  test("signIndexMeta names the pre-round-17 flat sign layout instead of a raw path error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_signlegacy")
+      .toString
+    // simulate a round-16 index: signature files at the dir ROOT
+    // (sig_lo/sig_hi columns), no meta contract row, no sigs subdir
+    spark.range(10).select($"id".as("vec_id"), lit(1L).as("sig_lo"),
+      lit(2L).as("sig_hi")).write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Ann.signIndexMeta(spark, dir)
+    }
+    assert(e.getMessage.contains("pre-round-17") &&
+      e.getMessage.contains("writeSignIndex"))
+    // the serve path surfaces the same named error
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.hammingSearchIndexed(emb, "vec_id", "embedding", pred, 5, dir)
+    }
+    assert(e2.getMessage.contains("pre-round-17"))
+  }
+
   // ---- Sign-bit (1-bit Hamming) tier (round 16).
 
   test("hammingSearch matches a driver-side replay of the two-stage algorithm") {
@@ -1288,9 +1411,9 @@ class AnnSpec extends SparkSpec {
     val (_, form) = Ann.pqServeBranch(n, hasIndex = true, hasCoarse = true,
       Ann.PqExhaustiveCrossover)
     val standing = Seq(
-      ("sq8", Ann.dirDataBytes(spark, s"$dir/sq8/codes"), Ann.Sq8FrozenRecall),
-      ("sign", Ann.dirDataBytes(spark, s"$dir/sign/sigs"), 0.90),
-      ("pq", Ann.dirDataBytes(spark, s"$dir/pq"),
+      ("sq8", graft.operators.StandingIndex.dirDataBytes(spark, s"$dir/sq8/codes"), Ann.Sq8FrozenRecall),
+      ("sign", graft.operators.StandingIndex.dirDataBytes(spark, s"$dir/sign/sigs"), 0.90),
+      ("pq", graft.operators.StandingIndex.dirDataBytes(spark, s"$dir/pq"),
         if (form == "probed") Ann.PqProbedFrozenRecall else 1.0))
     val (tier, _) = Ann.annServeBranch(0.9, standing)
     val auto = Ann.annSearchAuto(emb, "vec_id", "embedding", pred, 5,

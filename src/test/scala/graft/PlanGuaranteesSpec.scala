@@ -85,6 +85,11 @@ class PlanGuaranteesSpec extends SparkSpec {
       // serves (here: the standing SQ8 two-stage); tier choice itself
       // is pinned in AnnSpec via annServeBranch
       "q_ann_auto",
+      // the drift-exclusion arm lands on the same standing SQ8
+      // two-stage (the drifted IVF-SQ8 tier is excluded by dispatch);
+      // the pruned-tier arm (q_ann_auto_ivfsq8) and the IVF-SQ8 day-2
+      // row plan the broadcast equi-join on cell and need no entry
+      "q_ann_auto_drift",
       // the IVF-SQ8 SERVE itself plans a broadcast equi-join on cell
       // (no BNLJ — the pruned shape is the tier's point); only the
       // recall row rides the q_ann_cosine exact-truth side
