@@ -59,17 +59,27 @@ object Bench {
     else (attemptsSoFar - publishAttemptsSoFar) < nRuns &&
       lastWallSec <= cutoffSec
 
-  /** Positional parse of the provenance map's per-entry window count —
-    * the freeze tooling (tools/freeze_baseline.py) fixes each entry's
-    * key order to (frozen_s, n_windows, ...) precisely so this grep
-    * needs no JSON parser; BaselineProvenanceSpec pins it against a
-    * real JSON read so tool and grep can never drift.
+  /** Per-entry window count from the baseline's provenance map — a real
+    * JSON read (Jackson rides in Spark's jars), not a positional grep:
+    * the first cut keyed this on freeze_baseline.py's (frozen_s,
+    * n_windows) key-order convention, a three-component ordering
+    * contract a hand edit could silently break (round-18 review); an
+    * order-independent parse deletes the contract. Returns empty on any
+    * malformed/absent provenance — window counts are annotation, never
+    * a gate.
     */
   private[graft] def parseBaselineWindows(txt: String): Map[String, Int] =
-    ("\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"frozen_s\"\\s*:\\s*" +
-      "[0-9.eE+-]+\\s*,\\s*\"n_windows\"\\s*:\\s*(\\d+)").r
-      .findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    try {
+      import scala.jdk.CollectionConverters._
+      val prov = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt).get("provenance")
+      if (prov == null || !prov.isObject) Map.empty
+      else prov.properties().asScala
+        .flatMap { e =>
+          Option(e.getValue.get("n_windows"))
+            .map(n => e.getKey -> n.asInt())
+        }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Recheck-eligibility classification of one finished row, pure for
     * the spec. `Eligible` rows re-run after the suite; `OverCutoff`
@@ -314,23 +324,26 @@ object Bench {
     // against the baseline knows the delta was re-measured, not trusted.
     val baselinePath =
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
-    val baseline: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
+    // one file read feeds both the values map and the provenance window
+    // counts (round-18 review: two reads of the same file left a window
+    // where the two maps could come from different versions)
+    val baselineTxt: String = try {
+      new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(baselinePath)), "UTF-8")
-      // Only per-query keys match q_*; the header fields never collide.
-      "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+    } catch { case scala.util.control.NonFatal(_) => "" }
+    val baseline: Map[String, Double] = try {
+      // Only per-query keys match q_* with a NUMBER value — provenance
+      // entries are objects and never collide with the frozen values.
+      "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findAllMatchIn(baselineTxt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // Window count behind each frozen entry, from the machine-readable
-    // provenance map (round-18 item 5: freeze_baseline.py fixes the key
-    // order to frozen_s, n_windows — so a positional grep suffices and a
-    // provenance-free baseline file degrades to an empty map). A suspect
-    // against a 2-window entry and one against a 40-window entry are
-    // different claims; the artifact says which is which.
-    val baselineWindows: Map[String, Int] = try {
-      parseBaselineWindows(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(baselinePath)), "UTF-8"))
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // provenance map (round-18 item 5). A suspect against a 2-window
+    // entry and one against a 40-window entry are different claims; the
+    // artifact says which is which.
+    val baselineWindows: Map[String, Int] =
+      parseBaselineWindows(baselineTxt)
     val noiseFactor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_FACTOR", "1.5").toDouble
     val maxRechecks =

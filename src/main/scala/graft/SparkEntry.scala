@@ -1665,7 +1665,7 @@ object SparkEntry {
     // recall that WOULD clear the floor) and then grows 8x by appends —
     // past the 2x retune bar, so its published recall is unclaimable
     // and its own serve guard would fail it loudly. The dispatcher must
-    // EXCLUDE it (Ann.driftExcluded — a soft "pick me a tier" call
+    // EXCLUDE it (StandingIndex.driftExcluded — a soft "pick me a tier" call
     // must not route into a crash) and fall through to the flat SQ8
     // index, the cheapest remaining qualifier: the result is
     // q_sq8_search's own oracle, byte-cheaper probed tier passed over.

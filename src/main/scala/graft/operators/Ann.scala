@@ -2255,14 +2255,14 @@ object Ann {
     }
     signDir.foreach { d =>
       val meta = signIndexMeta(spark, d)
-      // drift exclusion ([[driftExcluded]]): past the retune bar the
+      // one walk prices bytes and counts rows; drift exclusion
+      // ([[StandingIndex.driftExcluded]]): past the retune bar the
       // published recall is unclaimable AND the serve's own guard would
       // throw — the tier stops qualifying instead (footer-count read,
       // the same driver-side metadata the serve's guard uses)
-      if (!driftExcluded(parquetRowCount(spark, s"$d/sigs"),
-          meta.nVectors, SignRetuneBar))
-        standing += (("sign", dirDataBytes(spark, s"$d/sigs"),
-          meta.recall.getOrElse(0.0)))
+      val (sigBytes, sigRows) = StandingIndex.dirStats(spark, s"$d/sigs")
+      if (!driftExcluded(sigRows, meta.nVectors, SignRetuneBar))
+        standing += (("sign", sigBytes, meta.recall.getOrElse(0.0)))
     }
     pqDir.foreach { d =>
       val n = indexVecCount(spark, d, pqModel.get.m)
@@ -2281,24 +2281,38 @@ object Ann {
       // full bytes made the pruned tier lose every byte comparison to
       // the flat tier it exists to undercut)
       val m = sq8IndexMeta(spark, d)
-      // a mispaired model is a caller BUG, not drift — fail loudly here
-      // (the pqDir/pqModel pairing rule) rather than let the byte pricer
-      // rank a tier whose probes wouldn't match the code layout
-      requireCentroidsMatch(m, ivfSq8Coarse.get, d, "annSearchAuto")
-      val nCells = ivfSq8Coarse.get.centroids.length
-      val frac = math.min(1.0, m.nProbe.toDouble / nCells)
-      val probedBytes =
-        math.ceil(dirDataBytes(spark, s"$d/codes") * frac).toLong
-      // drift exclusion, the sign tier's rule: routed recall is
+      // one listing walk prices bytes AND counts rows (round-18 review:
+      // dirDataBytes + parquetRowCount were two identical walks)
+      val (codeBytes, codeRows) =
+        StandingIndex.dirStats(spark, s"$d/codes")
+      // drift exclusion FIRST, the sign tier's rule: routed recall is
       // corpus-dependent through the now-stale centroids, so growth
       // past the bar makes the published figure unclaimable (a
       // pre-round-17 sidecar without n_vectors can't prove growth —
-      // it keeps qualifying, the tolerant-sidecar rule)
+      // it keeps qualifying, the tolerant-sidecar rule). Checked BEFORE
+      // the fingerprint: the post-retune flow (grown index, freshly
+      // retuned model in hand, republish not yet run) must EXCLUDE the
+      // tier, not crash on the model mismatch the retune just created
+      // (round-18 review)
       val drifted = m.nVectors.exists(pub =>
-        driftExcluded(parquetRowCount(spark, s"$d/codes"), pub,
-          SignRetuneBar))
-      if (!drifted)
-        standing += (("ivfsq8", probedBytes, m.recall.getOrElse(0.0)))
+        driftExcluded(codeRows, pub, SignRetuneBar))
+      if (!drifted) {
+        // a mispaired model on a NON-drifted index is a caller BUG, not
+        // drift — fail loudly (the pqDir/pqModel pairing rule) rather
+        // than let the byte pricer rank a tier whose probes wouldn't
+        // match the code layout
+        requireCentroidsMatch(m, ivfSq8Coarse.get, d, "annSearchAuto")
+        val nCells = ivfSq8Coarse.get.centroids.length
+        val frac = math.min(1.0, m.nProbe.toDouble / nCells)
+        // the PROBED share — nProbe/nCells of the code bytes is what
+        // stage 1 actually reads (round-17 review: pricing full bytes
+        // made the pruned tier lose every byte comparison to the flat
+        // tier it exists to undercut); fraction measured at exactly
+        // nProbe/nCells through the full lifecycle (ScaleProbe
+        // ivfsq8_lifecycle)
+        standing += (("ivfsq8", math.ceil(codeBytes * frac).toLong,
+          m.recall.getOrElse(0.0)))
+      }
     }
     annServeBranch(recallFloor, standing.result()) match {
       case ("exact", _) =>

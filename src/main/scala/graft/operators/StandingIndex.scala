@@ -83,16 +83,8 @@ private[graft] object StandingIndex {
     * driver-side metadata read (no Spark job), the cost class every
     * dispatch input and drift guard is held to.
     */
-  def parquetRowCount(spark: SparkSession, dir: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    var rows = 0L
-    listDataFiles(spark, dir).foreach { p =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try rows += rd.getRecordCount finally rd.close()
-    }
-    rows
-  }
+  def parquetRowCount(spark: SparkSession, dir: String): Long =
+    dirStats(spark, dir)._2
 
   /** Total data-file bytes of an index dir — the dispatch-time byte
     * pricer: getLen off the shared walk only; no footer opens, no
@@ -100,6 +92,25 @@ private[graft] object StandingIndex {
     */
   def dirDataBytes(spark: SparkSession, dir: String): Long =
     listDataFileStatuses(spark, dir).map(_.getLen).sum
+
+  /** (bytes, rows) of an index dir off ONE listing walk — for dispatch
+    * sites that need both the byte price and the drift guard's corpus
+    * count (round-18 review: pricing and counting as separate calls
+    * walked the same directory twice). Bytes from the statuses; rows
+    * from the footers of the same file list.
+    */
+  def dirStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val statuses = listDataFileStatuses(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var rows = 0L
+    statuses.foreach { s =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          s.getPath, conf))
+      try rows += rd.getRecordCount finally rd.close()
+    }
+    (statuses.map(_.getLen).sum, rows)
+  }
 
   /** The dispatch-side drift rule, pure for the spec: a standing index
     * whose corpus has grown past `bar` × its publish-time size can no

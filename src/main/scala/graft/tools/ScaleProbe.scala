@@ -838,14 +838,32 @@ object ScaleProbe {
     // fraction of the index at EVERY appended factor (the cut is
     // corpus-size-independent), both growing with the appended fraction;
     // numFiles pinned at 8 vs 16.
-    val lifeResults = if (only.isEmpty || only("pq_cell_lifecycle")) {
-      // (files, MB) planned for the scan(s) over the index dir, read off
-      // the EXECUTED plan so AQE's final stages are the ones inspected
-      // (PlanScans — the shared AQE walker)
-      def codeScan(df: DataFrame, dirPath: String): (Long, Double) = {
-        val (nf, bytes) = PlanScans.scanOf(df, new java.io.File(dirPath).getName)
-        (nf, bytes / 1e6)
-      }
+    // Shared harness for the CELL-PARTITIONED lifecycle probes (one
+    // copy of the protocol — round-18 review: the ivfsq8 probe began as
+    // a verbatim copy of the pq_cell one; the next cell tier would have
+    // meant a third): publish base by cell, append the salted %3-slice
+    // grown Rx (fresh ids; per-copy scalar salt with modulus 11 > max
+    // replication factor, because a smaller modulus would hand late
+    // copies byte-identical codes that parquet RLEs away — the
+    // round-16 finding), compact, then serve ONE pinned query at
+    // nProbe=8 vs exhaustive 16, reading the code scan's PLANNED
+    // numFiles/filesSize off the EXECUTED plan (the DppCheck method;
+    // collect, not count — count() runs a separate execution and
+    // leaves the metrics cold). A single pinned query keeps the probed
+    // union at exactly nProbe cells; serves pass a wide drift bar where
+    // the tier has a guard (the probe grows the corpus 4-10x past
+    // publish on purpose — exactly what the guard refuses in
+    // production). Expected at every factor: probed filesSize = the
+    // probed cells' share of the index (the fraction is
+    // corpus-size-independent — one vector lives in one cell, so cells
+    // grow proportionally), numFiles pinned at nProbe vs nCells.
+    final case class CellTier(name: String, metric: String, idBase: Long,
+      scanSuffix: String => String,
+      publish: (DataFrame, String) => Unit,
+      append: (DataFrame, String) => Unit,
+      compact: String => Int,
+      serve: (String, Int, Long) => DataFrame)
+    def cellLifecycle(tier: CellTier): Seq[(String, Double, Double)] = {
       def dirMb(path: String): Double = {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -859,141 +877,87 @@ object ScaleProbe {
         b / 1e6
       }
       val queryId = embBase.agg(min(col("vec_id"))).first().getLong(0)
-      println("[scale] pq_cell_lifecycle: publish base by cell, append %3" +
-        "-slice grown Rx (fresh ids, per-copy-salted vectors), compact, " +
-        "then serve ONE pinned query at nProbe=8 vs exhaustive 16")
+      println(s"[scale] ${tier.name}: publish base by cell, append %3" +
+        "-slice grown Rx (fresh ids, salted), compact, serve ONE " +
+        "pinned query at nProbe=8 vs exhaustive 16")
       val rows = factors.map { r =>
-        val dir = s"$idxScratch/pq_cell_life_$r"
-        Ann.writePqIndexByCell(embBase, "vec_id", "embedding",
-          PqFixture.model, dir, IvfFixture.model)
+        val dir = s"$idxScratch/${tier.metric}_$r"
+        tier.publish(embBase, dir)
         val batch = embBase.filter(col("vec_id") % 3 === 0)
           .crossJoin(broadcast(spark.range(r).select(col("id").as("copy"))))
-          .select((col("vec_id") + lit(650000000L) +
+          .select((col("vec_id") + lit(tier.idBase) +
             col("copy") * 10000000L).as("vec_id"),
-            // modulus > max replication factor: copy%7 would hand copies
-            // 7-9 the same salt as 0-2, re-creating the byte-identical
-            // codes the salt exists to prevent (round-16 review finding)
             transform(col("embedding"), e =>
               (e * (lit(1.0f) + (col("copy") % 11 + 1).cast("float") *
                 lit(0.173f))).cast("float")).as("embedding"))
-        Ann.appendPqIndexByCell(batch, "vec_id", "embedding",
-          PqFixture.model, dir, IvfFixture.model)
-        val nFiles = Ann.compactPqIndexByCell(spark, dir)
+        tier.append(batch, dir)
+        val nFiles = tier.compact(dir)
         val idxMb = dirMb(dir)
-        def serve(nProbe: Int): (Double, Long, Double) = {
-          val df = Ann.pqSearchIndexed(embBase, "vec_id", "embedding",
-            PqFixture.model, col("vec_id") === queryId, 5, dir,
-            Some(IvfFixture.model), nProbe)
-          // collect, not count: count() runs a SEPARATE query execution,
-          // leaving df's own executedPlan (where the scan metrics live)
-          // unexecuted; the result is k rows, so the collect is free
+        def serveOnce(nProbe: Int): (Double, Long, Double) = {
+          val df = tier.serve(dir, nProbe, queryId)
           val t0 = System.nanoTime(); df.collect()
           val wall = (System.nanoTime() - t0) / 1e9
-          val (nf, mb) = codeScan(df, dir)
-          (wall, nf, mb)
+          val (nf, bytes) = PlanScans.scanOf(df, tier.scanSuffix(dir))
+          (wall, nf, bytes / 1e6)
         }
-        serve(8) // warm-up (codegen/classloading), untimed
-        val (w8, f8, mb8) = serve(8)
-        val (w16, f16, mb16) = serve(16)
-        println(f"[scale] pq_cell_lifecycle     ${r}%2dx  files=$nFiles%3d " +
+        serveOnce(8) // warm-up (codegen/classloading), untimed
+        val (w8, f8, mb8) = serveOnce(8)
+        val (w16, f16, mb16) = serveOnce(16)
+        println(f"[scale] ${tier.name}%-21s ${r}%2dx  files=$nFiles%3d " +
           f"idx=$idxMb%7.2f MB  probed8 $w8%6.2f s $f8%2d files " +
           f"$mb8%7.2f MB  exhaustive16 $w16%6.2f s $f16%2d files " +
           f"$mb16%7.2f MB  byte_cut=${1 - mb8 / mb16}%5.2f")
         (w8, mb8, mb16)
       }
-      println(f"[scale] pq_cell_lifecycle     probed-byte ratios: " +
+      println(f"[scale] ${tier.name}%-21s probed-byte ratios: " +
         f"4x -> ${rows(1)._2 / rows(0)._2}%5.2f, " +
         f"10x -> ${rows(2)._2 / rows(0)._2}%5.2f " +
         f"(exhaustive: ${rows(1)._3 / rows(0)._3}%5.2f / " +
         f"${rows(2)._3 / rows(0)._3}%5.2f)")
-      Seq(("pq_cell_probed_bytes", rows(1)._2 / rows(0)._2,
+      Seq((s"${tier.metric}_probed_bytes", rows(1)._2 / rows(0)._2,
             rows(2)._2 / rows(0)._2),
-          ("pq_cell_serve_wall", rows(1)._1 / rows(0)._1,
+          (s"${tier.metric}_serve_wall", rows(1)._1 / rows(0)._1,
             rows(2)._1 / rows(0)._1))
+    }
+    // PQ cell tier: scan suffix is the dir itself (codes at the root);
+    // compact via the bare mechanism (returns the file count).
+    val lifeResults = if (only.isEmpty || only("pq_cell_lifecycle")) {
+      cellLifecycle(CellTier("pq_cell_lifecycle", "pq_cell", 650000000L,
+        dir => new java.io.File(dir).getName,
+        (d, dir) => Ann.writePqIndexByCell(d, "vec_id", "embedding",
+          PqFixture.model, dir, IvfFixture.model),
+        (d, dir) => Ann.appendPqIndexByCell(d, "vec_id", "embedding",
+          PqFixture.model, dir, IvfFixture.model),
+        dir => Ann.compactPqIndexByCell(spark, dir),
+        (dir, np, queryId) =>
+          Ann.pqSearchIndexed(embBase, "vec_id", "embedding",
+            PqFixture.model, col("vec_id") === queryId, 5, dir,
+            Some(IvfFixture.model), np)))
     } else Seq.empty
 
     // ---- IVF-SQ8 lifecycle exponent (round 18 item 6): the probed
     // serve's I/O claim — stage 1 reads nProbe/nCells of the code
-    // FILES — measured as the cycle scales, so the dispatcher's byte
-    // pricing (annSearchAuto prices the tier at the PROBED share of the
-    // listing bytes) rests on a measured, not asserted, fraction. The
-    // pq_cell_lifecycle protocol verbatim on the SQ8-by-cell tier:
-    // publish base by cell, append the salted %3-slice grown Rx,
-    // compact via the policy verb, then ONE pinned query at the
-    // published nProbe=8 vs exhaustive 16, reading the code scan's
-    // PLANNED filesSize off the executed plan (the DppCheck method).
-    // Expected: probed bytes ≈ the probed cells' share of the index at
-    // EVERY factor (the fraction is corpus-size-independent — one
-    // vector lives in one cell, so cells grow proportionally), both
-    // growing linearly with the appended corpus. The serve passes a
-    // wide drift bar: the probe grows the corpus 4-10x past publish on
-    // purpose, which is exactly what the guard refuses in production.
+    // FILES — measured through the full publish→append→compact cycle,
+    // so the dispatcher's byte pricing (annSearchAuto prices the tier
+    // at the PROBED share of the listing bytes) rests on a measured,
+    // not asserted, fraction. Codes live under dir/codes with the
+    // scale sidecar beside them; compact via the POLICY verb
+    // (threshold forced under the append depth so the staging-swap
+    // actually runs).
     val ivfLifeResults = if (only.isEmpty || only("ivfsq8_lifecycle")) {
-      val queryId = embBase.agg(min(col("vec_id"))).first().getLong(0)
-      println("[scale] ivfsq8_lifecycle: publish base by cell, append %3" +
-        "-slice grown Rx (fresh ids, salted), compact (policy), serve " +
-        "ONE pinned query at nProbe=8 vs exhaustive 16")
-      val rows = factors.map { r =>
-        val dir = s"$idxScratch/ivfsq8_life_$r"
-        Ann.writeSq8IndexByCell(embBase, "vec_id", "embedding", dir,
-          IvfFixture.model)
-        val batch = embBase.filter(col("vec_id") % 3 === 0)
-          .crossJoin(broadcast(spark.range(r).select(col("id").as("copy"))))
-          .select((col("vec_id") + lit(750000000L) +
-            col("copy") * 10000000L).as("vec_id"),
-            transform(col("embedding"), e =>
-              (e * (lit(1.0f) + (col("copy") % 11 + 1).cast("float") *
-                lit(0.173f))).cast("float")).as("embedding"))
-        Ann.appendSq8IndexByCell(batch, "vec_id", "embedding", dir,
-          IvfFixture.model)
-        val nFiles = Ann.compactSq8IndexByCellIfNeeded(spark, dir,
-          maxFilesPerCell = 1).getOrElse(-1)
-        def serve(nProbe: Int): (Double, Long, Double) = {
-          val df = Ann.sq8SearchByCell(embBase, "vec_id", "embedding",
+      cellLifecycle(CellTier("ivfsq8_lifecycle", "ivfsq8", 750000000L,
+        _ => "codes",
+        (d, dir) => { Ann.writeSq8IndexByCell(d, "vec_id", "embedding",
+          dir, IvfFixture.model); () },
+        (d, dir) => Ann.appendSq8IndexByCell(d, "vec_id", "embedding",
+          dir, IvfFixture.model),
+        dir => Ann.compactSq8IndexByCellIfNeeded(spark, dir,
+          maxFilesPerCell = 1).getOrElse(-1),
+        (dir, np, queryId) =>
+          Ann.sq8SearchByCell(embBase, "vec_id", "embedding",
             col("vec_id") === queryId, 5, dir, IvfFixture.model,
-            nProbe = nProbe, maxDriftFactor = 1000.0)
-          // collect, not count: count() runs a separate execution and
-          // leaves df's own executedPlan (where the metrics live) cold
-          val t0 = System.nanoTime(); df.collect()
-          val wall = (System.nanoTime() - t0) / 1e9
-          val (nf, bytes) = PlanScans.scanOf(df, "codes")
-          (wall, nf, bytes / 1e6)
-        }
-        serve(8) // warm-up (codegen/classloading), untimed
-        val (w8, f8, mb8) = serve(8)
-        val (w16, f16, mb16) = serve(16)
-        println(f"[scale] ivfsq8_lifecycle     ${r}%2dx  files=$nFiles%3d " +
-          f"probed8 $w8%6.2f s $f8%2d files $mb8%7.2f MB  " +
-          f"exhaustive16 $w16%6.2f s $f16%2d files $mb16%7.2f MB  " +
-          f"byte_cut=${1 - mb8 / mb16}%5.2f")
-        (w8, mb8, mb16)
-      }
-      println(f"[scale] ivfsq8_lifecycle     probed-byte ratios: " +
-        f"4x -> ${rows(1)._2 / rows(0)._2}%5.2f, " +
-        f"10x -> ${rows(2)._2 / rows(0)._2}%5.2f " +
-        f"(exhaustive: ${rows(1)._3 / rows(0)._3}%5.2f / " +
-        f"${rows(2)._3 / rows(0)._3}%5.2f)")
-      Seq(("ivfsq8_probed_bytes", rows(1)._2 / rows(0)._2,
-            rows(2)._2 / rows(0)._2),
-          ("ivfsq8_serve_wall", rows(1)._1 / rows(0)._1,
-            rows(2)._1 / rows(0)._1))
+            nProbe = np, maxDriftFactor = 1000.0)))
     } else Seq.empty
-
-    // ---- FLAT-tier lifecycle exponents (round 17 item 3): the SQ8 and
-    // sign standing indexes' full nightly cycle — publish base → append
-    // a salted %3-slice grown 1x/4x/10x (fresh ids) → compact via the
-    // POLICY verb (threshold forced under the append depth, so the
-    // staging-swap actually runs) → indexed serve of ONE pinned query —
-    // measuring the stage-1 scan's PLANNED I/O (FileSourceScanExec
-    // numFiles/filesSize, the DppCheck method) next to wall. Flat tiers
-    // scan ALL codes by design (the compression IS the cut; there is no
-    // probe bound), so the expected shape is: post-compact numFiles
-    // pinned at the byte-targeted count regardless of append history,
-    // scanned bytes LINEAR in the appended corpus, nothing super-linear
-    // hiding in the append/compact cycle. The sign serve passes an
-    // explicit wide drift bar: the probe grows the corpus 4-10x past
-    // publish on purpose, which is exactly what the guard exists to
-    // refuse in production.
     val flatLifeResults = if (only.isEmpty || only("flat_lifecycle")) {
       def idxScan(df: DataFrame, sub: String): (Long, Double) = {
         val (nf, bytes) = PlanScans.scanOf(df, sub)

@@ -15,12 +15,13 @@ Schema (validated by `validate` and by BaselineProvenanceSpec):
     "query_min_s": {"q_x": 1.23, ...},
     "provenance": {
       "q_x": {
-        "frozen_s": 1.23,          # == query_min_s["q_x"] (key order fixed:
-        "n_windows": 3,            #    frozen_s first, n_windows second —
-        "windows": [["r10",1.25],  #    Bench greps them positionally)
-                    ["r17",1.23]], # (label, min) of every window that
-                                   # priced the row; labels rNN are driver
-                                   # rounds, rNNtK are targeted windows
+        "frozen_s": 1.23,          # == query_min_s["q_x"] (key order fixed
+        "n_windows": 3,            #    for stable diffs; consumers parse
+        "windows": [["r10a",1.25], #    real JSON, never position)
+                 ["r17drv",1.23]], # (label, min) of every window that
+                                   # priced the row; labels rNN[a-z] are
+                                   # committed builder windows, rNNdrv
+                                   # driver windows, rNNtK targeted
         "convention": "min",       # min | serve_priced | publish_inclusive
                                    #     | deliberate_config
         "refrozen": [["r17",6.584]],  # prior frozen values this replaced
@@ -79,8 +80,8 @@ def load():
 
 
 def save(d):
-    # key order inside provenance entries is part of the contract
-    # (frozen_s first, n_windows second) — rebuild each entry explicitly
+    # fixed key order inside provenance entries (frozen_s first) for
+    # stable diffs — consumers parse real JSON and don't depend on it
     prov = {}
     for q in sorted(d.get("provenance", {})):
         e = d["provenance"][q]
@@ -94,6 +95,14 @@ def save(d):
     d["provenance"] = prov
     d["n_queries"] = len(d["query_min_s"])
     d["total_s"] = round(sum(d["query_min_s"].values()), 1)
+    # validate BEFORE touching the file on disk: a mutation that breaks
+    # an invariant must leave the committed baseline untouched, not
+    # overwrite it and then complain (round-18 review)
+    errs = validate(d)
+    if errs:
+        for e in errs:
+            print("INVALID (baseline NOT written):", e)
+        raise SystemExit(1)
     tmp = BASELINE + ".tmp"
     with open(tmp, "w") as f:
         json.dump(d, f, indent=1)
@@ -162,7 +171,11 @@ def backfill(d):
         label = "r%02d%s" % (rnd, "abcdefghijklmnopqrstuvwxyz"[seq % 26])
         for q, v in qs.items():
             put(q, label, v)
-    # (b) driver artifacts: per-query "runs" arrays surviving in the tail
+    # (b) driver artifacts: per-query "runs" arrays surviving in the
+    # tail. Label suffix "drv", NOT a single letter: "rNNd" collides
+    # with the 4th committed window's letter and setdefault would drop
+    # the driver window entirely (round-18 review — rounds with 4+
+    # committed windows silently lost their driver rows)
     for p in sorted(glob.glob("BENCH_r[0-9][0-9].json")):
         n = int(re.search(r"BENCH_r(\d+)\.json", p).group(1))
         try:
@@ -175,7 +188,7 @@ def backfill(d):
                              tail):
             vals = [float(x) for x in m.group(2).split(",") if x]
             if vals:
-                put(m.group(1), "r%02dd" % n, min(vals))
+                put(m.group(1), "r%02ddrv" % n, min(vals))
     for q in d["query_min_s"]:
         e = entry(d, q)
         merged = {w[0]: w for w in e["windows"]}
