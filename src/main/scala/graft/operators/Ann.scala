@@ -1148,14 +1148,6 @@ object Ann {
       nProbe, cellPartitioned = partitioned)
   }
 
-  /** Standing-code reader for both layouts; returns (codes, isCellPartitioned).
-    * A [[writePqIndexByCell]] dir re-infers its `cell` partition column
-    * as INT from the directory names — which is also how the layout is
-    * DETECTED (the flat writer stores cell as a long data column) —
-    * and the re-read with the long type the writer had keeps the ADC
-    * join key cast-free, so the static cell filter prunes at the
-    * partition level.
-    */
   /** STATIC cell pruning shared by the probed cell-partitioned serves
     * ([[pqSearchWith]]'s decision, applied by IVF-SQ8 too): collect the
     * batch's probed-cell union (bounded by ≤ |queries|·nProbe — the same
@@ -1173,18 +1165,12 @@ object Ann {
     codes.filter(col("cell").isin(cells: _*))
   }
 
+  // Standing-code reader for both layouts — [[StandingIndex.readCodeIndex]]
+  // (detects cell partitioning, re-reads the cell column as the BIGINT
+  // the writer had so the ADC join key stays cast-free).
   private def readCodeIndex(spark: org.apache.spark.sql.SparkSession,
-                            indexDir: String): (DataFrame, Boolean) = {
-    val raw = spark.read.parquet(indexDir)
-    if (raw.schema.exists(f => f.name == "cell" &&
-        f.dataType != org.apache.spark.sql.types.LongType)) {
-      val fixed = org.apache.spark.sql.types.StructType(raw.schema.map(f =>
-        if (f.name == "cell")
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-      (spark.read.schema(fixed).parquet(indexDir), true)
-    } else (raw, false)
-  }
+                            indexDir: String): (DataFrame, Boolean) =
+    StandingIndex.readCodeIndex(spark, indexDir)
 
   private def pqSearchWith(codes: DataFrame,
                            emb: DataFrame, idCol: String, embCol: String,

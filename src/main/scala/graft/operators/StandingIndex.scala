@@ -188,6 +188,27 @@ private[graft] object StandingIndex {
       driftMessage(tier, dir, n, published, factor, reason, retuneTool,
         republishVerb))
 
+  /** Standing-code reader for both layouts; returns
+    * (codes, isCellPartitioned). A cell-partitioned dir re-infers its
+    * `cell` partition column as INT from the directory names — which is
+    * also how the layout is DETECTED (the flat writers store cell as a
+    * long data column) — and the re-read with the long type the writer
+    * had keeps the downstream join key cast-free, so the static cell
+    * filter prunes at the partition level.
+    */
+  def readCodeIndex(spark: SparkSession,
+                    indexDir: String): (DataFrame, Boolean) = {
+    val raw = spark.read.parquet(indexDir)
+    if (raw.schema.exists(f => f.name == "cell" &&
+        f.dataType != org.apache.spark.sql.types.LongType)) {
+      val fixed = org.apache.spark.sql.types.StructType(raw.schema.map(f =>
+        if (f.name == "cell")
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+      (spark.read.schema(fixed).parquet(indexDir), true)
+    } else (raw, false)
+  }
+
   /** Cell-partitioned write/append: repartition by cell BEFORE
     * partitionBy so each touched cell lands as ONE file per batch (the
     * small-files guard every cell tier states) — and, on append, the
