@@ -20,10 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Both star steps hold a LOOP INVARIANT that pays for three exchanges a
+    * round (optimization round 18, guide §2.4 "remove shuffles outright"):
+    * every edge frame entering a star step is NORMALIZED (src > dst on
+    * every row). Under it, [[largeStar]]'s symmetrized frame is the union
+    * of two row-disjoint halves (src>dst and src<dst), so the `distinct`
+    * that used to canonicalize it bought nothing; and both steps' OUTPUT
+    * rows are already normalized (each emitted row is (x, m) with
+    * m < x — m is a min over a set containing something smaller than x),
+    * so [[smallStar]]'s input re-normalization was a no-op too. Duplicate
+    * ROWS (not mis-oriented ones) can now flow between the steps — they
+    * are harmless to every min aggregate and to the emitted edge SET, and
+    * the one place set-semantics matter (the convergence signature) sits
+    * behind [[smallStar]]'s retained output `distinct`. Per round the
+    * exchange count drops from ~8 to 3 (sym-by-src, dir-by-src — each
+    * shared by its groupBy and join via ReusedExchange — plus the output
+    * distinct); labels are bit-identical because every round's OUTPUT SET
+    * is unchanged (ClusterSpec + the five q_cluster_cc* oracle rows pin
+    * it).
+    */
   private def largeStar(e: DataFrame): DataFrame = {
+    // invariant: e rows satisfy src > dst, so the two union halves are
+    // disjoint orientations — no distinct exchange needed to symmetrize
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
     // m(u) = min(u, min neighbor)
     val m = sym.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
@@ -32,20 +52,22 @@ object ConnectedComponents {
       .select(col("dst").as("src"), col("m").as("dst"))
       .union(m.select(col("src"), col("m").as("dst")))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    // no output distinct: every emitted row has src > dst (m < the node it
+    // labels), duplicates are tolerated by smallStar and removed by its
+    // canonical output distinct before the signature reads the round
   }
 
   private def smallStar(e: DataFrame): DataFrame = {
-    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
-                       least(col("src"), col("dst")).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-    val m = dir.groupBy("src").agg(min("dst").as("mn"))
+    // invariant: input rows already satisfy src > dst (largeStar output or
+    // the normalized initial frame) — no re-orientation, no distinct
+    val m = e.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src"), col("mn").as("m"))
-    dir.join(m, "src")
+    e.join(m, "src")
       .select(col("dst").as("src"), col("m").as("dst"))
       .union(m.select(col("src"), col("m").as("dst")))
       .where(col("src") =!= col("dst"))
+      // the round's one canonicalizing exchange: the signature compares
+      // SETS, and the checkpoint that feeds the next round stays compact
       .distinct()
   }
 
@@ -78,7 +100,12 @@ object ConnectedComponents {
     // not orchestration overhead). The signature's count also answers
     // the initial is-empty question, so that separate action is gone
     // too.
-    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // Normalize to src > dst BEFORE the loop — the star steps' invariant
+    // (see largeStar). Same distinct exchange as before (mirrored pairs now
+    // collapse here instead of inside round 1's symmetrize), same labels.
+    var e = edges.select(
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("src"),
+        least(col("src").cast("long"), col("dst").cast("long")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(false)
