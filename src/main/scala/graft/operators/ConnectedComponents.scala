@@ -42,8 +42,19 @@ object ConnectedComponents {
   private def largeStar(e: DataFrame): DataFrame = {
     // invariant: e rows satisfy src > dst, so the two union halves are
     // disjoint orientations — no distinct exchange needed to symmetrize
+    //
+    // ONE exchange for the whole step: without the explicit repartition,
+    // the min aggregate and the join each plan their own exchange of sym
+    // (the aggregate's carries a partial-agg child, so the two subtrees
+    // are not equal and exchange reuse cannot fire) — the step shuffles
+    // sym twice. Pinning hash(src) once makes both consumers read the
+    // same materialized stage (ReusedExchange under AQE), and
+    // hash(src) satisfies the aggregate's clustering requirement
+    // outright. No explicit partition count: the keyless-count form
+    // stays AQE-coalescible (scale-adaptive, guide §2).
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
     // m(u) = min(u, min neighbor)
     val m = sym.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
@@ -59,10 +70,12 @@ object ConnectedComponents {
 
   private def smallStar(e: DataFrame): DataFrame = {
     // invariant: input rows already satisfy src > dst (largeStar output or
-    // the normalized initial frame) — no re-orientation, no distinct
-    val m = e.groupBy("src").agg(min("dst").as("mn"))
+    // the normalized initial frame) — no re-orientation, no distinct.
+    // Same one-exchange sharing as largeStar.
+    val dir = e.repartition(col("src"))
+    val m = dir.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src"), col("mn").as("m"))
-    e.join(m, "src")
+    dir.join(m, "src")
       .select(col("dst").as("src"), col("m").as("dst"))
       .union(m.select(col("src"), col("m").as("dst")))
       .where(col("src") =!= col("dst"))
