@@ -367,10 +367,20 @@ object SparkEntry {
       Graft.registerFunctions(s)
       Tables.supplier(s, dir).select(col("s_name"))
         .createOrReplaceTempView("supplier_ro_sql")
+      // The REPARTITION hint on the probe CTE is the SQL spelling of the
+      // repartition similarityPairs already carries (Linker.scala:45):
+      // BroadcastNestedLoopJoin parallelism = probe-side partitions, and
+      // the distinct's small exchange otherwise AQE-coalesces to one —
+      // the whole O(n²) verify then runs in ONE task (measured: a 3.5 s
+      // single-task stage carrying this row at sf0.1). Same rows, same
+      // oracle; the explicit count mirrors defaultParallelism like the
+      // Column-API path.
       s.sql(
         "WITH nm AS (SELECT DISTINCT s_name AS name FROM supplier_ro_sql), " +
+        s"nmp AS (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */ " +
+        "name FROM nm), " +
         "pairs AS (SELECT least(a.name, b.name) AS uniqId, a.name AS name_a " +
-        "FROM nm a JOIN nm b ON a.name <> b.name " +
+        "FROM nmp a JOIN nm b ON a.name <> b.name " +
         "AND ro_similarity(a.name, b.name) >= 80.0D) " +
         "SELECT uniqId, concat_ws(',', sort_array(collect_set(name_a))) " +
         "AS CollectedNames FROM pairs GROUP BY uniqId")
@@ -687,7 +697,12 @@ object SparkEntry {
     // sub-ulp interpolation differences between engines (both thresholds
     // land strictly between the same two adjacent quality values).
     "q_quality_filter" -> ((s, dir) => {
-      val scored = Tables.documents(s, dir)
+      // FanOut.widen: the quality-score projection is consumed by BOTH
+      // the threshold aggregate and the filter probe, each otherwise
+      // re-scoring the corpus single-task over the one-file scan (guide
+      // §2.5); widening also makes the two consumers' exchange subtrees
+      // identical, so AQE reuses one scored stage for both
+      val scored = FanOut.widen(Tables.documents(s, dir))
         .select(col("source"), col("doc_id"),
           TextOps.qualityScore(col("text")).as("quality"))
       val thresholds = scored.groupBy("source")

@@ -39,7 +39,10 @@ object Boilerplate {
     * document row).
     */
   def segments(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    Chunker.chunkTokens(df, idCol, textCol, k, k)
+    // FanOut.widen: tokenization + window slicing is the tier's heavy
+    // projection and runs before any exchange — single-task on an
+    // under-partitioned scan (guide §2.5); no-op at corpus scale
+    Chunker.chunkTokens(FanOut.widen(df), idCol, textCol, k, k)
       .withColumnRenamed("chunk_idx", "seg_idx")
       .withColumnRenamed("chunk", "segment")
       .withColumnRenamed("chunk_tokens", "seg_tokens")

@@ -33,6 +33,12 @@ object NearDup {
     // word_ngrams is the native codegen kernel (fewer-than-n tokens ->
     // empty array -> explode drops the doc, as before)
     val grams = graft.functions.word_ngrams(TextOps.tokens(col(textCol)), n)
+    // Deliberately NOT FanOut.widen'd (r18 optimization round): the
+    // shingle projection is cheap enough per row that fanning the scan
+    // out before it measured as a net LOSS on six consumer rows
+    // (q_text_knn 1.5x, q_hybrid_dedup 1.4x — the added exchange and
+    // stage outweigh the parallelism), unlike the segment/score
+    // projections that keep the helper.
     df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
   }
 
@@ -264,10 +270,24 @@ object NearDup {
           Seq(("df", true), ("shingle", true)), maxK.toInt, "rn")
         .filter(col("rn") <= col("klim"))
         .select("id", "shingle")
+    // The explicit post-distinct repartition is the halfIdPairs pin: the
+    // verify below (two id-keyed joins + an array_intersect per pair over
+    // document-sized shingle arrays) is orders of magnitude heavier per
+    // byte than AQE's coalescing model expects, so the distinct's
+    // candidate exchange (a few MB of (long, long) rows) gets coalesced
+    // to a handful of partitions and the whole verify runs there
+    // (measured: a 6.6 s 3-task stage carrying q_jaccard_prefix at
+    // sf0.1). A user-specified count is exempt from coalescing; the key
+    // must differ from the distinct's (id_a, id_b) or the repartition is
+    // elided as redundant. One narrow extra shuffle of the DEDUPED pairs
+    // buys the verify full parallelism at any scale.
+    val nPart = sh.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .repartition(nPart, col("id_a"))
     // verify: join each candidate pair with BOTH docs' full shingle-set
     // ARRAYS and intersect in-row (the minhashNearDupPairs shape) —
     // candidates × 2 id-keyed joins instead of the candidates ×
