@@ -20,64 +20,92 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Both star steps hold a LOOP INVARIANT that pays for three exchanges a
-    * round (optimization round 18, guide §2.4 "remove shuffles outright"):
-    * every edge frame entering a star step is NORMALIZED (src > dst on
-    * every row). Under it, [[largeStar]]'s symmetrized frame is the union
-    * of two row-disjoint halves (src>dst and src<dst), so the `distinct`
-    * that used to canonicalize it bought nothing; and both steps' OUTPUT
-    * rows are already normalized (each emitted row is (x, m) with
-    * m < x — m is a min over a set containing something smaller than x),
-    * so [[smallStar]]'s input re-normalization was a no-op too. Duplicate
-    * ROWS (not mis-oriented ones) can now flow between the steps — they
-    * are harmless to every min aggregate and to the emitted edge SET, and
-    * the one place set-semantics matter (the convergence signature) sits
-    * behind [[smallStar]]'s retained output `distinct`. Per round the
-    * exchange count drops from ~8 to 3 (sym-by-src, dir-by-src — each
-    * shared by its groupBy and join via ReusedExchange — plus the output
-    * distinct); labels are bit-identical because every round's OUTPUT SET
-    * is unchanged (ClusterSpec + the five q_cluster_cc* oracle rows pin
-    * it).
+  /** Both star steps hold a LOOP INVARIANT (round 18): every edge frame
+    * entering a star step is NORMALIZED (src > dst on every row), and
+    * both steps' OUTPUT rows are again normalized (each emitted row is
+    * (x, m) with m < x — m is a min over a set containing something
+    * smaller than x). Duplicate ROWS (not mis-oriented ones) may flow
+    * between the steps — harmless to every min aggregate and to the
+    * emitted edge SET; the one set-semantics consumer (the convergence
+    * signature) sits behind [[smallStar]]'s retained output `distinct`.
+    *
+    * ROUND 19 (guide §2.4 "remove shuffles outright"): each star step is
+    * ONE window aggregation instead of groupBy(min) + join. The round-18
+    * agg+join form planned a genuinely shared exchange, but the executed
+    * plan never shared it: the post-join `dst > src` filter is pushed
+    * through the repartition into the join-probe subtree (differentiating
+    * it from the aggregate's child), and `m` is consumed twice (join
+    * build side + the union's m-branch) — so one round really ran ~8
+    * shuffles + 3 broadcast builds (CcPlanProbe, executed plan, 8 jobs a
+    * round). With `min(dst) over (partition by src)` the step needs ONE
+    * hash(src) exchange, no join and no broadcast: both output branches
+    * read the identical window subtree (their filters reference
+    * non-partition columns, so they cannot be pushed below the window,
+    * and the identical subtrees reuse one materialized stage), and the
+    * window's ENSURE_REQUIREMENTS exchange stays AQE-coalescible
+    * (scale-adaptive, guide §2). Per round: 3 exchanges total (two
+    * window exchanges + the output distinct), 0 broadcasts. Shuffle
+    * bytes at scale drop too: the agg+join form re-shuffled the
+    * symmetrized frame for the probe AND (partially aggregated) for each
+    * m consumer. Skew posture is unchanged — the old join probe already
+    * placed every row of a hot src in one partition; the window buffer
+    * spills via ExternalAppendOnlyUnsafeRowBuffer.
+    *
+    * Labels are bit-identical: every round's OUTPUT SET is unchanged
+    * (branch 1 emits exactly the old join branch's rows; branch 2 emits
+    * (src, m) exactly for the srcs the old m-branch emitted, duplicates
+    * tolerated as before). ClusterSpec + the five q_cluster_cc* oracle
+    * rows pin it.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     // invariant: e rows satisfy src > dst, so the two union halves are
     // disjoint orientations — no distinct exchange needed to symmetrize
-    //
-    // ONE exchange for the whole step: without the explicit repartition,
-    // the min aggregate and the join each plan their own exchange of sym
-    // (the aggregate's carries a partial-agg child, so the two subtrees
-    // are not equal and exchange reuse cannot fire) — the step shuffles
-    // sym twice. Pinning hash(src) once makes both consumers read the
-    // same materialized stage (ReusedExchange under AQE), and
-    // hash(src) satisfies the aggregate's clustering requirement
-    // outright. No explicit partition count: the keyless-count form
-    // stays AQE-coalescible (scale-adaptive, guide §2).
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-    // m(u) = min(u, min neighbor)
-    val m = sym.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src"), least(col("src"), col("mn")).as("m"))
-    sym.join(m, "src")
-      .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .union(m.select(col("src"), col("m").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    // m(u) = min(u, min neighbor); mn kept so the m-branch can emit one
+    // (src, m) per src without a second aggregate (rows achieving the
+    // min — duplicates are tolerated downstream)
+    // ONE pass over the window output: a union of two filtered branches
+    // would re-read the (reused) exchange and re-run Sort+Window once per
+    // branch — the conditional explode emits both branches' rows from a
+    // single window evaluation instead (codegen generator, 0–2 structs a
+    // row; explode drops empty arrays).
+    val ann = sym.select(col("src"), col("dst"),
+      min(col("dst")).over(w).as("mn"))
+    val m = least(col("src"), col("mn"))
+    ann.select(explode(concat(
+        when(col("dst") > col("src"),
+          array(struct(col("dst").as("s"), m.as("d"))))
+          .otherwise(array().cast("array<struct<s:bigint,d:bigint>>")),
+        when(col("dst") === col("mn"),
+          array(struct(col("src").as("s"), m.as("d"))))
+          .otherwise(array().cast("array<struct<s:bigint,d:bigint>>"))))
+        .as("p"))
+      .select(col("p.s").as("src"), col("p.d").as("dst"))
       .where(col("src") =!= col("dst"))
     // no output distinct: every emitted row has src > dst (m < the node it
     // labels), duplicates are tolerated by smallStar and removed by its
     // canonical output distinct before the signature reads the round
   }
 
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     // invariant: input rows already satisfy src > dst (largeStar output or
-    // the normalized initial frame) — no re-orientation, no distinct.
-    // Same one-exchange sharing as largeStar.
-    val dir = e.repartition(col("src"))
-    val m = dir.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src"), col("mn").as("m"))
-    dir.join(m, "src")
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .union(m.select(col("src"), col("m").as("dst")))
+    // the normalized initial frame) — no re-orientation; min(dst) < src
+    // outright, so no least() with src is needed. Same one-window-exchange
+    // shape as largeStar.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    // same one-pass conditional explode as largeStar (one Sort+Window
+    // evaluation, no union re-read)
+    val ann = e.select(col("src"), col("dst"),
+      min(col("dst")).over(w).as("m"))
+    ann.select(explode(concat(
+        array(struct(col("dst").as("s"), col("m").as("d"))),
+        when(col("dst") === col("m"),
+          array(struct(col("src").as("s"), col("m").as("d"))))
+          .otherwise(array().cast("array<struct<s:bigint,d:bigint>>"))))
+        .as("p"))
+      .select(col("p.s").as("src"), col("p.d").as("dst"))
       .where(col("src") =!= col("dst"))
       // the round's one canonicalizing exchange: the signature compares
       // SETS, and the checkpoint that feeds the next round stays compact

@@ -19,8 +19,30 @@ import org.apache.spark.sql.DataFrame
   * unstarted stream).
   */
 private[graft] object FanOut {
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
+
+  /** True when the plan is scan-shaped: a leaf (file scan, local relation)
+    * under nothing but narrow per-row operators. Only such plans are probed
+    * for their physical partition count — `df.rdd.getNumPartitions` forces
+    * physical planning, and under AQE on a frame that CONTAINS exchanges it
+    * eagerly executes the upstream shuffle stages (AdaptiveSparkPlanExec
+    * materializes stages on doExecute), running jobs whose results are then
+    * thrown away. A non-scan-shaped frame passes through unwidened: its
+    * exchanges already re-establish parallelism, so the widen would buy
+    * nothing and the probe could double-execute the upstream pipeline.
+    */
+  private def scanShaped(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode         => true
+    case Project(_, c)       => scanShaped(c)
+    case Filter(_, c)        => scanShaped(c)
+    case SubqueryAlias(_, c) => scanShaped(c)
+    case _                   => false
+  }
+
   def widen(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    if (!scanShaped(df.queryExecution.analyzed)) return df
     val para = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < para) df.repartition(para) else df
   }

@@ -281,8 +281,10 @@ object NearDup {
     // must differ from the distinct's (id_a, id_b) or the repartition is
     // elided as redundant. One narrow extra shuffle of the DEDUPED pairs
     // buys the verify full parallelism at any scale.
-    val nPart = sh.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    // sessionState.conf resolves the EFFECTIVE integer value — the raw
+    // conf string is not an integer literal on every runtime (some set
+    // "auto"), and .toInt would throw there.
+    val nPart = sh.sparkSession.sessionState.conf.numShufflePartitions
     val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

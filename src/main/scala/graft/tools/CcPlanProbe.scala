@@ -13,33 +13,13 @@ object CcPlanProbe {
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
     })
-    // one round, replicated inline (largeStar/smallStar are private)
+    // one round, calling the REAL star steps (private[graft] since round
+    // 19) so the probe's plan evidence cannot drift from the shipped code
     val e0 = edges.select(greatest(col("src"),col("dst")).as("src"),
         least(col("src"),col("dst")).as("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(false)
-    def largeStar(e: org.apache.spark.sql.DataFrame) = {
-      val sym = e.select(col("src"), col("dst"))
-        .union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src"))
-      val m = sym.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), least(col("src"), col("mn")).as("m"))
-      sym.join(m, "src")
-        .where(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(m.select(col("src"), col("m").as("dst")))
-        .where(col("src") =!= col("dst"))
-    }
-    def smallStar(e: org.apache.spark.sql.DataFrame) = {
-      val dir = e.repartition(col("src"))
-      val m = dir.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), col("mn").as("m"))
-      dir.join(m, "src")
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(m.select(col("src"), col("m").as("dst")))
-        .where(col("src") =!= col("dst"))
-        .distinct()
-    }
-    val round = smallStar(largeStar(e0))
+    val round = graft.operators.ConnectedComponents.smallStar(
+      graft.operators.ConnectedComponents.largeStar(e0))
     round.write.format("noop").mode("overwrite").save()
     println("[probe] one-round executed plan:")
     println(round.queryExecution.executedPlan.toString.take(6000))
