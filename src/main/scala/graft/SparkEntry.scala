@@ -444,15 +444,21 @@ object SparkEntry {
       // driver-window inflation lived (README noise log, round 15).
       // The publish is still paid in-band once per attempt, per the
       // fixture convention.
-      val standing = ConnectedComponents.run(
-        corpus.select(col("c_custkey").as("id")),
-        EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
-          .select(col("id_a").as("src"), col("id_b").as("dst")))
-        .localCheckpoint(true)
+      // the standing-label CC loop and the variant-index publish are
+      // INDEPENDENT (the serve below needs both) — overlapped
+      // (Par.sections, guide §2.6): the index write back-fills the CC
+      // rounds' scheduling gaps. Same artifacts, same labels.
       val tmp = scratchDir("graft_cc_var_idx").toString
-      EditDistanceJoin.writeVariantIndex(
-        corpus.select(col("c_custkey"), col("c_name")),
-        "c_custkey", "c_name", 1, tmp)
+      var standing: org.apache.spark.sql.DataFrame = null
+      operators.Par.sections(
+        () => standing = ConnectedComponents.run(
+            corpus.select(col("c_custkey").as("id")),
+            EditDistanceJoin.idPairs(corpus, "c_custkey", "c_name", 1)
+              .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .localCheckpoint(true),
+        () => EditDistanceJoin.writeVariantIndex(
+          corpus.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", 1, tmp))
       // reps, not pairs: CC needs ONE edge per (batch id, matched key) —
       // equal keys already share a standing component, so the key's
       // representative member reaches the whole group and the right-
@@ -563,12 +569,18 @@ object SparkEntry {
       val day0 = slice(1); val day1 = slice(2); val day2 = slice(0)
       val tmp = scratchDir("graft_cc_day2q")
       val tbl = tmp.getFileName.toString
-      EditDistanceJoin.writeVariantIndexBucketed(day0, "c_custkey",
-        "c_name", 1, tmp.toString, tbl)
-      val standing0 = ConnectedComponents.run(
-        day0.select(col("c_custkey").as("id")),
-        EditDistanceJoin.idPairs(day0, "c_custkey", "c_name", 1)
-          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      // day-0 publish and day-0 standing labels are INDEPENDENT —
+      // overlapped (Par.sections, guide §2.6; the day-1 fold below
+      // needs both). The append stays strictly AFTER the fold's eager
+      // checkpoint, exactly as before.
+      var standing0: org.apache.spark.sql.DataFrame = null
+      operators.Par.sections(
+        () => EditDistanceJoin.writeVariantIndexBucketed(day0, "c_custkey",
+          "c_name", 1, tmp.toString, tbl),
+        () => standing0 = ConnectedComponents.run(
+          day0.select(col("c_custkey").as("id")),
+          EditDistanceJoin.idPairs(day0, "c_custkey", "c_name", 1)
+            .select(col("id_a").as("src"), col("id_b").as("dst"))))
       def edges(batch: org.apache.spark.sql.DataFrame) =
         EditDistanceJoin.repsAgainstIndexBucketed(
             batch, "c_custkey", "c_name", 1, tbl)

@@ -547,15 +547,21 @@ object Linker {
   def sortedNeighborhoodTcRecall(df: DataFrame, idCol: String, keyCol: String,
                                  passes: Seq[org.apache.spark.sql.Column],
                                  windowSize: Int, maxDist: Int): DataFrame = {
-    val truth = EditDistanceJoin.idPairs(df, idCol, keyCol, maxDist)
-      .select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"))
-      .localCheckpoint(true)
-    val union = sortedNeighborhoodMulti(df, idCol, keyCol, passes,
-        windowSize, maxDist)
-      .select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"))
-      .localCheckpoint(true)
+    // truth and union are INDEPENDENT pipelines materialized eagerly —
+    // submit both from threads (Par.sections, guide §2.6) so the
+    // scheduling-bound SNM passes back-fill the truth lev-join's idle
+    // cores instead of waiting for its tail. Results are unchanged;
+    // only the two checkpoints' wall time overlaps.
+    val Seq(truth, union) = Par.sections(
+      () => EditDistanceJoin.idPairs(df, idCol, keyCol, maxDist)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+        .localCheckpoint(true),
+      () => sortedNeighborhoodMulti(df, idCol, keyCol, passes,
+          windowSize, maxDist)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+        .localCheckpoint(true))
     val edges = union.select(col("id_a").as("src"), col("id_b").as("dst"))
     val verts = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()

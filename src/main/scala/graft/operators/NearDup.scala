@@ -858,10 +858,16 @@ object NearDup {
     val fpKeep = fp.groupBy("fp").agg(min(col(idCol)).as("__fpk"))
     val exact = fp.join(fpKeep, "fp")
       .select(col(idCol), (col(idCol) === col("__fpk")).as("exact_keep"))
-    val near = dedupByNearDup(docs, idCol, textCol, n, jaccThreshold)
-      .select(col(idCol), col("is_canonical").as("near_keep"))
-    val sem = Ann.dedupByCosine(emb, embIdCol, embCol, cosThreshold)
-      .select(col(embIdCol).as(idCol), col("is_canonical").as("sem_keep"))
+    // the text and semantic tiers each run their OWN connected-components
+    // loop during construction (per-round signature actions at single-
+    // digit utilization) and are fully independent until the final id
+    // joins — construct them concurrently (Par.sections, guide §2.6) so
+    // one tier's rounds back-fill the other's scheduling gaps
+    val Seq(near, sem) = Par.sections(
+      () => dedupByNearDup(docs, idCol, textCol, n, jaccThreshold)
+        .select(col(idCol), col("is_canonical").as("near_keep")),
+      () => Ann.dedupByCosine(emb, embIdCol, embCol, cosThreshold)
+        .select(col(embIdCol).as(idCol), col("is_canonical").as("sem_keep")))
     exact.join(near, Seq(idCol))
       .join(sem, Seq(idCol), "left")
       .withColumn("sem_keep", coalesce(col("sem_keep"), lit(true)))
