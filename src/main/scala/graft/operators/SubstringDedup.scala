@@ -54,6 +54,12 @@ object SubstringDedup {
     */
   def positionedGrams(df: DataFrame, idCol: String, textCol: String,
                       k: Int = GramTokens): DataFrame =
+    // Deliberately NOT FanOut.widen'd (optimization round 19): measured
+    // across the three consumer rows in two windows, the widen was
+    // noise-neutral on q_substring_{spans,dedup} and a consistent 1.4x
+    // LOSS on q_redact_eval (the added exchange lands inside the
+    // hot-gram guard's eager localCheckpoint, materializing an extra
+    // pass) — the same net-loss lesson as NearDup.shingles in round 18.
     df.select(col(idCol).as("id"),
         posexplode(graft.functions.word_ngrams(
           TextOps.tokens(lower(col(textCol))), k)).as(Seq("p", "gram")))

@@ -216,7 +216,10 @@ object TextOps {
           },
           st => st.getField("best")),
         lit(0L))
-    df.select(
+    // FanOut.widen: two array_sort + fold passes per doc are far above
+    // scan-speed per row — single-task on an under-partitioned scan
+    // (guide §2.5); no-op at corpus scale
+    FanOut.widen(df).select(
       col(idCol),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
