@@ -112,16 +112,26 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Order-insensitive signature of an edge set, for convergence detection
-    * without an expensive `except`.
+  /** Eagerly checkpoint an edge frame and return it together with its
+    * order-insensitive signature (row count + bit_xor of row hashes), for
+    * convergence detection without an expensive `except`. The signature
+    * rides the checkpoint's own materialization job as observed metrics
+    * (CollectMetrics accumulators — optimization round 19): the previous
+    * lazy-checkpoint + separate aggregate action re-ran a partial-agg,
+    * a single-partition exchange and a collect job per round; this form
+    * computes the identical (n, h) inside the materializing pass (probed:
+    * 3 jobs → 2 per round-frame, identical values). bit_xor is
+    * order-insensitive and cannot overflow under ANSI mode (unlike sum,
+    * which throws on long overflow in Spark 4).
     */
-  private def signature(e: DataFrame): (Long, Long) = {
-    // bit_xor is order-insensitive and cannot overflow under ANSI mode
-    // (unlike sum, which throws on long overflow in Spark 4).
-    val r = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).collect()(0)
-    (r.getLong(0), r.getLong(1))
+  private def checkpointWithSignature(e: DataFrame): (DataFrame, (Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cp = e.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+      .localCheckpoint(true)
+    val row = obs.get
+    (cp, (row("n").asInstanceOf[Long], row("h").asInstanceOf[Long]))
   }
 
   /** vertices: single column `id`; edges: columns `src`, `dst` (long ids,
@@ -129,33 +139,25 @@ object ConnectedComponents {
     * where component is the minimum id in the vertex's component.
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // ONE action per round, not two: the checkpoint is marked LAZY and
-    // the signature aggregate is the action that materializes it — an
-    // eager localCheckpoint would run its own job and then signature()
-    // would run another (plus their AQE stage-jobs). Same lineage
-    // truncation, same convergence test, half the ACTIONS per round;
-    // measured on q_cluster_cc_day2's three run() invocations by
-    // Day2JobAudit (212 → 197 jobs for the full day-N loop — the
-    // remaining per-round jobs are AQE stage submissions for the
-    // large/small-star round's own six shuffles, i.e. the algorithm,
-    // not orchestration overhead). The signature's count also answers
-    // the initial is-empty question, so that separate action is gone
-    // too.
+    // ONE action per round (checkpointWithSignature): the convergence
+    // signature rides the checkpoint's materialization as observed
+    // metrics, so a round costs exactly its own exchanges plus one
+    // result job — no separate aggregate action, no single-partition
+    // signature exchange. The signature's count also answers the
+    // initial is-empty question, so that separate action is gone too.
     // Normalize to src > dst BEFORE the loop — the star steps' invariant
     // (see largeStar). Same distinct exchange as before (mirrored pairs now
     // collapse here instead of inside round 1's symmetrize), same labels.
-    var e = edges.select(
+    var (e, sig) = checkpointWithSignature(edges.select(
         greatest(col("src").cast("long"), col("dst").cast("long")).as("src"),
         least(col("src").cast("long"), col("dst").cast("long")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(false)
-    var sig = signature(e)
+      .distinct())
     var converged = sig._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(false)
-      val next = signature(e)
+      val (cp, next) = checkpointWithSignature(smallStar(largeStar(e)))
+      e = cp
       converged = next == sig
       sig = next
       it += 1
