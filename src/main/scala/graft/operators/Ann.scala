@@ -1527,8 +1527,9 @@ object Ann {
     emb.select(col(idCol).as("vec_id"), sq8QuantCol(col(embCol), s).as("qv"))
       .write.mode("overwrite").parquet(s"$dir/codes")
     StandingIndex.publishMetaRow(emb.sparkSession, s"$dir/scale", Seq(
-      lit(s).as("scale"), lit(candidates).as("candidates"),
-      StandingIndex.optCol(measuredRecall, "recall")))
+      "scale" -> StandingIndex.MetaDouble(s),
+      "candidates" -> StandingIndex.MetaInt(candidates),
+      "recall" -> StandingIndex.optVal(measuredRecall)))
     s
   }
 
@@ -1537,7 +1538,7 @@ object Ann {
     */
   def sq8IndexScale(spark: org.apache.spark.sql.SparkSession,
                     dir: String): Double =
-    spark.read.parquet(s"$dir/scale").first().getDouble(0)
+    StandingIndex.readMetaRow(spark, s"$dir/scale").get[Double]("scale")
 
   /** The published serve parameters of a standing SQ8-family index (flat
     * or cell-partitioned): the frozen scale, the candidate count C, the
@@ -1715,13 +1716,15 @@ object Ann {
       s"$dir/codes", "overwrite")
     val n = parquetRowCount(emb.sparkSession, s"$dir/codes")
     StandingIndex.publishMetaRow(emb.sparkSession, s"$dir/scale", Seq(
-      lit(s).as("scale"), lit(candidates).as("candidates"),
-      StandingIndex.optCol(measuredRecall, "recall"),
-      lit(nProbe).as("n_probe"), lit(n).as("n_vectors"),
+      "scale" -> StandingIndex.MetaDouble(s),
+      "candidates" -> StandingIndex.MetaInt(candidates),
+      "recall" -> StandingIndex.optVal(measuredRecall),
+      "n_probe" -> StandingIndex.MetaInt(nProbe),
+      "n_vectors" -> StandingIndex.MetaLong(n),
       // the centroid binding: serves/appends must present the SAME
       // model this publish partitioned with (requireCentroidsMatch)
-      lit(StandingIndex.centroidFingerprint(coarse.centroids))
-        .as("centroid_fp")))
+      "centroid_fp" -> StandingIndex.MetaLong(
+        StandingIndex.centroidFingerprint(coarse.centroids))))
     s
   }
 
@@ -2000,10 +2003,11 @@ object Ann {
     // scan, same driver-side metadata read the serve's drift guard uses
     val n = parquetRowCount(emb.sparkSession, s"$dir/sigs")
     StandingIndex.publishMetaRow(emb.sparkSession, s"$dir/meta", Seq(
-      lit(dims).as("dims"), lit(lanes).as("lanes"),
-      lit(candidates).as("candidates"),
-      StandingIndex.optCol(measuredRecall, "recall"),
-      lit(n).as("n_vectors")))
+      "dims" -> StandingIndex.MetaInt(dims),
+      "lanes" -> StandingIndex.MetaInt(lanes),
+      "candidates" -> StandingIndex.MetaInt(candidates),
+      "recall" -> StandingIndex.optVal(measuredRecall),
+      "n_vectors" -> StandingIndex.MetaLong(n)))
     SignIndexMeta(dims, lanes, candidates, measuredRecall, n)
   }
 

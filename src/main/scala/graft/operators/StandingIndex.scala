@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The shared machinery of the five standing ANN index lifecycles
@@ -19,40 +19,111 @@ import org.apache.spark.sql.functions._
 private[graft] object StandingIndex {
 
   /** Publish a ONE-ROW meta/scale sidecar — the standing contract every
-    * tier's serves read back (dispatch-cost: a single-row driver-side
-    * parquet read). coalesce(1): a contract row split across files
-    * would make `first()` readers order-dependent.
+    * tier's serves read back. Written DRIVER-SIDE through parquet-hadoop
+    * (optimization round 19): the row is pure publish-time metadata, and
+    * the previous `range(1).coalesce(1).write` spent a Spark job plus a
+    * commit-protocol pass per sidecar — per-row driver latency the
+    * lifecycle rows paid on every publish. The file is ordinary parquet
+    * in the same dir layout (one data file under `path/`), so Spark and
+    * DuckDB readers are unaffected. Values are typed via [[MetaVal]]
+    * (the sidecars only ever carry int/long/double scalars, nullable
+    * for unaudited figures).
     */
+  sealed trait MetaVal
+  final case class MetaInt(v: Int) extends MetaVal
+  final case class MetaLong(v: Long) extends MetaVal
+  final case class MetaDouble(v: Double) extends MetaVal
+  /** SQL NULL of double type — the unaudited-figure pattern. */
+  case object MetaNullDouble extends MetaVal
+  /** The publish-time audited-figure pattern (None publishes a typed
+    * NULL, which [[MetaRow.opt]] reads back as None).
+    */
+  def optVal(v: Option[Double]): MetaVal =
+    v.map(MetaDouble).getOrElse(MetaNullDouble)
+
   def publishMetaRow(spark: SparkSession, path: String,
-                     cols: Seq[Column]): Unit =
-    spark.range(1).select(cols: _*)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+                     cols: Seq[(String, MetaVal)]): Unit = {
+    import org.apache.parquet.schema.{PrimitiveType, Type, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root) && !fs.delete(root, true))
+      throw new java.io.IOException(s"publishMetaRow: delete of $path failed")
+    val fields = cols.map { case (name, v) =>
+      val tn = v match {
+        case MetaInt(_)                      => INT32
+        case MetaLong(_)                     => INT64
+        case MetaDouble(_) | MetaNullDouble  => DOUBLE
+      }
+      new PrimitiveType(Type.Repetition.OPTIONAL, tn, name)
+    }
+    val schema = new org.apache.parquet.schema.MessageType("meta",
+      fields: _*)
+    val file = new org.apache.hadoop.fs.Path(root, "part-00000.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withType(schema).build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      cols.foreach {
+        case (n, MetaInt(v))    => g.add(n, v)
+        case (n, MetaLong(v))   => g.add(n, v)
+        case (n, MetaDouble(v)) => g.add(n, v)
+        case (_, MetaNullDouble) => // absent = NULL under OPTIONAL
+      }
+      writer.write(g)
+    } finally writer.close()
+  }
 
   /** Tolerant reader over a published meta row: fields added to a
     * sidecar AFTER an index was published must not strand it (the
     * round-17 SQ8 rule — only a GRID change forces a rebuild, so a
     * sidecar-schema addition reads as None/default on old indexes).
+    * Driver-side parquet-hadoop read (round 19) — a one-row contract
+    * fetch must not cost a Spark job; reads Spark-written sidecars
+    * unchanged (standard parquet primitives).
     */
-  final class MetaRow(val row: Row) {
-    private val fields = row.schema.fieldNames.toSet
+  final class MetaRow(vals: Map[String, Any]) {
     def opt[T](name: String)(implicit ct: scala.reflect.ClassTag[T])
         : Option[T] =
-      if (fields(name) && !row.isNullAt(row.fieldIndex(name)))
-        Some(row.getAs[T](name))
-      else None
+      vals.get(name).map(_.asInstanceOf[T])
     def get[T](name: String)(implicit ct: scala.reflect.ClassTag[T]): T =
-      row.getAs[T](name)
+      vals.getOrElse(name, throw new NoSuchElementException(
+        s"meta row has no field '$name'")).asInstanceOf[T]
   }
 
-  def readMetaRow(spark: SparkSession, path: String): MetaRow =
-    new MetaRow(spark.read.parquet(path).first())
-
-  /** An optional-valued column for a meta row: the publish-time
-    * audited-figure pattern (None publishes SQL NULL of the right
-    * type, which [[MetaRow.opt]] reads back as None).
-    */
-  def optCol(v: Option[Double], name: String): Column =
-    v.map(lit(_)).getOrElse(lit(null)).cast("double").as(name)
+  def readMetaRow(spark: SparkSession, path: String): MetaRow = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataFile = listDataFiles(spark, path).headOption.getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no parquet data file under meta sidecar dir $path"))
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        dataFile)
+      .withConf(conf).build()
+    try {
+      val g = reader.read()
+      require(g != null, s"meta sidecar at $path is empty")
+      val tpe = g.getType
+      val vals = (0 until tpe.getFieldCount).flatMap { i =>
+        val f = tpe.getType(i).asPrimitiveType()
+        if (g.getFieldRepetitionCount(i) == 0) None
+        else Some(f.getName -> (f.getPrimitiveTypeName match {
+          case INT32  => g.getInteger(i, 0)
+          case INT64  => g.getLong(i, 0)
+          case DOUBLE => g.getDouble(i, 0)
+          case FLOAT  => g.getFloat(i, 0)
+          case BOOLEAN => g.getBoolean(i, 0)
+          case other => throw new IllegalArgumentException(
+            s"meta sidecar field ${f.getName} has unsupported type $other")
+        }))
+      }.toMap
+      new MetaRow(vals)
+    } finally reader.close()
+  }
 
   /** Recursive listing of an index dir's parquet DATA files (committer
     * droppings excluded) — the one walk behind the byte pricer, the
