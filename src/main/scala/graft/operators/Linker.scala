@@ -445,26 +445,40 @@ object Linker {
     * n_passes), ids normalized id_a < id_b, n_passes = how many passes
     * caught it (the per-key diagnostic).
     */
+  /** One normalized (id_a < id_b) SNM pass — the shared single-pass
+    * frame of [[sortedNeighborhoodMulti]] and
+    * [[sortedNeighborhoodMultiRecall]]. Pairs within one pass are unique
+    * by construction (each true pair meets exactly once in
+    * [[snmPassPairs]]'s bucket argument), so no per-pass dedup is
+    * needed or performed here.
+    */
+  private def normalizedPassPairs(df: DataFrame, idCol: String,
+                                  keyCol: String,
+                                  skey: org.apache.spark.sql.Column,
+                                  windowSize: Int,
+                                  maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+        skey.as("skey"))
+      .filter(col("key").isNotNull)
+    snmPassPairs(base, windowSize, maxDist)
+      .select(when(col("id_a") < col("id_b"),
+          struct(col("id_a").as("lid"), col("key_a").as("lkey"),
+            col("id_b").as("gid"), col("key_b").as("gkey")))
+        .otherwise(
+          struct(col("id_b").as("lid"), col("key_b").as("lkey"),
+            col("id_a").as("gid"), col("key_a").as("gkey"))).as("p"),
+        col("dist"))
+      .select(col("p.lid").as("id_a"), col("p.lkey").as("key_a"),
+        col("p.gid").as("id_b"), col("p.gkey").as("key_b"), col("dist"))
+  }
+
   def sortedNeighborhoodMulti(df: DataFrame, idCol: String, keyCol: String,
                               passes: Seq[org.apache.spark.sql.Column],
                               windowSize: Int, maxDist: Int): DataFrame = {
     require(windowSize > 0, s"need windowSize > 0, got $windowSize")
     require(passes.nonEmpty, "need at least one sort-key pass")
-    val runs = passes.map { skey =>
-      val base = df.select(col(idCol).as("id"), col(keyCol).as("key"),
-          skey.as("skey"))
-        .filter(col("key").isNotNull)
-      snmPassPairs(base, windowSize, maxDist)
-        .select(when(col("id_a") < col("id_b"),
-            struct(col("id_a").as("lid"), col("key_a").as("lkey"),
-              col("id_b").as("gid"), col("key_b").as("gkey")))
-          .otherwise(
-            struct(col("id_b").as("lid"), col("key_b").as("lkey"),
-              col("id_a").as("gid"), col("key_a").as("gkey"))).as("p"),
-          col("dist"))
-        .select(col("p.lid").as("id_a"), col("p.lkey").as("key_a"),
-          col("p.gid").as("id_b"), col("p.gkey").as("key_b"), col("dist"))
-    }
+    val runs = passes.map(skey =>
+      normalizedPassPairs(df, idCol, keyCol, skey, windowSize, maxDist))
     runs.reduce(_.unionByName(_))
       .groupBy("id_a", "id_b")
       .agg(max(col("key_a")).as("key_a"), max(col("key_b")).as("key_b"),
@@ -493,6 +507,13 @@ object Linker {
     // and a union row iff ANY pass did. (Checkpoint-free on purpose:
     // sharing via eager checkpoints serializes what Spark otherwise runs
     // as concurrent stages — measured slower on the TC audit.)
+    // The per-pass single-pass aggregate looks redundant (pairs are
+    // unique within a pass and the collect_set below dedups anyway).
+    // Removing it was tried in round 19 and measured NO win (three
+    // windows, removal and revert indistinguishable within the box's
+    // heat band), so the established form stays: its exchange also
+    // keeps the object-hash collect_set's partial aggregation out of
+    // the pass-pair join stage.
     val caught = passes.map { case (pname, skey) =>
         sortedNeighborhoodMulti(df, idCol, keyCol, Seq(skey), windowSize, maxDist)
           .select(col("id_a"), col("id_b"), lit(pname).as("pass"))
